@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{EventsTime, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,13 +12,51 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Relational.q1Agg _),
+    "q1_agg"            -> (Relational.q1Agg _),
+    "q2_join_broadcast" -> (Relational.q2JoinBroadcast _),
+    "q3_top_orders"     -> (Relational.q3TopOrders _),
+    "q4_semi_join"      -> (Relational.q4SemiJoin _),
+    "q5_anti_join"      -> (Relational.q5AntiJoin _),
+    "q5_multiway"       -> (Relational.q5Multiway _),
+    "q6_filter_agg"     -> (Relational.q6FilterAgg _),
+    "q10_setops"        -> (Relational.q10SetOps _),
+    "q11_distinct"      -> (Relational.q11Distinct _),
+    "q12_rollup"        -> (Relational.q12Rollup _),
+    "q13_topk"          -> (Relational.q13TopK _),
+    "q18_cube"          -> (Relational.q18Cube _),
+    "q19_stats"         -> (Relational.q19Stats _),
+    "q7_rank_topn"      -> (Windows.q7RankTopN _),
+    "q8_running_sum"    -> (Windows.q8RunningSum _),
+    "q9_lag_lead"       -> (Windows.q9LagLead _),
+    "q15_latest_by_key" -> (Windows.q15LatestByKey _),
+    "q16_sessionize"    -> (Windows.q16Sessionize _),
+    "q20_tumbling"      -> (EventsTime.q20Tumbling _),
+    "q21_scalar_funcs"  -> (EventsTime.q21ScalarFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> Relational.q1AggSql,
+    "q1_agg"            -> Relational.q1AggSql,
+    "q2_join_broadcast" -> Relational.q2JoinBroadcastSql,
+    "q3_top_orders"     -> Relational.q3TopOrdersSql,
+    "q4_semi_join"      -> Relational.q4SemiJoinSql,
+    "q5_anti_join"      -> Relational.q5AntiJoinSql,
+    "q5_multiway"       -> Relational.q5MultiwaySql,
+    "q6_filter_agg"     -> Relational.q6FilterAggSql,
+    "q10_setops"        -> Relational.q10SetOpsSql,
+    "q11_distinct"      -> Relational.q11DistinctSql,
+    "q12_rollup"        -> Relational.q12RollupSql,
+    "q13_topk"          -> Relational.q13TopKSql,
+    "q18_cube"          -> Relational.q18CubeSql,
+    "q19_stats"         -> Relational.q19StatsSql,
+    "q7_rank_topn"      -> Windows.q7RankTopNSql,
+    "q8_running_sum"    -> Windows.q8RunningSumSql,
+    "q9_lag_lead"       -> Windows.q9LagLeadSql,
+    "q15_latest_by_key" -> Windows.q15LatestByKeySql,
+    "q16_sessionize"    -> Windows.q16SessionizeSql,
+    "q20_tumbling"      -> EventsTime.q20TumblingSql,
+    "q21_scalar_funcs"  -> EventsTime.q21ScalarFuncsSql,
   )
 }

@@ -1,66 +1,335 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
+import Exact._
 
 /** Relational operator surface (SURVEY §2B) as thin, oracle-checked wrappers
-  * over Spark built-ins.
+  * over Spark built-ins: scan, filter/project, hash aggregation, equi-joins
+  * of every flavor (broadcast and shuffled), semi/anti joins, multiway
+  * star-schema joins, set operations, distinct, rollup/cube, top-k, and
+  * exact-decimal statistics.
   *
-  * Determinism conventions (so the DuckDB oracle hash-matches bit-for-bit):
-  *   - double aggregates go through exact DECIMAL intermediates (decimal sums
-  *     are associative ⇒ shuffle/partition order cannot change the result),
-  *     then a single deterministic cast back to double;
-  *   - every query ends with a total-order sort on its output key;
-  *   - counts/sums of integers are BIGINT on both sides.
+  * Scale notes (100 TB): every query here is fully declarative — Catalyst
+  * pushes filters/projections into the parquet scan, aggregations run
+  * partial (map-side) then final, and dimension tables are broadcast so the
+  * only shuffles left are the unavoidable key exchanges on the fact table.
   */
 object Relational {
-
-  /** Exact-decimal images of the 2-decimal money columns. Cast the SOURCE
-    * double to decimal (values are exact 2-decimal quantities, far from any
-    * rounding boundary ⇒ portable across engines), then keep ALL arithmetic
-    * in decimal — decimal ops are exact in both Spark and DuckDB, so the
-    * final cast-to-double matches bit-for-bit. Casting a *computed* double
-    * to a high-scale decimal is NOT portable (DuckDB rounds via double
-    * multiply, Spark via exact BigDecimal).
-    */
-  private val dec2 = DecimalType(12, 2)
 
   /** TPC-H Q1-shaped pricing summary: partial (map-side) aggregation is
     * automatic; at 100 TB the only shuffle is the 4-group exchange.
     */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val qty  = $"l_quantity".cast(dec2)
-    val ep   = $"l_extendedprice".cast(dec2)
-    val disc = $"l_discount".cast(DecimalType(4, 2))
-    val tax  = $"l_tax".cast(DecimalType(4, 2))
-    val one  = lit(1).cast(DecimalType(3, 2))
+    val qty  = d2($"l_quantity")
+    val ep   = d2($"l_extendedprice")
     Tables.load(s, dir, "lineitem")
       .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum(qty).cast("double").as("sum_qty"),
         sum(ep).cast("double").as("sum_base_price"),
-        sum(ep * (one - disc)).cast("double").as("sum_disc_price"),
-        sum(ep * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        sum(ep * oneMinus($"l_discount")).cast("double").as("sum_disc_price"),
+        sum(ep * oneMinus($"l_discount") * onePlus($"l_tax")).cast("double").as("sum_charge"),
         (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    s"""SELECT l_returnflag, l_linestatus,
+      | ${sqlDsum("l_quantity")} AS sum_qty,
+      | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+      | CAST(SUM(${sqlD2("l_extendedprice")} * ${sqlOneMinus("l_discount")}) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(${sqlD2("l_extendedprice")} * ${sqlOneMinus("l_discount")} * ${sqlOnePlus("l_tax")}) AS DOUBLE) AS sum_charge,
+      | ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty,
       | COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Broadcast equi-join: fact (lineitem) × small dim (part). `broadcast()`
+    * keeps the 100 TB side shuffle-free — the dim ships to every executor.
+    */
+  def q2JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val p  = Tables.load(s, dir, "part").select($"p_partkey", $"p_brand")
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        sum(d2($"l_extendedprice") * oneMinus($"l_discount")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
+  val q2JoinBroadcastSql: String =
+    s"""SELECT p_brand,
+      | CAST(SUM(${sqlD2("l_extendedprice")} * ${sqlOneMinus("l_discount")}) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q3-shaped 3-way join + top-10: the two fact tables shuffle on
+    * the join key; customer is broadcast. LIMIT after a total order
+    * (revenue DESC, key ASC) keeps the answer deterministic.
+    */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val c = Tables.load(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val o = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum(d2($"l_extendedprice") * oneMinus($"l_discount")).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3TopOrdersSql: String =
+    s"""SELECT l_orderkey, o_orderdate,
+      | CAST(SUM(${sqlD2("l_extendedprice")} * ${sqlOneMinus("l_discount")}) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Left-semi join (EXISTS): orders that have at least one big-quantity
+    * line item — the probe side never materializes lineitem columns.
+    */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o  = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_quantity" >= 48.0).select($"l_orderkey")
+    o.join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4SemiJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48.0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders").select($"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q5AntiJoinSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** TPC-H Q6-shaped scan: filter + project + single global aggregate.
+    * All three predicates and the 2-column projection push into the
+    * parquet scan (PushedFilters + ReadSchema in .explain).
+    */
+  def q6FilterAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              $"l_shipdate" <  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
+      .agg(
+        sum(d2($"l_extendedprice") * $"l_discount".cast(DecimalType(4, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q6FilterAggSql: String =
+    s"""SELECT
+      | CAST(SUM(${sqlD2("l_extendedprice")} * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin
+
+  /** TPC-H Q5-shaped 6-way star join: region→nation→(customer, supplier)
+    * →orders→lineitem with the c_nationkey = s_nationkey colocation
+    * condition. All dims broadcast; the two fact tables shuffle once on
+    * orderkey. This is the headline multiway-join benchmark query.
+    */
+  def q5Multiway(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r  = Tables.load(s, dir, "region").filter($"r_name" === "ASIA")
+    val n  = Tables.load(s, dir, "nation")
+    val c  = Tables.load(s, dir, "customer")
+    val su = Tables.load(s, dir, "supplier")
+    val o  = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              $"o_orderdate" <  lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val li = Tables.load(s, dir, "lineitem")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(su), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(d2($"l_extendedprice") * oneMinus($"l_discount")).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5MultiwaySql: String =
+    s"""SELECT n_name,
+      | CAST(SUM(${sqlD2("l_extendedprice")} * ${sqlOneMinus("l_discount")}) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT over the same keyed projections,
+    * tagged and unioned into one deterministic result. Spark plans these
+    * as hash semi/anti joins — same shuffle shape as q4/q5.
+    */
+  def q10SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    val f = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val p = o.filter($"o_orderstatus" === "P").select($"o_custkey")
+    val both  = f.intersect(p).withColumn("tag", lit("both"))
+    val fOnly = f.except(p).withColumn("tag", lit("f_only"))
+    both.union(fOnly)
+      .select($"tag", $"o_custkey")
+      .orderBy($"tag", $"o_custkey")
+  }
+
+  val q10SetOpsSql: String =
+    """SELECT 'both' AS tag, o_custkey
+      |FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |      INTERSECT
+      |      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |UNION ALL
+      |SELECT 'f_only' AS tag, o_custkey
+      |FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |      EXCEPT
+      |      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  /** Exact distinct (dedup of a projection). */
+  def q11Distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .select($"c_nationkey", $"c_mktsegment")
+      .distinct()
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  val q11DistinctSql: String =
+    """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  /** ROLLUP grouping sets: (flag,status), (flag), (). One shuffle; Spark
+    * expands grouping sets map-side.
+    */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q12RollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** CUBE grouping sets over orders. */
+  def q18Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q18CubeSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Global top-k: total order (price DESC, key ASC) + limit. Spark plans
+    * TakeOrderedAndProject — per-partition heap + single k-row merge, no
+    * global sort even at 100 TB.
+    */
+  def q13TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  val q13TopKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Exact-decimal statistics: n/sum/mean/stddev per group, where stddev is
+    * derived from exact decimal sum and sum-of-squares via an identical
+    * double expression on both engines — no reliance on engine-internal
+    * streaming-variance algorithms.
+    */
+  def q19Stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x  = d2($"o_totalprice")
+    Tables.load(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_price"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        (sum(x).cast("double") / count(lit(1))).as("mean_price"),
+        sqrt((sum(x * x).cast("double") - sum(x).cast("double") * sum(x).cast("double") / count(lit(1)))
+          / (count(lit(1)) - lit(1))).as("stddev_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q19StatsSql: String =
+    s"""SELECT o_orderstatus,
+      | COUNT(*) AS n,
+      | ${sqlDsum("o_totalprice")} AS sum_price,
+      | MIN(o_totalprice) AS min_price,
+      | MAX(o_totalprice) AS max_price,
+      | ${sqlDsum("o_totalprice")} / COUNT(*) AS mean_price,
+      | SQRT((CAST(SUM(${sqlD2("o_totalprice")} * ${sqlD2("o_totalprice")}) AS DOUBLE)
+      |       - ${sqlDsum("o_totalprice")} * ${sqlDsum("o_totalprice")} / COUNT(*))
+      |      / (COUNT(*) - 1)) AS stddev_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Exact._
+
+/** Window-function surface (SURVEY §2B): ranking, running aggregates,
+  * lag/lead, per-group top-k, CDC latest-by-key compaction, and gap-based
+  * sessionization.
+  *
+  * Every window order includes a unique tiebreaker column so results are
+  * deterministic under any partitioning. At 100 TB a window shuffles once
+  * on its partition key — same cost shape as a groupBy on that key.
+  */
+object Windows {
+
+  /** Ranking trio + per-group top-k: top-3 customers by balance per nation. */
+  def q7RankTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.load(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_nationkey", $"rn", $"rnk", $"drnk", $"c_custkey", $"c_acctbal")
+      .orderBy($"c_nationkey", $"rn")
+  }
+
+  val q7RankTopNSql: String =
+    """SELECT c_nationkey, rn, rnk, drnk, c_custkey, c_acctbal
+      |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+      |        ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |        RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+      |        DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk
+      |      FROM customer)
+      |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin
+
+  /** Running (cumulative) sum per customer over order history, in exact
+    * decimal so accumulation order cannot perturb the double rendering.
+    */
+  def q8RunningSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      .filter($"o_custkey" % 10 === 0)
+      .withColumn("running_spend", sum(d2($"o_totalprice")).over(w).cast("double"))
+      .withColumn("order_seq", row_number().over(
+        Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")))
+      .select($"o_custkey", $"order_seq", $"o_orderkey", $"running_spend")
+      .orderBy($"o_custkey", $"order_seq")
+  }
+
+  val q8RunningSumSql: String =
+    """SELECT o_custkey, order_seq, o_orderkey, running_spend
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+      |      FROM orders WHERE o_custkey % 10 = 0)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** lag/lead over the per-user event timeline (value passes through
+    * untouched — no float arithmetic, so exact equality holds).
+    */
+  def q9LagLead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("next_value", lead($"value", 1).over(w))
+      .withColumn("first_type", first($"event_type").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"event_id", $"value", $"prev_value", $"next_value", $"first_type")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q9LagLeadSql: String =
+    """SELECT user_id, event_id, value,
+      |  LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |  LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+      |  FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** CDC latest-by-key compaction (SURVEY §2B "Dedup"): last event per key
+    * by (event-time, unique id) — the reference's keyed latest-wins
+    * semantics for change streams. At scale: one shuffle on the key, then
+    * a per-partition top-1, no global sort.
+    */
+  def q15LatestByKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    latestByKey(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  /** Reusable CDC compaction: latest row per `keys` ordered by `orderCols`
+    * descending (ties broken by the last, unique, order column).
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  val q15LatestByKeySql: String =
+    """SELECT user_id, event_id, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) via lag + cumulative
+    * session counter — the batch-mode equivalent of
+    * `session_window` (see graft.streaming for the streaming form).
+    */
+  def q16Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_us".isNull || $"ts_us" - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+           (max($"ts_us") - min($"ts_us")).as("duration_us"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+           sum($"n_events").as("n_events"),
+           max($"duration_us").as("max_session_us"))
+      .orderBy($"user_id")
+  }
+
+  val q16SessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MAX(ts_us) - MIN(ts_us) AS duration_us
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  MAX(duration_us) AS max_session_us
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+}

@@ -15,6 +15,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load one testdata table.
+    *
+    * `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark 4
+    * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). We read nanos
+    * as a raw long (`nanosAsLong`) and floor-divide to microseconds —
+    * byte-identical to what DuckDB does natively (its parquet reader
+    * truncates NANOS to a µs TIMESTAMP), so oracle comparisons stay exact.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 }
