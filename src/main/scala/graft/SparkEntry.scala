@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventsTime, Relational, Windows}
+import graft.queries.{Dedup, EventsTime, Relational, Similarity, TextOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -32,6 +32,15 @@ object SparkEntry {
     "q16_sessionize"    -> (Windows.q16Sessionize _),
     "q20_tumbling"      -> (EventsTime.q20Tumbling _),
     "q21_scalar_funcs"  -> (EventsTime.q21ScalarFuncs _),
+    "q30_text_stats"    -> (TextOps.q30TextStats _),
+    "q31_fingerprint"   -> (TextOps.q31Fingerprint _),
+    "q32_lang_score"    -> (TextOps.q32LangScore _),
+    "q33_exact_dedup"   -> (Dedup.q33ExactDedup _),
+    "q40_ngram_jaccard" -> (Dedup.q40NgramJaccard _),
+    "q41_minhash_lsh"   -> (Dedup.q41MinhashLsh _),
+    "q42_simhash"       -> (Dedup.q42Simhash _),
+    "q50_ann_brute"     -> (Similarity.q50AnnBrute _),
+    "q51_ann_ivf"       -> ((s, d) => Similarity.q51AnnIvf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +67,15 @@ object SparkEntry {
     "q16_sessionize"    -> Windows.q16SessionizeSql,
     "q20_tumbling"      -> EventsTime.q20TumblingSql,
     "q21_scalar_funcs"  -> EventsTime.q21ScalarFuncsSql,
+    "q30_text_stats"    -> TextOps.q30TextStatsSql,
+    "q31_fingerprint"   -> TextOps.q31FingerprintSql,
+    "q32_lang_score"    -> TextOps.q32LangScoreSql,
+    "q33_exact_dedup"   -> Dedup.q33ExactDedupSql,
+    "q40_ngram_jaccard" -> Dedup.nearDupPairsSql,
+    "q41_minhash_lsh"   -> Dedup.nearDupPairsSql,
+    "q42_simhash"       -> Dedup.nearDupPairsSql,
+    "q50_ann_brute"     -> Similarity.q50AnnBruteSql,
+    // q51_ann_ivf: approximate by construction — rows-only check;
+    // recall vs the q50 baseline is asserted in AnnSpec.
   )
 }

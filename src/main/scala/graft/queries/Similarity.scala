@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (`Array[Float]`, dim 64): brute-force cosine top-k as the exact
+  * baseline, and an IVF-bucketed variant as the 100 TB scale path.
+  *
+  * Cosine is computed as a sequential double fold (`aggregate` over the
+  * index sequence) — the same left-to-right summation DuckDB's `list_sum`
+  * performs, so scores compare bit-for-bit against the oracle.
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val K   = 3
+
+  /** Sequential-double dot product of two float-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    expr(s"aggregate(sequence(0, ${Dim - 1}), cast(0 as double), " +
+      s"(acc, i) -> acc + cast(element_at(${a.toString}, i + 1) as double)" +
+      s" * cast(element_at(${b.toString}, i + 1) as double))")
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k: broadcast the query set, one scan of the
+    * corpus, per-partition top-k heap + k-row merge (TakeOrdered via the
+    * rank-filter window on qid). The exact baseline every ANN variant is
+    * measured against.
+    */
+  def q50AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    e.select($"vec_id".as("nid"), $"embedding".as("ne"))
+      .crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos_sim", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"cos_sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val q50AnnBruteSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT qid, e.vec_id AS nid,
+      |    ${dot("qe", "e.embedding")} /
+      |    (sqrt(${dot("qe", "qe")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos_sim
+      |  FROM q, embeddings e WHERE e.vec_id <> qid)
+      |SELECT qid, rnk, nid, cos_sim
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rnk
+      |      FROM scored)
+      |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** IVF-bucketed ANN — the scale path: assign every vector to its nearest
+    * of C fixed centroids (deterministic: the vectors with vec_id < C serve
+    * as the coarse codebook), then probe only the `nprobe` nearest
+    * centroid buckets per query. At 100 TB: the corpus is partitioned by
+    * centroid id (one shuffle, or a bucketed table layout), each query
+    * touches nprobe/C of the data. Approximate by construction — recall vs
+    * q50 is asserted in the test suite, not by the SQL oracle.
+    */
+  def q51AnnIvf(s: SparkSession, dir: String, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val cent = e.filter($"vec_id" < nCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    // assign: nearest centroid per corpus vector (broadcast C centroids)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("csim", dot($"embedding", $"ce") / (norm($"embedding") * norm($"ce")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter($"arnk" === 1)
+      .select($"vec_id".as("nid"), $"embedding".as("ne"), $"cid")
+    // probe: nprobe nearest centroids per query
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cid")
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim", dot($"qe", $"ce") / (norm($"qe") * norm($"ce")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter($"prnk" <= nProbe)
+      .select($"qid", $"qe", $"cid")
+    // search only the probed buckets
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    probes.join(assigned, "cid")
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos_sim", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"cos_sim")
+      .orderBy($"qid", $"rnk")
+  }
+}
