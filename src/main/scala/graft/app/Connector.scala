@@ -1,0 +1,66 @@
+package graft.app
+
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+
+import graft.streaming.CdcPipeline
+
+/** Connector facade mirroring the reference API shape
+  * (`/root/reference/connector.go:22-26`): construct with config, then
+  * `start()` / `waitUntilReady()` / `close()`.
+  *
+  * Lifecycle mapping (SURVEY §2A O20):
+  *   - `Start` → `StreamingQuery` launch (async, like the CDC goroutine)
+  *   - `WaitUntilReady` channel → first-progress latch via a
+  *     `StreamingQueryListener`
+  *   - `Close` flush-then-close → `StreamingQuery.stop()` (Spark drains
+  *     the in-flight micro-batch and commits its checkpoint)
+  *   - snapshot-only mode (`connector.go:82-94`) → a bounded backfill run:
+  *     the file source simply exhausts available input and the caller
+  *     stops the query.
+  *
+  * HA failover (O21) is delegated to cluster-manager restart + checkpoint
+  * recovery: a restarted connector resumes from the last committed batch,
+  * the same "resume from last ACK" guarantee the slot gives the reference.
+  */
+final class Connector(
+    spark: SparkSession,
+    cfg: ConnectorConfig,
+    sink: String = "kafka",
+    parquetOutDir: String = "") {
+
+  private val ready = new CountDownLatch(1)
+  @volatile private var query: StreamingQuery = _
+
+  private val listener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      ready.countDown()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /** Launch the pipeline (async; returns the running query). */
+  def start(): StreamingQuery = synchronized {
+    require(query == null, "connector already started")
+    spark.streams.addListener(listener)
+    query =
+      if (sink == "parquet") CdcPipeline.startToParquet(spark, cfg, parquetOutDir)
+      else CdcPipeline.startToKafka(spark, cfg)
+    query
+  }
+
+  /** Block until the first micro-batch has been processed
+    * (≙ `WaitUntilReady`, `connector.go:109-116`).
+    */
+  def waitUntilReady(): Unit = ready.await()
+
+  /** Stop: drain the in-flight batch, commit, detach
+    * (≙ flush-then-close, `connector.go:118-127`).
+    */
+  def close(): Unit = synchronized {
+    if (query != null) query.stop()
+    spark.streams.removeListener(listener)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.{ChangeEvent, KafkaRecord, Op}
+import graft.route.TopicRouter
+
+/** The user-transform surface (reference operator O7 and its helpers
+  * O8-O10): a typed `Handler` lane for arbitrary per-event logic, plus the
+  * declarative default pipeline that covers what every example handler in
+  * the reference actually does — filter, serialize the row image to JSON
+  * with an injected `operation` field, extract the key, attach headers,
+  * and route to a topic.
+  *
+  * Reference: `handler.go:5` (signature), `example/simple/main.go:110-139`
+  * (JSON + key), `example/snapshot/main.go:127-179` (headers + fan-out).
+  *
+  * Scale note: prefer [[declarative]] — it is pure column expressions
+  * (whole-stage codegen, no serialization boundary). The typed lane pays
+  * encoder cost per event and is for logic that genuinely can't be
+  * expressed as columns.
+  */
+object Handlers {
+
+  /** Typed handler: 0..N records per event; empty = filter the event
+    * (reference ACKs without producing, `connector.go:158-168`); a
+    * non-empty `topic` on a record overrides the routed topic
+    * (`connector.go:170-172, 186-192`).
+    */
+  type Handler = ChangeEvent => Seq[KafkaRecord]
+
+  /** Typed lane: flatMap the handler over the event stream, then apply
+    * topic defaulting against the router.
+    */
+  def applyTyped(events: Dataset[ChangeEvent], handler: Handler, router: TopicRouter): Dataset[KafkaRecord] = {
+    import events.sparkSession.implicits._
+    events.flatMap { ev =>
+      router.resolve(ev.tableNamespace, ev.tableName) match {
+        case None => Seq.empty // unmapped table: drop (connector.go:146-156)
+        case Some(defaultTopic) =>
+          handler(ev).map { r =>
+            if (r.topic != null && r.topic.nonEmpty) r else r.copy(topic = defaultTopic)
+          }
+      }
+    }
+  }
+
+  /** The row image a handler serializes: post-image for INSERT/UPDATE/
+    * SNAPSHOT, pre-image for DELETE (`example/simple/main.go:110-139`).
+    */
+  def payloadImage(op: Column, oldData: Column, newData: Column): Column =
+    when(op === Op.Delete, oldData).otherwise(newData)
+
+  /** Declarative default handler over a ChangeEvent-schema DataFrame:
+    * emits the Spark Kafka sink contract (topic, key, value, headers).
+    *
+    *   - value: JSON of the row image with `operation` injected
+    *     (≙ `json.Marshal` + map insert, `example/simple/main.go:113-114`)
+    *   - key:   the `keyField` from the image, cast to bytes
+    *     (≙ `example/simple/main.go:119`)
+    *   - headers: operation/table/source triple
+    *     (≙ `example/snapshot/main.go:164-179`)
+    *   - unknown ops and unmapped tables are dropped
+    *     (`connector.go:129-156`)
+    */
+  def declarative(events: DataFrame, router: TopicRouter, keyField: String): DataFrame = {
+    val img = payloadImage(col("op"), col("oldData"), col("newData"))
+    events
+      .filter(col("op").isin(Op.all: _*))
+      .withColumn("topic", router.resolveColumn(col("tableNamespace"), col("tableName")))
+      .filter(col("topic").isNotNull)
+      .select(
+        col("topic"),
+        element_at(img, keyField).cast("binary").as("key"),
+        to_json(map_concat(img, map(lit("operation"), col("op")))).cast("binary").as("value"),
+        array(
+          struct(lit("operation").as("key"), col("op").cast("binary").as("value")),
+          struct(lit("table").as("key"),
+            concat_ws(".", col("tableNamespace"), col("tableName")).cast("binary").as("value")),
+          struct(lit("source").as("key"), lit("graft").cast("binary").as("value"))
+        ).as("headers"))
+  }
+
+  /** Bound-schema lane: project the dynamic string-map image into typed
+    * columns via `from_json` with a per-table schema — how reference
+    * handlers duck-type map values (`example/simple/main.go:119`,
+    * SURVEY §1.2) without giving up the raw map lane.
+    */
+  def bindSchema(events: DataFrame, schema: StructType): DataFrame =
+    events.withColumn("row",
+      from_json(to_json(payloadImage(col("op"), col("oldData"), col("newData"))), schema))
+}

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The IVF ANN variant (q51) is approximate by construction; the DuckDB
+  * oracle covers only the brute-force baseline (q50). This spec pins the
+  * quality contract: recall@3 of IVF vs brute force.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF ANN with full probe (nprobe = nCentroids) is exactly brute force") {
+    val truth = pairSet(Similarity.q50AnnBrute(spark, dir))
+    assert(truth.nonEmpty)
+    assert(pairSet(Similarity.q51AnnIvf(spark, dir, nCentroids = 8, nProbe = 8)) == truth)
+  }
+
+  test("IVF ANN recall@3 >= 0.3 vs brute force (nprobe=2 of 8 centroids)") {
+    val truth = pairSet(Similarity.q50AnnBrute(spark, dir))
+    val got   = pairSet(Similarity.q51AnnIvf(spark, dir))
+    val recall = (truth & got).size.toDouble / truth.size
+    // nprobe/centroids = 2/8 of the corpus scanned; these embeddings are
+    // random (unclustered), which is the worst case for IVF — the contract
+    // here is "meaningful recall at a quarter of the scan cost"; clustered
+    // real-world embeddings do far better.
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("near-dup detectors agree: q40 (exact) == q41 (MinHash LSH) == q42 (SimHash)") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.q40NgramJaccard(spark, dir))
+    assert(pairs(Dedup.q41MinhashLsh(spark, dir)) == exact)
+    assert(pairs(Dedup.q42Simhash(spark, dir)) == exact)
+  }
+}

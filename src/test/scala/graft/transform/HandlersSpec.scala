@@ -1,0 +1,83 @@
+package graft.transform
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.model.{ChangeEvent, KafkaRecord, Op}
+import graft.route.TopicRouter
+
+/** Handler semantics from the reference (`handler.go:5`,
+  * `connector.go:146-192`, `example/simple/main.go:110-139`).
+  */
+class HandlersSpec extends SparkSpec {
+
+  private val router = TopicRouter(Map("public.users" -> "users-topic"))
+
+  private def ev(op: String, table: String = "users",
+                 oldD: Map[String, String] = null,
+                 newD: Map[String, String] = null): ChangeEvent =
+    ChangeEvent(new Timestamp(1700000000000L), "public", table, oldD, newD, op)
+
+  test("declarative handler: INSERT serializes post-image with operation injected") {
+    import spark.implicits._
+    val events = Seq(ev(Op.Insert, newD = Map("id" -> "7", "name" -> "n1"))).toDF()
+    val out = Handlers.declarative(events, router, "id").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "users-topic")
+    assert(new String(r.getAs[Array[Byte]]("key")) == "7")
+    val value = new String(r.getAs[Array[Byte]]("value"))
+    assert(value.contains(""""operation":"INSERT""""))
+    assert(value.contains(""""name":"n1""""))
+  }
+
+  test("declarative handler: DELETE serializes the pre-image") {
+    import spark.implicits._
+    val events = Seq(ev(Op.Delete, oldD = Map("id" -> "9", "name" -> "gone"))).toDF()
+    val out = Handlers.declarative(events, router, "id").collect()
+    assert(new String(out(0).getAs[Array[Byte]]("key")) == "9")
+    assert(new String(out(0).getAs[Array[Byte]]("value")).contains(""""operation":"DELETE""""))
+  }
+
+  test("declarative handler: unmapped table is dropped") {
+    import spark.implicits._
+    val events = Seq(ev(Op.Insert, table = "ghost", newD = Map("id" -> "1"))).toDF()
+    assert(Handlers.declarative(events, router, "id").isEmpty)
+  }
+
+  test("declarative handler: headers carry operation/table/source") {
+    import spark.implicits._
+    val events = Seq(ev(Op.Insert, newD = Map("id" -> "1"))).toDF()
+    val headers = Handlers.declarative(events, router, "id")
+      .selectExpr("transform(headers, h -> h.key) AS ks",
+                  "transform(headers, h -> cast(h.value AS string)) AS vs")
+      .collect()(0)
+    assert(headers.getSeq[String](0) == Seq("operation", "table", "source"))
+    assert(headers.getSeq[String](1) == Seq("INSERT", "public.users", "graft"))
+  }
+
+  test("typed handler: empty result filters the event (ACK-without-produce)") {
+    import spark.implicits._
+    val events = Seq(ev(Op.Insert, newD = Map("id" -> "1"))).toDS()
+    val drop: Handlers.Handler = _ => Seq.empty
+    assert(Handlers.applyTyped(events, drop, router).isEmpty)
+  }
+
+  test("typed handler: per-record topic override beats routed topic; fan-out works") {
+    import spark.implicits._
+    val events = Seq(ev(Op.Insert, newD = Map("id" -> "1"))).toDS()
+    val fanout: Handlers.Handler = e => Seq(
+      KafkaRecord(null, "k1".getBytes, "v1".getBytes, Seq.empty),
+      KafkaRecord("side-topic", "k2".getBytes, "v2".getBytes, Seq.empty))
+    val out = Handlers.applyTyped(events, fanout, router).collect().sortBy(r => new String(r.key))
+    assert(out.map(_.topic).toSeq == Seq("users-topic", "side-topic"))
+  }
+
+  test("typed handler: unmapped table dropped before handler output is used") {
+    import spark.implicits._
+    val events = Seq(ev(Op.Insert, table = "ghost", newD = Map("id" -> "1"))).toDS()
+    val pass: Handlers.Handler = e =>
+      Seq(KafkaRecord(null, "k".getBytes, "v".getBytes, Seq.empty))
+    assert(Handlers.applyTyped(events, pass, router).isEmpty)
+  }
+}
