@@ -20,8 +20,10 @@ object TextOps {
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = split(text, " ")
+    // greatest(..,1): a doc shorter than n words yields one truncated
+    // shingle (the whole doc) instead of a descending sequence/0-index.
     array_distinct(
-      transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(w, i, lit(n)))))
   }
 
@@ -82,7 +84,7 @@ object TextOps {
   val q31FingerprintSql: String =
     """WITH sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
-      |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |    range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
       |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
       |  FROM documents)
       |SELECT d.doc_id, md5(d.text) AS doc_fp,
