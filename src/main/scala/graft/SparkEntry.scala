@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, EventsTime, Relational, Similarity, TextOps, Windows}
+import graft.queries.{AsofJoin, Dedup, EventsTime, Multimodal, Relational, Similarity, TextOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -41,6 +41,10 @@ object SparkEntry {
     "q42_simhash"       -> (Dedup.q42Simhash _),
     "q50_ann_brute"     -> (Similarity.q50AnnBrute _),
     "q51_ann_ivf"       -> ((s, d) => Similarity.q51AnnIvf(s, d)),
+    "q14_distinct_agg"  -> (AsofJoin.q14DistinctAgg _),
+    "q17_asof"          -> (AsofJoin.q17Asof _),
+    "q22_collect"       -> (AsofJoin.q22Collect _),
+    "q60_media_stats"   -> (Multimodal.q60MediaStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,6 +80,10 @@ object SparkEntry {
     "q42_simhash"       -> Dedup.nearDupPairsSql,
     "q50_ann_brute"     -> Similarity.q50AnnBruteSql,
     // q51_ann_ivf: approximate by construction — rows-only check;
-    // recall vs the q50 baseline is asserted in AnnSpec.
+    // recall vs the q50 baseline is asserted in AnnRecallSpec.
+    "q14_distinct_agg"  -> AsofJoin.q14DistinctAggSql,
+    "q17_asof"          -> AsofJoin.q17AsofSql,
+    "q22_collect"       -> AsofJoin.q22CollectSql,
+    "q60_media_stats"   -> Multimodal.q60MediaStatsSql,
   )
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** As-of join and the remaining aggregation surface (distinct aggregates,
+  * ordered string/collect aggregation, approximate distinct).
+  */
+object AsofJoin {
+
+  /** As-of join: for every event, the user's latest order with
+    * `o_orderdate <= ts` — implemented as the scalable union-sort form:
+    * tag both sides, union, ONE shuffle on the key, and a running
+    * `last(..., ignoreNulls)` window carries the most recent order into
+    * each event row. No range-join blowup: cost is sort + single pass;
+    * at 100 TB this is the canonical time-series join shape (the naive
+    * inequality join the oracle uses is O(events × orders-per-user)).
+    *
+    * Tie rules: an order at exactly the event timestamp counts (`<=`),
+    * and among equal-date orders the largest o_orderkey wins — encoded by
+    * the sort order (t, side, o_orderkey) with orders(0) before events(1).
+    */
+  def q17Asof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_custkey".as("k"), $"o_orderdate".as("t"),
+        lit(0).as("side"), $"o_orderkey",
+        lit(null).cast("long").as("event_id"))
+    val events = Tables.load(s, dir, "events")
+      .select($"user_id".as("k"), $"ts".as("t"),
+        lit(1).as("side"), lit(null).cast("long").as("o_orderkey"),
+        $"event_id")
+    val w = Window.partitionBy($"k")
+      .orderBy($"t", $"side", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionAll(events)
+      .withColumn("asof_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate", last(when($"side" === 0, $"t"), ignoreNulls = true).over(w))
+      .filter($"side" === 1 && $"asof_orderkey".isNotNull)
+      .select($"event_id", $"k".as("user_id"), $"asof_orderkey", $"asof_orderdate")
+      .orderBy($"event_id")
+  }
+
+  val q17AsofSql: String =
+    """SELECT event_id, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+      |FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |        ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |      FROM events e JOIN orders o
+      |        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** Distinct aggregates alongside plain ones (Spark plans the expand +
+    * two-phase agg automatically).
+    */
+  def q14DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("n_cust"),
+        countDistinct($"o_orderpriority").as("n_prio"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q14DistinctAggSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(DISTINCT o_orderpriority) AS n_prio,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Ordered collect: per nation, its market segments as a sorted joined
+    * string (collect_list made deterministic via sort_array; arrays are
+    * rendered to strings because engines disagree on array dtype
+    * round-trips, not on the values).
+    */
+  def q22Collect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(
+        array_join(sort_array(collect_set($"c_mktsegment")), ",").as("segments"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q22CollectSql: String =
+    """SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal columns for training-data pipelines: images/audio/video as
+  * opaque `binary` payloads with typed metadata, plus
+  * decode / feature-extract / resize / frame-sample plumbing.
+  *
+  * The Spark-side architecture is the deliverable here: schema (binary
+  * payload + metadata struct), partition-parallel batched processing via
+  * `mapPartitions` over typed rows (the JVM analog of `mapInPandas` — one
+  * iterator per partition, amortizing codec init per-partition, never
+  * per-row), and column pruning that keeps payload bytes out of any plan
+  * that doesn't touch them. The actual media codecs are NOT in this
+  * container, so `StubCodec` is a clearly-marked deterministic fake with
+  * the same interface a JNI/FFI codec (libjpeg/ffmpeg) would expose —
+  * swap it, keep every plan.
+  */
+object Multimodal {
+
+  /** One media object: payload + typed metadata (the schema contract). */
+  final case class MediaRow(
+      mediaId: Long,
+      modality: String,        // image | audio | video
+      payload: Array[Byte],    // opaque encoded bytes
+      width: Int,              // images/video
+      height: Int,
+      sampleRateHz: Int,       // audio
+      durationMs: Long)        // audio/video
+
+  final case class MediaFeatures(
+      mediaId: Long,
+      modality: String,
+      nBytes: Long,
+      checksum: Long,
+      featureDim: Int,
+      features: Array[Float])
+
+  /** STUB — stands in for the real decoder (libjpeg/ffmpeg via JNI).
+    * Deterministic: features are a byte-histogram sketch of the payload,
+    * so tests pin real plumbing end-to-end. Interface shape (init once,
+    * decode per item) is what a real codec binding needs.
+    */
+  object StubCodec {
+    val FeatureDim = 16
+    def init(): StubCodec.type = this // ≙ expensive codec/context init
+    def decodeAndFeaturize(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < payload.length) { hist((payload(i) & 0xff) % FeatureDim) += 1f; i += 1 }
+      if (payload.length > 0) { var j = 0; while (j < FeatureDim) { hist(j) /= payload.length; j += 1 } }
+      hist
+    }
+    /** ≙ resize/frame-sample: deterministic payload truncation. */
+    def sampleFrames(payload: Array[Byte], everyNth: Int): Array[Byte] =
+      payload.zipWithIndex.collect { case (b, i) if i % everyNth == 0 => b }
+  }
+
+  /** Build a deterministic media table from the documents corpus (payload
+    * = utf8 bytes standing in for encoded media; metadata derived from
+    * doc stats). This IS how a real pipeline lands: binary column +
+    * metadata struct in parquet.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").as("mediaId"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 640 + 64).cast("int").as("width"),
+      (col("n_chars") % 480 + 48).cast("int").as("height"),
+      lit(16000).as("sampleRateHz"),
+      (col("n_chars") * 10).cast("long").as("durationMs"))
+
+  /** Partition-parallel decode + feature extraction: codec initialized
+    * once per partition (NOT per row), rows streamed through it. At
+    * 100 TB this is the only correct shape — payload bytes stay inside
+    * the task, features (tiny) flow on.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val codec = StubCodec.init()
+      rows.map { r =>
+        val f = codec.decodeAndFeaturize(r.payload)
+        MediaFeatures(r.mediaId, r.modality, r.payload.length.toLong,
+          f.map(x => (x * 1000).toLong).sum, f.length, f)
+      }
+    }
+  }
+
+  /** Frame-sampling / resize lane: payload→payload transform that keeps
+    * the binary column opaque to the planner.
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    val sampled = media.as[MediaRow].mapPartitions { rows =>
+      val codec = StubCodec.init()
+      rows.map(r => r.copy(payload = codec.sampleFrames(r.payload, everyNth)))
+    }
+    sampled.toDF()
+  }
+
+  /** Oracle-checked metadata/stat query over the media table — everything
+    * except the stubbed decode is exact SQL both sides: per-modality
+    * counts, payload sizes, metadata aggregates. Payload length is
+    * computed from the binary column (proves binary-lane plumbing).
+    */
+  def q60MediaStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .groupBy($"modality")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length($"payload")).cast("long").as("total_bytes"),
+        max($"width").cast("int").as("max_width"),
+        min($"height").cast("int").as("min_height"),
+        sum($"durationMs").cast("long").as("total_duration_ms"))
+      .orderBy($"modality")
+  }
+
+  val q60MediaStatsSql: String =
+    """SELECT
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+      |  CAST(MAX(n_chars % 640 + 64) AS INT) AS max_width,
+      |  CAST(MIN(n_chars % 480 + 48) AS INT) AS min_height,
+      |  CAST(SUM(n_chars * 10) AS BIGINT) AS total_duration_ms
+      |FROM documents
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time stream processing surface (SURVEY §2B "Streaming"):
+  * watermarked tumbling/sliding windows, session windows, stateful
+  * exact dedup, and custom per-key state via flatMapGroupsWithState.
+  *
+  * All transforms take/return streaming DataFrames with the events schema
+  * (event_id, ts timestamp, user_id, event_type, value) so they compose
+  * with any source (file, Kafka, rate). Scale notes: every stateful op
+  * shuffles once on its grouping key; the watermark bounds state size —
+  * without it a 100 TB stream accumulates state forever.
+  */
+object EventStreams {
+
+  /** Tumbling/sliding event-time window aggregate with late-data drop.
+    * slide == width gives tumbling windows (the batch twin is
+    * EventsTime.q20Tumbling — same bucketing).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      width: String = "1 hour",
+      slide: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows: gap-based grouping with event-time timeout — the
+    * streaming twin of Windows.q16Sessionize.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Stateful exact dedup on a key with bounded state: duplicates arriving
+    * within the watermark horizon are dropped exactly; the watermark lets
+    * Spark expire state for old keys (`dropDuplicatesWithinWatermark`
+    * semantics — at-least-once upstream becomes effectively-once here).
+    */
+  def dedupByKey(
+      events: DataFrame,
+      keys: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Per-user running counter via custom state (the
+    * `flatMapGroupsWithState` lane for logic windows/aggs can't express):
+    * emits (user_id, event_id, seq_no) with a monotonically increasing
+    * per-user sequence, state = one long per key. Production pipelines
+    * with unbounded key spaces should pass an event-time timeout (with a
+    * watermark on the input) so idle keys expire; NoTimeout keeps state
+    * for every key seen.
+    */
+  def sequenceNumbers(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          var seq = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, eventId) =>
+            seq += 1; (user, eventId, seq)
+          }
+          state.update(seq)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "seq_no")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Event-time streaming semantics: watermarked windows, session windows,
+  * stateful dedup, custom state. Driven through MemoryStream so event
+  * order and watermark advancement are controlled exactly.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                        event_type: String, value: Double)
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def runToCompletion(df: DataFrame, mode: OutputMode): Seq[org.apache.spark.sql.Row] = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.sql(s"SELECT * FROM $name").collect().toSeq
+  }
+
+  import spark.implicits._
+
+  test("windowed counts bucket by event-time hour and aggregate") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+      Ev(3, ts(40), 2, "view", 3.0))
+    val rows = runToCompletion(
+      EventStreams.windowedCounts(in.toDF(), width = "1 hour"), OutputMode.Update())
+    val byType = rows.map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    assert(byType("click") == (2L, 3.0))
+    assert(byType("view") == (1L, 3.0))
+    assert(rows.forall(_.getAs[Timestamp]("window_start") == Timestamp.valueOf("2024-01-01 10:00:00")))
+  }
+
+  test("session windows split on gap > 30 min (append emits on watermark passage)") {
+    val in = MemoryStream[Ev](spark)
+    val name = s"sess_${System.nanoTime()}"
+    val q = EventStreams.sessionCounts(in.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    // user 1: events at 10:00, 10:10 (one session), then 11:00 (new session)
+    in.addData(
+      Ev(1, ts(0), 1, "a", 0), Ev(2, ts(10), 1, "a", 0),
+      Ev(3, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "a", 0))
+    q.processAllAvailable()
+    // flush event advances the watermark past 11:30 (session 2 end) + 10 min
+    in.addData(Ev(99, Timestamp.valueOf("2024-01-01 11:50:00"), 99, "a", 0))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.sql(s"SELECT * FROM $name").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("stateful dedup drops duplicate event_ids within the watermark") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts(0), 1, "a", 0), Ev(1, ts(1), 1, "a", 0), // dup id
+      Ev(2, ts(2), 1, "a", 0))
+    val rows = runToCompletion(EventStreams.dedupByKey(in.toDF()), OutputMode.Append())
+    assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState assigns per-user sequence numbers across batches") {
+    val in = MemoryStream[Ev](spark)
+    val seqName = s"seqs_${System.nanoTime()}"
+    val q = EventStreams.sequenceNumbers(in.toDF())
+      .writeStream.format("memory").queryName(seqName).outputMode("append").start()
+    in.addData(Ev(10, ts(0), 1, "a", 0), Ev(11, ts(1), 1, "a", 0), Ev(20, ts(0), 2, "a", 0))
+    q.processAllAvailable()
+    in.addData(Ev(12, ts(2), 1, "a", 0)) // state carries: next seq for user 1 is 3
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql(s"SELECT * FROM $seqName").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 10L)) == 1L && got((1L, 11L)) == 2L && got((1L, 12L)) == 3L)
+    assert(got((2L, 20L)) == 1L)
+  }
+}
