@@ -36,10 +36,12 @@ object CdcPipeline {
       .json(dir)
 
   /** Normalize + route + default-handle: ChangeEvent stream → Kafka sink
-    * contract (topic/key/value/headers).
+    * contract (topic/key/value/headers), with per-batch observed metrics
+    * (O17) riding the plan.
     */
   def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
-    Handlers.declarative(events, TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField)
+    Handlers.declarative(Metrics.observed(events),
+      TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField)
 
   /** Production sink: Spark's Kafka writer with the reference's producer
     * options; trigger interval ≙ batch ticker (O13); checkpoint ≙ LSN ACK

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.app.{Connector, ConnectorConfig, KafkaSinkConfig}
+
+import scala.concurrent.duration._
+
+/** Observed pipeline metrics (O17): per-batch event counts and process
+  * latency surface through the listener while the pipeline runs.
+  */
+class MetricsSpec extends SparkSpec {
+
+  test("collector reports events and process latency per micro-batch") {
+    val src = Files.createTempDirectory("graft-msrc")
+    val chk = Files.createTempDirectory("graft-mchk")
+    val out = Files.createTempDirectory("graft-mout")
+    val lines = (0 until 7).map { i =>
+      s"""{"eventTime":"2024-01-01T00:00:00.000Z","tableNamespace":"public","tableName":"users","oldData":null,"newData":{"id":"$i"},"op":"INSERT"}"""
+    }
+    Files.write(src.resolve("b.json"), String.join("\n", lines: _*).getBytes)
+
+    val collector = new Metrics.Collector
+    spark.streams.addListener(collector)
+    val conn = new Connector(spark,
+      ConnectorConfig(
+        sourceDir = src.toString, checkpointDir = chk.toString,
+        kafka = KafkaSinkConfig(Seq("unused:9092"),
+          tableTopicMapping = Map("public.users" -> "t"),
+          producerBatchTickerDuration = 250.millis)),
+      sink = "parquet", parquetOutDir = out.toString)
+    conn.start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (collector.totalEvents < 7 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    conn.close()
+    spark.streams.removeListener(collector)
+
+    assert(collector.totalEvents == 7)
+    val withData = collector.snapshot.filter(_.events > 0)
+    // event-time is 2024 → latency is large and positive; duration sane
+    assert(withData.forall(_.maxProcessLatencyMs > 0))
+    assert(withData.forall(_.batchDurationMs >= 0))
+  }
+}
