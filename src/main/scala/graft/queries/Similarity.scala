@@ -10,22 +10,25 @@ import graft.sources.Tables
   * (`Array[Float]`, dim 64): brute-force cosine top-k as the exact
   * baseline, and an IVF-bucketed variant as the 100 TB scale path.
   *
-  * Cosine is computed as a sequential double fold (`aggregate` over the
-  * index sequence) — the same left-to-right summation DuckDB's `list_sum`
-  * performs, so scores compare bit-for-bit against the oracle.
+  * Cosine is computed by the native codegen'd CosineSimilarity expression
+  * with sequential double accumulation — the same left-to-right summation
+  * DuckDB's `list_sum` performs, so scores compare bit-for-bit against
+  * the oracle.
   */
 object Similarity {
 
   private val Dim = 64
   private val K   = 3
 
-  /** Sequential-double dot product of two float-array columns. */
-  private def dot(a: Column, b: Column): Column =
-    expr(s"aggregate(sequence(0, ${Dim - 1}), cast(0 as double), " +
-      s"(acc, i) -> acc + cast(element_at(${a.toString}, i + 1) as double)" +
-      s" * cast(element_at(${b.toString}, i + 1) as double))")
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Cosine via the native codegen'd expression (graft.functions
+    * .CosineSimilarity): one fused dot+norms loop per pair, same
+    * sequential-double accumulation as DuckDB's list_sum fold — so the
+    * score still compares bit-for-bit against the oracle.
+    */
+  private def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    graft.GraftExtensions.register(s)
+    expr(s"cosine_similarity(${a.toString}, ${b.toString})")
+  }
 
   /** Brute-force cosine top-k: broadcast the query set, one scan of the
     * corpus, per-partition top-k heap + k-row merge (TakeOrdered via the
@@ -41,7 +44,7 @@ object Similarity {
     e.select($"vec_id".as("nid"), $"embedding".as("ne"))
       .crossJoin(broadcast(q))
       .filter($"nid" =!= $"qid")
-      .withColumn("cos_sim", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= K)
       .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"cos_sim")
@@ -79,7 +82,7 @@ object Similarity {
     // assign: nearest centroid per corpus vector (broadcast C centroids)
     val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
     val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("csim", dot($"embedding", $"ce") / (norm($"embedding") * norm($"ce")))
+      .withColumn("csim", cosine(s, $"embedding", $"ce"))
       .withColumn("arnk", row_number().over(wAssign))
       .filter($"arnk" === 1)
       .select($"vec_id".as("nid"), $"embedding".as("ne"), $"cid")
@@ -88,7 +91,7 @@ object Similarity {
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cid")
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("csim", dot($"qe", $"ce") / (norm($"qe") * norm($"ce")))
+      .withColumn("csim", cosine(s, $"qe", $"ce"))
       .withColumn("prnk", row_number().over(wProbe))
       .filter($"prnk" <= nProbe)
       .select($"qid", $"qe", $"cid")
@@ -96,7 +99,7 @@ object Similarity {
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
     probes.join(assigned, "cid")
       .filter($"nid" =!= $"qid")
-      .withColumn("cos_sim", dot($"qe", $"ne") / (norm($"qe") * norm($"ne")))
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= K)
       .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"cos_sim")
