@@ -41,6 +41,7 @@ object SparkEntry {
     "q42_simhash"       -> (Dedup.q42Simhash _),
     "q50_ann_brute"     -> (Similarity.q50AnnBrute _),
     "q51_ann_ivf"       -> ((s, d) => Similarity.q51AnnIvf(s, d)),
+    "q43_embed_neardup" -> (Similarity.q43EmbedNearDup _),
     "q14_distinct_agg"  -> (AsofJoin.q14DistinctAgg _),
     "q17_asof"          -> (AsofJoin.q17Asof _),
     "q22_collect"       -> (AsofJoin.q22Collect _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q50_ann_brute"     -> Similarity.q50AnnBruteSql,
     // q51_ann_ivf: approximate by construction — rows-only check;
     // recall vs the q50 baseline is asserted in AnnRecallSpec.
+    "q43_embed_neardup" -> Similarity.q43EmbedNearDupSql,
     "q14_distinct_agg"  -> AsofJoin.q14DistinctAggSql,
     "q17_asof"          -> AsofJoin.q17AsofSql,
     "q22_collect"       -> AsofJoin.q22CollectSql,

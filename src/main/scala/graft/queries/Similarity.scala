@@ -66,6 +66,40 @@ object Similarity {
       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup family's embedding
+    * variant): all pairs with cosine ≥ τ, exact via the native expression
+    * over a self cross-join. At 100 TB the candidate generation reuses
+    * the IVF/LSH bucketing of q51 (pairs within a bucket only) — here the
+    * corpus-sized exact form doubles as its own oracle-checkable
+    * ground truth. τ sits below this corpus's max cosine (~0.51) so the
+    * result is non-empty.
+    */
+  def q43EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val a = e.select($"vec_id".as("d1"), $"embedding".as("x"))
+    val b = e.select($"vec_id".as("d2"), $"embedding".as("y"))
+    a.crossJoin(broadcast(b))
+      .filter($"d1" < $"d2")
+      .withColumn("cos_sim", cosine(s, $"x", $"y"))
+      .filter($"cos_sim" >= 0.45)
+      .select($"d1", $"d2", $"cos_sim")
+      .orderBy($"d1", $"d2")
+  }
+
+  val q43EmbedNearDupSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |  ${dot("a.embedding", "b.embedding")} /
+      |  (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) AS cos_sim
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id
+      |  AND ${dot("a.embedding", "b.embedding")} /
+      |      (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) >= 0.45
+      |ORDER BY d1, d2""".stripMargin
+  }
+
   /** IVF-bucketed ANN — the scale path: assign every vector to its nearest
     * of C fixed centroids (deterministic: the vectors with vec_id < C serve
     * as the coarse codebook), then probe only the `nprobe` nearest

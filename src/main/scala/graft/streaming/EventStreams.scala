@@ -59,6 +59,28 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream inner join with watermarks and a time-bound condition
+    * (SURVEY §2B joins row): match each left event to right events of the
+    * same user within `window` AFTER it. Both watermarks + the time bound
+    * let Spark expire join state — unbounded state otherwise.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      watermark: String = "10 minutes",
+      joinWindow: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow") &&
+        col("l_id") =!= col("r_id"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Per-user running counter via custom state (the
     * `flatMapGroupsWithState` lane for logic windows/aggs can't express):
     * emits (user_id, event_id, seq_no) with a monotonically increasing

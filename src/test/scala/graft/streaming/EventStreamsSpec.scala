@@ -70,6 +70,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("event_id")).sorted == Seq(1L, 2L))
   }
 
+  test("stream-stream join matches same-user events within the time bound") {
+    val l = MemoryStream[Ev](spark)
+    val r = MemoryStream[Ev](spark)
+    l.addData(Ev(1, ts(0), 7, "a", 0))
+    r.addData(
+      Ev(100, ts(5), 7, "b", 0),   // within 15 min -> match
+      Ev(101, ts(40), 7, "b", 0),  // outside window -> no match
+      Ev(102, ts(5), 8, "b", 0))   // other user -> no match
+    val rows = runToCompletion(
+      EventStreams.streamStreamJoin(l.toDF(), r.toDF()), OutputMode.Append())
+    assert(rows.map(x => (x.getAs[Long]("l_id"), x.getAs[Long]("r_id"))).toSet == Set((1L, 100L)))
+  }
+
   test("flatMapGroupsWithState assigns per-user sequence numbers across batches") {
     val in = MemoryStream[Ev](spark)
     val seqName = s"seqs_${System.nanoTime()}"
