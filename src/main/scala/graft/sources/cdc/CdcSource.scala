@@ -1,0 +1,189 @@
+package graft.sources.cdc
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.time.Instant
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.ChangeEvent
+
+/** Custom DataSourceV2 CDC source — the "faithful v2" lane from SURVEY
+  * §2A S1: a `MicroBatchStream` that speaks the engine's change-event
+  * wire format with SOURCE-SIDE pushdown of operation and table filters,
+  * re-expressing the reference's publication-level filtering
+  * (`publish = 'INSERT,...'` and publication tables,
+  * `example/simple/main.go:60-76`) as `SupportsPushDownFilters`.
+  *
+  * Wire format: a directory of newline-JSON files whose lexicographic
+  * file names are the commit order (≙ LSN); an offset is a position in
+  * that sequence, so restart/replay semantics are exactly the
+  * reference's resume-from-confirmed-LSN. Swapping the file tail for a
+  * replication-socket tail changes only `CdcMicroBatchStream.listFiles`.
+  *
+  * Usage:
+  *   spark.readStream.format("graft-cdc").option("path", dir).load()
+  *     .filter($"op" === "INSERT")   // pushed into the source scan
+  */
+class CdcSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ChangeEvent.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new CdcTable(properties.get("path"))
+}
+
+final class CdcTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-cdc requires .option(\"path\", dir)")
+  override def name(): String = s"graft-cdc:$path"
+  override def schema(): StructType = ChangeEvent.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CdcScanBuilder(path)
+}
+
+/** Accepts equality/IN filters on `op` and `tableName`/`tableNamespace`
+  * (the publication knobs); everything else stays a Spark-side residual.
+  */
+final class CdcScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+
+  private def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => Set("op", "tableName", "tableNamespace")(a)
+    case In(a, _)      => Set("op", "tableName", "tableNamespace")(a)
+    case _             => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, residual) = filters.partition(pushable)
+    pushed = p
+    residual // Spark re-applies these
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new CdcScan(path, pushed)
+}
+
+final class CdcScan(path: String, filters: Array[Filter]) extends Scan {
+  override def readSchema(): StructType = ChangeEvent.schema
+  override def description(): String =
+    s"graft-cdc path=$path pushed=[${filters.mkString(", ")}]"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(path, filters)
+  override def toBatch: Batch = new Batch {
+    private val stream = new CdcMicroBatchStream(path, filters)
+    override def planInputPartitions(): Array[InputPartition] =
+      stream.planInputPartitions(CdcOffset(0), stream.latestOffset().asInstanceOf[CdcOffset])
+    override def createReaderFactory(): PartitionReaderFactory = stream.createReaderFactory()
+  }
+}
+
+/** Offset = how many wire files (≙ LSN segments) have been consumed. */
+final case class CdcOffset(fileCount: Int) extends Offset {
+  override def json(): String = fileCount.toString
+}
+
+final class CdcMicroBatchStream(path: String, filters: Array[Filter]) extends MicroBatchStream {
+  private def listFiles: Array[String] =
+    Option(new File(path).list()).getOrElse(Array.empty)
+      .filter(_.endsWith(".json")).sorted
+
+  override def initialOffset(): Offset = CdcOffset(0)
+  override def latestOffset(): Offset = CdcOffset(listFiles.length)
+  override def deserializeOffset(json: String): Offset = CdcOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = () // files are the durable log
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val files = listFiles
+    val s = start.asInstanceOf[CdcOffset].fileCount
+    val e = math.min(end.asInstanceOf[CdcOffset].fileCount, files.length)
+    files.slice(s, e).map(f => CdcInputPartition(new File(path, f).getPath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(filters)
+}
+
+final case class CdcInputPartition(file: String) extends InputPartition
+
+final class CdcReaderFactory(filters: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition].file, filters)
+}
+
+/** Parses one wire file; applies the pushed op/table filters BEFORE
+  * materializing rows — the source-side analog of PostgreSQL only
+  * emitting published operations/tables.
+  */
+final class CdcPartitionReader(file: String, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines = Files.readAllLines(new File(file).toPath, StandardCharsets.UTF_8)
+    .asScala.iterator.filter(_.nonEmpty)
+  private var current: InternalRow = _
+
+  private def passes(field: String, value: String): Boolean = filters.forall {
+    case EqualTo(a, v) if a == field => v == value
+    case In(a, vs) if a == field     => vs.contains(value)
+    case _                           => true
+  }
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private def toMap(node: com.fasterxml.jackson.databind.JsonNode): ArrayBasedMapData =
+    if (node == null || node.isNull) null
+    else {
+      val keys = new ArrayBuffer[UTF8String]
+      val vals = new ArrayBuffer[UTF8String]
+      node.fields().asScala.foreach { e =>
+        keys += utf8(e.getKey)
+        vals += (if (e.getValue.isNull) null else utf8(e.getValue.asText()))
+      }
+      new ArrayBasedMapData(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(keys.toArray),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vals.toArray))
+    }
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val node = mapper.readTree(lines.next())
+      val op = node.path("op").asText(null)
+      val table = node.path("tableName").asText(null)
+      val ns = node.path("tableNamespace").asText(null)
+      if (passes("op", op) && passes("tableName", table) && passes("tableNamespace", ns)) {
+        val eventTimeMicros = {
+          val t = node.path("eventTime").asText(null)
+          if (t == null) 0L
+          else { val i = Instant.parse(t); i.getEpochSecond * 1000000L + i.getNano / 1000L }
+        }
+        current = InternalRow(
+          eventTimeMicros, utf8(ns), utf8(table),
+          toMap(node.get("oldData")), toMap(node.get("newData")), utf8(op))
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
