@@ -62,4 +62,5 @@ final case class ConnectorConfig(
     checkpointDir: String,             // ACK ≙ checkpoint commit (SURVEY §2A O14)
     kafka: KafkaSinkConfig,
     snapshot: SnapshotConfig = SnapshotConfig(),
-    keyField: String = "id")
+    keyField: String = "id",
+    sourceFormat: String = "json")     // "json" | "graft-cdc" (DataSourceV2 lane)

@@ -35,6 +35,17 @@ object CdcPipeline {
       .option("maxFilesPerTrigger", 16) // bounded micro-batches on backfill
       .json(dir)
 
+  /** The custom DataSourceV2 lane (graft.sources.cdc.CdcSource): same
+    * schema contract, plus source-side op/table filter pushdown and
+    * LSN-positional offsets.
+    */
+  def fromCdcSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("graft-cdc").option("path", dir).load()
+
+  private def source(spark: SparkSession, cfg: ConnectorConfig): DataFrame =
+    if (cfg.sourceFormat == "graft-cdc") fromCdcSource(spark, cfg.sourceDir)
+    else fromJsonFiles(spark, cfg.sourceDir)
+
   /** Normalize + route + default-handle: ChangeEvent stream → Kafka sink
     * contract (topic/key/value/headers), with per-batch observed metrics
     * (O17) riding the plan.
@@ -68,9 +79,9 @@ object CdcPipeline {
 
   /** Wire the full pipeline to a parquet sink and start it. */
   def startToParquet(spark: SparkSession, cfg: ConnectorConfig, outDir: String): StreamingQuery =
-    parquetSink(defaultTransform(fromJsonFiles(spark, cfg.sourceDir), cfg), cfg, outDir).start()
+    parquetSink(defaultTransform(source(spark, cfg), cfg), cfg, outDir).start()
 
   /** Wire the full pipeline to the Kafka sink and start it. */
   def startToKafka(spark: SparkSession, cfg: ConnectorConfig): StreamingQuery =
-    kafkaSink(defaultTransform(fromJsonFiles(spark, cfg.sourceDir), cfg), cfg).start()
+    kafkaSink(defaultTransform(source(spark, cfg), cfg), cfg).start()
 }

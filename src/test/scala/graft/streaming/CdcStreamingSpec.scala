@@ -65,6 +65,29 @@ class CdcStreamingSpec extends SparkSpec {
     assert(rows.forall(_.getString(1) == "users-topic"))
   }
 
+  test("resume also holds through the custom graft-cdc DataSourceV2 lane") {
+    val src = Files.createTempDirectory("graft-v2src")
+    val chk = Files.createTempDirectory("graft-v2chk")
+    val out = Files.createTempDirectory("graft-v2out")
+    val c = cfg(src, chk).copy(sourceFormat = "graft-cdc")
+
+    writeEvents(src, "000001.json", 0 until 4)
+    val conn1 = new Connector(spark, c, sink = "parquet", parquetOutDir = out.toString)
+    val q1 = conn1.start()
+    eventually(q1.recentProgress.map(_.numInputRows).sum >= 4, "v2 batch1 not consumed")
+    conn1.close()
+
+    writeEvents(src, "000002.json", 4 until 9) // arrives while down
+    val conn2 = new Connector(spark, c, sink = "parquet", parquetOutDir = out.toString)
+    conn2.start()
+    eventually(spark.read.parquet(out.toString).count() == 9, "v2 batch2 not consumed")
+    conn2.close()
+
+    val keys = spark.read.parquet(out.toString)
+      .selectExpr("cast(key AS string)").collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == (0 until 9).map(_.toString).sorted)
+  }
+
   test("waitUntilReady unblocks after first progress") {
     val src = Files.createTempDirectory("graft-src2")
     val chk = Files.createTempDirectory("graft-chk2")
