@@ -16,9 +16,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink: materializes EVERY output column (count() would let
+    // Catalyst prune computed columns on map-only queries and
+    // under-measure them) without collecting to the driver.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // warm-up: JIT + noop-writer + parquet-footer caches, so the first
+    // measured query isn't charged session start-up costs
+    try run(spark.read.parquet(s"$sfDir/lineitem.parquet")) catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -29,14 +37,14 @@ object Bench {
     // 10M-row replication race (BASELINE.md, ~66.7k rows/s): snapshot
     // lineitem -> normalize -> route -> default handler (JSON value, key,
     // headers) -> count the produced Kafka-contract records.
+    val cdcDf = Handlers.declarative(
+      SnapshotSource.snapshot(spark, sfDir, "lineitem"),
+      TopicRouter(Map("public.lineitem" -> "lineitem-topic")),
+      keyField = "l_orderkey")
+    val cdcRows = try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      catch { case _: Throwable => 0L }
     val cdcT0 = System.nanoTime()
-    val cdcRows =
-      try {
-        Handlers.declarative(
-          SnapshotSource.snapshot(spark, sfDir, "lineitem"),
-          TopicRouter(Map("public.lineitem" -> "lineitem-topic")),
-          keyField = "l_orderkey").count()
-      } catch { case _: Throwable => 0L }
+    try run(cdcDf) catch { case _: Throwable => () }
     val cdcSec = (System.nanoTime() - cdcT0) / 1e9
     val cdcRps = if (cdcSec > 0) cdcRows / cdcSec else 0.0
 

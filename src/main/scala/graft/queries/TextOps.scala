@@ -71,13 +71,19 @@ object TextOps {
     */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Single pass: explode shingles and aggregate min-md5 + count in one
+    // groupBy keyed on (doc_id, doc_fp) — no join, no second
+    // materialization of the shingle subtree, codegen'd map-side
+    // partial mins (the per-row transform-lambda form evaluates
+    // interpreted and was ~5× slower at sf0.1).
     Tables.load(s, dir, "documents")
-      .withColumn("sh", shingles($"text"))
-      .select(
-        $"doc_id",
-        md5($"text".cast("binary")).as("doc_fp"),
-        array_min(transform($"sh", g => md5(g.cast("binary")))).as("min_shingle_fp"),
-        size($"sh").cast("long").as("n_shingles"))
+      .select($"doc_id", md5($"text".cast("binary")).as("doc_fp"),
+        explode(shingles($"text")).as("g"))
+      .groupBy($"doc_id", $"doc_fp")
+      .agg(
+        min(md5($"g".cast("binary"))).as("min_shingle_fp"),
+        count(lit(1)).as("n_shingles"))
+      .select($"doc_id", $"doc_fp", $"min_shingle_fp", $"n_shingles")
       .orderBy($"doc_id")
   }
 
@@ -101,16 +107,24 @@ object TextOps {
     */
   def q32LangScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = array_distinct(split($"text", " "))
+    // Single pass: explode distinct words once and take conditional-sum
+    // marker counts per language in one codegen'd aggregation (the
+    // per-row filter-lambda form evaluates interpreted, and Catalyst's
+    // project-collapsing re-inlines a shared words column into every
+    // score expression — 5 recomputations per row).
     def hits(markers: Seq[String]): Column =
-      size(filter(words, w => w.isin(markers: _*))).cast("long")
-    val en = hits(Seq("the", "a", "and", "of", "value", "data"))
-    val de = hits(Seq("der", "die", "das", "und", "nicht"))
-    val fr = hits(Seq("le", "la", "les", "et", "est"))
-    val es = hits(Seq("el", "los", "las", "es", "una"))
+      sum(when($"w".isin(markers: _*), 1L).otherwise(0L))
+    val en = $"score_en"; val de = $"score_de"; val fr = $"score_fr"; val es = $"score_es"
     Tables.load(s, dir, "documents")
       .select($"doc_id", $"lang".as("lang_label"),
-        en.as("score_en"), de.as("score_de"), fr.as("score_fr"), es.as("score_es"),
+        explode(array_distinct(split($"text", " "))).as("w"))
+      .groupBy($"doc_id", $"lang_label")
+      .agg(
+        hits(Seq("the", "a", "and", "of", "value", "data")).as("score_en"),
+        hits(Seq("der", "die", "das", "und", "nicht")).as("score_de"),
+        hits(Seq("le", "la", "les", "et", "est")).as("score_fr"),
+        hits(Seq("el", "los", "las", "es", "una")).as("score_es"))
+      .select($"doc_id", $"lang_label", en, de, fr, es,
         when(en >= greatest(de, fr, es) && en > 0, "en")
           .when(de >= greatest(fr, es) && de > 0, "de")
           .when(fr >= es && fr > 0, "fr")
