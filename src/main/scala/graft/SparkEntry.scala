@@ -45,6 +45,7 @@ object SparkEntry {
     "q14_distinct_agg"  -> (AsofJoin.q14DistinctAgg _),
     "q17_asof"          -> (AsofJoin.q17Asof _),
     "q22_collect"       -> (AsofJoin.q22Collect _),
+    "q44_range_join"    -> (AsofJoin.q44RangeJoin _),
     "q60_media_stats"   -> (Multimodal.q60MediaStats _),
   )
 
@@ -86,6 +87,7 @@ object SparkEntry {
     "q14_distinct_agg"  -> AsofJoin.q14DistinctAggSql,
     "q17_asof"          -> AsofJoin.q17AsofSql,
     "q22_collect"       -> AsofJoin.q22CollectSql,
+    "q44_range_join"    -> AsofJoin.q44RangeJoinSql,
     "q60_media_stats"   -> Multimodal.q60MediaStatsSql,
   )
 }

@@ -50,6 +50,15 @@ final case class SnapshotConfig(
     chunkSize: Int = 10000,
     tables: Seq[String] = Seq.empty)
 
+object KafkaSinkConfig {
+  /** Parse human byte sizes ("1mb", "512k") — reference O19
+    * (`internal/bytes/bytes.go:57-82`), delegated to Spark's own
+    * JavaUtils so config strings behave exactly like Spark's.
+    */
+  def parseBytes(s: String): Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+}
+
 object SnapshotConfig {
   val ModeInitial = "initial"
   val ModeAlways  = "always"

@@ -53,6 +53,40 @@ object AsofJoin {
       |        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** Range join: per (user, day-of-activity) pairings — events joined to
+    * orders of the same user within ±N days of the event. The small side
+    * is broadcast so the inequality condition evaluates as a broadcast
+    * nested-loop per user-partition rather than a cartesian shuffle; at
+    * larger scales, bucketize the time axis (join on (user, day_bucket)
+    * equi-keys with ±1 bucket expansion) to regain a hash join — that
+    * form is what q17's union-sort does for the as-of special case.
+    */
+  def q44RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+      .filter($"user_id" <= 30)
+      .select($"user_id", $"event_id", $"ts")
+    val o = Tables.load(s, dir, "orders")
+      .filter($"o_custkey" <= 30 &&
+        $"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    e.join(broadcast(o),
+        $"user_id" === $"o_custkey" &&
+          datediff($"ts", $"o_orderdate").between(9650, 9700))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"user_id")
+  }
+
+  val q44RangeJoinSql: String =
+    """SELECT user_id, COUNT(*) AS n_pairs, COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM events e JOIN orders o
+      |  ON e.user_id = o.o_custkey
+      | AND datediff('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE)) BETWEEN 9650 AND 9700
+      |WHERE user_id <= 30
+      |  AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Distinct aggregates alongside plain ones (Spark plans the expand +
     * two-phase agg automatically).
     */

@@ -83,6 +83,19 @@ object Handlers {
         ).as("headers"))
   }
 
+  /** Kafka wire-size estimate of a record (reference O18,
+    * `producer_batch.go:199-206`: 14 bytes fixed overhead + key + value +
+    * per-header key/value). Usable to enforce `producerBatchBytes`
+    * budgets declaratively (e.g. filter or alert on oversized records
+    * before the producer rejects them).
+    */
+  def recordWireSize(key: Column, value: Column, headers: Column): Column =
+    lit(14) +
+      coalesce(length(key), lit(0)) +
+      coalesce(length(value), lit(0)) +
+      coalesce(aggregate(headers, lit(0),
+        (acc, h) => acc + length(h.getField("key")) + length(h.getField("value"))), lit(0))
+
   /** Bound-schema lane: project the dynamic string-map image into typed
     * columns via `from_json` with a per-table schema — how reference
     * handlers duck-type map values (`example/simple/main.go:119`,

@@ -56,6 +56,22 @@ class HandlersSpec extends SparkSpec {
     assert(headers.getSeq[String](1) == Seq("INSERT", "public.users", "graft"))
   }
 
+  test("recordWireSize matches the reference's 14 + key + value + headers formula") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = Seq(ev(Op.Insert, newD = Map("id" -> "7", "name" -> "n1"))).toDF()
+    val rec = Handlers.declarative(events, router, "id")
+    val size = rec.select(
+      Handlers.recordWireSize(col("key"), col("value"), col("headers")).as("sz"))
+      .collect()(0).getInt(0)
+    val r = rec.collect()(0)
+    val headerBytes = r.getSeq[org.apache.spark.sql.Row](3)
+      .map(h => h.getString(0).length + h.getAs[Array[Byte]](1).length).sum
+    val expected = 14 + r.getAs[Array[Byte]]("key").length +
+      r.getAs[Array[Byte]]("value").length + headerBytes
+    assert(size == expected)
+  }
+
   test("typed handler: empty result filters the event (ACK-without-produce)") {
     import spark.implicits._
     val events = Seq(ev(Op.Insert, newD = Map("id" -> "1"))).toDS()
