@@ -36,8 +36,11 @@ final class Connector(
 
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-      ready.countDown()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      // the listener is session-global: only OUR query's progress counts
+      val q = query
+      if (q != null && e.progress.id == q.id) ready.countDown()
+    }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 

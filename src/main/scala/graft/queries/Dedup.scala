@@ -24,19 +24,33 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  private val Tau = 0.6
+  /** Near-dup emit threshold. Sized with the approximate variants'
+    * recall envelopes in mind: at jac=0.8 a 64-slot MinHash 16×4 banding
+    * misses with p=(1-0.8⁴)¹⁶ ≈ 2e-4 and a 0.8-pair's expected SimHash
+    * Hamming distance (~6-7) sits well inside the ≤12 guarantee band;
+    * at the q40 exact baseline the threshold is exact by construction.
+    * Lowering τ toward 0.5 erodes both envelopes (a 0.6-pair's expected
+    * Hamming is ~14); near the boundary only q40 is the guarantee lane.
+    */
+  private val Tau = 0.8
 
   /** documents + their word-3-gram shingle sets hashed to longs, cached:
     * every near-dup query references this frame from several join
     * branches, and without a cache Spark recomputes the shingling per
     * branch (measured: the recomputation, not the joins, dominated).
     */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        array_distinct(transform(TextOps.shingles(col("text")), g => xxhash64(g)))
-          .as("sh"))
-      .cache()
+    // memoized per (session, dir): q40/q41/q42 in one session share ONE
+    // cached frame instead of pinning three copies of the same data
+    shingleCache.getOrElseUpdate((s, dir),
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(transform(TextOps.shingles(col("text")), g => xxhash64(g)))
+            .as("sh"))
+        .cache())
 
   /** Exact Jaccard for candidate pairs (d1 < d2), computed as a count
     * aggregation over the exploded shingle table restricted to the
@@ -65,7 +79,7 @@ object Dedup {
   val nearDupPairsSql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
-      |         range(1, greatest(len(ws) - 1, 1)),
+      |         range(1, greatest(len(ws) - 1, 2)),
       |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter

@@ -126,7 +126,7 @@ object Multimodal {
     """SELECT
       |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
       |  COUNT(*) AS n,
-      |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  CAST(MAX(n_chars % 640 + 64) AS INT) AS max_width,
       |  CAST(MIN(n_chars % 480 + 48) AS INT) AS min_height,
       |  CAST(SUM(n_chars * 10) AS BIGINT) AS total_duration_ms

@@ -27,7 +27,9 @@ object Similarity {
     */
   private def cosine(s: SparkSession, a: Column, b: Column): Column = {
     graft.GraftExtensions.register(s)
-    expr(s"cosine_similarity(${a.toString}, ${b.toString})")
+    // call_function resolves through the registry — no fragile
+    // Column.toString -> SQL-string round-trip
+    call_function("cosine_similarity", a, b)
   }
 
   /** Brute-force cosine top-k: broadcast the query set, one scan of the

@@ -74,7 +74,12 @@ object Handlers {
       .select(
         col("topic"),
         element_at(img, keyField).cast("binary").as("key"),
-        to_json(map_concat(img, map(lit("operation"), col("op")))).cast("binary").as("value"),
+        // drop any source column literally named "operation" first: the
+        // reference's map-insert overwrites it, while Spark's map_concat
+        // under mapKeyDedupPolicy=EXCEPTION would throw on the duplicate
+        to_json(map_concat(
+          map_filter(img, (k, _) => k =!= "operation"),
+          map(lit("operation"), col("op")))).cast("binary").as("value"),
         array(
           struct(lit("operation").as("key"), col("op").cast("binary").as("value")),
           struct(lit("table").as("key"),
@@ -94,7 +99,10 @@ object Handlers {
       coalesce(length(key), lit(0)) +
       coalesce(length(value), lit(0)) +
       coalesce(aggregate(headers, lit(0),
-        (acc, h) => acc + length(h.getField("key")) + length(h.getField("value"))), lit(0))
+        // per-field coalesce: one null header value counts as 0 bytes,
+        // it must not null out the whole accumulation
+        (acc, h) => acc + coalesce(length(h.getField("key")), lit(0)) +
+          coalesce(length(h.getField("value")), lit(0))), lit(0))
 
   /** Bound-schema lane: project the dynamic string-map image into typed
     * columns via `from_json` with a per-table schema — how reference
