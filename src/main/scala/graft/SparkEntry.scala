@@ -32,6 +32,7 @@ object SparkEntry {
     "q16_sessionize"    -> (Windows.q16Sessionize _),
     "q20_tumbling"      -> (EventsTime.q20Tumbling _),
     "q21_scalar_funcs"  -> (EventsTime.q21ScalarFuncs _),
+    "q23_nullsafe"      -> (EventsTime.q23NullSafe _),
     "q30_text_stats"    -> (TextOps.q30TextStats _),
     "q31_fingerprint"   -> (TextOps.q31Fingerprint _),
     "q32_lang_score"    -> (TextOps.q32LangScore _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "q16_sessionize"    -> Windows.q16SessionizeSql,
     "q20_tumbling"      -> EventsTime.q20TumblingSql,
     "q21_scalar_funcs"  -> EventsTime.q21ScalarFuncsSql,
+    "q23_nullsafe"      -> EventsTime.q23NullSafeSql,
     "q30_text_stats"    -> TextOps.q30TextStatsSql,
     "q31_fingerprint"   -> TextOps.q31FingerprintSql,
     "q32_lang_score"    -> TextOps.q32LangScoreSql,

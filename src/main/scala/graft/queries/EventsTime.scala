@@ -61,6 +61,35 @@ object EventsTime {
       .orderBy($"event_id")
   }
 
+  /** Null-safe equality (`<=>`) and null-handling functions: NULLs are
+    * manufactured with nullif, then compared with null-safe semantics —
+    * `<=>` is true for NULL<=>NULL where `=` yields NULL. DuckDB twin is
+    * IS NOT DISTINCT FROM.
+    */
+  def q23NullSafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seg  = nullif($"c_mktsegment", lit("BUILDING"))
+    val bal  = nullif($"c_acctbal", lit(0.0))
+    Tables.load(s, dir, "customer")
+      .select(
+        $"c_custkey",
+        seg.as("seg_or_null"),
+        ($"c_mktsegment" <=> "BUILDING").as("is_building_nullsafe"),
+        (seg <=> lit(null).cast("string")).as("seg_is_null_nullsafe"),
+        coalesce(seg, lit("(default)")).as("seg_coalesced"),
+        isnull(bal).as("bal_zeroed"))
+      .orderBy($"c_custkey")
+  }
+
+  val q23NullSafeSql: String =
+    """SELECT c_custkey,
+      |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+      |  c_mktsegment IS NOT DISTINCT FROM 'BUILDING' AS is_building_nullsafe,
+      |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS seg_is_null_nullsafe,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_coalesced,
+      |  nullif(c_acctbal, 0.0) IS NULL AS bal_zeroed
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val q21ScalarFuncsSql: String =
     """SELECT event_id,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
