@@ -24,6 +24,7 @@ object SparkEntry {
     "q12_rollup"        -> (Relational.q12Rollup _),
     "q13_topk"          -> (Relational.q13TopK _),
     "q18_cube"          -> (Relational.q18Cube _),
+    "q24_grouping_sets" -> (Relational.q24GroupingSets _),
     "q19_stats"         -> (Relational.q19Stats _),
     "q7_rank_topn"      -> (Windows.q7RankTopN _),
     "q8_running_sum"    -> (Windows.q8RunningSum _),
@@ -66,6 +67,7 @@ object SparkEntry {
     "q12_rollup"        -> Relational.q12RollupSql,
     "q13_topk"          -> Relational.q13TopKSql,
     "q18_cube"          -> Relational.q18CubeSql,
+    "q24_grouping_sets" -> Relational.q24GroupingSetsSql,
     "q19_stats"         -> Relational.q19StatsSql,
     "q7_rank_topn"      -> Windows.q7RankTopNSql,
     "q8_running_sum"    -> Windows.q8RunningSumSql,

@@ -284,6 +284,26 @@ object Relational {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS — ((status), (priority)): two independent
+    * one-column groupings in a single pass/shuffle, a shape neither
+    * rollup nor cube produces.
+    */
+  def q24GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q24GroupingSetsSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** Global top-k: total order (price DESC, key ASC) + limit. Spark plans
     * TakeOrderedAndProject — per-partition heap + single k-row merge, no
     * global sort even at 100 TB.
