@@ -37,7 +37,7 @@ object SnapshotSource {
       table: String,
       namespace: String = "public"): DataFrame = {
     val df = Tables.load(spark, dir, table)
-    val kvs = df.columns.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val kvs = df.columns.toIndexedSeq.flatMap(c => Seq(lit(c), col(c).cast("string")))
     df.select(
       current_timestamp().as("eventTime"),
       lit(namespace).as("tableNamespace"),

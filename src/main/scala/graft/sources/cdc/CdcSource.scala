@@ -154,7 +154,7 @@ final class CdcPartitionReader(file: String, filters: Array[Filter])
     else {
       val keys = new ArrayBuffer[UTF8String]
       val vals = new ArrayBuffer[UTF8String]
-      node.fields().asScala.foreach { e =>
+      node.properties().asScala.foreach { e =>
         keys += utf8(e.getKey)
         vals += (if (e.getValue.isNull) null else utf8(e.getValue.asText()))
       }

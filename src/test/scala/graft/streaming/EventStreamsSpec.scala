@@ -12,10 +12,12 @@ import graft.SparkSpec
   * stateful dedup, custom state. Driven through MemoryStream so event
   * order and watermark advancement are controlled exactly.
   */
-class EventStreamsSpec extends SparkSpec {
+// file-level so Spark's codegen'd encoder applies (an inner case class
+// makes Janino fall back to interpreted encoding with noisy stacks)
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
 
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-                        event_type: String, value: Double)
+class EventStreamsSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
