@@ -105,11 +105,17 @@ object Handlers {
           coalesce(length(h.getField("value")), lit(0))), lit(0))
 
   /** Bound-schema lane: project the dynamic string-map image into typed
-    * columns via `from_json` with a per-table schema — how reference
-    * handlers duck-type map values (`example/simple/main.go:119`,
-    * SURVEY §1.2) without giving up the raw map lane.
+    * columns — how reference handlers duck-type map values
+    * (`example/simple/main.go:119`, SURVEY §1.2) without giving up the
+    * raw map lane. Each target column is `element_at(image, name)` cast
+    * to its declared type: missing columns become NULL (schema drift
+    * forward-compat), unknown map keys are ignored, and the cast is a
+    * direct string→type conversion (no JSON round-trip, stays codegen'd).
     */
-  def bindSchema(events: DataFrame, schema: StructType): DataFrame =
+  def bindSchema(events: DataFrame, schema: StructType): DataFrame = {
+    val img = payloadImage(col("op"), col("oldData"), col("newData"))
     events.withColumn("row",
-      from_json(to_json(payloadImage(col("op"), col("oldData"), col("newData"))), schema))
+      struct(schema.fields.toIndexedSeq.map(f =>
+        element_at(img, f.name).cast(f.dataType).as(f.name)): _*))
+  }
 }
