@@ -24,14 +24,19 @@ object Bench {
     // warm-up: JIT + noop-writer + parquet-footer caches, so the first
     // measured query isn't charged session start-up costs
     try run(spark.read.parquet(s"$sfDir/lineitem.parquet")) catch { case _: Throwable => () }
+    // A failed query is reported as NEGATIVE time-to-failure and listed
+    // in "errors", so a crash can never masquerade as a fast success.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn(spark, sfDir)); true }
+        catch { case _: Throwable => errors += name; false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ > 0).sum
 
     // CDC end-to-end throughput, apples-to-apples with the reference's
     // 10M-row replication race (BASELINE.md, ~66.7k rows/s): snapshot
@@ -44,12 +49,16 @@ object Bench {
     val cdcRows = try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       catch { case _: Throwable => 0L }
     val cdcT0 = System.nanoTime()
-    try run(cdcDf) catch { case _: Throwable => () }
+    val cdcOk = try { run(cdcDf); true }
+      catch { case _: Throwable => errors += "cdc_pipeline"; false }
     val cdcSec = (System.nanoTime() - cdcT0) / 1e9
-    val cdcRps = if (cdcSec > 0) cdcRows / cdcSec else 0.0
+    // A failed CDC run must not report a (possibly inflated) throughput.
+    val cdcRps = if (cdcOk && cdcSec > 0) cdcRows / cdcSec else -1.0
+    val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cdc_rows":$cdcRows,"cdc_sec":$cdcSec,"cdc_rows_per_sec":$cdcRps,"sf":"$sfDir"}""")
+      s""""cdc_rows":$cdcRows,"cdc_sec":$cdcSec,"cdc_rows_per_sec":$cdcRps,""" +
+      s""""errors":$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

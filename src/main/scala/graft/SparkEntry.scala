@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AsofJoin, Dedup, EventsTime, Multimodal, Relational, Similarity, TextOps, Windows}
+import graft.queries.{Analytic, AsofJoin, Dedup, EventsTime, Multimodal, Relational, Similarity, TextOps, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -49,6 +49,16 @@ object SparkEntry {
     "q22_collect"       -> (AsofJoin.q22Collect _),
     "q44_range_join"    -> (AsofJoin.q44RangeJoin _),
     "q60_media_stats"   -> (Multimodal.q60MediaStats _),
+    "q25_pivot"         -> (Analytic.q25Pivot _),
+    "q26_ntile"         -> (Analytic.q26Ntile _),
+    "q27_percentiles"   -> (Analytic.q27Percentiles _),
+    "q28_string_funcs"  -> (Analytic.q28StringFuncs _),
+    "q29_date_funcs"    -> (Analytic.q29DateFuncs _),
+    "q34_json_funcs"    -> (Analytic.q34JsonFuncs _),
+    "q35_explode"       -> (Analytic.q35Explode _),
+    "q36_hopping"       -> (Analytic.q36Hopping _),
+    "q37_salted_agg"    -> (Analytic.q37SaltedAgg _),
+    "q46_cdc_apply"     -> (Analytic.q46CdcApply _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +103,15 @@ object SparkEntry {
     "q22_collect"       -> AsofJoin.q22CollectSql,
     "q44_range_join"    -> AsofJoin.q44RangeJoinSql,
     "q60_media_stats"   -> Multimodal.q60MediaStatsSql,
+    "q25_pivot"         -> Analytic.q25PivotSql,
+    "q26_ntile"         -> Analytic.q26NtileSql,
+    "q27_percentiles"   -> Analytic.q27PercentilesSql,
+    "q28_string_funcs"  -> Analytic.q28StringFuncsSql,
+    "q29_date_funcs"    -> Analytic.q29DateFuncsSql,
+    "q34_json_funcs"    -> Analytic.q34JsonFuncsSql,
+    "q35_explode"       -> Analytic.q35ExplodeSql,
+    "q36_hopping"       -> Analytic.q36HoppingSql,
+    "q37_salted_agg"    -> Analytic.q37SaltedAggSql,
+    "q46_cdc_apply"     -> Analytic.q46CdcApplySql,
   )
 }

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Exact._
+
+/** Round-2 widening of the relational/analytic surface (SURVEY §2B):
+  * pivot, distribution window functions (ntile/percent_rank/cume_dist),
+  * exact percentiles, string- and date-function suites, JSON extraction,
+  * generators (posexplode), hopping event-time windows, salted skew
+  * aggregation, and CDC log-compaction apply.
+  *
+  * Same scale discipline as Relational: declarative plans, map-side
+  * partial aggregation, one shuffle per groupBy/window key, codegen'd
+  * built-ins only.
+  */
+object Analytic {
+
+  /** Pivot: order counts and exact-decimal totals per priority × status.
+    * Spark plans a single-shuffle pivot aggregation (statuses become
+    * conditional aggregates map-side — the same plan the hand-written
+    * CASE form yields, which is exactly how the oracle states it).
+    */
+  def q25Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot($"o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q25PivotSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Distribution window functions: quartile bucket (ntile), percent_rank
+    * and cume_dist over account balance within each market segment. The
+    * order includes the unique key so every rank is deterministic.
+    */
+  def q26Ntile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.load(s, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal", $"quartile", $"pct_rank", $"cume")
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  val q26NtileSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** Exact (interpolating) percentiles + median per order status. Both
+    * engines sort the doubles and interpolate at rank p·(n-1) with the
+    * same lower + (upper-lower)·frac formula, so values compare exactly.
+    */
+  def q27Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile($"o_totalprice", lit(0.25)).as("p25"),
+        median($"o_totalprice").as("p50"),
+        percentile($"o_totalprice", lit(0.75)).as("p75"),
+        percentile($"o_totalprice", lit(0.99)).as("p99"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q27PercentilesSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  median(o_totalprice) AS p50,
+      |  quantile_cont(o_totalprice, 0.75) AS p75,
+      |  quantile_cont(o_totalprice, 0.99) AS p99
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** String-function suite over part: case mapping, substring, padding,
+    * replace/translate, split_part, reverse, 1-based search position and
+    * edit distance — each mapped 1:1 onto a DuckDB builtin with identical
+    * semantics (ASCII data; levenshtein is the same integer DP on both).
+    */
+  def q28StringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "part")
+      .select(
+        $"p_partkey",
+        upper($"p_name").as("up_name"),
+        substring($"p_name", 1, 8).as("name8"),
+        lpad($"p_brand", 12, "*").as("brand_pad"),
+        regexp_replace($"p_type", " ", "_").as("type_snake"),
+        translate($"p_brand", "#", "-").as("brand_dash"),
+        split_part($"p_type", lit(" "), lit(1)).as("type_head"),
+        reverse($"p_brand").as("brand_rev"),
+        instr($"p_name", "a").cast("long").as("first_a"),
+        levenshtein($"p_brand", lit("Brand#11")).cast("long").as("brand_dist"))
+      .orderBy($"p_partkey")
+  }
+
+  val q28StringFuncsSql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS up_name,
+      |  substr(p_name, 1, 8) AS name8,
+      |  lpad(p_brand, 12, '*') AS brand_pad,
+      |  replace(p_type, ' ', '_') AS type_snake,
+      |  translate(p_brand, '#', '-') AS brand_dash,
+      |  split_part(p_type, ' ', 1) AS type_head,
+      |  reverse(p_brand) AS brand_rev,
+      |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+      |  CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS brand_dist
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time-function suite over orders (all values are midnight-aligned
+    * timestamps, so date-vs-timestamp representation differences vanish
+    * once both sides render as timestamps): truncation, field extraction,
+    * ISO week, day-of-week, end-of-month, month arithmetic, day deltas.
+    */
+  def q29DateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        year($"o_orderdate").cast("long").as("yr"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        month($"o_orderdate").cast("long").as("mon"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        dayofweek($"o_orderdate").cast("long").as("dow_sun1"),
+        weekofyear($"o_orderdate").cast("long").as("iso_week"),
+        last_day($"o_orderdate").cast("timestamp").as("month_end"),
+        add_months($"o_orderdate", 3).cast("timestamp").as("plus3mo"),
+        datediff(lit(java.sql.Date.valueOf("2000-01-01")), $"o_orderdate")
+          .cast("long").as("days_to_y2k"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q29DateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+      |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+      |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3mo,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** JSON extraction from the events.props payload column (the engine's
+    * `get_json_object` ≙ the reference handlers' json.Marshal/Unmarshal
+    * round-trip, reference example/simple/main.go:113-114): extract a
+    * field, type it, and aggregate on it.
+    */
+  def q34JsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q34JsonFuncsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Generator surface (UDTF-shape): posexplode the word array of short
+    * documents into (position, word) rows — the lateral-view/flatMap
+    * pattern every training-data tokenizer pipeline uses.
+    */
+  def q35Explode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter($"doc_id" < 25)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("w"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val q35ExplodeSql: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS w
+      |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 25),
+      |     UNNEST(range(1, len(ws) + 1)) AS t(i)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** Hopping (sliding) event-time windows via Spark's native TimeWindow
+    * generator: 30-minute windows every 10 minutes — each event lands in
+    * exactly 3 windows. At 100 TB this is the same one-shuffle groupBy as
+    * a tumbling window, ×3 map-side row expansion before partial agg.
+    * Aggregates are integers (count + id-sum) so no FP-order concerns.
+    */
+  def q36Hopping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy(window($"ts", "30 minutes", "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("sum_id"))
+      .select($"window.start".as("wstart"), $"n", $"sum_id")
+      .orderBy($"wstart")
+  }
+
+  val q36HoppingSql: String =
+    """WITH slid AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 600000000 - j) * 600000000) AS wstart,
+      |         event_id
+      |  FROM events, UNNEST([0, 1, 2]) AS t(j))
+      |SELECT wstart, COUNT(*) AS n, SUM(event_id) AS sum_id
+      |FROM slid GROUP BY wstart ORDER BY wstart""".stripMargin
+
+  /** Salted two-phase aggregation (queries/Skew.saltedSumCount): the hot
+    * single-key mitigation AQE cannot do. Values are exact decimal, so the
+    * extra partial level cannot perturb the rendered doubles and the
+    * result is identical to the direct groupBy the oracle states.
+    */
+  def q37SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Skew.saltedSumCount(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", d2($"l_quantity"), salts = 16)
+      .select($"l_returnflag",
+        col("sum").cast("double").as("sum_qty"), col("cnt").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q37SaltedAggSql: String =
+    s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** CDC log-compaction apply — materialize current state from a change
+    * log: a deterministic op column (INSERT/UPDATE/DELETE) is derived
+    * from the event stream, the log is compacted latest-wins per key
+    * (Windows.latestByKey, the reference's keyed compaction semantics),
+    * and keys whose final op is DELETE vanish from the materialized view.
+    * This is the full `apply changes into` semantic on top of q15's
+    * compaction primitive.
+    */
+  def q46CdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.load(s, dir, "events")
+      .withColumn("op",
+        when($"event_id" % 10 === 0, "DELETE")
+          .when($"event_id" % 3 === 0, "UPDATE")
+          .otherwise("INSERT"))
+    Windows.latestByKey(log, keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .filter($"op" =!= "DELETE")
+      .select($"user_id", $"op", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  val q46CdcApplySql: String =
+    """WITH log AS (
+      |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'
+      |                 WHEN event_id % 3 = 0 THEN 'UPDATE'
+      |                 ELSE 'INSERT' END AS op
+      |  FROM events),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM log)
+      |SELECT user_id, op, event_id, event_type, value
+      |FROM latest WHERE rn = 1 AND op <> 'DELETE'
+      |ORDER BY user_id""".stripMargin
+}

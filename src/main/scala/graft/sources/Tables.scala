@@ -22,14 +22,20 @@ object Tables {
     * as a raw long (`nanosAsLong`) and floor-divide to microseconds —
     * byte-identical to what DuckDB does natively (its parquet reader
     * truncates NANOS to a µs TIMESTAMP), so oracle comparisons stay exact.
+    *
+    * Floor (not `div`, which truncates toward zero) so a pre-epoch
+    * nanosecond value would land in the earlier microsecond, matching
+    * timestamp semantics; the two agree on every post-1970 fixture value.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session-global conf: set once per session, not per call
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000")))
     else df
   }
 }

@@ -94,9 +94,17 @@ final class CdcScan(path: String, filters: Array[Filter]) extends Scan {
   }
 }
 
-/** Offset = how many wire files (≙ LSN segments) have been consumed. */
-final case class CdcOffset(fileCount: Int) extends Offset {
-  override def json(): String = fileCount.toString
+/** Offset = how many wire files (≙ LSN segments) have been consumed,
+  * plus the NAME of the last consumed file. The name pins the offset to
+  * the actual log position: a file that sorts before already-consumed
+  * names (or a deletion inside the consumed prefix) would silently shift
+  * positional indices and skip/re-deliver events — with the name recorded
+  * we detect that on every planning call and fail loudly instead
+  * (the monotonic-naming contract is validated, not just documented).
+  */
+final case class CdcOffset(fileCount: Int, lastFile: String = "") extends Offset {
+  override def json(): String =
+    s"""{"n":$fileCount,"last":"${lastFile.replace("\"", "\\\"")}"}"""
 }
 
 final class CdcMicroBatchStream(path: String, filters: Array[Filter]) extends MicroBatchStream {
@@ -105,16 +113,47 @@ final class CdcMicroBatchStream(path: String, filters: Array[Filter]) extends Mi
       .filter(_.endsWith(".json")).sorted
 
   override def initialOffset(): Offset = CdcOffset(0)
-  override def latestOffset(): Offset = CdcOffset(listFiles.length)
-  override def deserializeOffset(json: String): Offset = CdcOffset(json.trim.toInt)
+  override def latestOffset(): Offset = {
+    val files = listFiles
+    CdcOffset(files.length, files.lastOption.getOrElse(""))
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val node = new ObjectMapper().readTree(t)
+      CdcOffset(node.path("n").asInt(), node.path("last").asText(""))
+    } else CdcOffset(t.toInt) // pre-name offset format (round 1 checkpoints)
+  }
   override def commit(end: Offset): Unit = () // files are the durable log
   override def stop(): Unit = ()
 
+  /** The consumed prefix must still be exactly files[0, n): same length
+    * reachable, same file at position n-1. Anything else means the
+    * directory was mutated non-append-only (reordering insert, deletion)
+    * and positional replay would be wrong.
+    */
+  private def validatePrefix(files: Array[String], off: CdcOffset): Unit = {
+    if (off.fileCount > files.length)
+      throw new IllegalStateException(
+        s"graft-cdc: offset ${off.fileCount} beyond ${files.length} listed files in $path — " +
+        "wire files were deleted; cannot replay")
+    if (off.fileCount > 0 && off.lastFile.nonEmpty &&
+        files(off.fileCount - 1) != off.lastFile)
+      throw new IllegalStateException(
+        s"graft-cdc: file at consumed position ${off.fileCount - 1} is " +
+        s"'${files(off.fileCount - 1)}' but offset recorded '${off.lastFile}' — " +
+        "a file sorting inside the consumed prefix appeared or one was deleted; " +
+        "the directory must be append-only with monotonic names")
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val files = listFiles
-    val s = start.asInstanceOf[CdcOffset].fileCount
-    val e = math.min(end.asInstanceOf[CdcOffset].fileCount, files.length)
-    files.slice(s, e).map(f => CdcInputPartition(new File(path, f).getPath): InputPartition)
+    val s = start.asInstanceOf[CdcOffset]
+    val e = end.asInstanceOf[CdcOffset]
+    validatePrefix(files, s)
+    validatePrefix(files, e)
+    files.slice(s.fileCount, math.min(e.fileCount, files.length))
+      .map(f => CdcInputPartition(new File(path, f).getPath): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
