@@ -186,7 +186,7 @@ object Analytic {
 
   val q34JsonFuncsSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -230,7 +230,7 @@ object Analytic {
       |  SELECT make_timestamp((epoch_us(ts) // 600000000 - j) * 600000000) AS wstart,
       |         event_id
       |  FROM events, UNNEST([0, 1, 2]) AS t(j))
-      |SELECT wstart, COUNT(*) AS n, SUM(event_id) AS sum_id
+      |SELECT wstart, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
       |FROM slid GROUP BY wstart ORDER BY wstart""".stripMargin
 
   /** Salted two-phase aggregation (queries/Skew.saltedSumCount): the hot

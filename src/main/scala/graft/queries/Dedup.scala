@@ -86,12 +86,29 @@ object Dedup {
     // memoized per (session, dir): q40/q41/q42 in one session share ONE
     // cached frame instead of pinning three copies of the same data
     evict(shingleCache)(k => k._1 == s && k._2 != dir)
-    shingleCache.getOrElseUpdate((s, dir),
-      Tables.load(s, dir, "documents")
+    shingleCache.get((s, dir)).getOrElse {
+      val built = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           array_distinct(transform(TextOps.shingles(col("text")), g => xxhash64(g)))
             .as("sh"))
-        .cache())
+        .cache()
+      // putIfAbsent, not getOrElseUpdate: under a concurrent first call
+      // the loser's frame must be unpersisted, or its (lazy, so still
+      // unmaterialized — the unpersist is free) cache entry leaks
+      shingleCache.putIfAbsent((s, dir), built) match {
+        case Some(winner) => built.unpersist(false); winner
+        case None         => built
+      }
+    }
+  }
+
+  /** Drop every cached scratch frame this session holds (shingle + per-query
+    * signature caches). Benchmarks call this after the dedup family so the
+    * cached frames' executor storage cannot pressure later queries' heap.
+    */
+  def clearCaches(s: SparkSession): Unit = {
+    evict(shingleCache)(k => k._1 == s)
+    evict(scratchCache)(k => k._1 == s)
   }
 
   /** Exact Jaccard for candidate pairs (d1 < d2), computed as a count
