@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, SlotAgreement}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -11,24 +12,36 @@ import graft.functions.CosineSimilarity
   * function surface lacks (SURVEY §7 custom-Catalyst lane).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_similarity"),
-      CosineSimilarity.info,
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(args.length == 2, "cosine_similarity(a, b) takes exactly 2 arguments")
-        CosineSimilarity(args.head, args(1))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }
 
 object GraftExtensions {
+  private def arity(n: Int, name: String)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n, s"$name takes exactly $n argument(s)")
+      build(args)
+    }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity", CosineSimilarity.info,
+      arity(2, "cosine_similarity")(a => CosineSimilarity(a.head, a(1)))),
+    ("minhash_signature", MinHashSignature.info,
+      arity(1, "minhash_signature")(a => MinHashSignature(a.head))),
+    ("simhash64", SimHash64.info,
+      arity(1, "simhash64")(a => SimHash64(a.head))),
+    ("slot_agreement", SlotAgreement.info,
+      arity(2, "slot_agreement")(a => SlotAgreement(a.head, a(1)))),
+  )
+
   /** Register on an already-built session (covers the test/REPL path). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.registerFunction(
-      FunctionIdentifier("cosine_similarity"),
-      CosineSimilarity.info,
-      args => { require(args.length == 2); CosineSimilarity(args.head, args(1)) })
+    functions.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
   }
 }

@@ -210,16 +210,16 @@ object Dedup {
     */
   def q41MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val docs = shingled(s, dir)
-    // Signature via explode + 64-way min aggregation: whole-stage-codegen
-    // hash agg with map-side partial mins — the scalable formulation (the
-    // per-row nested transform/array_min alternative evaluates
-    // interpreted and was ~30× slower at sf0.1).
-    val ex = docs.select($"doc_id", explode($"sh").as("g"))
-    val minCols = (0 until 64).map(k => min(xxhash64(lit(k), $"g")).as(s"m$k"))
-    val sig = cacheScratch(s, "q41_sig", ex.groupBy($"doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select($"doc_id", array((0 until 64).map(k => col(s"m$k")): _*).as("sig")))
+    // Signature via the native minhash_signature expression: one fused
+    // |sh|×64 loop per document, map-side, inside whole-stage codegen —
+    // NO shuffle. (History: a per-row nested transform/array_min chain
+    // evaluated interpreted and was ~30× slower; round 2's explode +
+    // 64-way min aggregation was codegen'd but paid a corpus×64-buffer
+    // hash-agg shuffle that dominated the query.)
+    val sig = cacheScratch(s, "q41_sig",
+      docs.select($"doc_id", call_function("minhash_signature", $"sh").as("sig")))
     val bands = sig.select($"doc_id",
         explode(expr(
           "transform(sequence(0, 15), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bucket))"))
@@ -234,7 +234,7 @@ object Dedup {
       .join(sigs.as("p"), $"d1" === $"p.doc_id")
       .join(sigs.as("q"), $"d2" === $"q.doc_id")
       .withColumn("est",
-        expr("size(filter(zip_with(p.sig, q.sig, (x, y) -> x = y), b -> b))") / 64.0)
+        call_function("slot_agreement", $"p.sig", $"q.sig") / 64.0)
       .filter($"est" >= 0.3)
       .select($"d1", $"d2")
     verifyPairs(estFiltered, docs)
@@ -253,17 +253,14 @@ object Dedup {
     */
   def q42Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val docs = shingled(s, dir)
-    // Per-bit majority votes via explode + 64 sum aggregates (codegen'd,
-    // map-side partial), then assemble the 64-bit signature.
-    val ex = docs.select($"doc_id", explode($"sh").as("g"))
-    val voteCols = (0 until 64).map(k =>
-      sum(when(shiftright($"g", k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$k"))
-    val sim = cacheScratch(s, "q42_sim", ex.groupBy($"doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select($"doc_id",
-        (0 until 64).map(k => when(col(s"v$k") > 0, shiftleft(lit(1L), k)).otherwise(0L))
-          .reduce(_ bitwiseOR _).as("simhash")))
+    // Per-bit majority votes via the native simhash64 expression — the
+    // same strictly-more-set-than-clear vote the round-2 explode +
+    // 64-sum-aggregate computed, but as one fused map-side loop per
+    // document with no shuffle and no 64 agg buffers.
+    val sim = cacheScratch(s, "q42_sim",
+      docs.select($"doc_id", call_function("simhash64", $"sh").as("simhash")))
     val chunks = sim.select($"doc_id",
         explode(expr(
           """transform(sequence(0, 12), c -> struct(c AS chunk,

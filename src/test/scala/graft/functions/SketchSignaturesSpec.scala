@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.GraftExtensions
+import graft.SparkSpec
+
+/** Native sketch-signature expressions (minhash_signature / simhash64 /
+  * slot_agreement): codegen path vs a plain-Scala reference model, plus
+  * null/edge behavior. The recall envelope of the signatures inside the
+  * LSH pipelines is covered by the q40==q41==q42 oracle equality in
+  * AllQueriesSpec/the driver gate.
+  */
+class SketchSignaturesSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = { super.beforeAll(); GraftExtensions.register(spark) }
+
+  private def refMinhash(sh: Seq[Long]): Seq[Long] =
+    (0 until 64).map { k =>
+      val seed = SketchHash.seed(k)
+      if (sh.isEmpty) Long.MaxValue
+      else sh.map(g => SketchHash.fmix64(g ^ seed)).min
+    }
+
+  private def refSimhash(sh: Seq[Long]): Long =
+    (0 until 64).map { k =>
+      val votes = sh.map(g => if (((g >>> k) & 1L) == 1L) 1 else -1).sum
+      if (votes > 0) 1L << k else 0L
+    }.foldLeft(0L)(_ | _)
+
+  test("minhash_signature matches the reference model through codegen") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id",
+        "array_distinct(transform(split(text, ' '), w -> xxhash64(w))) AS sh")
+      .limit(50)
+    val got = docs.selectExpr("doc_id", "sh", "minhash_signature(sh) AS sig")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, sh, sig) =>
+      assert(sig == refMinhash(sh), s"doc $id")
+    }
+  }
+
+  test("simhash64 matches the reference model and the per-bit majority definition") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id",
+        "array_distinct(transform(split(text, ' '), w -> xxhash64(w))) AS sh")
+      .limit(50)
+    val got = docs.selectExpr("doc_id", "sh", "simhash64(sh) AS sim")
+      .as[(Long, Seq[Long], Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, sh, sim) =>
+      assert(sim == refSimhash(sh), s"doc $id")
+    }
+  }
+
+  test("slot_agreement counts aligned equal slots") {
+    val r = spark.sql(
+      """SELECT
+        |  slot_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS two,
+        |  slot_agreement(array(1L, 2L), array(1L, 2L)) AS all_eq,
+        |  slot_agreement(array(1L), array(2L)) AS none,
+        |  slot_agreement(CAST(NULL AS array<bigint>), array(1L)) AS nul
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 2)
+    assert(r.getInt(2) == 0)
+    assert(r.isNullAt(3))
+  }
+
+  test("empty shingle set: deterministic MAX_VALUE signature, zero simhash") {
+    val r = spark.sql(
+      """SELECT minhash_signature(CAST(array() AS array<bigint>)) AS sig,
+        |       simhash64(CAST(array() AS array<bigint>)) AS sim
+        |FROM (SELECT 1)""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0).forall(_ == Long.MaxValue))
+    assert(r.getLong(1) == 0L)
+  }
+}
