@@ -22,14 +22,27 @@ object TmpProbe {
       println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       df
     }
-    val q40 = time("q40")(Dedup.q40NgramJaccard(spark, dir))
-    val q41 = time("q41")(Dedup.q41MinhashLsh(spark, dir))
-    val q42 = time("q42")(Dedup.q42Simhash(spark, dir))
-    val p40 = q40.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val p41 = q41.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val p42 = q42.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(s"RECALL q41: ${p41.size}/${p40.size} exact=${p41 == p40} missed=${(p40 -- p41).take(5)}")
-    println(s"RECALL q42: ${p42.size}/${p40.size} exact=${p42 == p40} missed=${(p40 -- p42).take(5)}")
+    import graft.queries.Similarity
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    // exact q43 ground truth (the old crossJoin form) vs bucketed q43
+    val e = Tables.load(spark, dir, "embeddings")
+    graft.GraftExtensions.register(spark)
+    val exact = e.select(col("vec_id").as("d1"), col("embedding").as("x"))
+      .crossJoin(broadcast(e.select(col("vec_id").as("d2"), col("embedding").as("y"))))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cos_sim", call_function("cosine_similarity", col("x"), col("y")))
+      .filter(col("cos_sim") >= 0.45)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q43 = time("q43")(Similarity.q43EmbedNearDup(spark, dir))
+    val p43 = q43.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"RECALL q43: ${p43.size}/${exact.size} exact=${p43 == exact} missed=${(exact -- p43).take(5)}")
+    // q51 recall at nprobe=2 vs brute
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(time("q50")(Similarity.q50AnnBrute(spark, dir)))
+    val ivf = pairs(time("q51")(Similarity.q51AnnIvf(spark, dir)))
+    println(s"RECALL q51@nprobe2: ${(truth & ivf).size.toDouble / truth.size}")
     spark.stop()
   }
 }

@@ -19,15 +19,18 @@ class AnnRecallSpec extends SparkSpec {
     assert(pairSet(Similarity.q51AnnIvf(spark, dir, nCentroids = 8, nProbe = 8)) == truth)
   }
 
-  test("IVF ANN recall@3 >= 0.3 vs brute force (nprobe=2 of 8 centroids)") {
+  test("IVF ANN recall@3 >= 0.4 vs brute force (nprobe=2 of 8 centroids)") {
     val truth = pairSet(Similarity.q50AnnBrute(spark, dir))
     val got   = pairSet(Similarity.q51AnnIvf(spark, dir))
     val recall = (truth & got).size.toDouble / truth.size
     // nprobe/centroids = 2/8 of the corpus scanned; these embeddings are
     // random (unclustered), which is the worst case for IVF — the contract
     // here is "meaningful recall at a quarter of the scan cost"; clustered
-    // real-world embeddings do far better.
-    assert(recall >= 0.3, s"recall=$recall")
+    // real-world embeddings do far better. The sampled-k-means codebook
+    // measures 0.53 here (the round-2 fixed vec_id<C codebook sat at the
+    // old 0.3 floor); 0.4 leaves slack for codebook drift without letting
+    // a regression to arbitrary seeds pass.
+    assert(recall >= 0.4, s"recall=$recall")
   }
 
   test("near-dup detectors agree: q40 (exact) == q41 (MinHash LSH) == q42 (SimHash)") {
