@@ -35,8 +35,13 @@ object SnapshotSource {
       spark: SparkSession,
       dir: String,
       table: String,
-      namespace: String = "public"): DataFrame = {
-    val df = Tables.load(spark, dir, table)
+      namespace: String = "public"): DataFrame =
+    asSnapshotEvents(Tables.load(spark, dir, table), table, namespace)
+
+  /** Any relational frame → SNAPSHOT ChangeEvents (shared by the parquet
+    * and JDBC snapshot lanes): every column stringified into `newData`.
+    */
+  def asSnapshotEvents(df: DataFrame, table: String, namespace: String): DataFrame = {
     val kvs = df.columns.toIndexedSeq.flatMap(c => Seq(lit(c), col(c).cast("string")))
     df.select(
       current_timestamp().as("eventTime"),

@@ -3,16 +3,11 @@ package graft.sources.cdc
 import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
-import java.time.Instant
 import java.util.{Map => JMap}
-
-import scala.collection.mutable.ArrayBuffer
-import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
@@ -20,7 +15,6 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.model.ChangeEvent
 
@@ -95,16 +89,45 @@ final class CdcScan(path: String, filters: Array[Filter]) extends Scan {
 }
 
 /** Offset = how many wire files (≙ LSN segments) have been consumed,
-  * plus the NAME of the last consumed file. The name pins the offset to
-  * the actual log position: a file that sorts before already-consumed
-  * names (or a deletion inside the consumed prefix) would silently shift
-  * positional indices and skip/re-deliver events — with the name recorded
-  * we detect that on every planning call and fail loudly instead
-  * (the monotonic-naming contract is validated, not just documented).
+  * plus the NAME of the last consumed file and an order-sensitive
+  * FINGERPRINT of the whole consumed-prefix name list. The name pins the
+  * offset to the actual log position; the fingerprint closes the
+  * residual gap of name+count alone (a simultaneous delete+insert both
+  * sorting inside the prefix preserves count and last name but not the
+  * chain hash) — any non-append-only mutation of the directory is
+  * detected on every planning call and fails loudly instead of silently
+  * skipping or re-delivering events.
   */
-final case class CdcOffset(fileCount: Int, lastFile: String = "") extends Offset {
-  override def json(): String =
-    s"""{"n":$fileCount,"last":"${lastFile.replace("\"", "\\\"")}"}"""
+final case class CdcOffset(
+    fileCount: Int, lastFile: String = "", prefixHash: Option[Long] = None) extends Offset {
+  override def json(): String = {
+    val node = CdcOffset.mapper.createObjectNode()
+    node.put("n", fileCount)
+    node.put("last", lastFile)
+    prefixHash.foreach(h => node.put("h", h))
+    CdcOffset.mapper.writeValueAsString(node)
+  }
+}
+
+object CdcOffset {
+  private val mapper = new ObjectMapper()
+
+  /** Order-sensitive chain hash of a file-name sequence (fmix64 chaining —
+    * position-dependent by construction, so reorders change the hash).
+    */
+  def prefixHashOf(files: Iterable[String]): Long =
+    files.foldLeft(0x9E3779B97F4A7C15L) { (acc, f) =>
+      graft.functions.SketchHash.fmix64(acc ^ f.hashCode.toLong)
+    }
+
+  def fromJson(json: String): CdcOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val node = mapper.readTree(t)
+      val h = if (node.has("h")) Some(node.get("h").asLong()) else None
+      CdcOffset(node.path("n").asInt(), node.path("last").asText(""), h)
+    } else CdcOffset(t.toInt) // pre-name offset format (round 1 checkpoints)
+  }
 }
 
 final class CdcMicroBatchStream(path: String, filters: Array[Filter]) extends MicroBatchStream {
@@ -115,21 +138,18 @@ final class CdcMicroBatchStream(path: String, filters: Array[Filter]) extends Mi
   override def initialOffset(): Offset = CdcOffset(0)
   override def latestOffset(): Offset = {
     val files = listFiles
-    CdcOffset(files.length, files.lastOption.getOrElse(""))
+    CdcOffset(files.length, files.lastOption.getOrElse(""),
+      Some(CdcOffset.prefixHashOf(files)))
   }
-  override def deserializeOffset(json: String): Offset = {
-    val t = json.trim
-    if (t.startsWith("{")) {
-      val node = new ObjectMapper().readTree(t)
-      CdcOffset(node.path("n").asInt(), node.path("last").asText(""))
-    } else CdcOffset(t.toInt) // pre-name offset format (round 1 checkpoints)
-  }
+  override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def commit(end: Offset): Unit = () // files are the durable log
   override def stop(): Unit = ()
 
   /** The consumed prefix must still be exactly files[0, n): same length
-    * reachable, same file at position n-1. Anything else means the
-    * directory was mutated non-append-only (reordering insert, deletion)
+    * reachable, same file at position n-1, and (when the offset carries
+    * one) the same chain fingerprint over the whole prefix — which also
+    * catches a simultaneous delete+insert that preserves count and last
+    * name. Anything else means the directory was mutated non-append-only
     * and positional replay would be wrong.
     */
   private def validatePrefix(files: Array[String], off: CdcOffset): Unit = {
@@ -144,6 +164,15 @@ final class CdcMicroBatchStream(path: String, filters: Array[Filter]) extends Mi
         s"'${files(off.fileCount - 1)}' but offset recorded '${off.lastFile}' — " +
         "a file sorting inside the consumed prefix appeared or one was deleted; " +
         "the directory must be append-only with monotonic names")
+    off.prefixHash.foreach { h =>
+      val actual = CdcOffset.prefixHashOf(files.take(off.fileCount))
+      if (actual != h)
+        throw new IllegalStateException(
+          s"graft-cdc: consumed-prefix fingerprint mismatch in $path " +
+          s"(recorded $h, recomputed $actual) — the first ${off.fileCount} wire " +
+          "files are not the ones this checkpoint consumed; the directory must " +
+          "be append-only with monotonic names")
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -167,16 +196,18 @@ final class CdcReaderFactory(filters: Array[Filter]) extends PartitionReaderFact
     new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition].file, filters)
 }
 
-/** Parses one wire file; applies the pushed op/table filters BEFORE
-  * materializing rows — the source-side analog of PostgreSQL only
-  * emitting published operations/tables.
+/** Parses one wire file (streamed line-by-line — never whole-file
+  * buffered, so an oversized segment cannot balloon reader memory);
+  * applies the pushed op/table filters BEFORE materializing rows — the
+  * source-side analog of PostgreSQL only emitting published
+  * operations/tables.
   */
 final class CdcPartitionReader(file: String, filters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = Files.readAllLines(new File(file).toPath, StandardCharsets.UTF_8)
-    .asScala.iterator.filter(_.nonEmpty)
+  private val reader =
+    Files.newBufferedReader(new File(file).toPath, StandardCharsets.UTF_8)
   private var current: InternalRow = _
 
   private def passes(field: String, value: String): Boolean = filters.forall {
@@ -185,44 +216,28 @@ final class CdcPartitionReader(file: String, filters: Array[Filter])
     case _                           => true
   }
 
-  private def utf8(s: String): UTF8String =
-    if (s == null) null else UTF8String.fromString(s)
-
-  private def toMap(node: com.fasterxml.jackson.databind.JsonNode): ArrayBasedMapData =
-    if (node == null || node.isNull) null
-    else {
-      val keys = new ArrayBuffer[UTF8String]
-      val vals = new ArrayBuffer[UTF8String]
-      node.properties().asScala.foreach { e =>
-        keys += utf8(e.getKey)
-        vals += (if (e.getValue.isNull) null else utf8(e.getValue.asText()))
-      }
-      new ArrayBasedMapData(
-        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(keys.toArray),
-        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vals.toArray))
-    }
-
   override def next(): Boolean = {
-    while (lines.hasNext) {
-      val node = mapper.readTree(lines.next())
-      val op = node.path("op").asText(null)
-      val table = node.path("tableName").asText(null)
-      val ns = node.path("tableNamespace").asText(null)
-      if (passes("op", op) && passes("tableName", table) && passes("tableNamespace", ns)) {
-        val eventTimeMicros = {
-          val t = node.path("eventTime").asText(null)
-          if (t == null) 0L
-          else { val i = Instant.parse(t); i.getEpochSecond * 1000000L + i.getNano / 1000L }
+    var line = reader.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val node = mapper.readTree(line)
+        val op = node.path("op").asText(null)
+        val table = node.path("tableName").asText(null)
+        val ns = node.path("tableNamespace").asText(null)
+        if (passes("op", op) && passes("tableName", table) && passes("tableNamespace", ns)) {
+          current = InternalRow(
+            WireJson.instantMicros(node.path("eventTime").asText(null)),
+            WireJson.utf8(ns), WireJson.utf8(table),
+            WireJson.toMap(node.get("oldData")), WireJson.toMap(node.get("newData")),
+            WireJson.utf8(op))
+          return true
         }
-        current = InternalRow(
-          eventTimeMicros, utf8(ns), utf8(table),
-          toMap(node.get("oldData")), toMap(node.get("newData")), utf8(op))
-        return true
       }
+      line = reader.readLine()
     }
     false
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = reader.close()
 }
