@@ -24,9 +24,27 @@ final case class KafkaSinkConfig(
     writeTimeout: FiniteDuration = 30.seconds,          // config.go:66-68
     producerMaxAttempts: Int = Int.MaxValue,            // config.go:96-98
     clientId: String = "graft",
-    allowAutoTopicCreation: Boolean = false) {
+    allowAutoTopicCreation: Boolean = false,
+    metadataTtl: FiniteDuration = 60.seconds,           // config.go:27 MetadataTTL
+    // security surface (config.go:32 SecureConnection; kafka/client.go:53-115:
+    // SCRAM-SHA-512 over TLS >= 1.2 with a root+intermediate CA pool)
+    secureConnection: Boolean = false,
+    scramUsername: String = "",
+    scramPassword: String = "",
+    rootCaPem: String = "",
+    interCaPem: String = "",
+    // partition balancer (config.go:40-57 GetBalancer)
+    balancer: String = KafkaSinkConfig.BalancerHash) {
 
-  /** Render as `kafka.*` options for Spark's Kafka sink. */
+  /** Render as `kafka.*` options for Spark's Kafka sink.
+    *
+    * Security mapping (kafka/client.go:53-75 → Java-producer configs):
+    * SecureConnection turns on SASL_SSL with the SCRAM-SHA-512 mechanism
+    * (the reference's `scram.Mechanism(scram.SHA512, …)`), the CA pool
+    * becomes an inline PEM truststore (root + intermediate concatenated,
+    * `AppendCertsFromPEM` twice), and `MinVersion: TLS12` becomes the
+    * enabled-protocols list.
+    */
   def sinkOptions: Map[String, String] = Map(
     "kafka.bootstrap.servers"         -> brokers.mkString(","),
     "kafka.acks"                      -> requiredAcks.toString,
@@ -36,7 +54,51 @@ final case class KafkaSinkConfig(
     "kafka.request.timeout.ms"        -> writeTimeout.toMillis.toString,
     "kafka.retries"                   -> producerMaxAttempts.toString,
     "kafka.client.id"                 -> clientId,
-    "kafka.allow.auto.create.topics"  -> allowAutoTopicCreation.toString)
+    "kafka.allow.auto.create.topics"  -> allowAutoTopicCreation.toString,
+    "kafka.metadata.max.age.ms"       -> metadataTtl.toMillis.toString
+  ) ++ securityOptions ++ balancerOptions
+
+  private def jaasEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def securityOptions: Map[String, String] =
+    if (!secureConnection) Map.empty
+    else Map(
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.sasl.mechanism"    -> "SCRAM-SHA-512",
+      "kafka.sasl.jaas.config"  ->
+        ("org.apache.kafka.common.security.scram.ScramLoginModule required " +
+          s"""username="${jaasEscape(scramUsername)}" """ +
+          s"""password="${jaasEscape(scramPassword)}";"""),
+      "kafka.ssl.enabled.protocols" -> "TLSv1.2,TLSv1.3" // MinVersion TLS12
+    ) ++ (if (rootCaPem.isEmpty && interCaPem.isEmpty) Map.empty
+          else Map(
+            "kafka.ssl.truststore.type" -> "PEM",
+            "kafka.ssl.truststore.certificates" ->
+              Seq(rootCaPem, interCaPem).filter(_.nonEmpty).mkString("\n")))
+
+  /** Balancer → Java-producer partitioner (config.go:40-57). `Hash` and
+    * `Murmur2Balancer` are the producer's default hash-the-key
+    * partitioner (the Java client hashes with murmur2 where kafka-go's
+    * `Hash` uses FNV-1a — same contract: a key sticks to one partition);
+    * `RoundRobin` maps to the RoundRobinPartitioner. `LeastBytes` /
+    * `ReferenceHash` / `CRC32Balancer` have no Java-producer equivalent —
+    * rejected loudly (the reference panics on unknown balancers too);
+    * custom placement is expressible Spark-side with an explicit
+    * `partition` output column instead.
+    */
+  private def balancerOptions: Map[String, String] = balancer match {
+    case "" | KafkaSinkConfig.BalancerHash | KafkaSinkConfig.BalancerMurmur2 =>
+      Map.empty // producer default: hash key → partition
+    case KafkaSinkConfig.BalancerRoundRobin =>
+      Map("kafka.partitioner.class" ->
+        "org.apache.kafka.clients.producer.RoundRobinPartitioner")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported kafka balancer '$other': supported are " +
+        s"${KafkaSinkConfig.supportedBalancers.mkString(", ")}; for custom " +
+        "placement emit an explicit 'partition' column from the handler")
+  }
 }
 
 /** Snapshot source config (reference `cdcconfig.SnapshotConfig`,
@@ -46,9 +108,10 @@ final case class KafkaSinkConfig(
   */
 final case class SnapshotConfig(
     enabled: Boolean = false,
-    mode: String = SnapshotConfig.ModeInitial, // initial | always | never
+    mode: String = SnapshotConfig.ModeInitial, // initial | never | snapshot_only
     chunkSize: Int = 10000,
-    tables: Seq[String] = Seq.empty)
+    tables: Seq[String] = Seq.empty,
+    dataDir: String = "") // table store the snapshot scans (parquet lane)
 
 object KafkaSinkConfig {
   /** Parse human byte sizes ("1mb", "512k") — reference O19
@@ -57,12 +120,23 @@ object KafkaSinkConfig {
     */
   def parseBytes(s: String): Long =
     org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+
+  val BalancerHash       = "Hash"           // config.go:42-43 (default)
+  val BalancerRoundRobin = "RoundRobin"     // config.go:46-47
+  val BalancerMurmur2    = "Murmur2Balancer" // config.go:52-53
+  val supportedBalancers: Seq[String] =
+    Seq(BalancerHash, BalancerRoundRobin, BalancerMurmur2)
 }
 
+/** Snapshot modes (`README.md:59-63`): `initial` takes a snapshot only
+  * if none was taken before, then streams; `never` skips straight to
+  * CDC; `snapshot_only` takes the snapshot and exits (no CDC stream).
+  */
 object SnapshotConfig {
-  val ModeInitial = "initial"
-  val ModeAlways  = "always"
-  val ModeNever   = "never"
+  val ModeInitial      = "initial"
+  val ModeNever        = "never"
+  val ModeSnapshotOnly = "snapshot_only"
+  val modes: Seq[String] = Seq(ModeInitial, ModeNever, ModeSnapshotOnly)
 }
 
 /** Top-level connector config (reference `config.Connector`). */

@@ -44,9 +44,32 @@ final class Connector(
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 
-  /** Launch the pipeline (async; returns the running query). */
+  /** Launch the pipeline (async; returns the running query), honoring the
+    * snapshot mode (`README.md:59-63`, SURVEY §2A S2):
+    *
+    *   - `never` (or snapshot disabled): stream only.
+    *   - `initial`: the snapshot table scan rides the SAME streaming
+    *     query as a bounded union branch (CdcPipeline.source); the
+    *     shared checkpoint remembers the consumed table files, so a
+    *     restarted connector does not re-snapshot — "only if no previous
+    *     snapshot exists", with no extra bookkeeping.
+    *   - `snapshot_only`: run the snapshot as a bounded
+    *     `Trigger.AvailableNow` query and return `null` — no CDC stream
+    *     (reference `connector.go:82-94`: signals ready immediately,
+    *     executes the snapshot synchronously and returns).
+    */
   def start(): StreamingQuery = synchronized {
     require(query == null, "connector already started")
+    val snap = cfg.snapshot
+    require(SnapshotConfig.modes.contains(snap.mode),
+      s"invalid snapshot mode '${snap.mode}' (expected one of ${SnapshotConfig.modes.mkString(", ")})")
+    val mode = if (snap.enabled) snap.mode else SnapshotConfig.ModeNever
+
+    if (mode == SnapshotConfig.ModeSnapshotOnly) {
+      CdcPipeline.runSnapshotPhase(spark, cfg, sink, parquetOutDir)
+      ready.countDown() // no CDC to wait for (connector.go:88-89)
+      return null
+    }
     spark.streams.addListener(listener)
     query =
       if (sink == "parquet") CdcPipeline.startToParquet(spark, cfg, parquetOutDir)

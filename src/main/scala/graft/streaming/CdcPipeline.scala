@@ -42,9 +42,38 @@ object CdcPipeline {
   def fromCdcSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.format("graft-cdc").option("path", dir).load()
 
-  private def source(spark: SparkSession, cfg: ConnectorConfig): DataFrame =
-    if (cfg.sourceFormat == "graft-cdc") fromCdcSource(spark, cfg.sourceDir)
-    else fromJsonFiles(spark, cfg.sourceDir)
+  private def source(spark: SparkSession, cfg: ConnectorConfig): DataFrame = {
+    val cdc =
+      if (cfg.sourceFormat == "graft-cdc") fromCdcSource(spark, cfg.sourceDir)
+      else fromJsonFiles(spark, cfg.sourceDir)
+    // `initial` snapshot mode rides the SAME query as a union branch: the
+    // snapshot file-stream is exhausted after its first listing, and the
+    // shared checkpoint remembers the consumed table files — so a restart
+    // does not re-snapshot ("only if no previous snapshot exists",
+    // README.md:60) and both phases commit through one sink log.
+    if (cfg.snapshot.enabled && cfg.snapshot.mode == graft.app.SnapshotConfig.ModeInitial)
+      snapshotEventStream(spark, cfg).map(_ unionAll cdc).getOrElse(cdc)
+    else cdc
+  }
+
+  /** Streaming scan of the snapshot tables as SNAPSHOT ChangeEvents
+    * (None when no tables are configured). Assumes immutable table
+    * files — the snapshot store is a static point-in-time copy.
+    */
+  def snapshotEventStream(spark: SparkSession, cfg: ConnectorConfig): Option[DataFrame] =
+    cfg.snapshot.tables.toList match {
+      case Nil => None
+      case tables => Some(tables.map { t =>
+        val path = s"${cfg.snapshot.dataDir}/$t.parquet"
+        val schema = spark.read.parquet(path).schema // peek for the stream schema
+        // the streaming file source wants a directory; a single-file table
+        // is addressed through a glob so the parent becomes the base path
+        val streamPath =
+          if (new java.io.File(path).isFile) s"${cfg.snapshot.dataDir}/{$t}.parquet" else path
+        graft.sources.SnapshotSource.asSnapshotEvents(
+          spark.readStream.schema(schema).parquet(streamPath), t, "public")
+      }.reduce(_ unionAll _))
+    }
 
   /** Normalize + route + default-handle: ChangeEvent stream → Kafka sink
     * contract (topic/key/value/headers), with per-batch observed metrics
@@ -84,4 +113,41 @@ object CdcPipeline {
   /** Wire the full pipeline to the Kafka sink and start it. */
   def startToKafka(spark: SparkSession, cfg: ConnectorConfig): StreamingQuery =
     kafkaSink(defaultTransform(source(spark, cfg), cfg), cfg).start()
+
+  /** The snapshot phase as a BOUNDED run of the same streaming pipeline
+    * (`Trigger.AvailableNow`): stream-scan the configured tables as
+    * SNAPSHOT events, apply the identical transform, deliver through the
+    * same sink kind, and terminate when the scan is exhausted (reference
+    * `connector.go:82-94` — snapshot-only mode "executes snapshot and
+    * returns"). Downstream consumers can't tell the phases apart except
+    * by `op`, exactly as `README.md:72-77` describes.
+    *
+    * Going through the streaming engine (not a one-off batch write) is
+    * load-bearing twice over: the snapshot gets its own checkpoint under
+    * `<checkpointDir>/snapshot`, so a killed snapshot resumes at the
+    * last committed chunk (the reference's chunk-claim/resume
+    * bookkeeping, `README.md:242-248`) — and the parquet sink's
+    * `_spark_metadata` exactly-once file log stays consistent, which a
+    * bare batch append into a streaming sink directory would corrupt
+    * (batch-written files are invisible to readers of a file-sink dir).
+    */
+  def runSnapshotPhase(
+      spark: SparkSession, cfg: ConnectorConfig, sink: String, outDir: String): Unit = {
+    val snap = snapshotEventStream(spark, cfg).getOrElse(
+      throw new IllegalArgumentException("snapshot mode requires snapshot.tables"))
+    val records = defaultTransform(snap, cfg)
+    val ckpt = s"${cfg.checkpointDir}/snapshot"
+    val writer = sink match {
+      case "parquet" =>
+        records.writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", outDir)
+      case _ =>
+        cfg.kafka.sinkOptions.foldLeft(
+          records.writeStream.format("kafka").option("checkpointLocation", ckpt)) {
+          case (w, (k, v)) => w.option(k, v)
+        }
+    }
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination() // bounded: returns when the table scan is drained
+  }
 }

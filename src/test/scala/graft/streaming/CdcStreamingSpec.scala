@@ -99,6 +99,75 @@ class CdcStreamingSpec extends SparkSpec {
     conn.close()
   }
 
+  // ---- snapshot modes (README.md:59-63; connector.go:82-94) ----
+
+  private def snapCfg(src: Path, chk: Path, mode: String): ConnectorConfig =
+    cfg(src, chk).copy(
+      kafka = cfg(src, chk).kafka.copy(tableTopicMapping =
+        Map("public.users" -> "users-topic", "public.nation" -> "nation-topic")),
+      snapshot = graft.app.SnapshotConfig(
+        enabled = true, mode = mode,
+        tables = Seq("nation"), dataDir = "/root/testdata/sf0.001"))
+
+  /** Row count of the sink dir, 0 while nothing has been written yet. */
+  private def countOut(out: Path): Long =
+    try spark.read.parquet(out.toString).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+
+  private def ops(out: Path): Map[String, Long] =
+    spark.read.parquet(out.toString)
+      .selectExpr("get_json_object(cast(value AS string), '$.operation') AS op")
+      .groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("snapshot_only mode: bounded snapshot, no streaming query (connector.go:82-94)") {
+    val src = Files.createTempDirectory("snap-only-src")
+    val chk = Files.createTempDirectory("snap-only-chk")
+    val out = Files.createTempDirectory("snap-only-out")
+    val conn = new Connector(spark, snapCfg(src, chk, graft.app.SnapshotConfig.ModeSnapshotOnly),
+      sink = "parquet", parquetOutDir = out.toString)
+    val q = conn.start()
+    assert(q == null) // snapshot-only returns after the bounded run
+    conn.waitUntilReady() // ready signaled immediately, must not hang
+    assert(ops(out) == Map("SNAPSHOT" -> 25L)) // nation has 25 rows
+    conn.close()
+  }
+
+  test("initial mode: snapshot once, then CDC; restart skips the snapshot") {
+    val src = Files.createTempDirectory("snap-init-src")
+    val chk = Files.createTempDirectory("snap-init-chk")
+    val out = Files.createTempDirectory("snap-init-out")
+    val c = snapCfg(src, chk, graft.app.SnapshotConfig.ModeInitial)
+
+    writeEvents(src, "batch1.json", 0 until 5)
+    val conn1 = new Connector(spark, c, sink = "parquet", parquetOutDir = out.toString)
+    conn1.start()
+    eventually(countOut(out) == 30, "snapshot+cdc not sunk")
+    conn1.close()
+    assert(ops(out) == Map("SNAPSHOT" -> 25L, "INSERT" -> 5L))
+
+    // restart with the same checkpoint: "only if no previous snapshot exists"
+    writeEvents(src, "batch2.json", 5 until 8)
+    val conn2 = new Connector(spark, c, sink = "parquet", parquetOutDir = out.toString)
+    conn2.start()
+    eventually(countOut(out) == 33, "cdc-after-restart not sunk")
+    conn2.close()
+    assert(ops(out) == Map("SNAPSHOT" -> 25L, "INSERT" -> 8L)) // snapshot NOT retaken
+  }
+
+  test("never mode: CDC only, snapshot skipped") {
+    val src = Files.createTempDirectory("snap-never-src")
+    val chk = Files.createTempDirectory("snap-never-chk")
+    val out = Files.createTempDirectory("snap-never-out")
+    writeEvents(src, "batch1.json", 0 until 4)
+    val conn = new Connector(spark, snapCfg(src, chk, graft.app.SnapshotConfig.ModeNever),
+      sink = "parquet", parquetOutDir = out.toString)
+    conn.start()
+    eventually(countOut(out) == 4, "cdc not sunk")
+    conn.close()
+    assert(ops(out) == Map("INSERT" -> 4L))
+  }
+
   private def eventually(cond: => Boolean, msg: String, timeoutMs: Long = 60000): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond) {
