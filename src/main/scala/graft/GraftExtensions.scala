@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, SlotAgreement}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, SlotAgreement, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -35,6 +36,16 @@ object GraftExtensions {
       arity(1, "simhash64")(a => SimHash64(a.head))),
     ("slot_agreement", SlotAgreement.info,
       arity(2, "slot_agreement")(a => SlotAgreement(a.head, a(1)))),
+    ("word_shingle_hashes", WordShingleHashes.info, args => {
+      require(args.length == 1 || args.length == 2,
+        "word_shingle_hashes(text[, n]) takes 1 or 2 arguments")
+      val n = args.lift(1).map {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"word_shingle_hashes: n must be an integer literal, got $other")
+      }.getOrElse(3)
+      WordShingleHashes(args.head, n)
+    }),
   )
 
   /** Register on an already-built session (covers the test/REPL path). */

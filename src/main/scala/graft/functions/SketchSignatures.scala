@@ -253,3 +253,102 @@ object SlotAgreement {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[SlotAgreement].getName, "slot_agreement")
 }
+
+/** word_shingle_hashes(text[, n]): the sorted distinct xxhash64 (seed 42,
+  * Spark's own XXH64) values of a document's word n-gram shingles, in ONE
+  * pass over the UTF-8 bytes — no word-array materialization, no
+  * per-shingle string allocation, no interpreted higher-order chain.
+  *
+  * Exactly the hash set of the declarative formulation it replaces
+  * (`array_distinct(transform(TextOps.shingles(text), g -> xxhash64(g)))`):
+  * `split(text, " ")` + `concat_ws(" ", slice(w, i, n))` reassembles the
+  * original byte run between word starts (single-space separators are
+  * preserved verbatim, consecutive spaces become empty words and are
+  * re-joined to the same bytes), so each shingle IS a substring of the
+  * input and is hashed in place via XXH64 over the same bytes Spark's
+  * `xxhash64` would hash. Docs with fewer than n words yield one whole-doc
+  * shingle (the `greatest(.., 1)` convention). Output order is sorted
+  * (distinct-set semantics; every consumer is order-insensitive).
+  *
+  * This is the dedup family's scan-side cost center at 100 TB: shingling
+  * is a pure map over `documents`, and this keeps it allocation-free
+  * inside whole-stage codegen.
+  */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    UnsafeArrayData.fromPrimitiveArray(WordShingleHashes.hashes(bytes, n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val bytes = ctx.freshName("bytes")
+      s"""
+         |byte[] $bytes = $str.getBytes();
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(
+         |    graft.functions.WordShingleHashes.hashes($bytes, $n));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordShingleHashes {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WordShingleHashes].getName, "word_shingle_hashes")
+
+  private val Seed = 42L // Spark's xxhash64 default seed
+
+  /** Sorted distinct XXH64 values of the word n-gram shingle substrings. */
+  def hashes(bytes: Array[Byte], n: Int): Array[Long] = {
+    val len = bytes.length
+    // word starts: 0 and every byte after a 0x20 (the space byte cannot
+    // occur inside a UTF-8 multibyte sequence)
+    var words = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) words += 1; i += 1 }
+    val starts = new Array[Int](words + 1)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(words) = len + 1 // sentinel: "start" one past a virtual trailing space
+    val count = math.max(words - (n - 1), 1)
+    val out = new Array[Long](count)
+    var j = 0
+    while (j < count) {
+      val start = starts(j)
+      // substring ends one byte before the next word's start separator
+      // (or at the end of the text for the tail / short-doc case)
+      val end = if (j + n <= words) starts(j + n) - 1 else len
+      out(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+        end - start, Seed)
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted hashes
+    var uniq = 0
+    var k = 0
+    while (k < count) {
+      if (k == 0 || out(k) != out(uniq - 1)) { out(uniq) = out(k); uniq += 1 }
+      k += 1
+    }
+    if (uniq == count) out else java.util.Arrays.copyOf(out, uniq)
+  }
+}

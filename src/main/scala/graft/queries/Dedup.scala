@@ -87,10 +87,13 @@ object Dedup {
     // cached frame instead of pinning three copies of the same data
     evict(shingleCache)(k => k._1 == s && k._2 != dir)
     shingleCache.get((s, dir)).getOrElse {
+      graft.GraftExtensions.register(s)
+      // native one-pass shingle hashing (same XXH64 set as the previous
+      // split/transform/array_distinct/xxhash64 chain, which evaluated
+      // interpreted and dominated the cold-cache build)
       val built = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          array_distinct(transform(TextOps.shingles(col("text")), g => xxhash64(g)))
-            .as("sh"))
+          call_function("word_shingle_hashes", col("text")).as("sh"))
         .cache()
       // putIfAbsent, not getOrElseUpdate: under a concurrent first call
       // the loser's frame must be unpersisted, or its (lazy, so still

@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.functions._
+
 import graft.GraftExtensions
 import graft.SparkSpec
 
@@ -66,6 +68,36 @@ class SketchSignaturesSpec extends SparkSpec {
     assert(r.getInt(1) == 2)
     assert(r.getInt(2) == 0)
     assert(r.isNullAt(3))
+  }
+
+  test("word_shingle_hashes == the declarative split/slice/xxhash64 chain, as a set") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val declarative = docs.select($"doc_id",
+      array_sort(array_distinct(transform(
+        graft.queries.TextOps.shingles($"text"), g => xxhash64(g)))).as("sh"))
+    val native = docs.selectExpr("doc_id", "word_shingle_hashes(text) AS sh")
+    val diff = native.as("a").join(declarative.as("b"), "doc_id")
+      .filter($"a.sh" =!= $"b.sh").count()
+    assert(diff == 0)
+  }
+
+  test("word_shingle_hashes edge cases: short docs, consecutive/trailing spaces, empty") {
+    val rows = spark.sql(
+      """SELECT word_shingle_hashes('one two') AS short,
+        |       word_shingle_hashes('a  b c d') AS multi,
+        |       word_shingle_hashes('a b c ') AS trail,
+        |       word_shingle_hashes('') AS empty,
+        |       xxhash64('one two') AS whole,
+        |       xxhash64('') AS emptyhash
+        |""".stripMargin).collect()(0)
+    // < n words: one whole-doc shingle, hashed exactly like xxhash64(text)
+    assert(rows.getSeq[Long](0) == Seq(rows.getLong(4)))
+    // 'a  b c d' splits to [a, '', b, c, d]: five words, three 3-shingles
+    assert(rows.getSeq[Long](1).length == 3)
+    assert(rows.getSeq[Long](3) == Seq(rows.getLong(5)))
+    // trailing space adds an empty word: 'a b c ' has 4 words, 2 shingles
+    assert(rows.getSeq[Long](2).length == 2)
   }
 
   test("empty shingle set: deterministic MAX_VALUE signature, zero simhash") {
