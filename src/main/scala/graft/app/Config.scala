@@ -139,6 +139,19 @@ object SnapshotConfig {
   val modes: Seq[String] = Seq(ModeInitial, ModeNever, ModeSnapshotOnly)
 }
 
+/** Database-connection config for the JDBC CDC lane (reference
+  * `config.Config` Host/Port/Username/Password/Database → one JDBC URL;
+  * `connector.go:51-56` builds its CDC stream from exactly this block).
+  * `changelog`/`startCursor` drive `graft.sources.jdbc.JdbcCdcSource`;
+  * `maxRowsPerBatch` is the admission-control knob (≙ O13 batch size).
+  */
+final case class JdbcSourceConfig(
+    url: String = "",
+    changelog: String = "changelog",
+    startCursor: Long = 0L,
+    numPartitions: Int = 4,
+    maxRowsPerBatch: Long = 0L)
+
 /** Top-level connector config (reference `config.Connector`). */
 final case class ConnectorConfig(
     sourceDir: String,                 // CDC event stream directory (file source lane)
@@ -146,4 +159,5 @@ final case class ConnectorConfig(
     kafka: KafkaSinkConfig,
     snapshot: SnapshotConfig = SnapshotConfig(),
     keyField: String = "id",
-    sourceFormat: String = "json")     // "json" | "graft-cdc" (DataSourceV2 lane)
+    sourceFormat: String = "json",     // "json" | "graft-cdc" | "graft-jdbc-cdc"
+    jdbc: JdbcSourceConfig = JdbcSourceConfig())

@@ -42,10 +42,23 @@ object CdcPipeline {
   def fromCdcSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.format("graft-cdc").option("path", dir).load()
 
+  /** The database-polling DataSourceV2 lane (graft.sources.jdbc): same
+    * schema contract, offsets are changelog cursor values. The initial
+    * snapshot for this lane is the JdbcSnapshot watermark handoff
+    * (`JdbcSnapshot.snapshotWithWatermark` → `startCursor`), not the
+    * parquet-table union branch.
+    */
+  def fromJdbc(spark: SparkSession, cfg: ConnectorConfig): DataFrame =
+    graft.sources.jdbc.JdbcSnapshot.resumeStream(
+      spark, cfg.jdbc.url, cfg.jdbc.startCursor, cfg.jdbc.changelog,
+      cfg.jdbc.numPartitions, cfg.jdbc.maxRowsPerBatch)
+
   private def source(spark: SparkSession, cfg: ConnectorConfig): DataFrame = {
-    val cdc =
-      if (cfg.sourceFormat == "graft-cdc") fromCdcSource(spark, cfg.sourceDir)
-      else fromJsonFiles(spark, cfg.sourceDir)
+    val cdc = cfg.sourceFormat match {
+      case "graft-cdc"      => fromCdcSource(spark, cfg.sourceDir)
+      case "graft-jdbc-cdc" => fromJdbc(spark, cfg)
+      case _                => fromJsonFiles(spark, cfg.sourceDir)
+    }
     // `initial` snapshot mode rides the SAME query as a union branch: the
     // snapshot file-stream is exhausted after its first listing, and the
     // shared checkpoint remembers the consumed table files — so a restart
