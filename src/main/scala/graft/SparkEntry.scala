@@ -43,6 +43,7 @@ object SparkEntry {
     "q42_simhash"       -> (Dedup.q42Simhash _),
     "q50_ann_brute"     -> (Similarity.q50AnnBrute _),
     "q51_ann_ivf"       -> ((s, d) => Similarity.q51AnnIvf(s, d)),
+    "q52_ann_ivf_indexed" -> ((s, d) => Similarity.q52AnnIvfIndexed(s, d)),
     "q43_embed_neardup" -> ((s, d) => Similarity.q43EmbedNearDup(s, d)),
     "q14_distinct_agg"  -> (AsofJoin.q14DistinctAgg _),
     "q17_asof"          -> (AsofJoin.q17Asof _),

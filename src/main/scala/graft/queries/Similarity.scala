@@ -183,6 +183,84 @@ object Similarity {
       |ORDER BY d1, d2""".stripMargin
   }
 
+  /** Persist the corpus as an IVF index TABLE: vectors partitioned by
+    * their k-means cell id, centroids alongside. This is the serving
+    * layout at 100 TB — `partitionBy(cid)` means a probe of `nprobe`
+    * cells is a PARTITION-PRUNED scan (the other C-nprobe cells are
+    * never read from storage), where q51's in-query assignment must
+    * still scan and shuffle the whole corpus once per run. Build once,
+    * probe many.
+    */
+  def writeIvfIndex(
+      s: SparkSession, dir: String, indexPath: String, nCentroids: Int = 8): Unit = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val cent = trainCodebook(e, nCentroids)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    e.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(s, $"embedding", $"ce"))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter($"arnk" === 1)
+      .select($"vec_id", $"embedding", $"cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$indexPath/cells")
+    cent.write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Probe a persisted IVF index: nprobe nearest cells per query, with
+    * the probed cell set pushed into the scan as a PARTITION filter
+    * (collected driver-side first — the probe set is queries×nprobe cell
+    * ids, trivially small — so the pruning is static and visible in the
+    * plan, not dependent on runtime DPP).
+    */
+  def annIvfIndexed(
+      s: SparkSession, indexPath: String, queries: DataFrame, nProbe: Int = 2): DataFrame = {
+    import s.implicits._
+    val cent = s.read.parquet(s"$indexPath/centroids")
+    val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cid")
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(s, $"qe", $"ce"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter($"prnk" <= nProbe)
+      .select($"qid", $"qe", $"cid")
+    val probedCells = probes.select($"cid").distinct().collect().map(_.getInt(0))
+    val cells = s.read.parquet(s"$indexPath/cells")
+      .filter($"cid".isin(probedCells.map(Integer.valueOf): _*)) // partition-pruned
+      .select($"vec_id".as("nid"), $"embedding".as("ne"), $"cid")
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    probes.join(cells, "cid")
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"cos_sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** One live index per (session, source dir); rebuilt only when absent.
+    * (Same bounded-cache discipline as Dedup's shingle frame.)
+    */
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** q52: the persisted-index flavor of q51 — same query set, same
+    * codebook recipe, same output contract; the corpus scan is partition-
+    * pruned to the probed cells. Registered without a SQL oracle (like
+    * q51); pinned by spec to produce EXACTLY q51's answer.
+    */
+  def q52AnnIvfIndexed(s: SparkSession, dir: String,
+      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    import s.implicits._
+    val indexPath = indexCache.getOrElseUpdate((s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+      writeIvfIndex(s, dir, p, nCentroids)
+      p
+    })
+    val q = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    annIvfIndexed(s, indexPath, q, nProbe)
+  }
+
   /** IVF-bucketed ANN — the scale path: assign every vector to its nearest
     * of C k-means centroids (deterministic sampled training — see
     * trainCodebook), then probe only the `nprobe` nearest centroid

@@ -81,6 +81,81 @@ object EventStreams {
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Streaming near-duplicate FLAGGING of a document stream — the ingest
+    * twin of the batch MinHash+LSH dedup (queries/Dedup.q41): each
+    * arriving document is shingle-hashed and MinHash-signed by the
+    * native expressions (pure map, no shuffle), exploded into its LSH
+    * band buckets, and compared against the signatures previously seen
+    * in each bucket via `flatMapGroupsWithState` — per-bucket state is
+    * the signature list of that bucket's historical documents. A
+    * signature-agreement hit ≥ `estThreshold` emits a flag
+    * `(doc_id, dup_of, est)`; a miss admits the document into bucket
+    * state. State persists across micro-batches, so a near-copy arriving
+    * hours after the original is still caught.
+    *
+    * This is the candidate-flag stage of production streaming dedup: the
+    * flag stream is at-least-once per band (a duplicate pair can be
+    * flagged by several bands — consumers take `anyFlag(doc_id)`), and
+    * exact verification of flagged pairs runs downstream exactly like
+    * the batch family's verify step. State per bucket is capped at
+    * `maxPerBucket` signatures (oldest kept — at 100 TB the bucket key
+    * space scales with the corpus while each bucket stays tiny; pair a
+    * production deployment with a state-TTL timeout to bound the total).
+    */
+  def nearDupFlags(
+      docs: DataFrame,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      estThreshold: Double = 0.5,
+      maxPerBucket: Int = 64): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val banded = docs
+      .withColumn("sig",
+        call_function("minhash_signature", call_function("word_shingle_hashes", col("text"))))
+      .select(col("doc_id").cast("long").as("doc_id"), col("sig"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> struct(b AS band,
+             |       xxhash64(slice(sig, b*$rowsPerBand+1, $rowsPerBand)) AS bucket))""".stripMargin))
+          .as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bucket", $"sig")
+      .as[(Long, Int, Long, Seq[Long])]
+    banded
+      .groupByKey(r => (r._2, r._3)) // one state cell per (band, bucket)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          // deterministic intra-batch order: earliest doc id is the
+          // original, later ones the candidate duplicates
+          rows.toSeq.sortBy(_._1).foreach { case (docId, _, _, sig) =>
+            val hit = seen.iterator
+              .map { case (prevId, prevSig) =>
+                var agree = 0
+                var i = 0
+                val n = math.min(prevSig.length, sig.length)
+                while (i < n) { if (prevSig(i) == sig(i)) agree += 1; i += 1 }
+                (prevId, agree.toDouble / math.max(n, 1))
+              }
+              .filter(_._2 >= estThreshold)
+              .foldLeft(Option.empty[(Long, Double)]) { (best, cur) =>
+                if (best.forall(_._2 < cur._2)) Some(cur) else best
+              }
+            hit match {
+              case Some((prevId, est)) => out += ((docId, prevId, est))
+              case None =>
+                if (seen.size < maxPerBucket) seen = seen :+ ((docId, sig))
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("doc_id", "dup_of", "est")
+  }
+
   /** Per-user running counter via custom state (the
     * `flatMapGroupsWithState` lane for logic windows/aggs can't express):
     * emits (user_id, event_id, seq_no) with a monotonically increasing

@@ -33,6 +33,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("persisted IVF index (q52) answers exactly like in-query IVF (q51), partition-pruned") {
+    val fromIndex = Similarity.q52AnnIvfIndexed(spark, dir)
+    val live      = Similarity.q51AnnIvf(spark, dir)
+    assert(fromIndex.collect().toSeq == live.collect().toSeq)
+    // the probe scan must prune unprobed cells at the PARTITION level
+    val plan = fromIndex.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"expected cid partition pruning in:\n$plan")
+  }
+
   test("near-dup detectors agree: q40 (exact) == q41 (MinHash LSH) == q42 (SimHash)") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

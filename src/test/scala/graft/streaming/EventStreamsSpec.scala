@@ -85,6 +85,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.map(x => (x.getAs[Long]("l_id"), x.getAs[Long]("r_id"))).toSet == Set((1L, 100L)))
   }
 
+  test("streaming near-dup flags: cross-batch LSH state catches a late near-copy") {
+    val base = "the quick brown fox jumps over the lazy dog while seven wizards " +
+      "brew strong potions under a pale winter moon near the frozen river bank"
+    val nearCopy = base.replace("winter", "summer") // ~1 word of 25 changed
+    val distinct1 = "completely different text about database replication protocols " +
+      "and the consistency guarantees of distributed commit logs at scale"
+    val distinct2 = "yet another unrelated document discussing tokenizer vocabularies " +
+      "byte pair encodings and the statistics of subword segmentation"
+
+    val in = MemoryStream[(Long, String)](spark)
+    val name = s"neardup_${System.nanoTime()}"
+    val q = EventStreams.nearDupFlags(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    in.addData((1L, base), (2L, distinct1))
+    q.processAllAvailable()
+    in.addData((3L, nearCopy), (4L, distinct2)) // near-copy arrives a batch later
+    q.processAllAvailable(); q.stop()
+
+    val flags = spark.sql(s"SELECT * FROM $name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the near-copy is flagged against the original (possibly by several
+    // bands — at-least-once per band is the contract), nothing else is
+    assert(flags.nonEmpty)
+    assert(flags.forall { case (d, of, est) => d == 3L && of == 1L && est >= 0.5 })
+  }
+
   test("flatMapGroupsWithState assigns per-user sequence numbers across batches") {
     val in = MemoryStream[Ev](spark)
     val seqName = s"seqs_${System.nanoTime()}"
