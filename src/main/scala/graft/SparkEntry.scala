@@ -38,7 +38,9 @@ object SparkEntry {
     "q31_fingerprint"   -> (TextOps.q31Fingerprint _),
     "q32_lang_score"    -> (TextOps.q32LangScore _),
     "q33_exact_dedup"   -> (Dedup.q33ExactDedup _),
+    "q38_pii_scrub"     -> (TextOps.q38PiiScrub _),
     "q40_ngram_jaccard" -> (Dedup.q40NgramJaccard _),
+    "q45_dup_clusters"  -> (Dedup.q45DupClusters _),
     "q41_minhash_lsh"   -> (Dedup.q41MinhashLsh _),
     "q42_simhash"       -> (Dedup.q42Simhash _),
     "q50_ann_brute"     -> (Similarity.q50AnnBrute _),
@@ -92,7 +94,9 @@ object SparkEntry {
     "q31_fingerprint"   -> TextOps.q31FingerprintSql,
     "q32_lang_score"    -> TextOps.q32LangScoreSql,
     "q33_exact_dedup"   -> Dedup.q33ExactDedupSql,
+    "q38_pii_scrub"     -> TextOps.q38PiiScrubSql,
     "q40_ngram_jaccard" -> Dedup.nearDupPairsSql,
+    "q45_dup_clusters"  -> Dedup.q45DupClustersSql,
     "q41_minhash_lsh"   -> Dedup.nearDupPairsSql,
     "q42_simhash"       -> Dedup.nearDupPairsSql,
     "q50_ann_brute"     -> Similarity.q50AnnBruteSql,

@@ -287,4 +287,78 @@ object Dedup {
       .distinct()
     verifyPairs(cands, docs)
   }
+
+  /** Duplicate-cluster assignment — the arbitration step after pair
+    * detection: connected components over the exact near-dup pair graph,
+    * every document labeled with its component's min doc_id
+    * (`cluster_rep`) and a `keep` flag for the representative. Survivors
+    * = the deduplicated corpus.
+    *
+    * Implementation: iterative min-label propagation to fixpoint (each
+    * round one shuffle join + aggregate; lineage truncated per round via
+    * localCheckpoint so 20 rounds cannot blow up the plan). Near-dup
+    * components are shallow (near-cliques of mutual duplicates), so
+    * convergence takes O(component diameter) ≈ 2-3 rounds; a corpus with
+    * adversarially long chains would use the large-star/small-star
+    * variant (alternating conditional hooks, O(log n) rounds) on the
+    * same edge frame. The DuckDB oracle computes the same components
+    * with a recursive CTE.
+    */
+  def q45DupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id")
+    val pairs = q40NgramJaccard(s, dir).select($"d1", $"d2")
+    val edges = pairs.unionAll(pairs.select($"d2", $"d1"))
+      .toDF("u", "v").localCheckpoint(true)
+    var labels = edges.select($"u".as("doc_id")).distinct()
+      .withColumn("rep", $"doc_id").localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("v"), $"rep".as("vrep")), "v")
+        .groupBy($"u".as("doc_id")).agg(min($"vrep").as("nbr_rep"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id", least($"rep", coalesce($"nbr_rep", $"rep")).as("rep"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+        .filter($"rep" < $"old").count()
+      labels = next
+      rounds += 1
+    }
+    docs.join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"rep", $"doc_id").as("cluster_rep"))
+      .withColumn("keep", $"cluster_rep" === $"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** Same components, stated as a DuckDB recursive CTE over the same
+    * exact-Jaccard pair definition.
+    */
+  val q45DupClustersSql: String =
+    s"""WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT d1, d2
+      |  FROM inter JOIN sz sa ON sa.doc_id = inter.d1
+      |             JOIN sz sb ON sb.doc_id = inter.d2
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $Tau),
+      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(u, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |comp AS (SELECT u AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY u)
+      |SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+      |       (COALESCE(c.cluster_rep, d.doc_id) = d.doc_id) AS keep
+      |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }

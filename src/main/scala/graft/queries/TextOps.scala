@@ -149,4 +149,32 @@ object TextOps {
       |       ELSE 'und' END AS detected
       |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** PII-style scrubbing + pseudonymization — the redaction pass every
+    * training-data pipeline runs before tokenization: word-boundary
+    * regexp redaction of a sensitive-term list (a stand-in for
+    * email/phone/SSN patterns — this synthetic corpus has no digits, so
+    * the term 'customer' plays the PII role), a redaction count, and a
+    * salted-hash pseudonymous id (sha-256) replacing the natural key.
+    * Pure map-side codegen'd string ops — scales as a scan.
+    */
+  def q38PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(
+        $"doc_id",
+        regexp_replace($"text", "\\bcustomer\\b", "[REDACTED]").as("clean_text"),
+        ((length($"text") - length(expr("replace(text, 'customer', '')"))) / 8)
+          .cast("long").as("n_redactions"),
+        sha2(concat(lit("doc-"), $"doc_id".cast("string")), 256).as("pseudo_id"))
+      .orderBy($"doc_id")
+  }
+
+  val q38PiiScrubSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g') AS clean_text,
+      |  CAST((length(text) - length(replace(text, 'customer', ''))) / 8 AS BIGINT)
+      |    AS n_redactions,
+      |  sha256('doc-' || CAST(doc_id AS VARCHAR)) AS pseudo_id
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
