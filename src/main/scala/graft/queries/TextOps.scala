@@ -177,4 +177,69 @@ object TextOps {
       |    AS n_redactions,
       |  sha256('doc-' || CAST(doc_id AS VARCHAR)) AS pseudo_id
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stable train/val/test assignment — hash-based splits that never
+    * move a document between splits as the corpus grows (the property
+    * random sampling lacks): bucket = first 8 hex digits of
+    * md5("split:" + doc_id) mod 100, thresholds 80/10/10. The md5-prefix
+    * trick is deliberately engine-portable (any system can reproduce the
+    * assignment), which is exactly why production pipelines use it.
+    * Map-side codegen'd; scales as a scan.
+    */
+  def q39StableSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = (conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long") % 100).as("bucket")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", bucket)
+      .select($"doc_id", $"bucket",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test")
+          .as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val q39StableSplitSql: String =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |          AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Context-window sequence packing — assign documents to fixed-budget
+    * token bins by greedy sequential fill (running token sum → bin =
+    * floor(preceding_total / budget)): the batching step that turns a
+    * deduped corpus into training sequences. Stated here with one global
+    * order for oracle determinism; at 100 TB packing is shard-local
+    * (same window partitioned by shard — training does not need a
+    * global document order, so the single-partition window never
+    * happens in production).
+    */
+  def q47SeqPack(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"doc_id").rowsBetween(Long.MinValue, 0)
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"n_tokens",
+        floor(($"cum" - $"n_tokens").cast("double") / budget).cast("long").as("bin_id"),
+        (($"cum" - $"n_tokens") - (floor(($"cum" - $"n_tokens").cast("double") / budget)
+          .cast("long") * budget)).as("offset_in_bin"))
+      .orderBy($"doc_id")
+  }
+
+  def q47SeqPackSql(budget: Int = 512): String =
+    s"""SELECT doc_id, n_tokens,
+      |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS bin_id,
+      |  (cum - n_tokens) - CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) * $budget
+      |    AS offset_in_bin
+      |FROM (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |          OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }
