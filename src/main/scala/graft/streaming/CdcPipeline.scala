@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 import graft.app.ConnectorConfig
 import graft.model.ChangeEvent
@@ -95,6 +96,27 @@ object CdcPipeline {
   def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
     Handlers.declarative(Metrics.observed(events),
       TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField)
+
+  /** Per-key ORDERED delivery (SURVEY §7 "Hard parts"): the reference
+    * preserves WAL order globally per slot; a keyed Kafka topic can
+    * express the useful narrowing of that — every key's changes in
+    * commit order on one partition. This variant colocates each routing
+    * key (`repartition(key)`) and sorts within partitions by
+    * (key, eventTime) before the sink, so the producer writes each
+    * key's records in event order; the sort column is carried through
+    * the handler and dropped before the write (the Kafka writer rejects
+    * extra columns). One extra exchange per micro-batch — the price of
+    * the ordering guarantee. For strict broker-side ordering under
+    * producer retries, pair with `kafka.enable.idempotence=true`
+    * (else a retried batch can overtake an in-flight one).
+    */
+  def orderedTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
+    Handlers.declarative(
+        Metrics.observed(events),
+        TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField, keepEventTime = true)
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("eventTime"))
+      .drop("eventTime") // narrow projection: keeps the sort, drops the column
 
   /** Production sink: Spark's Kafka writer with the reference's producer
     * options; trigger interval ≙ batch ticker (O13); checkpoint ≙ LSN ACK

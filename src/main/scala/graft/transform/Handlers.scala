@@ -65,13 +65,22 @@ object Handlers {
     *   - unknown ops and unmapped tables are dropped
     *     (`connector.go:129-156`)
     */
-  def declarative(events: DataFrame, router: TopicRouter, keyField: String): DataFrame = {
+  def declarative(events: DataFrame, router: TopicRouter, keyField: String): DataFrame =
+    declarative(events, router, keyField, keepEventTime = false)
+
+  /** As above; `keepEventTime = true` carries the source event time
+    * through as an extra column (used by the per-key ordered delivery
+    * lane, which sorts on it and drops it before the sink).
+    */
+  def declarative(events: DataFrame, router: TopicRouter, keyField: String,
+      keepEventTime: Boolean): DataFrame = {
     val img = payloadImage(col("op"), col("oldData"), col("newData"))
+    val carried = if (keepEventTime) Seq(col("eventTime")) else Seq.empty
     events
       .filter(col("op").isin(Op.all: _*))
       .withColumn("topic", router.resolveColumn(col("tableNamespace"), col("tableName")))
       .filter(col("topic").isNotNull)
-      .select(
+      .select(carried ++ Seq(
         col("topic"),
         element_at(img, keyField).cast("binary").as("key"),
         // drop any source column literally named "operation" first: the
@@ -85,7 +94,7 @@ object Handlers {
           struct(lit("table").as("key"),
             concat_ws(".", col("tableNamespace"), col("tableName")).cast("binary").as("value")),
           struct(lit("source").as("key"), lit("graft").cast("binary").as("value"))
-        ).as("headers"))
+        ).as("headers")): _*)
   }
 
   /** Kafka wire-size estimate of a record (reference O18,
