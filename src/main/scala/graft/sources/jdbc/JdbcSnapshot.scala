@@ -55,6 +55,26 @@ object JdbcSnapshot {
     SnapshotSource.asSnapshotEvents(lowered, table.toLowerCase, namespace)
   }
 
+  /** Chunk-size flavor of [[snapshot]] — the reference's knob verbatim
+    * (`SnapshotConfig.ChunkSize`, `example/snapshot/main.go:93`: "process
+    * N rows per chunk"): one JDBC partition per `chunkSize` ids of the
+    * key span.
+    */
+  def snapshotChunked(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      chunkSize: Int,
+      namespace: String = "public"): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val span = upperBound - lowerBound + 1
+    val parts = math.max(1L, (span + chunkSize - 1) / chunkSize).toInt
+    snapshot(spark, url, table, partitionColumn, lowerBound, upperBound, parts, namespace)
+  }
+
   /** Current changelog cursor — the consistent-point stand-in for
     * `pg_export_snapshot()`: CDC resumes strictly after this value.
     */

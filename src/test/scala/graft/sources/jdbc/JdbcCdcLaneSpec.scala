@@ -91,6 +91,15 @@ class JdbcCdcLaneSpec extends SparkSpec {
     assert(m("title") == "Book 7" && m("author") == "Author 7")
   }
 
+  test("chunkSize maps to JDBC partitions (reference ChunkSize knob)") {
+    val url = freshDb("chunkdb")
+    (1 to 50).foreach(i => insertBook(url, i, s"Book $i", s"Author $i"))
+    val snap = JdbcSnapshot.snapshotChunked(spark, url, "books",
+      partitionColumn = "id", lowerBound = 1, upperBound = 50, chunkSize = 15)
+    assert(snap.rdd.getNumPartitions == 4) // ceil(50/15)
+    assert(snap.count() == 50)
+  }
+
   test("gapless snapshot -> CDC handoff: no gap, no dup across the boundary") {
     val url = freshDb("handoffdb")
     (1 to 50).foreach(i => insertBook(url, i, s"Book $i", s"Author $i"))
