@@ -44,9 +44,10 @@ object Bench {
         }
       }
       // The shared shingle/signature caches earn their keep inside the
-      // dedup family; past its last member (sorted order) they are pure
-      // executor-heap pressure on every later query — drop them.
-      if (name == "q42_simhash") graft.queries.Dedup.clearCaches(spark)
+      // dedup family; past its LAST member in sorted order (q45 reuses
+      // the shingle frame via q40) they are pure executor-heap pressure
+      // on every later query — drop them.
+      if (name == "q45_dup_clusters") graft.queries.Dedup.clearCaches(spark)
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -73,6 +74,7 @@ object Bench {
     val cdcSecs = Seq(cdcAttempt(), cdcAttempt()).flatten
     val cdcOk = cdcSecs.nonEmpty
     if (!cdcOk) errors += "cdc_pipeline"
+    else if (cdcSecs.length == 1) errors += "cdc_pipeline_flaky" // one of two attempts failed
     val cdcSec = if (cdcOk) cdcSecs.min else 0.0
     // A failed CDC run must not report a (possibly inflated) throughput.
     val cdcRps = if (cdcOk && cdcSec > 0) cdcRows / cdcSec else -1.0

@@ -326,6 +326,13 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // fail loudly rather than return silently-wrong labels: a component
+    // with diameter > rounds (adversarially long edit chains) needs the
+    // large-star/small-star formulation, not a truncated propagation
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"q45DupClusters: label propagation did not converge in $rounds rounds " +
+        "(component diameter exceeds the round budget)")
     docs.join(labels, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"rep", $"doc_id").as("cluster_rep"))
       .withColumn("keep", $"cluster_rep" === $"doc_id")

@@ -91,6 +91,8 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
     }
+    if (normed.isEmpty) // empty corpus: empty codebook, queries stay empty
+      return Seq.empty[(Int, Array[Float])].toDF("cid", "ce")
     val k = math.min(c, normed.length)
     // seeds: evenly spaced through the hash-ordered sample (scattered,
     // deterministic, insensitive to input file order)
@@ -151,11 +153,14 @@ object Similarity {
     val e = Tables.load(s, dir, "embeddings")
     val cent = trainCodebook(e, nCells)
     val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    // materialize once: both self-join branches reference this frame, and
+    // without it the corpus-wide assignment window executes twice per run
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("csim", cosine(s, $"embedding", $"ce"))
       .withColumn("arnk", row_number().over(wAssign))
       .filter($"arnk" <= nAssign)
       .select($"vec_id", $"embedding", $"cid")
+      .localCheckpoint(true)
     val a = assigned.select($"vec_id".as("d1"), $"embedding".as("x"), $"cid")
     val b = assigned.select($"vec_id".as("d2"), $"embedding".as("y"), $"cid")
     // verify BEFORE distinct (the q42 trick): the duplicated candidate
@@ -236,11 +241,14 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
-  /** One live index per (session, source dir); rebuilt only when absent.
-    * (Same bounded-cache discipline as Dedup's shingle frame.)
+  /** One live index per (session, source dir, codebook size); rebuilt
+    * only when absent. Stopped-session entries are evicted on access
+    * (same bounded-cache discipline as Dedup's shingle frame); the temp
+    * directories live for the JVM (tmpdir hygiene, not executor
+    * storage).
     */
   private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
 
   /** q52: the persisted-index flavor of q51 — same query set, same
     * codebook recipe, same output contract; the corpus scan is partition-
@@ -250,7 +258,10 @@ object Similarity {
   def q52AnnIvfIndexed(s: SparkSession, dir: String,
       nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     import s.implicits._
-    val indexPath = indexCache.getOrElseUpdate((s, dir), {
+    indexCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) indexCache.remove(k)
+    }
+    val indexPath = indexCache.getOrElseUpdate((s, dir, nCentroids), {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
       writeIvfIndex(s, dir, p, nCentroids)
       p

@@ -164,8 +164,9 @@ object TextOps {
       .select(
         $"doc_id",
         regexp_replace($"text", "\\bcustomer\\b", "[REDACTED]").as("clean_text"),
-        ((length($"text") - length(expr("replace(text, 'customer', '')"))) / 8)
-          .cast("long").as("n_redactions"),
+        // count with the SAME word-boundary pattern the redaction uses —
+        // a substring count would claim redactions for e.g. 'customers'
+        regexp_count($"text", lit("\\bcustomer\\b")).cast("long").as("n_redactions"),
         sha2(concat(lit("doc-"), $"doc_id".cast("string")), 256).as("pseudo_id"))
       .orderBy($"doc_id")
   }
@@ -173,8 +174,7 @@ object TextOps {
   val q38PiiScrubSql: String =
     """SELECT doc_id,
       |  regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g') AS clean_text,
-      |  CAST((length(text) - length(replace(text, 'customer', ''))) / 8 AS BIGINT)
-      |    AS n_redactions,
+      |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_redactions,
       |  sha256('doc-' || CAST(doc_id AS VARCHAR)) AS pseudo_id
       |FROM documents ORDER BY doc_id""".stripMargin
 

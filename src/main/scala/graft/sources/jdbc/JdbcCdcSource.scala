@@ -106,9 +106,14 @@ final class JdbcCdcScanBuilder(opts: JdbcCdcOptions)
   private var pushed: Array[Filter] = Array.empty
 
   private def pushable(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => JdbcCdcScan.filterColumns.contains(a)
-    case In(a, _)      => JdbcCdcScan.filterColumns.contains(a)
-    case _             => false
+    case EqualTo(a, v) => JdbcCdcScan.filterColumns.contains(a) && v != null
+    // an empty or null-containing IN must stay a Spark-side residual:
+    // claiming it pushed while rendering no predicate would silently
+    // return every row where the right answer is none
+    case In(a, vs) =>
+      JdbcCdcScan.filterColumns.contains(a) && vs != null &&
+        vs.nonEmpty && vs.forall(_ != null)
+    case _ => false
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {

@@ -132,7 +132,10 @@ object EventStreams {
           // deterministic intra-batch order: earliest doc id is the
           // original, later ones the candidate duplicates
           rows.toSeq.sortBy(_._1).foreach { case (docId, _, _, sig) =>
+            // prevId != docId: an at-least-once upstream can re-deliver a
+            // document; it must not be flagged as a duplicate of itself
             val hit = seen.iterator
+              .filter(_._1 != docId)
               .map { case (prevId, prevSig) =>
                 var agree = 0
                 var i = 0
@@ -147,7 +150,9 @@ object EventStreams {
             hit match {
               case Some((prevId, est)) => out += ((docId, prevId, est))
               case None =>
-                if (seen.size < maxPerBucket) seen = seen :+ ((docId, sig))
+                // membership check also covers re-delivery of a unique doc
+                if (seen.size < maxPerBucket && !seen.exists(_._1 == docId))
+                  seen = seen :+ ((docId, sig))
             }
           }
           state.update(seen)

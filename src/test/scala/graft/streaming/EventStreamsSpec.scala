@@ -101,12 +101,15 @@ class EventStreamsSpec extends SparkSpec {
     in.addData((1L, base), (2L, distinct1))
     q.processAllAvailable()
     in.addData((3L, nearCopy), (4L, distinct2)) // near-copy arrives a batch later
+    q.processAllAvailable()
+    in.addData((1L, base)) // at-least-once redelivery of the original
     q.processAllAvailable(); q.stop()
 
     val flags = spark.sql(s"SELECT * FROM $name").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // the near-copy is flagged against the original (possibly by several
-    // bands — at-least-once per band is the contract), nothing else is
+    // bands — at-least-once per band is the contract); nothing else is —
+    // in particular the redelivered original is NOT its own duplicate
     assert(flags.nonEmpty)
     assert(flags.forall { case (d, of, est) => d == 3L && of == 1L && est >= 0.5 })
   }
