@@ -27,6 +27,14 @@ object Tables {
     * nanosecond value would land in the earlier microsecond, matching
     * timestamp semantics; the two agree on every post-1970 fixture value.
     */
+  /** Register every table as a temp view so the whole engine surface is
+    * reachable through `spark.sql(...)` — the SQL front door next to the
+    * DataFrame one. Views go through [[load]], so the nanos-timestamp
+    * normalization applies identically in both lanes.
+    */
+  def createViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // session-global conf: set once per session, not per call
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
