@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Mechanical audit of the physical-plan properties the 100 TB design
+  * rests on — previously verified by eye via `graft.tools.Explain`, now
+  * locked in as assertions so a regression in pushdown, broadcast
+  * choice, or codegen coverage fails the suite instead of a future
+  * plan read.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final plan AFTER execution: AQE only materializes its final tree
+    * (and the codegen spans) once an action has run.
+    */
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.collect() // an action on THIS queryExecution (a write would plan a copy)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q6: filters are pushed into the parquet scan") {
+    val p = plan("q6_filter_agg")
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      s"expected l_shipdate in PushedFilters:\n$p")
+  }
+
+  test("q39: projection pruning — the scan reads only doc_id") {
+    val p = plan("q39_stable_split")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"expected a doc_id-only ReadSchema:\n$p")
+  }
+
+  test("q2: the dimension side is broadcast, not shuffled") {
+    val p = plan("q2_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q3: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q41: signatures come from the native expression, not an aggregation") {
+    // the native minhash_signature expression must ride the scan/project,
+    // not an explode + 64-buffer hash-aggregate (the round-2 formulation)
+    val q = graft.SparkEntry.queries("q41_minhash_lsh")(spark, dir)
+    val logical = q.queryExecution.optimizedPlan.toString()
+    assert(logical.contains("minhash_signature"), s"expected native signature expr:\n$logical")
+    assert(!logical.contains("min(xxhash64"), s"round-2 aggregate formulation resurfaced:\n$logical")
+  }
+
+  test("q1: aggregation keeps whole-stage codegen coverage") {
+    // codegen'd stages carry the `*(n)` prefix in the simple plan string
+    val p = plan("q1_agg")
+    assert(p.contains("*("), s"expected codegen stage markers:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+}

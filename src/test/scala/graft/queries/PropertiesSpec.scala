@@ -37,6 +37,23 @@ class PropertiesSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("property: native word_shingle_hashes == declarative chain on random texts") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    // word-salad texts incl. empty words (consecutive/leading/trailing
+    // spaces survive split(" ") as empty strings and must round-trip)
+    val word = Gen.oneOf(Gen.alphaLowerStr.map(_.take(6)), Gen.const(""))
+    val texts = Gen.listOfN(200, Gen.listOf(word).map(_.mkString(" "))).sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val diff = df.selectExpr("doc_id", "word_shingle_hashes(text) AS a",
+        "array_sort(array_distinct(transform(" +
+          "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1))," +
+          "  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))," +
+          " g -> xxhash64(g)))) AS b")
+      .filter("a <> b").count()
+    assert(diff == 0)
+  }
+
   test("approx_count_distinct is within its relative-error bound (HLL surface)") {
     import spark.implicits._
     val orders = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "orders")
