@@ -33,6 +33,7 @@ final class Connector(
 
   private val ready = new CountDownLatch(1)
   @volatile private var query: StreamingQuery = _
+  @volatile private var listenerAdded = false
 
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -70,12 +71,26 @@ final class Connector(
       ready.countDown() // no CDC to wait for (connector.go:88-89)
       return null
     }
-    spark.streams.addListener(listener)
+    if (!listenerAdded) { spark.streams.addListener(listener); listenerAdded = true }
     query =
       if (sink == "parquet") CdcPipeline.startToParquet(spark, cfg, parquetOutDir)
       else CdcPipeline.startToKafka(spark, cfg)
     query
   }
+
+  /** Run under the O15 fault policy (reference
+    * `kafka/reponse_handler.go:26-48` as a connector lifecycle): blocks
+    * while the pipeline runs, restarting it from the checkpoint on
+    * TRANSIENT termination up to `maxRestarts` times (resume-from-ACK
+    * makes the restart loss- and dup-free) and rethrowing on FATAL
+    * termination — the reference's panic. Returns after a clean stop()
+    * or when restarts are exhausted.
+    */
+  def runSupervised(maxRestarts: Int = 3): graft.streaming.FaultPolicy.Outcome =
+    graft.streaming.FaultPolicy.supervise(maxRestarts) { () =>
+      synchronized { query = null } // each attempt launches a fresh query
+      start()
+    }
 
   /** Block until the first micro-batch has been processed
     * (≙ `WaitUntilReady`, `connector.go:109-116`).
@@ -87,6 +102,6 @@ final class Connector(
     */
   def close(): Unit = synchronized {
     if (query != null) query.stop()
-    spark.streams.removeListener(listener)
+    if (listenerAdded) { spark.streams.removeListener(listener); listenerAdded = false }
   }
 }

@@ -80,6 +80,7 @@ object FaultPolicy {
     var restarts = 0
     while (true) {
       val q = start()
+      if (q == null) return Outcome(restarts, None) // bounded run (snapshot_only)
       try {
         q.awaitTermination()
         return Outcome(restarts, None) // clean stop

@@ -155,6 +155,23 @@ class CdcStreamingSpec extends SparkSpec {
     assert(ops(out) == Map("SNAPSHOT" -> 25L, "INSERT" -> 8L)) // snapshot NOT retaken
   }
 
+  test("runSupervised blocks while running and returns cleanly after close") {
+    val src = Files.createTempDirectory("sup-src")
+    val chk = Files.createTempDirectory("sup-chk")
+    val out = Files.createTempDirectory("sup-out")
+    writeEvents(src, "b.json", 0 until 3)
+    val conn = new Connector(spark, cfg(src, chk), sink = "parquet", parquetOutDir = out.toString)
+    val outcome = new java.util.concurrent.atomic.AtomicReference[graft.streaming.FaultPolicy.Outcome]()
+    val t = new Thread(() => outcome.set(conn.runSupervised()))
+    t.start()
+    conn.waitUntilReady()
+    eventually(countOut(out) == 3, "supervised run not delivering")
+    conn.close()
+    t.join(30000)
+    assert(!t.isAlive, "runSupervised did not return after close")
+    assert(outcome.get() == graft.streaming.FaultPolicy.Outcome(0, None))
+  }
+
   test("never mode: CDC only, snapshot skipped") {
     val src = Files.createTempDirectory("snap-never-src")
     val chk = Files.createTempDirectory("snap-never-chk")
