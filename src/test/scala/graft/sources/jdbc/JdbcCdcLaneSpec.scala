@@ -71,6 +71,21 @@ class JdbcCdcLaneSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  private def deleteBook(url: String, id: Int): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val old = {
+        val rs = conn.createStatement().executeQuery(s"SELECT title FROM books WHERE id = $id")
+        rs.next(); rs.getString(1)
+      }
+      conn.createStatement().executeUpdate(s"DELETE FROM books WHERE id = $id")
+      val cl = conn.prepareStatement(
+        "INSERT INTO changelog (table_name, op, old_data) VALUES ('books', 'DELETE', ?)")
+      cl.setString(1, s"""{"id":"$id","title":"$old"}""")
+      cl.executeUpdate(); cl.close()
+    } finally conn.close()
+  }
+
   private def ids(df: DataFrame): Set[Int] =
     df.select(element_at(col("newData"), "id").cast("int")).collect().map(_.getInt(0)).toSet
 
@@ -110,27 +125,37 @@ class JdbcCdcLaneSpec extends SparkSpec {
     val snapIds = ids(snap)
     assert(snapIds == (1 to 50).toSet)
 
-    // post-snapshot writes (what CDC must deliver)
+    // post-snapshot writes (what CDC must deliver) — all three ops
     (51 to 70).foreach(i => insertBook(url, i, s"Book $i", s"Author $i"))
     (1 to 5).foreach(i => updateBook(url, i, s"Book $i rev2"))
+    (48 to 50).foreach(deleteBook(url, _))
 
     val cdc = JdbcSnapshot.changesBatch(spark, url, fromCursor = watermark)
     val cdcRows = cdc.collect()
-    assert(cdcRows.length == 25) // exactly the post-watermark changes — no dup of the 50
+    assert(cdcRows.length == 28) // exactly the post-watermark changes — no dup of the 50
     val cdcInsertIds = ids(cdc.filter(col("op") === "INSERT"))
     assert(cdcInsertIds == (51 to 70).toSet)       // no gap
     assert(cdcInsertIds.intersect(snapIds).isEmpty) // no dup
     val updates = cdc.filter(col("op") === "UPDATE").collect()
     assert(updates.length == 5)
     assert(updates.forall(r => r.getAs[Map[String, String]]("oldData") != null))
+    // DELETE: pre-image only, no post-image (pgoutput's delete shape)
+    val deletes = cdc.filter(col("op") === "DELETE").collect()
+    assert(deletes.length == 3)
+    assert(deletes.forall(r => r.getAs[Map[String, String]]("oldData") != null &&
+      r.getAs[Map[String, String]]("newData") == null))
+    assert(deletes.map(_.getAs[Map[String, String]]("oldData")("id").toInt).toSet
+      == (48 to 50).toSet)
 
-    // applied state == final database state (the reference test's check)
+    // applied state == final database state (the reference test's check):
+    // latest event per key, deletes drop the key
     val applied = snap.unionAll(cdc)
-      .withColumn("id", element_at(col("newData"), "id").cast("int"))
+      .withColumn("id", coalesce(
+        element_at(col("newData"), "id"), element_at(col("oldData"), "id")).cast("int"))
       .groupBy(col("id"))
-      .agg(max_by(element_at(col("newData"), "title"), col("eventTime")).as("title"),
-        count(lit(1)).as("n"))
-    assert(applied.count() == 70)
+      .agg(max_by(col("op"), col("eventTime")).as("last_op"))
+      .filter(col("last_op") =!= "DELETE")
+    assert(applied.count() == 67) // 70 live rows minus the 3 deletes
   }
 
   test("streaming poll with admission control: exactly-once across capped micro-batches") {
