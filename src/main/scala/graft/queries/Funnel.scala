@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Ordered-event analytics over the events stream: funnel progression
+  * (the ordered-pattern query sessionization can't express) and cohort
+  * retention — the two queries every product-analytics consumer of a
+  * CDC event feed runs.
+  *
+  * Scale shape: every step is an aggregation or join keyed on user_id,
+  * so one hash-partitioning is reused across the whole plan (no
+  * re-shuffle between steps), and the per-step frames are
+  * one-row-per-user — orders of magnitude smaller than the event table
+  * they summarize.
+  */
+object Funnel {
+
+  /** view → click → purchase funnel by min-time chaining: the first
+    * qualifying event of each stage must come strictly after the
+    * previous stage's. Emits per-user stage times and the stage reached
+    * (0-3). Exact and deterministic — min() chaining has none of the
+    * ambiguity of regex-style sequence matching.
+    */
+  def q48Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events").select($"user_id", $"event_type", $"ts")
+    val users = e.select($"user_id").distinct()
+    val t1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val t2 = e.filter($"event_type" === "click").join(t1, "user_id")
+      .filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val t3 = e.filter($"event_type" === "purchase").join(t2, "user_id")
+      .filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    users
+      .join(t1, Seq("user_id"), "left")
+      .join(t2.select($"user_id", $"t_click"), Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+        (when($"t_purchase".isNotNull, 3)
+          .when($"t_click".isNotNull, 2)
+          .when($"t_view".isNotNull, 1)
+          .otherwise(0)).cast("long").as("stage"))
+      .orderBy($"user_id")
+  }
+
+  val q48FunnelSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t_view
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t_click
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT u.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+      |  CAST(CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+      |            WHEN t2.t_click IS NOT NULL THEN 2
+      |            WHEN t1.t_view IS NOT NULL THEN 1
+      |            ELSE 0 END AS BIGINT) AS stage
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN t1 ON u.user_id = t1.user_id
+      |LEFT JOIN t2 ON u.user_id = t2.user_id
+      |LEFT JOIN t3 ON u.user_id = t3.user_id
+      |ORDER BY u.user_id""".stripMargin
+
+  /** Day-grain cohort retention: cohort = each user's first-activity
+    * day; one row per (cohort_day, day_offset) with the count of
+    * cohort users active that many days later. The (user, day) distinct
+    * collapse happens BEFORE the cohort join, so the join input is
+    * users×days, not raw events.
+    */
+  def q49Retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val cohort = e.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    e.join(cohort, "user_id")
+      .groupBy($"cohort_day", datediff($"d", $"cohort_day").cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val q49RetentionSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cohort AS (SELECT user_id, MIN(d) AS cohort_day FROM ud GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |  CAST(date_diff('day', c.cohort_day, ud.d) AS BIGINT) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM ud JOIN cohort c ON ud.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}
