@@ -96,4 +96,46 @@ object Funnel {
       |  COUNT(*) AS n_users
       |FROM ud JOIN cohort c ON ud.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-user event-rate anomaly detection: hours where a user's event
+    * count exceeds their own mean + 2σ across active hours. The
+    * monitoring query an operator runs against a CDC event feed.
+    *
+    * Oracle-exactness by construction: per-hour counts, their sum, and
+    * their sum-of-squares are exact integers (no double accumulation to
+    * be partition-order dependent), so mean/variance come from ONE
+    * double expression over exact inputs — bit-identical in any engine
+    * evaluating the same formula, unlike stddev() whose streaming
+    * accumulation differs across engines and partitionings.
+    */
+  def q53Anomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy($"user_id")
+      .agg(sum($"n").as("s"), sum($"n" * $"n").as("ss"), count(lit(1)).as("k"))
+      .filter($"k" >= 2)
+      .select($"user_id",
+        ($"s".cast("double") / $"k").as("mean_n"),
+        sqrt(($"ss" - $"s".cast("double") * $"s" / $"k") / ($"k" - 1)).as("sd_n"))
+    hourly.join(stats, "user_id")
+      .filter($"n" > $"mean_n" + lit(2.0) * $"sd_n")
+      .select($"user_id", $"h", $"n", $"mean_n", $"sd_n")
+      .orderBy($"user_id", $"h")
+  }
+
+  val q53AnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT user_id,
+      |    CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n,
+      |    sqrt((SUM(n*n) - CAST(SUM(n) AS DOUBLE) * SUM(n) / COUNT(*)) / (COUNT(*) - 1)) AS sd_n
+      |  FROM hourly GROUP BY user_id HAVING COUNT(*) >= 2)
+      |SELECT hourly.user_id, h, n, mean_n, sd_n
+      |FROM hourly JOIN stats ON hourly.user_id = stats.user_id
+      |WHERE n > mean_n + 2.0 * sd_n
+      |ORDER BY hourly.user_id, h""".stripMargin
 }
