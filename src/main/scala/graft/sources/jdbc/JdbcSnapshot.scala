@@ -55,6 +55,38 @@ object JdbcSnapshot {
     SnapshotSource.asSnapshotEvents(lowered, table.toLowerCase, namespace)
   }
 
+  /** Create the changelog table if it does not exist — the analog of the
+    * reference auto-creating its replication infrastructure
+    * (`CreateIfNotExists: true` on the slot,
+    * `example/snapshot/main.go:86-88`; publications likewise). ANSI
+    * identity-column DDL (valid on Derby and PostgreSQL 10+). Returns
+    * true when this call created the table.
+    */
+  def ensureChangelog(url: String, changelog: String = "changelog"): Boolean = {
+    require(changelog.matches("[A-Za-z0-9_]+"), s"illegal changelog table name: $changelog")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      // Derby stores unquoted identifiers upper-case, PostgreSQL lower-case
+      val exists = Seq(changelog.toUpperCase, changelog.toLowerCase).exists { n =>
+        val rs = md.getTables(null, null, n, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
+      if (!exists) {
+        conn.createStatement().execute(
+          s"""CREATE TABLE $changelog (
+             |  change_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+             |  event_time TIMESTAMP DEFAULT CURRENT_TIMESTAMP,
+             |  table_namespace VARCHAR(64) DEFAULT 'public',
+             |  table_name VARCHAR(128),
+             |  op VARCHAR(16),
+             |  old_data VARCHAR(8000),
+             |  new_data VARCHAR(8000))""".stripMargin)
+      }
+      !exists
+    } finally conn.close()
+  }
+
   /** Chunk-size flavor of [[snapshot]] — the reference's knob verbatim
     * (`SnapshotConfig.ChunkSize`, `example/snapshot/main.go:93`: "process
     * N rows per chunk"): one JDBC partition per `chunkSize` ids of the

@@ -106,6 +106,19 @@ class JdbcCdcLaneSpec extends SparkSpec {
     assert(m("title") == "Book 7" && m("author") == "Author 7")
   }
 
+  test("ensureChangelog auto-creates the log table once (CreateIfNotExists analog)") {
+    val url = "jdbc:derby:memory:ensuredb;create=true"
+    DriverManager.getConnection(url).close() // db without any tables
+    assert(JdbcSnapshot.ensureChangelog(url))   // created
+    assert(!JdbcSnapshot.ensureChangelog(url))  // idempotent
+    // and the lane works against the auto-created table
+    val conn = DriverManager.getConnection(url)
+    val ps = conn.prepareStatement(
+      "INSERT INTO changelog (table_name, op, new_data) VALUES ('books', 'INSERT', ?)")
+    ps.setString(1, """{"id":"1"}"""); ps.executeUpdate(); ps.close(); conn.close()
+    assert(JdbcSnapshot.changesBatch(spark, url, fromCursor = 0).count() == 1)
+  }
+
   test("chunkSize maps to JDBC partitions (reference ChunkSize knob)") {
     val url = freshDb("chunkdb")
     (1 to 50).foreach(i => insertBook(url, i, s"Book $i", s"Author $i"))
