@@ -46,8 +46,11 @@ object SparkEntry {
     "q41_minhash_lsh"   -> (Dedup.q41MinhashLsh _),
     "q42_simhash"       -> (Dedup.q42Simhash _),
     "q50_ann_brute"     -> (Similarity.q50AnnBrute _),
-    "q51_ann_ivf"       -> ((s, d) => Similarity.q51AnnIvf(s, d)),
-    "q52_ann_ivf_indexed" -> ((s, d) => Similarity.q52AnnIvfIndexed(s, d)),
+    // IVF ANN registers full-probe (provably ≡ q50 exact) so the SQL
+    // oracle grades the machinery; the approximate nProbe<C path is the
+    // same code, recall-graded in AnnRecallSpec.
+    "q51_ann_ivf_fullprobe" -> (Similarity.q51AnnIvfFullProbe _),
+    "q52_ann_ivf_indexed_fullprobe" -> (Similarity.q52AnnIvfIndexedFullProbe _),
     "q43_embed_neardup" -> ((s, d) => Similarity.q43EmbedNearDup(s, d)),
     "q14_distinct_agg"  -> (AsofJoin.q14DistinctAgg _),
     "q17_asof"          -> (AsofJoin.q17Asof _),
@@ -107,8 +110,10 @@ object SparkEntry {
     "q41_minhash_lsh"   -> Dedup.nearDupPairsSql,
     "q42_simhash"       -> Dedup.nearDupPairsSql,
     "q50_ann_brute"     -> Similarity.q50AnnBruteSql,
-    // q51_ann_ivf: approximate by construction — rows-only check;
-    // recall vs the q50 baseline is asserted in AnnRecallSpec.
+    // Full-probe IVF ≡ brute force by construction (each vector in
+    // exactly one probed cell) — the exact oracle applies verbatim.
+    "q51_ann_ivf_fullprobe" -> Similarity.q50AnnBruteSql,
+    "q52_ann_ivf_indexed_fullprobe" -> Similarity.q50AnnBruteSql,
     "q43_embed_neardup" -> Similarity.q43EmbedNearDupSql,
     "q14_distinct_agg"  -> AsofJoin.q14DistinctAggSql,
     "q17_asof"          -> AsofJoin.q17AsofSql,

@@ -252,8 +252,9 @@ object Similarity {
 
   /** q52: the persisted-index flavor of q51 — same query set, same
     * codebook recipe, same output contract; the corpus scan is partition-
-    * pruned to the probed cells. Registered without a SQL oracle (like
-    * q51); pinned by spec to produce EXACTLY q51's answer.
+    * pruned to the probed cells. Registered (full-probe) under the q50
+    * exact oracle; the pruned nProbe<C path is pinned by spec to produce
+    * EXACTLY q51's answer.
     */
   def q52AnnIvfIndexed(s: SparkSession, dir: String,
       nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
@@ -284,6 +285,25 @@ object Similarity {
     * by construction — recall vs q50 is asserted in the test suite, not
     * by the SQL oracle.
     */
+  /** The gate-registered IVF forms run FULL PROBE (nProbe = C): every
+    * corpus vector sits in exactly one cell and the probe set covers all
+    * cells, so each (query, vector) pair is scored exactly once and the
+    * answer is provably identical to q50's brute-force result — which
+    * lets the SQL oracle grade the whole IVF machinery (codebook
+    * training, assignment, probe join, index layout) exactly. The
+    * approximate nProbe < C configuration is the same code path, graded
+    * for recall and q51≡q52 equality in AnnRecallSpec.
+    */
+  def q51AnnIvfFullProbe(s: SparkSession, dir: String): DataFrame =
+    q51AnnIvf(s, dir, nCentroids = 8, nProbe = 8)
+
+  /** Full-probe flavor of the persisted-index path — see
+    * [[q51AnnIvfFullProbe]]; still exercises index build + cell-filtered
+    * scan + probe join, with the probe filter selecting every cell.
+    */
+  def q52AnnIvfIndexedFullProbe(s: SparkSession, dir: String): DataFrame =
+    q52AnnIvfIndexed(s, dir, nCentroids = 8, nProbe = 8)
+
   def q51AnnIvf(s: SparkSession, dir: String, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")

@@ -211,35 +211,44 @@ object TextOps {
   /** Context-window sequence packing — assign documents to fixed-budget
     * token bins by greedy sequential fill (running token sum → bin =
     * floor(preceding_total / budget)): the batching step that turns a
-    * deduped corpus into training sequences. Stated here with one global
-    * order for oracle determinism; at 100 TB packing is shard-local
-    * (same window partitioned by shard — training does not need a
-    * global document order, so the single-partition window never
-    * happens in production).
+    * deduped corpus into training sequences. Packing is SHARD-LOCAL:
+    * the window is partitioned by a stable md5-derived shard key (same
+    * trick as q39's split buckets), so each shard packs independently —
+    * no global order, no single-partition WindowExec, and the plan
+    * scales as shards spread across executors. Training does not need
+    * a global document order, so shard-local bins are the semantics a
+    * 100 TB pipeline actually wants; (shard, bin_id) is the physical
+    * training-sequence key.
     */
-  def q47SeqPack(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+  def q47SeqPack(s: SparkSession, dir: String, budget: Int = 512, shards: Int = 8): DataFrame = {
     import s.implicits._
+    val shard = (conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long") % shards).as("shard")
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"doc_id").rowsBetween(Long.MinValue, 0)
+      .partitionBy($"shard").orderBy($"doc_id").rowsBetween(Long.MinValue, 0)
+    val binId = floor(($"cum" - $"n_tokens").cast("double") / budget).cast("long")
     Tables.load(s, dir, "documents")
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .select($"doc_id", shard, size(split($"text", " ")).cast("long").as("n_tokens"))
       .withColumn("cum", sum($"n_tokens").over(w))
-      .select($"doc_id", $"n_tokens",
-        floor(($"cum" - $"n_tokens").cast("double") / budget).cast("long").as("bin_id"),
-        (($"cum" - $"n_tokens") - (floor(($"cum" - $"n_tokens").cast("double") / budget)
-          .cast("long") * budget)).as("offset_in_bin"))
+      .select($"doc_id", $"shard", $"n_tokens",
+        binId.as("bin_id"),
+        (($"cum" - $"n_tokens") - binId * budget).as("offset_in_bin"))
       .orderBy($"doc_id")
   }
 
-  def q47SeqPackSql(budget: Int = 512): String =
-    s"""SELECT doc_id, n_tokens,
+  def q47SeqPackSql(budget: Int = 512, shards: Int = 8): String =
+    s"""SELECT doc_id, shard, n_tokens,
       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS bin_id,
-      |  (cum - n_tokens) - CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) * $budget
-      |    AS offset_in_bin
-      |FROM (SELECT doc_id,
-      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |        SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
-      |          OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-      |      FROM documents)
+      |  CAST((cum - n_tokens)
+      |       - CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) * $budget
+      |       AS BIGINT) AS offset_in_bin
+      |FROM (SELECT doc_id, shard, n_tokens,
+      |        SUM(n_tokens)
+      |          OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM (SELECT doc_id,
+      |              CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |                % $shards AS shard,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |            FROM documents))
       |ORDER BY doc_id""".stripMargin
 }
