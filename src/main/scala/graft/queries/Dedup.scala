@@ -294,45 +294,24 @@ object Dedup {
     * (`cluster_rep`) and a `keep` flag for the representative. Survivors
     * = the deduplicated corpus.
     *
-    * Implementation: iterative min-label propagation to fixpoint (each
-    * round one shuffle join + aggregate; lineage truncated per round via
-    * localCheckpoint so 20 rounds cannot blow up the plan). Near-dup
-    * components are shallow (near-cliques of mutual duplicates), so
-    * convergence takes O(component diameter) ≈ 2-3 rounds; a corpus with
-    * adversarially long chains would use the large-star/small-star
-    * variant (alternating conditional hooks, O(log n) rounds) on the
-    * same edge frame. The DuckDB oracle computes the same components
-    * with a recursive CTE.
+    * Implementation: [[Components.ccPropagate]] — min-label propagation
+    * to fixpoint, ONE job per round (the convergence counter rides the
+    * checkpoint job as an accumulator). Near-dup components are shallow
+    * (near-cliques of mutual duplicates), so convergence takes
+    * O(component diameter) ≈ 2-3 rounds; a corpus with adversarially
+    * long chains uses [[Components.ccStar]] (large-star/small-star,
+    * O(log n) rounds) on the same edge frame — ComponentsSpec pins both
+    * algorithms to identical labels on deep chains and on this corpus.
+    * The DuckDB oracle computes the same components with a recursive CTE.
     */
   def q45DupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents").select($"doc_id")
-    val pairs = q40NgramJaccard(s, dir).select($"d1", $"d2")
-    val edges = pairs.unionAll(pairs.select($"d2", $"d1"))
+    // checkpoint: the pair computation is the expensive part and must not
+    // re-run once per propagation round (ccPropagate symmetrizes)
+    val edges = q40NgramJaccard(s, dir).select($"d1", $"d2")
       .toDF("u", "v").localCheckpoint(true)
-    var labels = edges.select($"u".as("doc_id")).distinct()
-      .withColumn("rep", $"doc_id").localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val nbrMin = edges
-        .join(labels.select($"doc_id".as("v"), $"rep".as("vrep")), "v")
-        .groupBy($"u".as("doc_id")).agg(min($"vrep").as("nbr_rep"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select($"doc_id", least($"rep", coalesce($"nbr_rep", $"rep")).as("rep"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
-        .filter($"rep" < $"old").count()
-      labels = next
-      rounds += 1
-    }
-    // fail loudly rather than return silently-wrong labels: a component
-    // with diameter > rounds (adversarially long edit chains) needs the
-    // large-star/small-star formulation, not a truncated propagation
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"q45DupClusters: label propagation did not converge in $rounds rounds " +
-        "(component diameter exceeds the round budget)")
+    val labels = Components.ccPropagate(edges)
     docs.join(labels, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"rep", $"doc_id").as("cluster_rep"))
       .withColumn("keep", $"cluster_rep" === $"doc_id")

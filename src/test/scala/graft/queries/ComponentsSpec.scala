@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Both connected-components algorithms must agree — with each other and
+  * with ground truth — including on graphs min-label propagation is worst
+  * at (deep chains) and graphs large-star/small-star is worst at (stars
+  * already rooted at the max node).
+  */
+class ComponentsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def edgeFrame(edges: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("u", "v")
+  }
+
+  test("chain deeper than 3 — both algorithms label every node with the chain min") {
+    // 0-1-2-...-10: diameter 10. Propagation needs ~10 rounds (within its
+    // 20-round budget); ccStar needs O(log 10).
+    val chain = edgeFrame((0L until 10L).map(i => (i, i + 1)))
+    val expected = (0L to 10L).map(_ -> 0L).toMap
+    assert(labelsOf(Components.ccPropagate(chain)) == expected)
+    assert(labelsOf(Components.ccStar(chain)) == expected)
+  }
+
+  test("multiple components, mixed shapes, either edge direction") {
+    // component A: chain 5-4-3-2 given large→small; component B: triangle
+    // 10,11,12; component C: isolated edge 20-21; self-loop ignored
+    val edges = edgeFrame(Seq(
+      (5L, 4L), (4L, 3L), (3L, 2L),
+      (10L, 11L), (12L, 10L), (11L, 12L),
+      (21L, 20L), (7L, 7L)))
+    val expected = Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(labelsOf(Components.ccPropagate(edges)) == expected)
+    assert(labelsOf(Components.ccStar(edges)) == expected)
+  }
+
+  test("star already rooted at its min is a fixpoint; rooted at its max still converges") {
+    val atMin = edgeFrame(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    val atMax = edgeFrame(Seq((4L, 1L), (4L, 2L), (4L, 3L)))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    assert(labelsOf(Components.ccStar(atMin)) == expected)
+    assert(labelsOf(Components.ccStar(atMax)) == expected)
+    assert(labelsOf(Components.ccPropagate(atMax)) == expected)
+  }
+
+  test("empty edge set yields empty labels") {
+    val empty = edgeFrame(Seq.empty)
+    assert(Components.ccPropagate(empty).count() == 0)
+    assert(Components.ccStar(empty).count() == 0)
+  }
+
+  test("ccStar matches ccPropagate on the real near-dup pair graph") {
+    val s = spark
+    import s.implicits._
+    val pairs = Dedup.q40NgramJaccard(s, dir).select($"d1", $"d2")
+    assert(labelsOf(Components.ccStar(pairs)) == labelsOf(Components.ccPropagate(pairs)))
+  }
+}
