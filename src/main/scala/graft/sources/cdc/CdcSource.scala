@@ -133,7 +133,7 @@ object CdcOffset {
 final class CdcMicroBatchStream(path: String, filters: Array[Filter]) extends MicroBatchStream {
   private def listFiles: Array[String] =
     Option(new File(path).list()).getOrElse(Array.empty)
-      .filter(_.endsWith(".json")).sorted
+      .filter(f => f.endsWith(".json") || f.endsWith(".pgo")).sorted
 
   override def initialOffset(): Offset = CdcOffset(0)
   override def latestOffset(): Offset = {
@@ -192,8 +192,51 @@ final class CdcMicroBatchStream(path: String, filters: Array[Filter]) extends Mi
 final case class CdcInputPartition(file: String) extends InputPartition
 
 final class CdcReaderFactory(filters: Array[Filter]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition].file, filters)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[CdcInputPartition].file
+    if (file.endsWith(".pgo")) new PgOutputPartitionReader(file, filters)
+    else new CdcPartitionReader(file, filters)
+  }
+}
+
+/** Parses one length-framed pgoutput capture file (raw replication-slot
+  * payloads — see [[PgOutput.readFramed]]) through a [[PgOutputSession]];
+  * applies the pushed op/table filters BEFORE materializing rows, exactly
+  * like the JSON lane.
+  */
+final class PgOutputPartitionReader(file: String, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val in = Files.newInputStream(new File(file).toPath)
+  private val frames = PgOutput.readFramed(in)
+  private val session = new PgOutputSession
+  private var current: InternalRow = _
+
+  private def passes(field: String, value: String): Boolean = filters.forall {
+    case EqualTo(a, v) if a == field => v == value
+    case In(a, vs) if a == field     => vs.contains(value)
+    case _                           => true
+  }
+
+  override def next(): Boolean = {
+    while (frames.hasNext) {
+      session.feed(frames.next()) match {
+        case Some(ev) if passes("op", ev.op) && passes("tableName", ev.tableName) &&
+            passes("tableNamespace", ev.tableNamespace) =>
+          current = InternalRow(
+            ev.eventTimeMicros,
+            WireJson.utf8(ev.tableNamespace), WireJson.utf8(ev.tableName),
+            WireJson.toMapFromPairs(ev.oldData), WireJson.toMapFromPairs(ev.newData),
+            WireJson.utf8(ev.op))
+          return true
+        case _ => // filtered out, or a non-row message
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
 }
 
 /** Parses one wire file (streamed line-by-line — never whole-file

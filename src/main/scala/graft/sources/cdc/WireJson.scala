@@ -35,6 +35,16 @@ private[graft] object WireJson {
         ArrayData.toArrayData(keys.toArray), ArrayData.toArrayData(vals.toArray))
     }
 
+  /** Name→value pairs → Catalyst string map (null = absent image; null
+    * values kept as SQL NULLs) — the pgoutput lane's counterpart of
+    * [[toMap]].
+    */
+  def toMapFromPairs(pairs: Seq[(String, String)]): ArrayBasedMapData =
+    if (pairs == null) null
+    else new ArrayBasedMapData(
+      ArrayData.toArrayData(pairs.map(p => utf8(p._1)).toArray),
+      ArrayData.toArrayData(pairs.map(p => utf8(p._2)).toArray))
+
   /** ISO-8601 instant string → epoch micros (0 when absent). */
   def instantMicros(text: String): Long =
     if (text == null) 0L

@@ -1,0 +1,267 @@
+package graft.sources.cdc
+
+import java.io.ByteArrayInputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import graft.model.Op
+
+/** pgoutput binary wire-format decode (PostgreSQL "Message Formats"
+  * docs, protocol v1): golden binary fixtures per message type, the
+  * stateful session's ChangeEvent mapping incl. replica-identity DEFAULT
+  * PK-only pre-images, and the end-to-end `.pgo` lane through the
+  * graft-cdc source.
+  */
+class PgOutputSpec extends SparkSpec {
+  import PgOutput._
+
+  // -- fixture builder: writes the documented format byte-by-byte --------
+
+  private def buf(): ByteBuffer = ByteBuffer.allocate(4096)
+  private def fin(b: ByteBuffer): Array[Byte] = {
+    val out = new Array[Byte](b.position()); b.flip(); b.get(out); out
+  }
+  private def cstr(b: ByteBuffer, s: String): Unit = {
+    b.put(s.getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+  }
+  private def text(b: ByteBuffer, v: String): Unit = {
+    b.put('t'.toByte)
+    val bytes = v.getBytes(StandardCharsets.UTF_8)
+    b.putInt(bytes.length); b.put(bytes)
+  }
+
+  private def beginMsg(lsn: Long, microsSincePgEpoch: Long, xid: Int): Array[Byte] = {
+    val b = buf(); b.put('B'.toByte); b.putLong(lsn)
+    b.putLong(microsSincePgEpoch); b.putInt(xid); fin(b)
+  }
+  private def commitMsg(lsn: Long, micros: Long): Array[Byte] = {
+    val b = buf(); b.put('C'.toByte); b.put(0.toByte)
+    b.putLong(lsn); b.putLong(lsn + 8); b.putLong(micros); fin(b)
+  }
+  /** cols: (isKey, name). */
+  private def relationMsg(relId: Int, ns: String, name: String, ident: Char,
+      cols: Seq[(Boolean, String)]): Array[Byte] = {
+    val b = buf(); b.put('R'.toByte); b.putInt(relId)
+    cstr(b, ns); cstr(b, name); b.put(ident.toByte)
+    b.putShort(cols.length.toShort)
+    cols.foreach { case (key, cname) =>
+      b.put(if (key) 1.toByte else 0.toByte); cstr(b, cname)
+      b.putInt(23); b.putInt(-1) // int4, no typmod
+    }
+    fin(b)
+  }
+  /** cells: Some(text) | None (null) | marker strings for 'u'/'b'. */
+  private def tupleBytes(b: ByteBuffer, cells: Seq[Option[String]]): Unit = {
+    b.putShort(cells.length.toShort)
+    cells.foreach {
+      case Some(v) if v == "<u>" => b.put('u'.toByte)
+      case Some(v)               => text(b, v)
+      case None                  => b.put('n'.toByte)
+    }
+  }
+  private def insertMsg(relId: Int, cells: Seq[Option[String]]): Array[Byte] = {
+    val b = buf(); b.put('I'.toByte); b.putInt(relId); b.put('N'.toByte)
+    tupleBytes(b, cells); fin(b)
+  }
+  private def updateMsg(relId: Int, oldKind: Option[Char],
+      oldCells: Seq[Option[String]], newCells: Seq[Option[String]]): Array[Byte] = {
+    val b = buf(); b.put('U'.toByte); b.putInt(relId)
+    oldKind.foreach { k => b.put(k.toByte); tupleBytes(b, oldCells) }
+    b.put('N'.toByte); tupleBytes(b, newCells); fin(b)
+  }
+  private def deleteMsg(relId: Int, kind: Char,
+      cells: Seq[Option[String]]): Array[Byte] = {
+    val b = buf(); b.put('D'.toByte); b.putInt(relId); b.put(kind.toByte)
+    tupleBytes(b, cells); fin(b)
+  }
+
+  private def frame(msgs: Seq[Array[Byte]]): Array[Byte] = {
+    val b = ByteBuffer.allocate(msgs.map(_.length + 4).sum)
+    msgs.foreach { m => b.putInt(m.length); b.put(m) }
+    fin(b)
+  }
+
+  // -- decoder unit tests ------------------------------------------------
+
+  test("Begin/Commit decode with PG-epoch → unix-epoch timestamp shift") {
+    // 2024-01-01T00:00:00Z = 757382400000000 µs after 2000-01-01
+    val pgMicros = 757382400000000L
+    val unixMicros = 1704067200000000L
+    decode(beginMsg(0x01000028L, pgMicros, 42)) match {
+      case Begin(lsn, micros, xid) =>
+        assert(lsn == 0x01000028L && micros == unixMicros && xid == 42)
+      case other => fail(s"expected Begin, got $other")
+    }
+    decode(commitMsg(0x01000028L, pgMicros)) match {
+      case Commit(flags, clsn, elsn, micros) =>
+        assert(flags == 0 && clsn == 0x01000028L && elsn == 0x01000030L &&
+          micros == unixMicros)
+      case other => fail(s"expected Commit, got $other")
+    }
+  }
+
+  test("hand-written INSERT byte literal decodes (endianness anchor)") {
+    // 'I', relid=1 (BE), 'N', ncols=2 (BE), 't' len=1 '7', 'n'
+    val raw = Array(0x49, 0, 0, 0, 1, 0x4e, 0, 2, 0x74, 0, 0, 0, 1, 0x37, 0x6e)
+      .map(_.toByte)
+    assert(decode(raw) == Insert(1, IndexedSeq(TextCell("7"), NullCell)))
+  }
+
+  test("Relation decodes columns, key flags, replica identity, pg_catalog default ns") {
+    val m = decode(relationMsg(77, "public", "users", 'f',
+      Seq(true -> "id", false -> "name")))
+    assert(m == Relation(77, "public", "users", 'f', IndexedSeq(
+      Col(isKey = true, "id", 23, -1), Col(isKey = false, "name", 23, -1))))
+    val catalogNs = decode(relationMsg(3, "", "pg_class", 'd', Seq(true -> "oid")))
+    assert(catalogNs.asInstanceOf[Relation].namespace == "pg_catalog")
+  }
+
+  test("Update decodes all three pre-image shapes; Delete requires K or O") {
+    val noOld = decode(updateMsg(7, None, Nil, Seq(Some("1"), Some("x"))))
+    assert(noOld == Update(7, None, None, IndexedSeq(TextCell("1"), TextCell("x"))))
+    val withKey = decode(updateMsg(7, Some('K'), Seq(Some("1"), None), Seq(Some("2"), Some("x"))))
+    assert(withKey == Update(7, Some('K'), Some(IndexedSeq(TextCell("1"), NullCell)),
+      IndexedSeq(TextCell("2"), TextCell("x"))))
+    val withOld = decode(updateMsg(7, Some('O'), Seq(Some("1"), Some("a")), Seq(Some("1"), Some("b"))))
+    assert(withOld.asInstanceOf[Update].oldKind.contains('O'))
+    assert(decode(deleteMsg(7, 'K', Seq(Some("1"), None))) ==
+      Delete(7, 'K', IndexedSeq(TextCell("1"), NullCell)))
+    intercept[IllegalArgumentException](decode(deleteMsg(7, 'N', Seq(Some("1")))))
+  }
+
+  test("unchanged-TOAST and Type/Origin/Truncate messages decode") {
+    val upd = decode(updateMsg(7, None, Nil, Seq(Some("1"), Some("<u>"))))
+    assert(upd == Update(7, None, None, IndexedSeq(TextCell("1"), UnchangedCell)))
+    val y = buf(); y.put('Y'.toByte); y.putInt(600); cstr(y, "public"); cstr(y, "mood")
+    assert(decode(fin(y)) == TypeMsg(600, "public", "mood"))
+    val o = buf(); o.put('O'.toByte); o.putLong(5L); cstr(o, "origin1")
+    assert(decode(fin(o)) == Origin(5L, "origin1"))
+    val t = buf(); t.put('T'.toByte); t.putInt(2); t.put(3.toByte)
+    t.putInt(7); t.putInt(8)
+    assert(decode(fin(t)) == Truncate(Seq(7, 8), cascade = true, restartIdentity = true))
+  }
+
+  // -- session tests -----------------------------------------------------
+
+  private val pg2024 = 757382400000000L // 2024-01-01T00:00:00Z since PG epoch
+
+  test("session maps a full transaction to ChangeEvents with commit-time stamps") {
+    val s = new PgOutputSession
+    val msgs = Seq(
+      relationMsg(16384, "public", "users", 'f', Seq(true -> "id", false -> "name")),
+      beginMsg(100L, pg2024, 1),
+      insertMsg(16384, Seq(Some("1"), Some("alice"))),
+      updateMsg(16384, Some('O'), Seq(Some("1"), Some("alice")), Seq(Some("1"), Some("bob"))),
+      deleteMsg(16384, 'O', Seq(Some("1"), Some("bob"))),
+      commitMsg(100L, pg2024))
+    val events = msgs.flatMap(m => s.feed(m)).map(_.toChangeEvent)
+    assert(events.map(_.op) == Seq(Op.Insert, Op.Update, Op.Delete))
+    assert(events.forall(_.eventTime.getTime == 1704067200000L))
+    assert(events.forall(e => e.tableNamespace == "public" && e.tableName == "users"))
+    assert(events(0).oldData == null &&
+      events(0).newData == Map("id" -> "1", "name" -> "alice"))
+    assert(events(1).oldData == Map("id" -> "1", "name" -> "alice") &&
+      events(1).newData == Map("id" -> "1", "name" -> "bob"))
+    assert(events(2).newData == null &&
+      events(2).oldData == Map("id" -> "1", "name" -> "bob"))
+  }
+
+  test("replica identity DEFAULT: PK-only pre-images on DELETE and key-change UPDATE") {
+    val s = new PgOutputSession
+    s.feed(relationMsg(1, "public", "users", 'd', Seq(true -> "id", false -> "name")))
+    s.feed(beginMsg(10L, pg2024, 2))
+    // DELETE under DEFAULT: 'K' tuple pads non-key columns with nulls —
+    // the pre-image must keep ONLY the key column
+    val del = s.feed(deleteMsg(1, 'K', Seq(Some("9"), None))).get.toChangeEvent
+    assert(del.oldData == Map("id" -> "9") && del.newData == null)
+    // UPDATE that changed the key: 'K' pre-image, key column only
+    val upd = s.feed(updateMsg(1, Some('K'), Seq(Some("9"), None),
+      Seq(Some("10"), Some("z")))).get.toChangeEvent
+    assert(upd.oldData == Map("id" -> "9"))
+    assert(upd.newData == Map("id" -> "10", "name" -> "z"))
+    // UPDATE that did not change the key: no pre-image at all
+    val upd2 = s.feed(updateMsg(1, None, Nil, Seq(Some("10"), Some("w")))).get.toChangeEvent
+    assert(upd2.oldData == null && upd2.newData == Map("id" -> "10", "name" -> "w"))
+  }
+
+  test("in-stream Relation message applies a schema change mid-stream") {
+    val s = new PgOutputSession
+    s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id")))
+    s.feed(beginMsg(10L, pg2024, 3))
+    assert(s.feed(insertMsg(1, Seq(Some("1")))).get.newData == Seq("id" -> "1"))
+    // DDL adds a column: pgoutput re-sends the Relation before the next row
+    s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id", false -> "extra")))
+    assert(s.feed(insertMsg(1, Seq(Some("2"), Some("e")))).get.newData ==
+      Seq("id" -> "2", "extra" -> "e"))
+    // row event for a relation never announced fails loudly
+    intercept[IllegalStateException](s.feed(insertMsg(99, Seq(Some("1")))))
+  }
+
+  test("unchanged-TOAST columns are omitted from the post-image") {
+    val s = new PgOutputSession
+    s.feed(relationMsg(1, "public", "docs", 'd', Seq(true -> "id", false -> "body")))
+    s.feed(beginMsg(10L, pg2024, 4))
+    val ev = s.feed(updateMsg(1, None, Nil, Seq(Some("5"), Some("<u>")))).get
+    assert(ev.newData == Seq("id" -> "5")) // body not sent, not fabricated
+  }
+
+  test("framed replay file round-trips") {
+    val msgs = Seq(beginMsg(1L, pg2024, 1), commitMsg(1L, pg2024))
+    val back = PgOutput.readFramed(new ByteArrayInputStream(frame(msgs))).toSeq
+    assert(back.length == 2 && back(0).sameElements(msgs(0)) && back(1).sameElements(msgs(1)))
+  }
+
+  // -- end-to-end through the graft-cdc source ---------------------------
+
+  private def writePgo(dir: Path, name: String, msgs: Seq[Array[Byte]]): Unit =
+    Files.write(dir.resolve(name), frame(msgs))
+
+  test("graft-cdc reads .pgo capture files end-to-end with filter pushdown") {
+    val dir = Files.createTempDirectory("cdc-pgo")
+    writePgo(dir, "000001.pgo", Seq(
+      relationMsg(1, "public", "users", 'd', Seq(true -> "id", false -> "name")),
+      beginMsg(100L, pg2024, 1),
+      insertMsg(1, Seq(Some("1"), Some("alice"))),
+      insertMsg(1, Seq(Some("2"), Some("bob"))),
+      deleteMsg(1, 'K', Seq(Some("1"), None)),
+      commitMsg(100L, pg2024)))
+    val df = spark.read.format("graft-cdc").option("path", dir.toString).load()
+    assert(df.count() == 3)
+    assert(df.schema == graft.model.ChangeEvent.schema)
+    val inserts = spark.read.format("graft-cdc").option("path", dir.toString).load()
+      .filter("op = 'INSERT'")
+    assert(inserts.queryExecution.executedPlan.toString.contains("pushed=["))
+    assert(inserts.count() == 2)
+    val del = df.filter("op = 'DELETE'").collect()(0)
+    assert(del.getAs[Map[String, String]]("oldData") == Map("id" -> "1"))
+    assert(del.getAs[java.sql.Timestamp]("eventTime").getTime == 1704067200000L)
+  }
+
+  test("a .pgo file streams through the micro-batch lane alongside .json files") {
+    val dir = Files.createTempDirectory("cdc-pgo-stream")
+    val name = s"pgo_${System.nanoTime()}"
+    writePgo(dir, "000001.pgo", Seq(
+      relationMsg(1, "public", "users", 'd', Seq(true -> "id")),
+      beginMsg(100L, pg2024, 1),
+      insertMsg(1, Seq(Some("1"))),
+      commitMsg(100L, pg2024)))
+    val q = spark.readStream.format("graft-cdc").option("path", dir.toString).load()
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql(s"SELECT * FROM $name").count() == 1)
+      // later segment arrives; relation must be re-announced per capture
+      // file (each file is read by an independent partition reader)
+      writePgo(dir, "000002.pgo", Seq(
+        relationMsg(1, "public", "users", 'd', Seq(true -> "id")),
+        beginMsg(200L, pg2024 + 1000000L, 2),
+        insertMsg(1, Seq(Some("2"))),
+        commitMsg(200L, pg2024 + 1000000L)))
+      q.processAllAvailable()
+      val rows = spark.sql(s"SELECT newData['id'] AS id FROM $name ORDER BY id").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("1", "2"))
+    } finally q.stop()
+  }
+}
