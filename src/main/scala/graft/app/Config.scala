@@ -160,4 +160,6 @@ final case class ConnectorConfig(
     snapshot: SnapshotConfig = SnapshotConfig(),
     keyField: String = "id",
     sourceFormat: String = "json",     // "json" | "graft-cdc" | "graft-jdbc-cdc"
-    jdbc: JdbcSourceConfig = JdbcSourceConfig())
+    jdbc: JdbcSourceConfig = JdbcSourceConfig(),
+    slotName: String = "graft_slot",   // metric label (reference slot_name)
+    metricsPort: Option[Int] = None)   // ≙ cdc.metric.port (README.md:229); 0 = ephemeral

@@ -35,6 +35,21 @@ final class Connector(
   @volatile private var query: StreamingQuery = _
   @volatile private var listenerAdded = false
 
+  /** Metrics exposition (reference `README.md:270-299`): when
+    * `cfg.metricsPort` is set, the connector owns a registry, feeds it
+    * through a [[graft.streaming.Metrics.Collector]], and serves
+    * `/metrics` + `/status` over HTTP for the life of the connector.
+    * `/status` reports 200 while the streaming query is active (the
+    * reference pings PostgreSQL; the query's liveness is this lane's
+    * source-connectivity equivalent).
+    */
+  val metrics = new graft.streaming.MetricsRegistry(cfg.slotName)
+  private val metricsCollector = new graft.streaming.Metrics.Collector(Some(metrics))
+  @volatile private var metricsServer: graft.streaming.MetricsServer = _
+
+  /** The bound metrics port, when exposition is enabled and started. */
+  def metricsPort: Option[Int] = Option(metricsServer).map(_.boundPort)
+
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
@@ -71,7 +86,16 @@ final class Connector(
       ready.countDown() // no CDC to wait for (connector.go:88-89)
       return null
     }
-    if (!listenerAdded) { spark.streams.addListener(listener); listenerAdded = true }
+    if (!listenerAdded) {
+      spark.streams.addListener(listener)
+      spark.streams.addListener(metricsCollector)
+      listenerAdded = true
+    }
+    cfg.metricsPort.foreach { p =>
+      if (metricsServer == null)
+        metricsServer = new graft.streaming.MetricsServer(
+          metrics, () => { val q = query; q != null && q.isActive }, p)
+    }
     query =
       if (sink == "parquet") CdcPipeline.startToParquet(spark, cfg, parquetOutDir)
       else CdcPipeline.startToKafka(spark, cfg)
@@ -87,7 +111,8 @@ final class Connector(
     * or when restarts are exhausted.
     */
   def runSupervised(maxRestarts: Int = 3): graft.streaming.FaultPolicy.Outcome =
-    graft.streaming.FaultPolicy.supervise(maxRestarts) { () =>
+    graft.streaming.FaultPolicy.supervise(
+      maxRestarts, onFailure = () => metrics.incrementErr("_pipeline")) { () =>
       synchronized { query = null } // each attempt launches a fresh query
       start()
     }
@@ -102,6 +127,11 @@ final class Connector(
     */
   def close(): Unit = synchronized {
     if (query != null) query.stop()
-    if (listenerAdded) { spark.streams.removeListener(listener); listenerAdded = false }
+    if (listenerAdded) {
+      spark.streams.removeListener(listener)
+      spark.streams.removeListener(metricsCollector)
+      listenerAdded = false
+    }
+    if (metricsServer != null) { metricsServer.close(); metricsServer = null }
   }
 }

@@ -94,8 +94,10 @@ object CdcPipeline {
     * (O17) riding the plan.
     */
   def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
-    Handlers.declarative(Metrics.observed(events),
-      TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField)
+    Metrics.observedSink(
+      Handlers.declarative(Metrics.observed(events),
+        TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField),
+      cfg.kafka.tableTopicMapping.values.toSeq)
 
   /** Per-key ORDERED delivery (SURVEY §7 "Hard parts"): the reference
     * preserves WAL order globally per slot; a keyed Kafka topic can
@@ -111,12 +113,14 @@ object CdcPipeline {
     * (else a retried batch can overtake an in-flight one).
     */
   def orderedTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
-    Handlers.declarative(
-        Metrics.observed(events),
-        TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField, keepEventTime = true)
-      .repartition(col("key"))
-      .sortWithinPartitions(col("key"), col("eventTime"))
-      .drop("eventTime") // narrow projection: keeps the sort, drops the column
+    Metrics.observedSink(
+      Handlers.declarative(
+          Metrics.observed(events),
+          TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField, keepEventTime = true)
+        .repartition(col("key"))
+        .sortWithinPartitions(col("key"), col("eventTime"))
+        .drop("eventTime"), // narrow projection: keeps the sort, drops the column
+      cfg.kafka.tableTopicMapping.values.toSeq)
 
   /** Production sink: Spark's Kafka writer with the reference's producer
     * options; trigger interval ≙ batch ticker (O13); checkpoint ≙ LSN ACK

@@ -74,9 +74,12 @@ object FaultPolicy {
     * termination → restart from checkpoint, up to `maxRestarts` times;
     * fatal termination → stop and re-throw (the reference's panic).
     * Returns once the query terminates cleanly (bounded input / stop())
-    * or restarts are exhausted.
+    * or restarts are exhausted. `onFailure` fires once per failed
+    * attempt, fatal or transient (≙ the reference's `IncrementErrOp`
+    * error accounting).
     */
-  def supervise(maxRestarts: Int)(start: () => StreamingQuery): Outcome = {
+  def supervise(maxRestarts: Int, onFailure: () => Unit = () => ())(
+      start: () => StreamingQuery): Outcome = {
     var restarts = 0
     while (true) {
       val q = start()
@@ -86,6 +89,7 @@ object FaultPolicy {
         return Outcome(restarts, None) // clean stop
       } catch {
         case t: Throwable =>
+          onFailure()
           classify(t) match {
             case Fatal => throw t
             case Transient if restarts < maxRestarts =>

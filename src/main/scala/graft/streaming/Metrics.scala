@@ -24,6 +24,8 @@ import scala.jdk.CollectionConverters._
 object Metrics {
 
   val ObservationName = "graft_pipeline"
+  val SinkObservationName = "graft_sink"
+  private val TopicMetricPrefix = "topic:"
 
   /** Attach observed metrics to a ChangeEvent-schema stream (call before
     * the handler so eventTime is still present).
@@ -37,6 +39,20 @@ object Metrics {
       approx_count_distinct(concat_ws(".", col("tableNamespace"), col("tableName")))
         .as("approx_tables"))
 
+  /** Attach per-topic record counts to the handled (sink-contract) stream.
+    * The topic set is the finite routing codomain from config, so the
+    * counts are plain conditional aggregates riding the existing plan —
+    * no extra pass, no shuffle — and feed the registry's per-topic
+    * success counters (reference `IncrementSuccessOp`).
+    */
+  def observedSink(records: DataFrame, topics: Seq[String]): DataFrame =
+    if (topics.isEmpty) records
+    else {
+      val aggs = count(lit(1)).as("records") +: topics.distinct.map(t =>
+        sum(when(col("topic") === t, 1L).otherwise(0L)).as(s"$TopicMetricPrefix$t"))
+      records.observe(SinkObservationName, aggs.head, aggs.tail: _*)
+    }
+
   final case class BatchMetrics(
       batchId: Long,
       events: Long,
@@ -45,8 +61,12 @@ object Metrics {
 
   /** Listener collecting per-batch metrics (≙ `ResponseHandler.OnSuccess`
     * accounting + latency gauges). Thread-safe; read via `snapshot`.
+    * When a [[MetricsRegistry]] is supplied, each progress event also
+    * updates the exposition state: the two latency gauges and — from the
+    * sink-side observation — the per-topic success counters.
     */
-  final class Collector extends StreamingQueryListener {
+  final class Collector(registry: Option[MetricsRegistry] = None)
+      extends StreamingQueryListener {
     private val batches = new ConcurrentLinkedQueue[BatchMetrics]()
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -54,11 +74,20 @@ object Metrics {
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
       Option(p.observedMetrics.get(ObservationName)).foreach { m =>
-        batches.add(BatchMetrics(
-          p.batchId,
-          m.getAs[Long]("events"),
-          Option(m.getAs[Any]("max_process_latency_ms")).fold(0L)(_.asInstanceOf[Long]),
-          p.batchDuration))
+        val latency =
+          Option(m.getAs[Any]("max_process_latency_ms")).fold(0L)(_.asInstanceOf[Long])
+        batches.add(BatchMetrics(p.batchId, m.getAs[Long]("events"), latency, p.batchDuration))
+        registry.foreach { r =>
+          r.setProcessLatency(latency)
+          r.setBulkRequestLatency(p.batchDuration)
+        }
+      }
+      for {
+        r <- registry
+        m <- Option(p.observedMetrics.get(SinkObservationName))
+      } m.schema.fieldNames.filter(_.startsWith(TopicMetricPrefix)).foreach { f =>
+        Option(m.getAs[Any](f)).map(_.asInstanceOf[Long]).filter(_ > 0)
+          .foreach(n => r.incrementSuccess(f.stripPrefix(TopicMetricPrefix), n))
       }
     }
 

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.LongAdder
+
+import scala.collection.concurrent.TrieMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Prometheus-style metric registry for the connector — the same metric
+  * families the reference registers (`kafka/producer/metric.go:12-111`):
+  * two latency gauges (process / bulk-request) and two per-topic counters
+  * (successful / failed writes), all labeled with host and slot name.
+  * Names use this engine's `graft_cdc` namespace with the reference's
+  * subsystem/name structure (`<ns>_process_latency_current`,
+  * `<ns>_write_total`, ...).
+  *
+  * Thread-safe: gauges are atomics, counters are LongAdders in a TrieMap
+  * (listener thread writes, HTTP server thread renders).
+  */
+final class MetricsRegistry(val slotName: String) {
+  private val host =
+    try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
+
+  private val processLatencyMs = new AtomicLong(0L)
+  private val bulkLatencyMs = new AtomicLong(0L)
+  private val writeTotal = TrieMap.empty[String, LongAdder]
+  private val errTotal = TrieMap.empty[String, LongAdder]
+
+  def setProcessLatency(ms: Long): Unit = processLatencyMs.set(ms)
+  def setBulkRequestLatency(ms: Long): Unit = bulkLatencyMs.set(ms)
+  def incrementSuccess(topic: String, n: Long = 1L): Unit =
+    writeTotal.getOrElseUpdate(topic, new LongAdder).add(n)
+  def incrementErr(topic: String, n: Long = 1L): Unit =
+    errTotal.getOrElseUpdate(topic, new LongAdder).add(n)
+
+  def successCount(topic: String): Long = writeTotal.get(topic).fold(0L)(_.sum)
+  def errCount(topic: String): Long = errTotal.get(topic).fold(0L)(_.sum)
+
+  private def esc(v: String): String =
+    v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  private def labels(extra: (String, String)*): String =
+    (Seq("host" -> host, "slot_name" -> slotName) ++ extra)
+      .map { case (k, v) => s"""$k="${esc(v)}"""" }.mkString("{", ",", "}")
+
+  /** Prometheus text exposition format 0.0.4. */
+  def render: String = {
+    val sb = new StringBuilder
+    def gauge(name: String, help: String, v: Long): Unit = {
+      sb ++= s"# HELP $name $help\n# TYPE $name gauge\n"
+      sb ++= s"$name${labels()} ${v.toDouble}\n"
+    }
+    def counter(name: String, help: String, m: TrieMap[String, LongAdder]): Unit = {
+      sb ++= s"# HELP $name $help\n# TYPE $name counter\n"
+      m.toSeq.sortBy(_._1).foreach { case (topic, n) =>
+        sb ++= s"$name${labels("topic_name" -> topic)} ${n.sum.toDouble}\n"
+      }
+    }
+    gauge("graft_cdc_process_latency_current",
+      "latest connector process latency in milliseconds", processLatencyMs.get)
+    gauge("graft_cdc_bulk_request_process_latency_current",
+      "latest connector micro-batch (bulk request) duration in milliseconds",
+      bulkLatencyMs.get)
+    counter("graft_cdc_write_total",
+      "total number of successful write operations to the sink", writeTotal)
+    counter("graft_cdc_err_total",
+      "total number of failed write operations to the sink", errTotal)
+    sb.result()
+  }
+}
+
+/** HTTP exposition endpoint (reference `README.md:270-299`): `/metrics`
+  * serves the registry in Prometheus text format, `/status` returns
+  * 200 OK while the supplied probe holds (the reference pings PostgreSQL;
+  * here the probe is typically "the streaming query is active"), 503
+  * otherwise. Built on the JDK's own HttpServer — no dependencies.
+  * Port 0 binds an ephemeral port (tests); the reference default is 8080
+  * (`cdc.metric.port`, `README.md:229`).
+  */
+final class MetricsServer(
+    registry: MetricsRegistry,
+    statusProbe: () => Boolean = () => true,
+    port: Int = 0) extends AutoCloseable {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  private def respond(x: HttpExchange, code: Int, body: String, ctype: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", ctype)
+    x.sendResponseHeaders(code, bytes.length.toLong)
+    val os = x.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  server.createContext("/metrics", (x: HttpExchange) =>
+    respond(x, 200, registry.render, "text/plain; version=0.0.4; charset=utf-8"))
+  server.createContext("/status", { (x: HttpExchange) =>
+    val up = try statusProbe() catch { case _: Exception => false }
+    respond(x, if (up) 200 else 503, if (up) "OK" else "UNAVAILABLE", "text/plain")
+  })
+  server.start()
+
+  /** The bound port (useful with ephemeral port 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  override def close(): Unit = server.stop(0)
+}
