@@ -153,6 +153,31 @@ object CdcPipeline {
   def startToKafka(spark: SparkSession, cfg: ConnectorConfig): StreamingQuery =
     kafkaSink(defaultTransform(source(spark, cfg), cfg), cfg).start()
 
+  /** O3-O5 routing with a LIVE hypertable registry (reference upstream
+    * maintains the chunk→parent map from the catalog while streaming,
+    * `connector.go:204-209`): the transform is re-derived once per
+    * micro-batch inside `foreachBatch` with the registry's current
+    * snapshot, so a chunk table created by DDL mid-stream routes to its
+    * parent from the next batch on — no restart. Within a batch the map
+    * is still a compiled literal (codegen'd probe, no shuffle); the
+    * refresh cost is one registry pull per batch, never per row.
+    * Checkpoint semantics are unchanged (the batch commits after the
+    * writer returns) — delivery is at-least-once, as a retried batch
+    * re-appends (the reference's guarantee, `README.md` at-least-once).
+    */
+  def startToParquetLiveRouting(
+      spark: SparkSession, cfg: ConnectorConfig,
+      registry: graft.route.HypertableRegistry, outDir: String): StreamingQuery =
+    source(spark, cfg).writeStream
+      .trigger(Trigger.ProcessingTime(cfg.kafka.producerBatchTickerDuration.toMillis))
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Handlers.declarative(batch,
+            TopicRouter(cfg.kafka.tableTopicMapping, registry.snapshot()), cfg.keyField)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** The snapshot phase as a BOUNDED run of the same streaming pipeline
     * (`Trigger.AvailableNow`): stream-scan the configured tables as
     * SNAPSHOT events, apply the identical transform, deliver through the
