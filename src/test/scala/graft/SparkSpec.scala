@@ -13,8 +13,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[4, 2]: 4 threads, 2 task attempts — task retry is load-bearing
+    // for the snapshot chunk-resume proof (SnapshotResumeSpec); everywhere
+    // else persistent failures still fail after the second attempt
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
