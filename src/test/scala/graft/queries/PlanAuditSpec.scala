@@ -52,6 +52,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!logical.contains("min(xxhash64"), s"round-2 aggregate formulation resurfaced:\n$logical")
   }
 
+  test("q47: the packing window is partitioned — no single-partition WindowExec") {
+    // the round-3 scale-killer: Window.orderBy with no partitionBy
+    // serializes the corpus through one task ("No Partition Defined").
+    // The registered form must keep the shard key in the window spec.
+    // logical plan: AQE wraps the physical tree in query stages that
+    // collect() does not descend into, but the logical Window is stable
+    val df = graft.SparkEntry.queries("q47_seq_pack")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected a Window in the q47 plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"q47 regressed to an unpartitioned window:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q52: the fullprobe index scan stays cell-filtered (isin over cids)") {
+    val df = graft.SparkEntry.queries("q52_ann_ivf_indexed_fullprobe")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("cid"), s"expected the cell-id filter/join in the plan:\n$p")
+  }
+
   test("q1: aggregation keeps whole-stage codegen coverage") {
     // codegen'd stages carry the `*(n)` prefix in the simple plan string
     val p = plan("q1_agg")
