@@ -176,6 +176,37 @@ object Dedup {
       |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       |GROUP BY text ORDER BY doc_id""".stripMargin
 
+  /** The exact pair set is the shared product of the dedup family — q40
+    * emits it, q45 clusters over it — so it is memoized per
+    * (session, dir) with the same bounded discipline as the shingle
+    * frame (putIfAbsent, loser unpersisted, stale dirs evicted,
+    * clearCaches drops it). Unordered; callers add their own ORDER BY.
+    */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = s"q40pairs:$dir"
+    evict(scratchCache)(k => k._1 == s && k._2.startsWith("q40pairs:") && k._2 != key)
+    scratchCache.get((s, key)).getOrElse {
+      val docs = shingled(s, dir)
+      val ex = docs.select($"doc_id", explode($"sh").as("g"))
+      val sz = docs.select($"doc_id", size($"sh").as("n"))
+      val built = ex.as("a").join(ex.as("b"),
+          $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.as("sa"), $"d1" === $"sa.doc_id")
+        .join(sz.as("sb"), $"d2" === $"sb.doc_id")
+        .withColumn("jac", $"inter".cast("double") / ($"sa.n" + $"sb.n" - $"inter"))
+        .filter($"jac" >= Tau)
+        .select($"d1", $"d2", $"jac")
+        .cache()
+      scratchCache.putIfAbsent((s, key), built) match {
+        case Some(winner) => built.unpersist(false); winner
+        case None         => built
+      }
+    }
+  }
+
   /** Exact n-gram Jaccard near-dup pairs — the quadratic baseline: explode
     * shingle hashes, self-join, count intersections per pair, filter ≥ τ.
     * Pure count aggregation (no arrays past the explode); still
@@ -184,19 +215,7 @@ object Dedup {
     */
   def q40NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = shingled(s, dir)
-    val ex = docs.select($"doc_id", explode($"sh").as("g"))
-    val sz = docs.select($"doc_id", size($"sh").as("n"))
-    ex.as("a").join(ex.as("b"),
-        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sz.as("sa"), $"d1" === $"sa.doc_id")
-      .join(sz.as("sb"), $"d2" === $"sb.doc_id")
-      .withColumn("jac", $"inter".cast("double") / ($"sa.n" + $"sb.n" - $"inter"))
-      .filter($"jac" >= Tau)
-      .select($"d1", $"d2", $"jac")
-      .orderBy($"d1", $"d2")
+    nearDupPairs(s, dir).orderBy($"d1", $"d2")
   }
 
   /** MinHash + LSH banding: 64 min-hashes per doc (xxhash64 seeded by slot
@@ -308,8 +327,9 @@ object Dedup {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents").select($"doc_id")
     // checkpoint: the pair computation is the expensive part and must not
-    // re-run once per propagation round (ccPropagate symmetrizes)
-    val edges = q40NgramJaccard(s, dir).select($"d1", $"d2")
+    // re-run once per propagation round (ccPropagate symmetrizes); the
+    // memoized pair frame means a warm session skips it entirely
+    val edges = nearDupPairs(s, dir).select($"d1", $"d2")
       .toDF("u", "v").localCheckpoint(true)
     val labels = Components.ccPropagate(edges)
     docs.join(labels, Seq("doc_id"), "left")
