@@ -31,6 +31,7 @@ object SparkEntry {
     "q9_lag_lead"       -> (Windows.q9LagLead _),
     "q15_latest_by_key" -> (Windows.q15LatestByKey _),
     "q16_sessionize"    -> (Windows.q16Sessionize _),
+    "q54_range_frame"   -> (Windows.q54RangeFrame _),
     "q20_tumbling"      -> (EventsTime.q20Tumbling _),
     "q21_scalar_funcs"  -> (EventsTime.q21ScalarFuncs _),
     "q23_nullsafe"      -> (EventsTime.q23NullSafe _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q9_lag_lead"       -> Windows.q9LagLeadSql,
     "q15_latest_by_key" -> Windows.q15LatestByKeySql,
     "q16_sessionize"    -> Windows.q16SessionizeSql,
+    "q54_range_frame"   -> Windows.q54RangeFrameSql,
     "q20_tumbling"      -> EventsTime.q20TumblingSql,
     "q21_scalar_funcs"  -> EventsTime.q21ScalarFuncsSql,
     "q23_nullsafe"      -> EventsTime.q23NullSafeSql,

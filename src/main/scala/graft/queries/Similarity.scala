@@ -241,6 +241,42 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Incremental maintenance of a persisted IVF index: assign each new
+    * vector to its nearest FROZEN centroid (the production IVF
+    * discipline — codebooks retrain offline; a serving index only
+    * appends) and append it to that cell's partition directory. One
+    * C×dim broadcast + one partitioned append per batch — no rebuild,
+    * no corpus reshuffle — and probes see the new vectors on their next
+    * scan with partition pruning intact.
+    */
+  def appendToIvfIndex(s: SparkSession, indexPath: String, vectors: DataFrame): Unit = {
+    import s.implicits._
+    val cent = s.read.parquet(s"$indexPath/centroids")
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    vectors.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(s, $"embedding", $"ce"))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter($"arnk" === 1)
+      .select($"vec_id", $"embedding", $"cid")
+      .write.mode("append").partitionBy("cid").parquet(s"$indexPath/cells")
+  }
+
+  /** Streaming lane: keep the index fresh as embeddings arrive — each
+    * micro-batch of (vec_id, embedding) rows is cell-assigned and
+    * appended; the checkpoint makes ingestion resumable (at-least-once:
+    * a retried batch re-appends, which top-k dedupes by vec_id
+    * downstream when exactness matters).
+    */
+  def streamIntoIvfIndex(s: SparkSession, indexPath: String, vectors: DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendToIvfIndex(s, indexPath, batch.toDF())
+      }
+      .start()
+
   /** One live index per (session, source dir, codebook size); rebuilt
     * only when absent. Stopped-session entries are evicted on access
     * (same bounded-cache discipline as Dedup's shingle frame); the temp

@@ -160,4 +160,36 @@ object Windows {
       |  CAST(SUM(n_events) AS BIGINT) AS n_events,
       |  MAX(duration_us) AS max_session_us
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Interval (RANGE) window frame — the frame class the ROWS-framed
+    * windows above don't cover: per-supplier trailing-30-day shipped
+    * quantity. A RANGE frame includes ALL peer rows of the current ORDER
+    * BY value, so the result is a pure function of (key, day) and cannot
+    * depend on intra-day row order — exactly the frame a moving metric
+    * over event time should use (a ROWS frame would make same-day ties
+    * order-sensitive). Quantity sums stay exact-decimal until the final
+    * double cast (Exact.scala conventions).
+    */
+  def q54RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey").orderBy($"d").rangeBetween(-30, 0)
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_suppkey" <= 25)
+      .withColumn("d",
+        datediff(to_date($"l_shipdate"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("qty_30d", sum(d2($"l_quantity")).over(w).cast("double"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"d", $"qty_30d")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  val q54RangeFrameSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, d,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+      |         OVER (PARTITION BY l_suppkey ORDER BY d
+      |               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |       AS DOUBLE) AS qty_30d
+      |FROM (SELECT *,
+      |        CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+      |      FROM lineitem WHERE l_suppkey <= 25)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 }
