@@ -207,6 +207,39 @@ class PgOutputSpec extends SparkSpec {
     assert(ev.newData == Seq("id" -> "5")) // body not sent, not fabricated
   }
 
+  test("decode round-trips randomized messages (unicode names/values, all cell kinds)") {
+    import org.scalacheck.Gen
+    val name = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', 'ü', '表')))
+      .map(_.mkString.take(24))
+    val cell = Gen.oneOf(
+      Gen.const(None),                               // 'n'
+      Gen.const(Some("<u>")),                        // 'u'
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('✓'))).map(cs => Some(cs.mkString)))
+    val cols = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf(true, false), name)).map(_.take(8))
+    def expect(c: Option[String]): Cell = c match {
+      case None        => NullCell
+      case Some("<u>") => UnchangedCell
+      case Some(v)     => TextCell(v)
+    }
+    (1 to 50).foreach { _ =>
+      val cs = cols.sample.getOrElse(List(true -> "id"))
+      val relId = Gen.chooseNum(1, Int.MaxValue).sample.getOrElse(1)
+      val ns = name.sample.getOrElse("public")
+      val rel = name.sample.getOrElse("t")
+      decode(relationMsg(relId, ns, rel, 'd', cs)) match {
+        case Relation(id, n, r, ident, decoded) =>
+          assert(id == relId && n == ns && r == rel && ident == 'd')
+          assert(decoded.map(c => (c.isKey, c.name)) == cs.toIndexedSeq)
+        case other => fail(s"expected Relation, got $other")
+      }
+      val cells = (1 to cs.length).map(_ => cell.sample.getOrElse(None))
+      assert(decode(insertMsg(relId, cells)) ==
+        Insert(relId, cells.map(expect).toIndexedSeq))
+      assert(decode(deleteMsg(relId, 'O', cells)) ==
+        Delete(relId, 'O', cells.map(expect).toIndexedSeq))
+    }
+  }
+
   test("framed replay file round-trips") {
     val msgs = Seq(beginMsg(1L, pg2024, 1), commitMsg(1L, pg2024))
     val back = PgOutput.readFramed(new ByteArrayInputStream(frame(msgs))).toSeq
