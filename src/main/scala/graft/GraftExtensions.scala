@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, SlotAgreement, WordShingleHashes}
+import graft.functions.{CosineSimilarity, Fnv1a32, MinHashSignature, SimHash64, SlotAgreement, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -36,6 +36,8 @@ object GraftExtensions {
       arity(1, "simhash64")(a => SimHash64(a.head))),
     ("slot_agreement", SlotAgreement.info,
       arity(2, "slot_agreement")(a => SlotAgreement(a.head, a(1)))),
+    ("fnv1a32", Fnv1a32.info,
+      arity(1, "fnv1a32")(a => Fnv1a32(a.head))),
     ("word_shingle_hashes", WordShingleHashes.info, args => {
       require(args.length == 1 || args.length == 2,
         "word_shingle_hashes(text[, n]) takes 1 or 2 arguments")

@@ -34,7 +34,12 @@ final case class KafkaSinkConfig(
     rootCaPem: String = "",
     interCaPem: String = "",
     // partition balancer (config.go:40-57 GetBalancer)
-    balancer: String = KafkaSinkConfig.BalancerHash) {
+    balancer: String = KafkaSinkConfig.BalancerHash,
+    // partition count of the target topics — required by the client-side
+    // balancers (ReferenceHash/CRC32Balancer compute partition = f(key) % n
+    // as an explicit output column; a Kafka producer learns n from
+    // metadata, a declarative plan must be told)
+    topicPartitions: Int = 0) {
 
   /** Render as `kafka.*` options for Spark's Kafka sink.
     *
@@ -81,11 +86,14 @@ final case class KafkaSinkConfig(
     * `Murmur2Balancer` are the producer's default hash-the-key
     * partitioner (the Java client hashes with murmur2 where kafka-go's
     * `Hash` uses FNV-1a — same contract: a key sticks to one partition);
-    * `RoundRobin` maps to the RoundRobinPartitioner. `LeastBytes` /
-    * `ReferenceHash` / `CRC32Balancer` have no Java-producer equivalent —
-    * rejected loudly (the reference panics on unknown balancers too);
-    * custom placement is expressible Spark-side with an explicit
-    * `partition` output column instead.
+    * `RoundRobin` maps to the RoundRobinPartitioner. `ReferenceHash` /
+    * `CRC32Balancer` are pure key functions, computed CLIENT-SIDE as an
+    * explicit `partition` column ([[explicitPartition]]) — they render no
+    * producer option but require `topicPartitions`. `LeastBytes` is
+    * producer-state-dependent (least-loaded placement) with no
+    * declarative equivalent — rejected loudly (the reference panics on
+    * unknown balancers too); its users get custom placement via an
+    * explicit `partition` column from the handler.
     */
   private def balancerOptions: Map[String, String] = balancer match {
     case "" | KafkaSinkConfig.BalancerHash | KafkaSinkConfig.BalancerMurmur2 =>
@@ -93,6 +101,11 @@ final case class KafkaSinkConfig(
     case KafkaSinkConfig.BalancerRoundRobin =>
       Map("kafka.partitioner.class" ->
         "org.apache.kafka.clients.producer.RoundRobinPartitioner")
+    case KafkaSinkConfig.BalancerReferenceHash | KafkaSinkConfig.BalancerCrc32 =>
+      require(topicPartitions > 0,
+        s"balancer '$balancer' computes partitions client-side and needs " +
+        "topicPartitions > 0 (the target topics' partition count)")
+      Map.empty // placement happens via the explicit partition column
     case other =>
       throw new IllegalArgumentException(
         s"unsupported kafka balancer '$other': supported are " +
@@ -124,8 +137,11 @@ object KafkaSinkConfig {
   val BalancerHash       = "Hash"           // config.go:42-43 (default)
   val BalancerRoundRobin = "RoundRobin"     // config.go:46-47
   val BalancerMurmur2    = "Murmur2Balancer" // config.go:52-53
+  val BalancerReferenceHash = "ReferenceHash" // config.go:48-49 (client-side)
+  val BalancerCrc32      = "CRC32Balancer"   // config.go:50-51 (client-side)
   val supportedBalancers: Seq[String] =
-    Seq(BalancerHash, BalancerRoundRobin, BalancerMurmur2)
+    Seq(BalancerHash, BalancerRoundRobin, BalancerMurmur2,
+      BalancerReferenceHash, BalancerCrc32)
 }
 
 /** Snapshot modes (`README.md:59-63`): `initial` takes a snapshot only

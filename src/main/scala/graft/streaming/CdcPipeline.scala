@@ -95,9 +95,38 @@ object CdcPipeline {
     */
   def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
     Metrics.observedSink(
-      Handlers.declarative(Metrics.observed(events),
-        TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField),
+      withPlacement(
+        Handlers.declarative(Metrics.observed(events),
+          TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField),
+        cfg),
       cfg.kafka.tableTopicMapping.values.toSeq)
+
+  /** Client-side balancer placement (reference `config.go:48-51`):
+    * `ReferenceHash` and `CRC32Balancer` are pure key functions, so they
+    * compute `partition = f(key) % topicPartitions` as an explicit sink
+    * column — Spark's Kafka writer honors a `partition` column over the
+    * producer's partitioner. `ReferenceHash` masks the FNV-1a hash
+    * non-negative before the modulo (the kafka-go contract); CRC32 is
+    * already unsigned. Both stay inside the sink projection's codegen
+    * (fnv1a32 is a native expression). `LeastBytes` remains rejected at
+    * config time: least-loaded placement depends on producer state no
+    * declarative column can see.
+    */
+  private def withPlacement(records: DataFrame, cfg: ConnectorConfig): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, crc32, lit}
+    val n = cfg.kafka.topicPartitions
+    cfg.kafka.balancer match {
+      case graft.app.KafkaSinkConfig.BalancerReferenceHash =>
+        require(n > 0, "ReferenceHash needs topicPartitions > 0")
+        graft.GraftExtensions.register(records.sparkSession)
+        records.withColumn("partition",
+          (call_function("fnv1a32", col("key")).bitwiseAND(lit(0x7FFFFFFF)) % n).cast("int"))
+      case graft.app.KafkaSinkConfig.BalancerCrc32 =>
+        require(n > 0, "CRC32Balancer needs topicPartitions > 0")
+        records.withColumn("partition", (crc32(col("key")) % n).cast("int"))
+      case _ => records
+    }
+  }
 
   /** Per-key ORDERED delivery (SURVEY §7 "Hard parts"): the reference
     * preserves WAL order globally per slot; a keyed Kafka topic can
@@ -114,12 +143,14 @@ object CdcPipeline {
     */
   def orderedTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
     Metrics.observedSink(
-      Handlers.declarative(
-          Metrics.observed(events),
-          TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField, keepEventTime = true)
-        .repartition(col("key"))
-        .sortWithinPartitions(col("key"), col("eventTime"))
-        .drop("eventTime"), // narrow projection: keeps the sort, drops the column
+      withPlacement(
+        Handlers.declarative(
+            Metrics.observed(events),
+            TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField, keepEventTime = true)
+          .repartition(col("key"))
+          .sortWithinPartitions(col("key"), col("eventTime"))
+          .drop("eventTime"), // narrow projection: keeps the sort, drops the column
+        cfg),
       cfg.kafka.tableTopicMapping.values.toSeq)
 
   /** Production sink: Spark's Kafka writer with the reference's producer
