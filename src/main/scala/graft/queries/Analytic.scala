@@ -44,6 +44,28 @@ object Analytic {
       |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Unpivot (melt) — the inverse of q25's pivot: wide numeric columns to
+    * (key, metric, value) long format, the normalization step feature
+    * pipelines apply before per-metric aggregation. `Dataset.unpivot` is
+    * a pure narrow projection (each row expands map-side, no shuffle);
+    * the oracle states the same reshape as a UNION ALL, the
+    * engine-portable formulation.
+    */
+  def q55Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "part")
+      .select($"p_partkey", $"p_retailprice".as("retail"),
+        $"p_size".cast("double").as("size"))
+      .unpivot(Array($"p_partkey"), Array($"retail", $"size"), "metric", "value")
+      .orderBy($"p_partkey", $"metric")
+  }
+
+  val q55UnpivotSql: String =
+    """SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
   /** Distribution window functions: quartile bucket (ntile), percent_rank
     * and cume_dist over account balance within each market segment. The
     * order includes the unique key so every rank is deterministic.
