@@ -236,6 +236,64 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The full curation pipeline as ONE declarative plan — what the
+    * training-data operators exist for, composed end-to-end: exact dedup
+    * (min doc_id per distinct text), quality gate (≥ 15 tokens), stable
+    * train-split selection (q39's md5 buckets), shard-local context-window
+    * packing (q47's partitioned running sum). Catalyst plans it as one
+    * scan → one dedup shuffle → map-side split/shard assignment → one
+    * partitioned window: four pipeline stages, two exchanges total, every
+    * filter ahead of the window. The oracle states the identical chain as
+    * CTEs.
+    */
+  def q56Curate(s: SparkSession, dir: String, budget: Int = 512, shards: Int = 8): DataFrame = {
+    import s.implicits._
+    val uniq = Tables.load(s, dir, "documents")
+      .groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" >= 15)
+    val bucket = conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+    val shard = (conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long") % shards).as("shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id").rowsBetween(Long.MinValue, 0)
+    val binId = floor(($"cum" - $"n_tokens").cast("double") / budget).cast("long")
+    uniq.filter(bucket < 80) // train only
+      .select($"doc_id", shard, $"n_tokens")
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"shard", $"n_tokens",
+        binId.as("bin_id"),
+        (($"cum" - $"n_tokens") - binId * budget).as("offset_in_bin"))
+      .orderBy($"doc_id")
+  }
+
+  def q56CurateSql(budget: Int = 512, shards: Int = 8): String =
+    s"""WITH uniq AS (
+      |  SELECT MIN(doc_id) AS doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY text),
+      |kept AS (SELECT doc_id, n_tokens FROM uniq WHERE n_tokens >= 15),
+      |train AS (
+      |  SELECT doc_id, n_tokens FROM kept
+      |  WHERE CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |          % 100 < 80),
+      |sharded AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % $shards AS shard
+      |  FROM train),
+      |packed AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sharded)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS bin_id,
+      |  CAST((cum - n_tokens)
+      |       - CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) * $budget
+      |       AS BIGINT) AS offset_in_bin
+      |FROM packed ORDER BY doc_id""".stripMargin
+
   def q47SeqPackSql(budget: Int = 512, shards: Int = 8): String =
     s"""SELECT doc_id, shard, n_tokens,
       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS bin_id,
