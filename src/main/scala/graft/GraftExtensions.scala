@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, Fnv1a32, MinHashSignature, SimHash64, SlotAgreement, WordShingleHashes}
+import graft.functions.{CosineSimilarity, Fnv1a32, MinHashSignature, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -38,6 +38,15 @@ object GraftExtensions {
       arity(2, "slot_agreement")(a => SlotAgreement(a.head, a(1)))),
     ("fnv1a32", Fnv1a32.info,
       arity(1, "fnv1a32")(a => Fnv1a32(a.head))),
+    ("srp_bucket", SrpBucket.info, args => {
+      require(args.length == 3, "srp_bucket(vec, nBits, table) takes 3 arguments")
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"srp_bucket: $what must be an integer literal, got $other")
+      }
+      SrpBucket(args.head, intLit(args(1), "nBits"), intLit(args(2), "table"))
+    }),
     ("word_shingle_hashes", WordShingleHashes.info, args => {
       require(args.length == 1 || args.length == 2,
         "word_shingle_hashes(text[, n]) takes 1 or 2 arguments")

@@ -340,6 +340,65 @@ object Similarity {
   def q52AnnIvfIndexedFullProbe(s: SparkSession, dir: String): DataFrame =
     q52AnnIvfIndexed(s, dir, nCentroids = 8, nProbe = 8)
 
+  /** SRP-LSH ANN — the LSH-bucketed alternative to the IVF scale path
+    * (brief: "an IVF or LSH-bucketed variant"; this engine ships both).
+    * Every vector is hashed to one bucket per hash table by the native
+    * codegen'd srp_bucket signature (signed random projections —
+    * map-side, NO shuffle, exactly the q41/q42 signature discipline);
+    * queries probe all buckets within Hamming distance `probeRadius` of
+    * their own signature (multi-probe LSH: the standard trick to cut
+    * table count at fixed recall), candidates are exact-cosine scored,
+    * deduped across tables AFTER scoring (cos is a pure pair function —
+    * the q43 verify-before-distinct shape), and top-k selected.
+    *
+    * At 100 TB: corpus signatures ride the scan; the probe frame is
+    * queries × nTables × Σ C(nBits, ≤r) rows and is broadcast; the only
+    * shuffle is the top-k window over scored candidates, and each query
+    * touches ~(probe buckets / 2^nBits) of the corpus.
+    */
+  def q57AnnSrp(s: SparkSession, dir: String,
+      nBits: Int = 6, nTables: Int = 2, probeRadius: Int = 1): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+    def sigs(v: Column): Column = array((0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+        call_function("srp_bucket", v, lit(nBits), lit(t)).as("bkt"))): _*)
+    val corpus = e
+      .select($"vec_id".as("nid"), $"embedding".as("ne"), explode(sigs($"embedding")).as("tb"))
+      .select($"nid", $"ne", $"tb.t".as("t"), $"tb.bkt".as("bkt"))
+    // multi-probe masks: all signature perturbations with ≤ probeRadius
+    // bits flipped (probeRadius = nBits ⇒ every bucket ⇒ provably exact)
+    val masks = (0 until (1 << nBits)).filter(m => Integer.bitCount(m) <= probeRadius)
+    val probes = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), explode(sigs($"embedding")).as("tb"))
+      .select($"qid", $"qe", $"tb.t".as("t"),
+        explode(array(masks.map(m => ($"tb.bkt".bitwiseXOR(lit(m)))): _*)).as("bkt"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    corpus.join(broadcast(probes), Seq("t", "bkt"))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
+      .select($"qid", $"nid", $"cos_sim")
+      .distinct() // a pair found by several tables/probes collapses exactly
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"cos_sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** The gate-registered SRP form: ONE table, probe radius = nBits — the
+    * probe set covers all 2^nBits buckets, each corpus vector sits in
+    * exactly one bucket per table, so every (query, vector) pair is
+    * scored exactly once and the answer is provably identical to q50's
+    * brute force (the IVF full-probe trick applied to LSH). The DuckDB
+    * oracle thereby grades the whole LSH machinery — native signature,
+    * multi-probe expansion, bucket join, dedup, top-k — exactly; the
+    * approximate (nTables=2, radius=1) configuration is the same code
+    * path, recall-graded in AnnRecallSpec.
+    */
+  def q57AnnSrpFullProbe(s: SparkSession, dir: String): DataFrame =
+    q57AnnSrp(s, dir, nBits = 6, nTables = 1, probeRadius = 6)
+
   def q51AnnIvf(s: SparkSession, dir: String, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")

@@ -294,6 +294,89 @@ object TextOps {
       |       AS BIGINT) AS offset_in_bin
       |FROM packed ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repetition metrics — the Gopher-style repetition
+    * rules (Rae et al. 2021 §A1.1: fraction of duplicate n-grams) that
+    * pretraining pipelines filter on BEFORE corpus-level dedup: a
+    * document that repeats itself is low-quality even if globally
+    * unique. Emits duplicate-token and duplicate-bigram fractions plus
+    * the keep/drop verdict. Pure per-row array expressions — a map-side
+    * scan with no shuffle, so at 100 TB this runs at I/O speed alongside
+    * the q30 quality stats.
+    */
+  def q58Repetition(s: SparkSession, dir: String,
+      maxDupTokens: Double = 0.4, maxDupBigrams: Double = 0.2): DataFrame = {
+    import s.implicits._
+    val w = split($"text", " ")
+    // same short-doc convention as shingles(): a 1-word doc has one
+    // (degenerate) bigram so fractions stay well-defined
+    val bigrams = transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        size(w).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
+          .as("dup_token_fraction"),
+        (lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+          .as("dup_bigram_fraction"))
+      .withColumn("keep",
+        $"dup_token_fraction" <= maxDupTokens && $"dup_bigram_fraction" <= maxDupBigrams)
+      .orderBy($"doc_id")
+  }
+
+  def q58RepetitionSql(maxDupTokens: Double = 0.4, maxDupBigrams: Double = 0.2): String =
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_tokens,
+      |    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_token_fraction,
+      |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_fraction
+      |  FROM (SELECT doc_id, ws,
+      |          list_transform(range(1, greatest(len(ws), 2)),
+      |                         i -> array_to_string(ws[i:i+1], ' ')) AS bg
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
+      |SELECT doc_id, n_tokens, dup_token_fraction, dup_bigram_fraction,
+      |  (dup_token_fraction <= $maxDupTokens AND dup_bigram_fraction <= $maxDupBigrams) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination — flag training documents sharing any
+    * word-3-gram shingle with the held-out eval set (here: doc_id % 50,
+    * the stand-in benchmark). This is the n-gram-overlap decontamination
+    * every serious pretraining pipeline runs (GPT-3 appendix C /
+    * Gopher §A2): eval sets are tiny, corpora are not, so the eval
+    * shingle set is BROADCAST and the corpus side stays a single
+    * exploded scan + one aggregation — no corpus self-join, no shuffle
+    * of the corpus by shingle. Emits each contaminated training doc
+    * with its distinct-shared-shingle count.
+    *
+    * Shingle hashing rides the native word_shingle_hashes scan (64-bit,
+    * distinct per doc) — the same exact-count-equivalence the q40/q41/q42
+    * oracle gate already proves for this corpus.
+    */
+  def q59Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", call_function("word_shingle_hashes", $"text").as("sh"))
+    val ev = docs.filter($"doc_id" % 50 === 0)
+      .select(explode($"sh").as("g")).distinct()
+    val tr = docs.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", explode($"sh").as("g"))
+    tr.join(broadcast(ev), "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val q59DecontaminateSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0)
+      |SELECT tr.doc_id, COUNT(*) AS n_shared_shingles
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
   def q47SeqPackSql(budget: Int = 512, shards: Int = 8): String =
     s"""SELECT doc_id, shard, n_tokens,
       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS bin_id,

@@ -108,4 +108,44 @@ class SketchSignaturesSpec extends SparkSpec {
     assert(r.getSeq[Long](0).forall(_ == Long.MaxValue))
     assert(r.getLong(1) == 0L)
   }
+
+  /** Independent reimplementation of srp_bucket's Rademacher plane stream
+    * — pins the generated hyperplanes so a silent change to the mask
+    * derivation (which would invalidate every persisted LSH bucket) fails
+    * loudly, same discipline as the Fnv1a32 balancer pin.
+    */
+  private def refSrp(v: Seq[Float], nBits: Int, table: Int): Int = {
+    val words = 1024 / 64
+    (0 until nBits).foldLeft(0) { (acc, j) =>
+      val dot = v.indices.foldLeft(0.0) { (d0, d) =>
+        val mask = SketchHash.fmix64(
+          SketchHash.seed(((table * 1024) + j) * words + (d >> 6)) ^ 0x5851F42D4C957F2DL)
+        d0 + (if (((mask >>> (d & 63)) & 1L) == 1L) v(d).toDouble else -v(d).toDouble)
+      }
+      if (dot > 0.0) acc | (1 << j) else acc
+    }
+  }
+
+  test("srp_bucket matches the reference model through codegen on real embeddings") {
+    import spark.implicits._
+    val got = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("embedding", "srp_bucket(embedding, 6, 0) AS b0",
+        "srp_bucket(embedding, 6, 1) AS b1")
+      .as[(Seq[Float], Int, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (v, b0, b1) =>
+      assert(b0 == refSrp(v, 6, 0) && b1 == refSrp(v, 6, 1))
+      assert(b0 >= 0 && b0 < 64 && b1 >= 0 && b1 < 64)
+    }
+    // the two tables must be independent hash families, not copies
+    assert(got.exists { case (_, b0, b1) => b0 != b1 })
+  }
+
+  test("srp_bucket of a zero/empty vector is bucket 0 (ties clear every bit)") {
+    val r = spark.sql(
+      """SELECT srp_bucket(CAST(array() AS array<float>), 6, 0) AS be,
+        |       srp_bucket(CAST(array(0.0, 0.0) AS array<float>), 6, 0) AS bz
+        |FROM (SELECT 1)""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0)
+  }
 }
