@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, Fnv1a32, MinHashSignature, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
+import graft.functions.{CosineSimilarity, Fnv1a32, MinHashSignature, MinShingleMd5, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -38,6 +38,16 @@ object GraftExtensions {
       arity(2, "slot_agreement")(a => SlotAgreement(a.head, a(1)))),
     ("fnv1a32", Fnv1a32.info,
       arity(1, "fnv1a32")(a => Fnv1a32(a.head))),
+    ("min_shingle_md5", MinShingleMd5.info, args => {
+      require(args.length == 1 || args.length == 2,
+        "min_shingle_md5(text[, n]) takes 1 or 2 arguments")
+      val n = args.lift(1).map {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"min_shingle_md5: n must be an integer literal, got $other")
+      }.getOrElse(3)
+      MinShingleMd5(args.head, n)
+    }),
     ("srp_bucket", SrpBucket.info, args => {
       require(args.length == 3, "srp_bucket(vec, nBits, table) takes 3 arguments")
       def intLit(e: Expression, what: String): Int = e match {

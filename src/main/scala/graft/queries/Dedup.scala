@@ -283,21 +283,24 @@ object Dedup {
     // document with no shuffle and no 64 agg buffers.
     val sim = cacheScratch(s, "q42_sim",
       docs.select($"doc_id", call_function("simhash64", $"sh").as("simhash")))
-    val chunks = sim.select($"doc_id",
+    // the signature is ONE long, so it rides the block explode for free —
+    // both self-join sides come straight off the cached sim frame with no
+    // join-back to re-attach it (the join-back form paid two extra
+    // doc_id-shuffles of the 13×corpus chunk frame)
+    val chunks = sim.select($"doc_id", $"simhash",
         explode(expr(
           """transform(sequence(0, 12), c -> struct(c AS chunk,
             |  shiftright(simhash, cast(c*64 div 13 AS int))
             |    & (shiftleft(1L, cast((c+1)*64 div 13 - c*64 div 13 AS int)) - 1) AS cv))""".stripMargin))
           .as("cc"))
-      .select($"doc_id", $"cc.chunk", $"cc.cv")
+      .select($"doc_id", $"simhash", $"cc.chunk", $"cc.cv")
     // Hamming-filter BEFORE distinct: the raw pair stream (with up to one
     // duplicate per colliding block) is large, the ≤12-Hamming survivors
     // are rare — filtering on two 8-byte columns first means the distinct
     // shuffle only ever sees survivors.
-    val sigs = sim.select($"doc_id", $"simhash")
-    val a = chunks.join(sigs, "doc_id")
+    val a = chunks
       .select($"doc_id".as("d1"), $"chunk", $"cv", $"simhash".as("s1"))
-    val b = chunks.join(sigs, "doc_id")
+    val b = chunks
       .select($"doc_id".as("d2"), $"chunk".as("chunk2"), $"cv".as("cv2"), $"simhash".as("s2"))
     val cands = a.join(b,
         $"chunk" === $"chunk2" && $"cv" === $"cv2" && $"d1" < $"d2" &&

@@ -71,19 +71,19 @@ object TextOps {
     */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Single pass: explode shingles and aggregate min-md5 + count in one
-    // groupBy keyed on (doc_id, doc_fp) — no join, no second
-    // materialization of the shingle subtree, codegen'd map-side
-    // partial mins (the per-row transform-lambda form evaluates
-    // interpreted and was ~5× slower at sf0.1).
+    // Pure map-side scan via the native min_shingle_md5 expression: one
+    // fused pass per document, no explode, no aggregation, no shuffle.
+    // (History: round 2's per-row transform-lambda form evaluated
+    // interpreted; rounds 3-5 used explode + groupBy-min — codegen'd but
+    // paying the shingle materialization and a hash aggregation; the
+    // fused expression makes fingerprinting scan-speed at any scale.)
+    graft.GraftExtensions.register(s)
     Tables.load(s, dir, "documents")
       .select($"doc_id", md5($"text".cast("binary")).as("doc_fp"),
-        explode(shingles($"text")).as("g"))
-      .groupBy($"doc_id", $"doc_fp")
-      .agg(
-        min(md5($"g".cast("binary"))).as("min_shingle_fp"),
-        count(lit(1)).as("n_shingles"))
-      .select($"doc_id", $"doc_fp", $"min_shingle_fp", $"n_shingles")
+        call_function("min_shingle_md5", $"text").as("fp"))
+      .select($"doc_id", $"doc_fp",
+        $"fp.min_shingle_fp".as("min_shingle_fp"),
+        $"fp.n_shingles".as("n_shingles"))
       .orderBy($"doc_id")
   }
 
@@ -306,18 +306,22 @@ object TextOps {
   def q58Repetition(s: SparkSession, dir: String,
       maxDupTokens: Double = 0.4, maxDupBigrams: Double = 0.2): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
+    // distinct token/bigram counts ride the native word_shingle_hashes
+    // scan (n=1 ⇒ distinct words, n=2 ⇒ distinct bigrams; 64-bit
+    // hash-set counts == string-set counts, the equivalence the q40
+    // oracle gate pins) — the transform/array_distinct lambda chain this
+    // replaces evaluated interpreted per row and was ~10× slower.
+    // Totals share the conventions: n bigrams = max(n_tokens - 1, 1),
+    // the shingles() short-doc rule.
     val w = split($"text", " ")
-    // same short-doc convention as shingles(): a 1-word doc has one
-    // (degenerate) bigram so fractions stay well-defined
-    val bigrams = transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(2))))
     Tables.load(s, dir, "documents")
       .select($"doc_id",
         size(w).cast("long").as("n_tokens"),
-        (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
-          .as("dup_token_fraction"),
-        (lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
-          .as("dup_bigram_fraction"))
+        (lit(1.0) - size(call_function("word_shingle_hashes", $"text", lit(1)))
+          .cast("double") / size(w)).as("dup_token_fraction"),
+        (lit(1.0) - size(call_function("word_shingle_hashes", $"text", lit(2)))
+          .cast("double") / greatest(size(w) - 1, lit(1))).as("dup_bigram_fraction"))
       .withColumn("keep",
         $"dup_token_fraction" <= maxDupTokens && $"dup_bigram_fraction" <= maxDupBigrams)
       .orderBy($"doc_id")

@@ -141,6 +141,36 @@ class SketchSignaturesSpec extends SparkSpec {
     assert(got.exists { case (_, b0, b1) => b0 != b1 })
   }
 
+  test("min_shingle_md5 == the declarative explode + md5 + groupBy-min formulation") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = docs
+      .selectExpr("doc_id", "min_shingle_md5(text) AS fp")
+      .selectExpr("doc_id", "fp.min_shingle_fp", "fp.n_shingles")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val want = docs
+      .selectExpr("doc_id",
+        """explode(array_distinct(transform(
+          |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))) AS g""".stripMargin)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.min(md5($"g".cast("binary"))).as("m"),
+        count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("min_shingle_md5 edge cases: short docs and the empty string") {
+    val r = spark.sql(
+      """SELECT min_shingle_md5('one two') AS s2, min_shingle_md5('') AS s0
+        |FROM (SELECT 1)""".stripMargin).collect()(0)
+    val s2 = r.getStruct(0); val s0 = r.getStruct(1)
+    // < n words: one whole-doc shingle
+    assert(s2.getLong(1) == 1L && s0.getLong(1) == 1L)
+    assert(s2.getString(0) == org.apache.commons.codec.digest.DigestUtils.md5Hex("one two"))
+    assert(s0.getString(0) == org.apache.commons.codec.digest.DigestUtils.md5Hex(""))
+  }
+
   test("srp_bucket of a zero/empty vector is bucket 0 (ties clear every bit)") {
     val r = spark.sql(
       """SELECT srp_bucket(CAST(array() AS array<float>), 6, 0) AS be,
