@@ -381,6 +381,43 @@ object TextOps {
       |FROM tr JOIN ev ON tr.g = ev.g
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
+  /** Data-mixture sampling — the "mixing weights" step that turns a
+    * curated corpus into a training mixture: every source is kept at its
+    * own rate (up-weight curated sources, down-weight noisy ones),
+    * deterministically (q39's stable md5 bucket, so the sample never
+    * moves as the corpus grows and any engine reproduces it). The
+    * weights live in a tiny table BROADCAST against the corpus — the
+    * shape a 100 TB pipeline wants (weights are config, the corpus scan
+    * stays map-side; changing the mixture is a metadata change, not a
+    * reshuffle).
+    */
+  def q61Mixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq(("src0", 100L), ("src1", 100L), ("src2", 20L), ("src3", 20L))
+      .toDF("source", "rate")
+    val bucket = (conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long") % 100).as("bucket")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", bucket)
+      .join(broadcast(weights), Seq("source"), "left")
+      .withColumn("rate", coalesce($"rate", lit(60L)))
+      .filter($"bucket" < $"rate")
+      .select($"doc_id", $"source", $"bucket", $"rate")
+      .orderBy($"doc_id")
+  }
+
+  val q61MixtureSql: String =
+    """WITH w(source, rate) AS (VALUES ('src0', 100), ('src1', 100), ('src2', 20), ('src3', 20)),
+      |b AS (SELECT doc_id, source,
+      |        CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |          % 100 AS bucket
+      |      FROM documents)
+      |SELECT b.doc_id, b.source, b.bucket,
+      |  CAST(COALESCE(w.rate, 60) AS BIGINT) AS rate
+      |FROM b LEFT JOIN w ON b.source = w.source
+      |WHERE b.bucket < COALESCE(w.rate, 60)
+      |ORDER BY b.doc_id""".stripMargin
+
   def q47SeqPackSql(budget: Int = 512, shards: Int = 8): String =
     s"""SELECT doc_id, shard, n_tokens,
       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS bin_id,

@@ -74,6 +74,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cid"), s"expected the cell-id filter/join in the plan:\n$p")
   }
 
+  test("q31: fingerprinting is a map-only scan — no exchange except the final sort") {
+    val df = graft.SparkEntry.queries("q31_fingerprint")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("min_shingle_md5"), s"expected the native fingerprint expr:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"q31 regressed to the explode + groupBy-min formulation:\n$p")
+  }
+
+  test("q57: SRP probe side is broadcast; signatures are the native expression") {
+    val df = graft.SparkEntry.queries("q57_ann_srp_fullprobe")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan.toString()
+    assert(logical.contains("srp_bucket"), s"expected native srp_bucket expr:\n$logical")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the probe frame broadcast into the bucket join:\n$p")
+  }
+
+  test("q59: the eval shingle set is broadcast — the corpus is never shuffled by shingle") {
+    val df = graft.SparkEntry.queries("q59_decontaminate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the eval side broadcast:\n$p")
+  }
+
+  test("q58: repetition metrics are a pure scan — no shuffle except the final sort") {
+    val df = graft.SparkEntry.queries("q58_repetition")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("word_shingle_hashes"), s"expected native distinct-count exprs:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"q58 must not aggregate:\n$p")
+  }
+
   test("q1: aggregation keeps whole-stage codegen coverage") {
     // codegen'd stages carry the `*(n)` prefix in the simple plan string
     val p = plan("q1_agg")
