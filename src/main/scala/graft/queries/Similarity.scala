@@ -229,7 +229,7 @@ object Similarity {
       .select($"qid", $"qe", $"cid")
     val probedCells = probes.select($"cid").distinct().collect().map(_.getInt(0))
     val cells = s.read.parquet(s"$indexPath/cells")
-      .filter($"cid".isin(probedCells.map(Integer.valueOf): _*)) // partition-pruned
+      .filter($"cid".isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*)) // partition-pruned
       .select($"vec_id".as("nid"), $"embedding".as("ne"), $"cid")
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
     probes.join(cells, "cid")

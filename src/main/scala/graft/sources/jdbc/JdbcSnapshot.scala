@@ -51,7 +51,7 @@ object JdbcSnapshot {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .load()
-    val lowered = df.toDF(df.columns.map(_.toLowerCase): _*)
+    val lowered = df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
     SnapshotSource.asSnapshotEvents(lowered, table.toLowerCase, namespace)
   }
 
