@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-time stream processing surface (SURVEY §2B "Streaming"):
   * watermarked tumbling/sliding windows, session windows, stateful
@@ -159,6 +159,67 @@ object EventStreams {
           out.result().iterator
       }
       .toDF("doc_id", "dup_of", "est")
+  }
+
+  /** Per-user activity profile processor for [[userActivity]] — the
+    * arbitrary-state v2 (`transformWithState`) lane. What this API adds
+    * over flatMapGroupsWithState, demonstrated here: MULTIPLE typed
+    * state variables per key (a ValueState for the running (count, sum)
+    * plus a ListState for the recent-event ring — v1 forces one state
+    * object, so capping a list means rewriting the whole blob), each
+    * independently TTL-able, plus timers and schema evolution. State
+    * lives in RocksDB (the required provider for this operator), so at
+    * 100 TB key spaces state spills off-heap instead of OOMing executors.
+    */
+  private class UserActivityProcessor(keepLast: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double), (Long, Long, Double, Seq[Long])] {
+
+    @transient private var stats: ValueState[(Long, Double)]  = _
+    @transient private var recent: ListState[Long]            = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      stats = getHandle.getValueState[(Long, Double)]("stats",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+      recent = getHandle.getListState[Long]("recent", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double, Seq[Long])] = {
+      var (n, sum) = if (stats.exists()) stats.get() else (0L, 0.0)
+      // deterministic intra-batch order (same discipline as sequenceNumbers)
+      rows.toSeq.sortBy(_._2).foreach { case (_, eventId, v) =>
+        n += 1; sum += v
+        recent.appendValue(eventId)
+      }
+      val all = recent.get().toSeq
+      val capped = all.takeRight(keepLast)
+      if (capped.length != all.length) recent.put(capped.toArray)
+      stats.update((n, sum))
+      Iterator.single((user, n, sum, capped))
+    }
+  }
+
+  /** Per-user running activity via the Spark 4 arbitrary-state v2 API
+    * (`transformWithState`): emits one (user_id, n_events, sum_value,
+    * recent_event_ids) row per user per micro-batch, with the running
+    * totals in a ValueState and the last-`keepLast` event ids in a
+    * ListState. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — the v2 operator does not
+    * run on the default HDFS-backed store.
+    */
+  def userActivity(events: DataFrame, keepLast: Int = 3): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserActivityProcessor(keepLast),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "n_events", "sum_value", "recent_event_ids")
   }
 
   /** Per-user running counter via custom state (the

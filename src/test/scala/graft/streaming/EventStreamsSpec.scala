@@ -128,4 +128,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(got((1L, 10L)) == 1L && got((1L, 11L)) == 2L && got((1L, 12L)) == 3L)
     assert(got((2L, 20L)) == 1L)
   }
+
+  test("transformWithState keeps multiple state variables per user across batches") {
+    // the v2 arbitrary-state operator requires the RocksDB provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val name = s"act_${System.nanoTime()}"
+      val q = EventStreams.userActivity(in.toDF(), keepLast = 2)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      in.addData(Ev(10, ts(0), 1, "a", 1.0), Ev(11, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(12, ts(2), 1, "a", 3.0)) // both state vars must carry over
+      q.processAllAvailable(); q.stop()
+      val rows = spark.sql(s"SELECT * FROM $name WHERE user_id = 1 ORDER BY n_events").collect()
+      assert(rows.length == 2)
+      // batch 1: count 2, sum 3.0, recent capped to last 2 of [10, 11]
+      assert(rows(0).getLong(1) == 2L && rows(0).getDouble(2) == 3.0)
+      assert(rows(0).getSeq[Long](3) == Seq(10L, 11L))
+      // batch 2: ValueState carried (count 3, sum 6.0); ListState capped to [11, 12]
+      assert(rows(1).getLong(1) == 3L && rows(1).getDouble(2) == 6.0)
+      assert(rows(1).getSeq[Long](3) == Seq(11L, 12L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
