@@ -54,9 +54,15 @@ object Multimodal {
       if (payload.length > 0) { var j = 0; while (j < FeatureDim) { hist(j) /= payload.length; j += 1 } }
       hist
     }
-    /** ≙ resize/frame-sample: deterministic payload truncation. */
+    /** ≙ frame-sample: deterministic payload decimation. */
     def sampleFrames(payload: Array[Byte], everyNth: Int): Array[Byte] =
       payload.zipWithIndex.collect { case (b, i) if i % everyNth == 0 => b }
+    /** ≙ resize: deterministic proportional payload truncation (a real
+      * codec re-encodes; the byte-count scaling is what the pipeline
+      * plumbing sees either way).
+      */
+    def resize(payload: Array[Byte], num: Int, den: Int): Array[Byte] =
+      java.util.Arrays.copyOf(payload, math.max(payload.length * num / den, 1))
   }
 
   /** Build a deterministic media table from the documents corpus (payload
@@ -102,6 +108,27 @@ object Multimodal {
       rows.map(r => r.copy(payload = codec.sampleFrames(r.payload, everyNth)))
     }
     sampled.toDF()
+  }
+
+  /** Resize lane: payload transform + metadata update in ONE pass — the
+    * width/height columns must track the payload, or downstream batch
+    * sizing (and any plan pruning on dimensions) misestimates. Media
+    * already within `maxWidth` passes through untouched. Same
+    * partition-parallel shape as the other codec lanes.
+    */
+  def resize(media: DataFrame, maxWidth: Int = 256): DataFrame = {
+    import media.sparkSession.implicits._
+    val resized = media.as[MediaRow].mapPartitions { rows =>
+      val codec = StubCodec.init()
+      rows.map { r =>
+        if (r.width <= maxWidth) r
+        else r.copy(
+          payload = codec.resize(r.payload, maxWidth, r.width),
+          width = maxWidth,
+          height = math.max(r.height * maxWidth / r.width, 1))
+      }
+    }
+    resized.toDF()
   }
 
   /** Oracle-checked metadata/stat query over the media table — everything

@@ -38,4 +38,24 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(sizes.forall(r => r.getAs[Int]("ns") == (r.getAs[Int]("n") + 3) / 4))
   }
+
+  test("resize caps width, scales height and payload together, passes small media through") {
+    val m = Multimodal.mediaTable(spark, dir)
+    val resized = Multimodal.resize(m, maxWidth = 256)
+    val joined = m.selectExpr("mediaId", "width AS w0", "height AS h0", "length(payload) AS n0")
+      .join(resized.selectExpr(
+        "mediaId", "width AS w1", "height AS h1", "length(payload) AS n1"), "mediaId")
+      .collect()
+    assert(joined.nonEmpty && joined.exists(_.getAs[Int]("w0") > 256))
+    joined.foreach { r =>
+      val (w0, h0, n0) = (r.getAs[Int]("w0"), r.getAs[Int]("h0"), r.getAs[Int]("n0"))
+      val (w1, h1, n1) = (r.getAs[Int]("w1"), r.getAs[Int]("h1"), r.getAs[Int]("n1"))
+      if (w0 <= 256) assert((w1, h1, n1) == ((w0, h0, n0)), s"media ${r.getLong(0)} must pass through")
+      else {
+        assert(w1 == 256)
+        assert(h1 == math.max(h0 * 256 / w0, 1), s"height must track the width scale")
+        assert(n1 == math.max(n0 * 256 / w0, 1), s"payload must scale with the dimensions")
+      }
+    }
+  }
 }
