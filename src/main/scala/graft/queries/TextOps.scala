@@ -418,6 +418,120 @@ object TextOps {
       |WHERE b.bucket < COALESCE(w.rate, 60)
       |ORDER BY b.doc_id""".stripMargin
 
+  /** The FULL modern curation recipe as one declarative plan — q56's
+    * chain extended with this round's operators, in the order a
+    * production pretraining pipeline runs them:
+    *
+    *   1. training pool (eval docs held out: doc_id % 50 ≠ 0)
+    *   2. exact dedup (survivor = min doc_id; source via min_by)
+    *   3. quality gate (≥ 15 tokens) + repetition gate (q58's
+    *      duplicate-bigram fraction ≤ 0.2, native distinct counts)
+    *   4. decontamination (q59: drop docs sharing any 3-gram shingle
+    *      with the eval set — eval shingles broadcast)
+    *   5. stable train split (q39's md5 buckets, < 80)
+    *   6. mixture sampling (q61's per-source rates)
+    *   7. shard-local context-window packing (q47)
+    *
+    * The gated survivors are materialized ONCE (localCheckpoint — the
+    * q45 discipline; Catalyst prunes columns per branch, so the
+    * decontamination branch would otherwise re-run a narrower copy of
+    * the dedup rather than reuse its exchange). Both the contamination
+    * check and the main chain read the materialized frame: the corpus
+    * is scanned and dedup-shuffled exactly once, the remaining
+    * exchanges are the two small-side distincts (eval shingles,
+    * contaminated ids — both broadcast back), and the packing window.
+    * The oracle states the identical chain as CTEs.
+    */
+  def q62CurateFull(s: SparkSession, dir: String, budget: Int = 512, shards: Int = 8): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+    // eval shingles: tiny (the benchmark suite), broadcast everywhere
+    val evSh = docs.filter($"doc_id" % 50 === 0)
+      .select(explode(call_function("word_shingle_hashes", $"text")).as("g")).distinct()
+    val uniq = docs.filter($"doc_id" % 50 =!= 0)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), min_by($"source", $"doc_id").as("source"))
+      .select($"doc_id", $"source", $"text",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    val gated = uniq
+      .filter($"n_tokens" >= 15)
+      .filter((lit(1.0) - size(call_function("word_shingle_hashes", $"text", lit(2)))
+        .cast("double") / greatest($"n_tokens" - 1, lit(1))) <= 0.2)
+      .localCheckpoint(true)
+    val contaminated = gated
+      .select($"doc_id", explode(call_function("word_shingle_hashes", $"text")).as("g"))
+      .join(broadcast(evSh), "g")
+      .select($"doc_id").distinct()
+    val weights = Seq(("src0", 100L), ("src1", 100L), ("src2", 20L), ("src3", 20L))
+      .toDF("source", "rate")
+    def bucket(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), $"doc_id".cast("string"))), 1, 8),
+        16, 10).cast("long") % 100
+    val shard = (conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long") % shards).as("shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id").rowsBetween(Long.MinValue, 0)
+    val binId = floor(($"cum" - $"n_tokens").cast("double") / budget).cast("long")
+    gated
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .filter(bucket("split:") < 80)
+      .join(broadcast(weights), Seq("source"), "left")
+      .filter(bucket("mix:") < coalesce($"rate", lit(60L)))
+      .select($"doc_id", $"source", shard, $"n_tokens")
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"source", $"shard", $"n_tokens",
+        binId.as("bin_id"),
+        (($"cum" - $"n_tokens") - binId * budget).as("offset_in_bin"))
+      .orderBy($"doc_id")
+  }
+
+  def q62CurateFullSql(budget: Int = 512, shards: Int = 8): String =
+    s"""WITH w0 AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w0),
+      |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+      |uniq AS (
+      |  SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS source, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id % 50 <> 0 GROUP BY text),
+      |gated AS (
+      |  SELECT u.doc_id, u.source, u.n_tokens FROM uniq u
+      |  WHERE u.n_tokens >= 15
+      |    AND 1.0 - CAST(len(list_distinct(list_transform(
+      |          range(1, greatest(len(string_split(u.text, ' ')), 2)),
+      |          i -> array_to_string(string_split(u.text, ' ')[i:i+1], ' ')))) AS DOUBLE)
+      |        / greatest(u.n_tokens - 1, 1) <= 0.2),
+      |contaminated AS (
+      |  SELECT DISTINCT sh.doc_id
+      |  FROM sh JOIN gated ON sh.doc_id = gated.doc_id, unnest(sh.s) AS t(g)
+      |  WHERE t.g IN (SELECT g FROM ev)),
+      |mixw(source, rate) AS (VALUES ('src0', 100), ('src1', 100), ('src2', 20), ('src3', 20)),
+      |kept AS (
+      |  SELECT g.doc_id, g.source, g.n_tokens FROM gated g
+      |  LEFT JOIN mixw ON g.source = mixw.source
+      |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |    AND CAST(('0x' || substring(md5('split:' || CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |          % 100 < 80
+      |    AND CAST(('0x' || substring(md5('mix:' || CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |          % 100 < COALESCE(mixw.rate, 60)),
+      |sharded AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % $shards AS shard
+      |  FROM kept),
+      |packed AS (
+      |  SELECT doc_id, source, shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sharded)
+      |SELECT doc_id, source, shard, n_tokens,
+      |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS bin_id,
+      |  CAST((cum - n_tokens)
+      |       - CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) * $budget
+      |       AS BIGINT) AS offset_in_bin
+      |FROM packed ORDER BY doc_id""".stripMargin
+
   def q47SeqPackSql(budget: Int = 512, shards: Int = 8): String =
     s"""SELECT doc_id, shard, n_tokens,
       |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS bin_id,

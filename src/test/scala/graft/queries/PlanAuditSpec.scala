@@ -110,6 +110,25 @@ class PlanAuditSpec extends SparkSpec {
       s"q58 must not aggregate:\n$p")
   }
 
+  test("q62: the curation pipeline dedups the corpus once; remaining shuffles are small-side") {
+    val df = graft.SparkEntry.queries("q62_curate_full")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // AQE prints Final + Initial plan copies — audit the final tree only
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the gated survivors are checkpointed, so the main plan must NOT
+    // contain the dedup-by-text exchange at all — if it does, a branch
+    // is re-deriving the dedup instead of reading the materialized frame
+    assert(!finalPlan.contains("hashpartitioning(text"),
+      s"a branch re-runs the corpus dedup:\n$finalPlan")
+    val shuffles = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // allowed: the two SMALL-side distincts (eval shingles, contaminated
+    // ids — both broadcast back) and the shard-partitioned packing window
+    assert(shuffles <= 3, s"curation pipeline grew extra shuffles ($shuffles):\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"eval-shingle/weights joins must broadcast:\n$finalPlan")
+  }
+
   test("q1: aggregation keeps whole-stage codegen coverage") {
     // codegen'd stages carry the `*(n)` prefix in the simple plan string
     val p = plan("q1_agg")
