@@ -5,7 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, Fnv1a32, MinHashSignature, MinShingleMd5, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions.{CosineSimilarity, Fnv1a32, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -20,6 +23,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Train-time constants (codebooks, shape params) arrive from the
+    * DataFrame API as `typedLit`/`lit` literals; builders unwrap them at
+    * resolution so the expression carries plain arrays — codegen
+    * reference objects, not per-row children.
+    */
+  private def intLit(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+
+  private def floatArrayLit(e: Expression, fn: String, what: String): Array[Float] = e match {
+    case Literal(data: ArrayData, ArrayType(FloatType, _)) => data.toFloatArray()
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an array<float> literal, got $other")
+  }
+
   private def arity(n: Int, name: String)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     args => {
@@ -57,6 +77,18 @@ object GraftExtensions {
       }
       SrpBucket(args.head, intLit(args(1), "nBits"), intLit(args(2), "table"))
     }),
+    ("pq_encode", PqEncode.info, args => {
+      require(args.length == 4, "pq_encode(vec, codebook, m, k) takes 4 arguments")
+      PqEncode(args.head, floatArrayLit(args(1), "pq_encode", "codebook"),
+        intLit(args(2), "pq_encode", "m"), intLit(args(3), "pq_encode", "k"))
+    }),
+    ("pq_lut", PqLut.info, args => {
+      require(args.length == 4, "pq_lut(vec, codebook, m, k) takes 4 arguments")
+      PqLut(args.head, floatArrayLit(args(1), "pq_lut", "codebook"),
+        intLit(args(2), "pq_lut", "m"), intLit(args(3), "pq_lut", "k"))
+    }),
+    ("pq_adc", PqAdc.info,
+      arity(2, "pq_adc")(a => PqAdc(a.head, a(1)))),
     ("word_shingle_hashes", WordShingleHashes.info, args => {
       require(args.length == 1 || args.length == 2,
         "word_shingle_hashes(text[, n]) takes 1 or 2 arguments")
