@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.model.{ChangeEvent, Op}
+
+/** Streaming CDC apply (Materialize): the replica table tracks
+  * latest-change-per-key apply semantics (q46's contract) continuously,
+  * rewrites only touched buckets, and is idempotent under redelivery.
+  */
+class MaterializeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  private def ev(op: String, id: Int, min: Int, v: String): ChangeEvent = {
+    val data = Map("id" -> id.toString, "v" -> v)
+    if (op == Op.Delete) ChangeEvent(ts(min), "public", "t", data, Map.empty, op)
+    else ChangeEvent(ts(min), "public", "t", Map.empty, data, op)
+  }
+
+  private def state(tablePath: String): Map[String, (String, Timestamp)] =
+    Materialize.replica(spark, tablePath).collect()
+      .map(r => r.getString(0) ->
+        (r.getMap[String, String](1)("v"), r.getTimestamp(2))).toMap
+
+  test("streamed apply converges to the batch latest-by-key result, deletes drop rows") {
+    val tablePath = Files.createTempDirectory("graft-replica").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-replica-ckpt").toString
+    val in = MemoryStream[ChangeEvent](spark)
+    val q = Materialize.applyStream(in.toDF(), "id", tablePath, ckpt, nBuckets = 4)
+
+    // batch 1: inserts
+    in.addData(ev(Op.Insert, 1, 0, "a"), ev(Op.Insert, 2, 1, "b"), ev(Op.Insert, 3, 2, "c"))
+    q.processAllAvailable()
+    assert(state(tablePath) == Map(
+      "1" -> ("a", ts(0)), "2" -> ("b", ts(1)), "3" -> ("c", ts(2))))
+
+    // batch 2: update 1, delete 2, insert 4 — and an out-of-order older
+    // update of 3 that must LOSE to the existing newer row
+    in.addData(ev(Op.Update, 1, 10, "a2"), ev(Op.Delete, 2, 11, ""),
+      ev(Op.Insert, 4, 12, "d"), ev(Op.Update, 3, 1, "stale"))
+    q.processAllAvailable()
+    assert(state(tablePath) == Map(
+      "1" -> ("a2", ts(10)), "3" -> ("c", ts(2)), "4" -> ("d", ts(12))))
+
+    // batch 3: several changes to one key in one batch — latest wins
+    in.addData(ev(Op.Update, 4, 20, "d2"), ev(Op.Update, 4, 22, "d3"),
+      ev(Op.Update, 4, 21, "dX"))
+    q.processAllAvailable(); q.stop()
+    assert(state(tablePath)("4") == ("d3", ts(22)))
+  }
+
+  test("re-applying a delivered batch is a no-op (at-least-once redelivery safe)") {
+    val tablePath = Files.createTempDirectory("graft-replica2").toString + "/t"
+    val b1 = Seq(ev(Op.Insert, 1, 0, "a"), ev(Op.Insert, 2, 1, "b")).toDF()
+    val b2 = Seq(ev(Op.Update, 1, 5, "a2"), ev(Op.Delete, 2, 6, "")).toDF()
+    Materialize.applyBatch(b1, "id", tablePath, nBuckets = 4)
+    Materialize.applyBatch(b2, "id", tablePath, nBuckets = 4)
+    val afterOnce = state(tablePath)
+    Materialize.applyBatch(b2, "id", tablePath, nBuckets = 4) // redelivery
+    assert(state(tablePath) == afterOnce)
+    assert(afterOnce == Map("1" -> ("a2", ts(5))))
+  }
+
+  test("a batch rewrites only the buckets it touches") {
+    val tablePath = Files.createTempDirectory("graft-replica3").toString + "/t"
+    // seed all buckets
+    Materialize.applyBatch(
+      (1 to 64).map(i => ev(Op.Insert, i, 0, s"v$i")).toDF(), "id", tablePath, nBuckets = 4)
+    val dir = new java.io.File(tablePath)
+    def bucketFiles(b: Int): Set[String] =
+      Option(new java.io.File(dir, s"bucket=$b").list()).map(_.toSet).getOrElse(Set.empty)
+    assert((0 to 3).forall(bucketFiles(_).nonEmpty))
+    // one-key batch: exactly one bucket's file set may change
+    val before = (0 to 3).map(b => b -> bucketFiles(b)).toMap
+    Materialize.applyBatch(
+      Seq(ev(Op.Update, 1, 9, "v1b")).toDF(), "id", tablePath, nBuckets = 4)
+    val changed = (0 to 3).count(b => bucketFiles(b) != before(b))
+    assert(changed == 1, s"expected 1 rewritten bucket, got $changed")
+    // and the data merged, not replaced: all 64 keys still present
+    assert(Materialize.replica(spark, tablePath).count() == 64)
+    assert(state(tablePath)("1") == ("v1b", ts(9)))
+  }
+}
