@@ -294,6 +294,69 @@ object Analytic {
       .orderBy($"user_id")
   }
 
+  /** The STREAMING-APPLY twin of q46: the same change log is replayed
+    * through `streaming/Materialize.applyBatch` — the copy-on-write
+    * replica lane (key-hash buckets, partition-pruned merges, partial
+    * rewrites) — in three deliberately interleaved micro-batches
+    * (event_id mod 3, so later-timestamped changes often land in
+    * EARLIER batches), and the materialized replica itself is the query
+    * result. Because the merge orders by (event_time, seq=LSN), the
+    * final table state is independent of how the log was batched, and
+    * the DuckDB latest-by-key oracle grades the whole lane end-to-end:
+    * key extraction, per-batch compaction, cross-batch merge,
+    * delete-drop, emptied-bucket cleanup.
+    */
+  def q64CdcReplica(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.load(s, dir, "events")
+      .withColumn("op",
+        when($"event_id" % 10 === 0, "DELETE")
+          .when($"event_id" % 3 === 0, "UPDATE")
+          .otherwise("INSERT"))
+    val payload = map(
+      lit("user_id"), $"user_id".cast("string"),
+      lit("event_id"), $"event_id".cast("string"),
+      lit("event_type"), $"event_type",
+      lit("value"), $"value".cast("string"))
+    val events = log.select(
+      $"event_id".as("batch_src"), // batching handle only; dropped by applyBatch
+      $"ts".as("eventTime"),
+      lit("public").as("tableNamespace"), lit("events").as("tableName"),
+      when($"op" === "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("oldData"),
+      when($"op" =!= "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("newData"),
+      $"op")
+    val tablePath =
+      java.nio.file.Files.createTempDirectory("graft_q64_replica").toString + "/t"
+    (0 until 3).foreach { i =>
+      graft.streaming.Materialize.applyBatch(
+        events.filter(pmod($"batch_src", lit(3)) === i).drop("batch_src"),
+        keyField = "user_id", tablePath, nBuckets = 8, seqCol = Some("event_id"))
+    }
+    graft.streaming.Materialize.replica(s, tablePath)
+      .select(
+        $"k".cast("long").as("user_id"),
+        $"seq".as("event_id"),
+        element_at($"data", "event_type").as("event_type"),
+        element_at($"data", "value").cast("double").as("value"),
+        $"event_time")
+      .orderBy($"user_id")
+  }
+
+  val q64CdcReplicaSql: String =
+    """WITH log AS (
+      |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'
+      |                 WHEN event_id % 3 = 0 THEN 'UPDATE'
+      |                 ELSE 'INSERT' END AS op
+      |  FROM events),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM log)
+      |SELECT user_id, event_id, event_type, value, ts AS event_time
+      |FROM latest WHERE rn = 1 AND op <> 'DELETE'
+      |ORDER BY user_id""".stripMargin
+
   val q46CdcApplySql: String =
     """WITH log AS (
       |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'

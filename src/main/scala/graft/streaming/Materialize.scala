@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -13,7 +15,9 @@ import graft.model.Op
   * Kafka consumers (its pipeline ends at the topic; a real deployment's
   * next hop is exactly this materialization). q46 defines the apply
   * semantics as a batch query (latest change per key, deletes drop the
-  * row); this lane keeps that result continuously up to date.
+  * row); this lane keeps that result continuously up to date, and the
+  * registered q64 replays a batched change log through it under the
+  * same DuckDB oracle.
   *
   * Layout and cost model (the Hudi/Iceberg copy-on-write shape, built
   * from parquet + dynamic partition overwrite): the replica is hash-
@@ -23,12 +27,20 @@ import graft.model.Op
   *   2. computes the touched bucket set (≤ nBuckets, driver-side);
   *   3. reads ONLY the touched buckets of the current replica
   *      (partition-pruned scan);
-  *   4. merges — incoming beats existing at equal event time, so
-  *      at-least-once redelivery is idempotent — and drops deleted keys;
+  *   4. merges on (event_time, seq) — newest wins, incoming beats
+  *      existing at a full tie, so at-least-once redelivery is
+  *      idempotent;
   *   5. rewrites ONLY the touched buckets (dynamic partition overwrite).
   * At 100 TB the per-batch write cost is (touched buckets) ×
   * (bucket size), independent of table size; size nBuckets so a bucket
   * is a few GB and a typical batch touches a fraction of them.
+  *
+  * Deletes persist as TOMBSTONES (the row keeps its op = DELETE and its
+  * position; readers filter it). Dropping the row instead would let an
+  * out-of-order OLDER change arriving in a LATER micro-batch resurrect
+  * the key — with the tombstone in place the merge window sees the
+  * delete's position and the stale change loses. Tombstones older than
+  * the source's max out-of-orderness are reclaimed by [[vacuum]].
   *
   * Exactly-once effect: the sink is idempotent (re-applying any prefix
   * of delivered batches reproduces the same files), so the streaming
@@ -39,37 +51,47 @@ import graft.model.Op
   */
 object Materialize {
 
-  /** Replica schema: key, latest data map, its event time, bucket. */
+  /** Replica schema: k, op, data, event_time, seq, bucket(partition). */
   private val KeyCol = "k"
 
   /** Start continuously applying `events` (ChangeEvent schema) into the
     * replica at `tablePath`, keyed by `keyField` (a data-map key, e.g.
-    * the table's PK column).
+    * the table's PK column). `seqCol` optionally names a data-map field
+    * carrying the change's LOG POSITION (LSN / commit sequence): real
+    * CDC apply order is log order, with the event timestamp only a
+    * coarse prefix of it — when set, ties in event time resolve by
+    * sequence, exactly the reference's per-key delivery-order guarantee.
     */
   def applyStream(events: DataFrame, keyField: String, tablePath: String,
-      checkpoint: String, nBuckets: Int = 16): StreamingQuery =
+      checkpoint: String, nBuckets: Int = 16,
+      seqCol: Option[String] = None): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        applyBatch(batch.toDF(), keyField, tablePath, nBuckets)
+        applyBatch(batch.toDF(), keyField, tablePath, nBuckets, seqCol)
       }
       .start()
 
   /** Apply one batch of change events to the replica (idempotent). */
   def applyBatch(batch: DataFrame, keyField: String, tablePath: String,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, seqCol: Option[String] = None): Unit = {
     val s = batch.sparkSession
     import s.implicits._
+    def mapField(name: String) =
+      coalesce(element_at($"newData", name), element_at($"oldData", name))
+    val seq = seqCol.map(c => mapField(c).cast("long")).getOrElse(lit(null).cast("long"))
     // latest change per key within the batch; DELETE carries its key in
     // the pre-image when the post-image is empty (replica identity)
-    val wBatch = Window.partitionBy(col(KeyCol)).orderBy($"eventTime".desc, $"op")
+    val wBatch = Window.partitionBy(col(KeyCol))
+      .orderBy($"event_time".desc, $"seq".desc_nulls_last, $"op")
     val upserts = batch
-      .withColumn(KeyCol,
-        coalesce(element_at($"newData", keyField), element_at($"oldData", keyField)))
+      .withColumn(KeyCol, mapField(keyField))
       .filter(col(KeyCol).isNotNull)
+      .withColumn("seq", seq)
+      .withColumn("event_time", $"eventTime")
       .withColumn("rn", row_number().over(wBatch))
       .filter($"rn" === 1)
-      .select(col(KeyCol), $"op", $"newData".as("data"), $"eventTime".as("event_time"))
+      .select(col(KeyCol), $"op", $"newData".as("data"), $"event_time", $"seq")
       .withColumn("bucket", pmod(xxhash64(col(KeyCol)), lit(nBuckets)).cast("int"))
     // touched buckets: ≤ nBuckets ints — bounded driver-side by design
     val touched = upserts.select($"bucket").distinct().collect().map(_.getInt(0))
@@ -79,37 +101,66 @@ object Materialize {
       if (fs.exists(new Path(tablePath)))
         s.read.parquet(tablePath)
           .filter($"bucket".isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
-          .withColumn("op", lit("EXISTING"))
-          .select(col(KeyCol), $"op", $"data", $"event_time", $"bucket")
+          .withColumn("src", lit("existing"))
+          .select(col(KeyCol), $"op", $"data", $"event_time", $"seq", $"bucket", $"src")
           // materialize BEFORE the overwrite below: truncating lineage here
           // is what makes read-then-overwrite-the-same-path safe
           .localCheckpoint(true)
-      else upserts.limit(0)
-    // merge: newest event time wins; at equal time the INCOMING change
-    // wins (op sorts before "EXISTING"), so re-applying a batch that
-    // already landed rewrites identical rows — idempotence under
-    // at-least-once redelivery
+      else upserts.withColumn("src", lit("existing")).limit(0)
+    // merge: newest (event_time, seq) wins — DELETEs included, so the
+    // winning row may be a tombstone; at a full tie the INCOMING change
+    // wins, so re-applying a batch that already landed rewrites
+    // identical rows — idempotence under at-least-once redelivery.
+    // Every incoming change leaves a row (data or tombstone), so every
+    // touched bucket appears in the output and dynamic overwrite
+    // replaces exactly the touched set.
     val wMerge = Window.partitionBy(col(KeyCol))
-      .orderBy($"event_time".desc, ($"op" === "EXISTING").asc)
-    val merged = existing.unionByName(upserts)
+      .orderBy($"event_time".desc, $"seq".desc_nulls_last, ($"src" === "existing").asc)
+    existing.unionByName(upserts.withColumn("src", lit("incoming")))
       .withColumn("rn", row_number().over(wMerge))
-      .filter($"rn" === 1 && $"op" =!= Op.Delete)
-      .select(col(KeyCol), $"data", $"event_time", $"bucket")
-      .localCheckpoint(true) // one computation feeds both the write and the empty-bucket probe
-    merged.write.mode("overwrite")
+      .filter($"rn" === 1)
+      .select(col(KeyCol), $"op", $"data", $"event_time", $"seq", $"bucket")
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic") // only touched buckets
       .partitionBy("bucket")
       .parquet(tablePath)
-    // dynamic overwrite only replaces partitions PRESENT in the output: a
-    // touched bucket whose merged content is now empty (every key deleted)
-    // would silently keep its stale file — drop those directories explicitly
-    val stillWritten = merged.select($"bucket").distinct().collect().map(_.getInt(0)).toSet
-    (touched.toSet -- stillWritten).foreach { b =>
+  }
+
+  /** The replica as a DataFrame: current row per live key (tombstones
+    * filtered at read — a parquet predicate on the op column).
+    */
+  def replica(s: SparkSession, tablePath: String): DataFrame =
+    s.read.parquet(tablePath)
+      .filter(col("op") =!= Op.Delete)
+      .select(col(KeyCol), col("data"), col("event_time"), col("seq"))
+
+  /** Reclaim tombstones whose event time precedes `before` — safe once
+    * `before` trails the source's watermark by its max out-of-orderness
+    * (no change older than a reclaimed tombstone can still arrive). A
+    * full-table maintenance pass like [[graft.sources.Compaction]], not
+    * a per-batch cost; buckets with nothing to reclaim are untouched.
+    */
+  def vacuum(s: SparkSession, tablePath: String, before: Timestamp): Unit = {
+    import s.implicits._
+    val all = s.read.parquet(tablePath)
+    val reclaimable = all
+      .filter($"op" === Op.Delete && $"event_time" < lit(before))
+    // bounded: ≤ nBuckets ints
+    val buckets = reclaimable.select($"bucket").distinct().collect().map(_.getInt(0))
+    if (buckets.isEmpty) return
+    val kept = all.filter($"bucket".isin(buckets.toIndexedSeq.map(Integer.valueOf): _*))
+      .filter(!($"op" === Op.Delete && $"event_time" < lit(before)))
+      .localCheckpoint(true) // lineage cut: we overwrite what we read
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(tablePath)
+    // a bucket holding ONLY reclaimed tombstones produces no output rows,
+    // and dynamic overwrite would keep its stale file — drop it explicitly
+    val stillWritten = kept.select($"bucket").distinct().collect().map(_.getInt(0)).toSet
+    val fs = new Path(tablePath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    (buckets.toSet -- stillWritten).foreach { b =>
       fs.delete(new Path(tablePath, s"bucket=$b"), true)
     }
   }
-
-  /** The replica as a DataFrame: current row per live key. */
-  def replica(s: SparkSession, tablePath: String): DataFrame =
-    s.read.parquet(tablePath).select(col(KeyCol), col("data"), col("event_time"))
 }

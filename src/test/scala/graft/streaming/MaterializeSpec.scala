@@ -68,6 +68,38 @@ class MaterializeSpec extends SparkSpec {
     assert(afterOnce == Map("1" -> ("a2", ts(5))))
   }
 
+  test("a delete tombstone blocks resurrection by an older change in a later batch") {
+    val tablePath = Files.createTempDirectory("graft-replica4").toString + "/t"
+    // batch 1 delivers the DELETE (ts=5); batch 2 delivers an OLDER
+    // insert (ts=1) for the same key — out-of-order across batches.
+    // Without a tombstone the older insert would resurrect key 1.
+    Materialize.applyBatch(Seq(ev(Op.Delete, 1, 5, "")).toDF(), "id", tablePath, nBuckets = 4)
+    Materialize.applyBatch(Seq(ev(Op.Insert, 1, 1, "stale")).toDF(), "id", tablePath, nBuckets = 4)
+    assert(state(tablePath).isEmpty)
+    // a genuinely NEWER insert does re-create the key
+    Materialize.applyBatch(Seq(ev(Op.Insert, 1, 9, "fresh")).toDF(), "id", tablePath, nBuckets = 4)
+    assert(state(tablePath) == Map("1" -> ("fresh", ts(9))))
+  }
+
+  test("vacuum reclaims old tombstones; emptied buckets disappear from disk") {
+    val tablePath = Files.createTempDirectory("graft-replica5").toString + "/t"
+    Materialize.applyBatch(
+      Seq(ev(Op.Insert, 1, 0, "a"), ev(Op.Insert, 2, 1, "b")).toDF(), "id", tablePath, nBuckets = 4)
+    Materialize.applyBatch(
+      Seq(ev(Op.Delete, 1, 5, ""), ev(Op.Delete, 2, 6, "")).toDF(), "id", tablePath, nBuckets = 4)
+    assert(state(tablePath).isEmpty)
+    val raw = spark.read.parquet(tablePath)
+    assert(raw.count() == 2) // two tombstones on disk
+    // vacuum before ts(6): only key 1's tombstone is old enough
+    Materialize.vacuum(spark, tablePath, ts(6))
+    assert(spark.read.parquet(tablePath).count() == 1)
+    Materialize.vacuum(spark, tablePath, ts(30))
+    // all tombstones reclaimed; their buckets held nothing else → gone
+    val left = Option(new java.io.File(tablePath).list()).toSeq.flatten
+      .filter(_.startsWith("bucket="))
+    assert(left.isEmpty, s"expected no bucket dirs, got $left")
+  }
+
   test("a batch rewrites only the buckets it touches") {
     val tablePath = Files.createTempDirectory("graft-replica3").toString + "/t"
     // seed all buckets
