@@ -344,6 +344,67 @@ object Analytic {
       .orderBy($"user_id")
   }
 
+  /** Incrementally-maintained materialized aggregate over the CDC
+    * stream: the same interleaved replay as q64, but each batch's CHANGE
+    * FEED (net before/after per key from the replica merge) drives
+    * delta-maintenance of a grouped count+sum view — no full recompute
+    * ever touches the replica. The oracle states the view DECLARATIVELY
+    * (aggregate over the final latest-by-key state), so the gate proves
+    * the incremental path computes exactly what the batch query defines
+    * — including deletes retracting rows and group counts, and updates
+    * moving keys between groups.
+    */
+  def q65IncrMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.load(s, dir, "events")
+      .withColumn("op",
+        when($"event_id" % 10 === 0, "DELETE")
+          .when($"event_id" % 3 === 0, "UPDATE")
+          .otherwise("INSERT"))
+    val payload = map(
+      lit("user_id"), $"user_id".cast("string"),
+      lit("event_id"), $"event_id".cast("string"),
+      lit("event_type"), $"event_type",
+      lit("value"), $"value".cast("string"))
+    val events = log.select(
+      $"event_id".as("batch_src"),
+      $"ts".as("eventTime"),
+      lit("public").as("tableNamespace"), lit("events").as("tableName"),
+      when($"op" === "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("oldData"),
+      when($"op" =!= "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("newData"),
+      $"op")
+    val base = java.nio.file.Files.createTempDirectory("graft_q65_mv").toString
+    val tablePath = s"$base/t"
+    val aggPath = s"$base/agg"
+    (0 until 3).foreach { i =>
+      val changes = graft.streaming.Materialize.applyBatchCdf(
+        events.filter(pmod($"batch_src", lit(3)) === i).drop("batch_src"),
+        keyField = "user_id", tablePath, nBuckets = 8, seqCol = Some("event_id"))
+      graft.streaming.Materialize.applyAggregateDelta(
+        changes, groupField = "event_type", measureField = "event_id", aggPath)
+    }
+    s.read.parquet(aggPath)
+      .select($"grp".as("event_type"), $"n", $"m".as("sum_event_id"))
+      .orderBy($"event_type")
+  }
+
+  val q65IncrMvSql: String =
+    """WITH log AS (
+      |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'
+      |                 WHEN event_id % 3 = 0 THEN 'UPDATE'
+      |                 ELSE 'INSERT' END AS op
+      |  FROM events),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM log)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+      |FROM latest WHERE rn = 1 AND op <> 'DELETE'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val q64CdcReplicaSql: String =
     """WITH log AS (
       |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'

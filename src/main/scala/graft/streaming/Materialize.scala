@@ -75,6 +75,23 @@ object Materialize {
   /** Apply one batch of change events to the replica (idempotent). */
   def applyBatch(batch: DataFrame, keyField: String, tablePath: String,
       nBuckets: Int = 16, seqCol: Option[String] = None): Unit = {
+    applyBatchCdf(batch, keyField, tablePath, nBuckets, seqCol)
+    ()
+  }
+
+  /** Apply one batch and return its CHANGE DATA FEED: the net row-level
+    * effect on the replica, one row per key the batch actually changed —
+    * `before` (the key's live row prior to this batch, null if absent)
+    * and `after` (its live row now, null if deleted). Keys where the
+    * incoming change LOST the merge (stale out-of-order data, redelivered
+    * deletes) emit nothing; a redelivered upsert emits before == after,
+    * which cancels in any delta consumer — so downstream incremental
+    * views inherit the replica's exactly-once effect. This is the feed
+    * that makes the replica a SOURCE: incremental aggregate maintenance
+    * ([[applyAggregateDelta]]), audit trails, downstream CDC fan-out.
+    */
+  def applyBatchCdf(batch: DataFrame, keyField: String, tablePath: String,
+      nBuckets: Int = 16, seqCol: Option[String] = None): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     def mapField(name: String) =
@@ -93,9 +110,11 @@ object Materialize {
       .filter($"rn" === 1)
       .select(col(KeyCol), $"op", $"newData".as("data"), $"event_time", $"seq")
       .withColumn("bucket", pmod(xxhash64(col(KeyCol)), lit(nBuckets)).cast("int"))
+    val emptyCdf = upserts.limit(0).select(
+      col(KeyCol), $"data".as("before"), $"data".as("after"))
     // touched buckets: ≤ nBuckets ints — bounded driver-side by design
     val touched = upserts.select($"bucket").distinct().collect().map(_.getInt(0))
-    if (touched.isEmpty) return
+    if (touched.isEmpty) return emptyCdf
     val fs = new Path(tablePath).getFileSystem(s.sparkContext.hadoopConfiguration)
     val existing =
       if (fs.exists(new Path(tablePath)))
@@ -116,14 +135,65 @@ object Materialize {
     // replaces exactly the touched set.
     val wMerge = Window.partitionBy(col(KeyCol))
       .orderBy($"event_time".desc, $"seq".desc_nulls_last, ($"src" === "existing").asc)
-    existing.unionByName(upserts.withColumn("src", lit("incoming")))
+    val winners = existing.unionByName(upserts.withColumn("src", lit("incoming")))
       .withColumn("rn", row_number().over(wMerge))
       .filter($"rn" === 1)
+      // checkpointed: feeds the table overwrite AND the change feed, and
+      // must not lazily re-read the files the overwrite replaces
+      .localCheckpoint(true)
+    winners
       .select(col(KeyCol), $"op", $"data", $"event_time", $"seq", $"bucket")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic") // only touched buckets
       .partitionBy("bucket")
       .parquet(tablePath)
+    // CDF: keys where the incoming change won — before from the prior
+    // live row (tombstone ⇒ absent ⇒ null), after from the winner
+    val prior = existing.select(col(KeyCol),
+      when($"op" =!= Op.Delete, $"data").as("before"))
+    winners.filter($"src" === "incoming")
+      .select(col(KeyCol),
+        when($"op" =!= Op.Delete, $"data").as("after"))
+      .join(prior, Seq(KeyCol), "left")
+      .filter($"before".isNotNull || $"after".isNotNull) // delete of absent key: no-op
+      .select(col(KeyCol), $"before", $"after")
+  }
+
+  /** Incrementally maintain a grouped-aggregate table (count + an exact
+    * integer sum per group) from a change feed — the materialized-view
+    * half of CDC apply: instead of recomputing `SELECT grp, count(*),
+    * sum(m) FROM replica GROUP BY grp` over the full table, each batch
+    * applies only its NET deltas (−before, +after per changed key).
+    * Because [[applyBatchCdf]] emits before == after for redelivered
+    * changes and nothing for merge losers, the deltas cancel exactly and
+    * the view inherits exactly-once semantics. The view table is
+    * output-sized (one row per group); at a group cardinality where the
+    * full rewrite matters, shard it with the replica's bucket pattern.
+    */
+  def applyAggregateDelta(changes: DataFrame, groupField: String,
+      measureField: String, aggPath: String): Unit = {
+    val s = changes.sparkSession
+    import s.implicits._
+    val minus = changes.filter($"before".isNotNull).select(
+      element_at($"before", groupField).as("grp"),
+      lit(-1L).as("dn"),
+      (-element_at($"before", measureField).cast("long")).as("dm"))
+    val plus = changes.filter($"after".isNotNull).select(
+      element_at($"after", groupField).as("grp"),
+      lit(1L).as("dn"),
+      element_at($"after", measureField).cast("long").as("dm"))
+    val deltas = minus.unionByName(plus)
+    val fs = new Path(aggPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(new Path(aggPath)))
+        s.read.parquet(aggPath)
+          .select($"grp", $"n".as("dn"), $"m".as("dm"))
+          .localCheckpoint(true) // lineage cut: we overwrite what we read
+      else deltas.limit(0)
+    current.unionByName(deltas)
+      .groupBy($"grp").agg(sum($"dn").as("n"), sum($"dm").as("m"))
+      .filter($"n" =!= 0) // a group whose last member left vanishes
+      .write.mode("overwrite").parquet(aggPath)
   }
 
   /** The replica as a DataFrame: current row per live key (tombstones

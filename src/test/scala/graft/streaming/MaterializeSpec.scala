@@ -100,6 +100,37 @@ class MaterializeSpec extends SparkSpec {
     assert(left.isEmpty, s"expected no bucket dirs, got $left")
   }
 
+  test("change feed + aggregate deltas: updates move groups, deletes retract, redelivery cancels") {
+    val base = Files.createTempDirectory("graft-replica6").toString
+    val tablePath = s"$base/t"; val aggPath = s"$base/agg"
+    def evG(op: String, id: Int, min: Int, grp: String, m: Int): graft.model.ChangeEvent = {
+      val data = Map("id" -> id.toString, "g" -> grp, "m" -> m.toString)
+      if (op == Op.Delete) graft.model.ChangeEvent(ts(min), "public", "t", data, Map.empty, op)
+      else graft.model.ChangeEvent(ts(min), "public", "t", Map.empty, data, op)
+    }
+    def agg(): Map[String, (Long, Long)] =
+      spark.read.parquet(aggPath).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def apply(evs: graft.model.ChangeEvent*): Unit =
+      Materialize.applyAggregateDelta(
+        Materialize.applyBatchCdf(evs.toDF(), "id", tablePath, nBuckets = 4), "g", "m", aggPath)
+
+    apply(evG(Op.Insert, 1, 0, "a", 10), evG(Op.Insert, 2, 1, "a", 20), evG(Op.Insert, 3, 2, "b", 5))
+    assert(agg() == Map("a" -> (2L, 30L), "b" -> (1L, 5L)))
+    // update moves key 2 from group a to b; delete retracts key 3
+    apply(evG(Op.Update, 2, 10, "b", 21), evG(Op.Delete, 3, 11, "b", 5))
+    assert(agg() == Map("a" -> (1L, 10L), "b" -> (1L, 21L)))
+    // redelivered batch: CDF emits before == after ⇒ deltas cancel to a no-op
+    apply(evG(Op.Update, 2, 10, "b", 21), evG(Op.Delete, 3, 11, "b", 5))
+    assert(agg() == Map("a" -> (1L, 10L), "b" -> (1L, 21L)))
+    // stale out-of-order change loses the merge ⇒ no delta at all
+    apply(evG(Op.Update, 2, 3, "a", 99))
+    assert(agg() == Map("a" -> (1L, 10L), "b" -> (1L, 21L)))
+    // deleting the last member of a group removes the group's row
+    apply(evG(Op.Delete, 1, 20, "a", 10))
+    assert(agg() == Map("b" -> (1L, 21L)))
+  }
+
   test("a batch rewrites only the buckets it touches") {
     val tablePath = Files.createTempDirectory("graft-replica3").toString + "/t"
     // seed all buckets
