@@ -98,6 +98,9 @@ final class Connector(
     }
     query =
       if (sink == "parquet") CdcPipeline.startToParquet(spark, cfg, parquetOutDir)
+      else if (sink == "replica")
+        // parquetOutDir doubles as the replica table path for this sink
+        CdcPipeline.startToReplica(spark, cfg, parquetOutDir)
       else CdcPipeline.startToKafka(spark, cfg)
     query
   }

@@ -184,6 +184,19 @@ object CdcPipeline {
   def startToKafka(spark: SparkSession, cfg: ConnectorConfig): StreamingQuery =
     kafkaSink(defaultTransform(source(spark, cfg), cfg), cfg).start()
 
+  /** Wire the source straight into a queryable replica table
+    * ([[Materialize]]): the self-contained deployment shape — source →
+    * continuously-applied table, no broker in between. Same snapshot
+    * modes and checkpoint/ACK semantics; `cfg.keyField` is the replica
+    * key; the change's event time orders the merge (CDC lanes that carry
+    * an LSN in the data map can pass it via `seqCol`).
+    */
+  def startToReplica(spark: SparkSession, cfg: ConnectorConfig, tablePath: String,
+      nBuckets: Int = 16, seqCol: Option[String] = None): StreamingQuery =
+    Materialize.applyStream(
+      source(spark, cfg), cfg.keyField, tablePath,
+      checkpoint = cfg.checkpointDir, nBuckets = nBuckets, seqCol = seqCol)
+
   /** O3-O5 routing with a LIVE hypertable registry (reference upstream
     * maintains the chunk→parent map from the catalog while streaming,
     * `connector.go:204-209`): the transform is re-derived once per
@@ -230,8 +243,16 @@ object CdcPipeline {
       spark: SparkSession, cfg: ConnectorConfig, sink: String, outDir: String): Unit = {
     val snap = snapshotEventStream(spark, cfg).getOrElse(
       throw new IllegalArgumentException("snapshot mode requires snapshot.tables"))
-    val records = defaultTransform(snap, cfg)
     val ckpt = s"${cfg.checkpointDir}/snapshot"
+    if (sink == "replica") {
+      // the replica sink consumes raw ChangeEvents (its merge IS the
+      // handler); SNAPSHOT ops upsert like inserts
+      val q = Materialize.applyStream(snap, cfg.keyField, outDir, ckpt)
+      // AvailableNow semantics: drain what the bounded snapshot source has
+      q.processAllAvailable(); q.stop()
+      return
+    }
+    val records = defaultTransform(snap, cfg)
     val writer = sink match {
       case "parquet" =>
         records.writeStream.format("parquet")

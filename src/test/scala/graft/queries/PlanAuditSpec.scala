@@ -93,6 +93,23 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the probe frame broadcast into the bucket join:\n$p")
   }
 
+  test("q63: PQ codes/LUT are native expressions; the query side is broadcast; " +
+      "the re-rank fetch joins on nid") {
+    val df = graft.SparkEntry.queries("q63_ann_pq_fullrerank")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan.toString()
+    assert(logical.contains("pq_encode") && logical.contains("pq_lut")
+      && logical.contains("pq_adc"),
+      s"expected native PQ codec expressions:\n$logical")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the ADC candidate pass sees the tiny query frame as a broadcast
+    // (BroadcastNestedLoopJoin over the corpus codes scan), and the
+    // re-rank fetch is a keyed join on nid — never a second corpus cross
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast query side:\n$p")
+    assert(p.contains("nid"), s"expected the survivors-only fetch join on nid:\n$p")
+  }
+
   test("q59: the eval shingle set is broadcast — the corpus is never shuffled by shingle") {
     val df = graft.SparkEntry.queries("q59_decontaminate")(spark, dir)
     df.collect()

@@ -131,6 +131,44 @@ class MaterializeSpec extends SparkSpec {
     assert(agg() == Map("b" -> (1L, 21L)))
   }
 
+  test("connector 'replica' sink: file-lane CDC stream materializes and survives restart") {
+    import scala.concurrent.duration._
+    val src = Files.createTempDirectory("graft-rsrc")
+    val chk = Files.createTempDirectory("graft-rchk")
+    val tbl = Files.createTempDirectory("graft-rtbl").toString + "/t"
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.write(src.resolve(name), String.join("\n", lines: _*).getBytes)
+    def row(op: String, id: Int, sec: Int, v: String) = {
+      val data = s"""{"id":"$id","v":"$v"}"""
+      val (o, n) = if (op == "DELETE") (data, "null") else ("null", data)
+      s"""{"eventTime":"2024-01-01T00:00:${"%02d".format(sec)}.000Z","tableNamespace":"public","tableName":"users","oldData":$o,"newData":$n,"op":"$op"}"""
+    }
+    val cfg = graft.app.ConnectorConfig(
+      sourceDir = src.toString, checkpointDir = chk.toString,
+      kafka = graft.app.KafkaSinkConfig(
+        brokers = Seq("unused:9092"),
+        tableTopicMapping = Map("public.users" -> "users-topic"),
+        producerBatchTickerDuration = 250.millis),
+      keyField = "id")
+
+    write("b1.json", Seq(row("INSERT", 1, 1, "a"), row("INSERT", 2, 2, "b")))
+    val conn1 = new graft.app.Connector(spark, cfg, sink = "replica", parquetOutDir = tbl)
+    val q1 = conn1.start()
+    q1.processAllAvailable()
+    conn1.close()
+    assert(state(tbl) == Map(
+      "1" -> ("a", Timestamp.valueOf("2024-01-01 00:00:01")),
+      "2" -> ("b", Timestamp.valueOf("2024-01-01 00:00:02"))))
+
+    // change arrives while down; restart resumes from the checkpoint
+    write("b2.json", Seq(row("UPDATE", 1, 9, "a2"), row("DELETE", 2, 9, "b")))
+    val conn2 = new graft.app.Connector(spark, cfg, sink = "replica", parquetOutDir = tbl)
+    val q2 = conn2.start()
+    q2.processAllAvailable()
+    conn2.close()
+    assert(state(tbl) == Map("1" -> ("a2", Timestamp.valueOf("2024-01-01 00:00:09"))))
+  }
+
   test("a batch rewrites only the buckets it touches") {
     val tablePath = Files.createTempDirectory("graft-replica3").toString + "/t"
     // seed all buckets
