@@ -168,6 +168,15 @@ final case class JdbcSourceConfig(
     numPartitions: Int = 4,
     maxRowsPerBatch: Long = 0L)
 
+/** Replica-sink knobs (`sink = "replica"` → streaming/Materialize):
+  * key-hash bucket count (size so a bucket is a few GB at the target
+  * scale) and the optional data-map field carrying the change's log
+  * position for exact merge order under event-time ties.
+  */
+final case class ReplicaSinkConfig(
+    nBuckets: Int = 16,
+    seqField: Option[String] = None)
+
 /** Top-level connector config (reference `config.Connector`). */
 final case class ConnectorConfig(
     sourceDir: String,                 // CDC event stream directory (file source lane)
@@ -178,4 +187,5 @@ final case class ConnectorConfig(
     sourceFormat: String = "json",     // "json" | "graft-cdc" | "graft-jdbc-cdc"
     jdbc: JdbcSourceConfig = JdbcSourceConfig(),
     slotName: String = "graft_slot",   // metric label (reference slot_name)
-    metricsPort: Option[Int] = None)   // ≙ cdc.metric.port (README.md:229); 0 = ephemeral
+    metricsPort: Option[Int] = None,   // ≙ cdc.metric.port (README.md:229); 0 = ephemeral
+    replica: ReplicaSinkConfig = ReplicaSinkConfig())

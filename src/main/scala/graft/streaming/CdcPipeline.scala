@@ -191,11 +191,12 @@ object CdcPipeline {
     * key; the change's event time orders the merge (CDC lanes that carry
     * an LSN in the data map can pass it via `seqCol`).
     */
-  def startToReplica(spark: SparkSession, cfg: ConnectorConfig, tablePath: String,
-      nBuckets: Int = 16, seqCol: Option[String] = None): StreamingQuery =
+  def startToReplica(spark: SparkSession, cfg: ConnectorConfig,
+      tablePath: String): StreamingQuery =
     Materialize.applyStream(
       source(spark, cfg), cfg.keyField, tablePath,
-      checkpoint = cfg.checkpointDir, nBuckets = nBuckets, seqCol = seqCol)
+      checkpoint = cfg.checkpointDir,
+      nBuckets = cfg.replica.nBuckets, seqCol = cfg.replica.seqField)
 
   /** O3-O5 routing with a LIVE hypertable registry (reference upstream
     * maintains the chunk→parent map from the catalog while streaming,
@@ -247,7 +248,8 @@ object CdcPipeline {
     if (sink == "replica") {
       // the replica sink consumes raw ChangeEvents (its merge IS the
       // handler); SNAPSHOT ops upsert like inserts
-      val q = Materialize.applyStream(snap, cfg.keyField, outDir, ckpt)
+      val q = Materialize.applyStream(snap, cfg.keyField, outDir, ckpt,
+        nBuckets = cfg.replica.nBuckets, seqCol = cfg.replica.seqField)
       // AvailableNow semantics: drain what the bounded snapshot source has
       q.processAllAvailable(); q.stop()
       return
