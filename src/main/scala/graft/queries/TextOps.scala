@@ -547,4 +547,52 @@ object TextOps {
       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |            FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-statistics quality profile (the CCNet/TF-DF signal family):
+    * score each document by how COMMON its vocabulary is across the
+    * corpus — documents of rare/garbage tokens (OCR noise, codes,
+    * boilerplate hashes) profile low, natural prose profiles high. Two
+    * passes over one exploded distinct-token frame: (1) document
+    * frequency per token — the corpus-derived model, vocabulary-sized,
+    * broadcast back; (2) per-document aggregation of exact integer df
+    * sums, with the only double (`avg_df`) computed in ONE expression
+    * from exact ints (the q53 discipline — no cross-engine accumulation
+    * drift). At 100 TB: the model side is a token-keyed agg (classic
+    * map-side-combine shuffle), the scoring side re-joins it broadcast —
+    * the corpus is never self-joined.
+    */
+  def q66DfProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val tok = docs.select($"doc_id",
+      explode(array_distinct(split($"text", " "))).as("w"))
+    val dfModel = tok.groupBy($"w").agg(count(lit(1)).as("df"))
+    tok.join(broadcast(dfModel), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_distinct_tokens"), sum($"df").as("sum_df"))
+      .select($"doc_id",
+        $"n_distinct_tokens",
+        $"sum_df",
+        ($"sum_df".cast("double") / $"n_distinct_tokens").as("avg_df"),
+        when($"sum_df".cast("double") / $"n_distinct_tokens" >= 10.0, "common")
+          .when($"sum_df".cast("double") / $"n_distinct_tokens" >= 3.0, "mixed")
+          .otherwise("rare").as("rarity_band"))
+      .orderBy($"doc_id")
+  }
+
+  val q66DfProfileSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents),
+      |dfm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY w)
+      |SELECT tok.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(SUM(dfm.df) AS BIGINT) AS sum_df,
+      |  CAST(SUM(dfm.df) AS DOUBLE) / COUNT(*) AS avg_df,
+      |  CASE WHEN CAST(SUM(dfm.df) AS DOUBLE) / COUNT(*) >= 10.0 THEN 'common'
+      |       WHEN CAST(SUM(dfm.df) AS DOUBLE) / COUNT(*) >= 3.0 THEN 'mixed'
+      |       ELSE 'rare' END AS rarity_band
+      |FROM tok JOIN dfm USING (w)
+      |GROUP BY tok.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
 }
