@@ -79,6 +79,48 @@ object Materialize {
     ()
   }
 
+  /** Fan a MULTI-TABLE change stream out to one replica per table (the
+    * real connector shape: a publication carries every configured
+    * table). `tables` maps full table name → its key field; each table
+    * materializes under `baseDir/<namespace>.<name>` with its own
+    * bucket layout. Unconfigured tables are ignored, like events for
+    * unmapped topics in the router. The per-table apply loop runs
+    * inside ONE foreachBatch, so the batch commits (ACKs) only after
+    * every table's merge landed — tables never drift apart by more
+    * than the in-flight batch.
+    */
+  def applyStreamPerTable(events: DataFrame, tables: Map[String, String],
+      baseDir: String, checkpoint: String, nBuckets: Int = 16,
+      seqCol: Option[String] = None): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint(true) // one source read feeds all tables
+        tables.foreach { case (fullName, keyField) =>
+          applyBatch(
+            b.filter(concat_ws(".", col("tableNamespace"), col("tableName")) === fullName),
+            keyField, s"$baseDir/$fullName", nBuckets, seqCol)
+        }
+      }
+      .start()
+
+  /** Replica + incrementally-maintained aggregate view in one stream:
+    * each batch's change feed drives [[applyAggregateDelta]] after the
+    * replica merge, keeping `SELECT grp, count(*), sum(m) GROUP BY grp`
+    * continuously current without ever rescanning the replica.
+    */
+  def applyStreamWithView(events: DataFrame, keyField: String, tablePath: String,
+      aggPath: String, groupField: String, measureField: String,
+      checkpoint: String, nBuckets: Int = 16,
+      seqCol: Option[String] = None): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val changes = applyBatchCdf(batch.toDF(), keyField, tablePath, nBuckets, seqCol)
+        applyAggregateDelta(changes, groupField, measureField, aggPath)
+      }
+      .start()
+
   /** Apply one batch and return its CHANGE DATA FEED: the net row-level
     * effect on the replica, one row per key the batch actually changed —
     * `before` (the key's live row prior to this batch, null if absent)

@@ -131,6 +131,48 @@ class MaterializeSpec extends SparkSpec {
     assert(agg() == Map("b" -> (1L, 21L)))
   }
 
+  test("multi-table stream fans out to one replica per table; unconfigured tables ignored") {
+    val base = Files.createTempDirectory("graft-multi").toString
+    val ckpt = Files.createTempDirectory("graft-multi-ckpt").toString
+    def evT(table: String, key: String, id: Int, min: Int, v: String) =
+      graft.model.ChangeEvent(ts(min), "public", table, Map.empty,
+        Map(key -> id.toString, "v" -> v), Op.Insert)
+    val in = MemoryStream[graft.model.ChangeEvent](spark)
+    val q = Materialize.applyStreamPerTable(in.toDF(),
+      tables = Map("public.users" -> "uid", "public.orders" -> "oid"),
+      baseDir = base, checkpoint = ckpt, nBuckets = 2)
+    in.addData(
+      evT("users", "uid", 1, 0, "u1"), evT("users", "uid", 2, 1, "u2"),
+      evT("orders", "oid", 7, 2, "o7"),
+      evT("ignored", "x", 9, 3, "nope"))
+    q.processAllAvailable(); q.stop()
+    assert(state(s"$base/public.users").keySet == Set("1", "2"))
+    assert(state(s"$base/public.orders") == Map("7" -> ("o7", ts(2))))
+    assert(!new java.io.File(s"$base/public.ignored").exists())
+  }
+
+  test("applyStreamWithView keeps the aggregate view current per batch") {
+    val base = Files.createTempDirectory("graft-view").toString
+    val ckpt = Files.createTempDirectory("graft-view-ckpt").toString
+    def evG(op: String, id: Int, min: Int, grp: String, m: Int) = {
+      val data = Map("id" -> id.toString, "g" -> grp, "m" -> m.toString)
+      if (op == Op.Delete) graft.model.ChangeEvent(ts(min), "public", "t", data, Map.empty, op)
+      else graft.model.ChangeEvent(ts(min), "public", "t", Map.empty, data, op)
+    }
+    val in = MemoryStream[graft.model.ChangeEvent](spark)
+    val q = Materialize.applyStreamWithView(in.toDF(), "id", s"$base/t",
+      s"$base/agg", groupField = "g", measureField = "m", checkpoint = ckpt, nBuckets = 2)
+    def agg(): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$base/agg").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    in.addData(evG(Op.Insert, 1, 0, "a", 10), evG(Op.Insert, 2, 1, "b", 20))
+    q.processAllAvailable()
+    assert(agg() == Map("a" -> (1L, 10L), "b" -> (1L, 20L)))
+    in.addData(evG(Op.Update, 1, 5, "b", 11), evG(Op.Delete, 2, 6, "b", 20))
+    q.processAllAvailable(); q.stop()
+    assert(agg() == Map("b" -> (1L, 11L)))
+  }
+
   test("connector 'replica' sink: file-lane CDC stream materializes and survives restart") {
     import scala.concurrent.duration._
     val src = Files.createTempDirectory("graft-rsrc")
