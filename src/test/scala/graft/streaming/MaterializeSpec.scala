@@ -211,6 +211,42 @@ class MaterializeSpec extends SparkSpec {
     assert(state(tbl) == Map("1" -> ("a2", Timestamp.valueOf("2024-01-01 00:00:09"))))
   }
 
+  test("law: any batching of any event log converges to latest-by-(time, seq) semantics") {
+    val rnd = new scala.util.Random(42) // deterministic
+    for (round <- 0 until 3) {
+      val tablePath = Files.createTempDirectory(s"graft-law$round").toString + "/t"
+      val nKeys = 12
+      // seq (the LSN stand-in) is the unique event index; times collide
+      // on purpose so the seq tiebreak is load-bearing
+      val events = (0 until 120).map { i =>
+        val id = rnd.nextInt(nKeys); val min = rnd.nextInt(10)
+        val op = rnd.nextInt(10) match {
+          case 0 | 1 => Op.Delete
+          case 2 | 3 => Op.Update
+          case _     => Op.Insert
+        }
+        val data = Map("id" -> id.toString, "seq" -> i.toString, "v" -> s"v$i")
+        if (op == Op.Delete)
+          graft.model.ChangeEvent(ts(min), "public", "t", data, Map.empty, op)
+        else graft.model.ChangeEvent(ts(min), "public", "t", Map.empty, data, op)
+      }
+      // random partition into 4 batches, applied in that arbitrary order
+      val batched = events.groupBy(_ => rnd.nextInt(4)).toSeq.sortBy(_._1)
+      batched.foreach { case (_, evs) =>
+        Materialize.applyBatch(evs.toDF(), "id", tablePath, nBuckets = 4, seqCol = Some("seq"))
+      }
+      // reference semantics, computed independently in memory
+      val expected = events.groupBy(e =>
+          (e.oldData ++ e.newData)("id"))
+        .flatMap { case (k, evs) =>
+          val last = evs.maxBy(e => (e.eventTime.getTime, (e.oldData ++ e.newData)("seq").toLong))
+          if (last.op == Op.Delete) None else Some(k -> last.newData("v"))
+        }
+      val got = state(tablePath).map { case (k, (v, _)) => k -> v }
+      assert(got == expected, s"round $round diverged")
+    }
+  }
+
   test("a batch rewrites only the buckets it touches") {
     val tablePath = Files.createTempDirectory("graft-replica3").toString + "/t"
     // seed all buckets
