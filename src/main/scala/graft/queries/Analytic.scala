@@ -273,6 +273,35 @@ object Analytic {
     s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Salted JOIN against a skewed fact key (q37's partner for the join
+    * case): events carry ~150 distinct user ids over 10k+ rows — a
+    * pathological reducer-hotspot shape for a plain shuffle join at
+    * scale. The registered plan salts the fact side into `salts`
+    * sub-keys and replicates the dimension side per salt, so one hot
+    * key spreads over `salts` reducers; the oracle is the PLAIN join —
+    * salting must be invisible in the result. (AQE's skew-join handles
+    * post-shuffle size skew; explicit salting is the tool when a single
+    * KEY exceeds what any one reducer should hold.)
+    */
+  def q67SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type")
+    val dim = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      // a skew demo must actually SHUFFLE: without the hint the small test
+      // dim would broadcast and the salt would never reach an exchange
+      .hint("shuffle_hash")
+    Skew.saltedJoin(events, dim, "user_id", salts = 8)
+      .select($"event_id", $"user_id", $"event_type", $"c_mktsegment")
+      .orderBy($"event_id")
+  }
+
+  val q67SaltedJoinSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   /** CDC log-compaction apply — materialize current state from a change
     * log: a deterministic op column (INSERT/UPDATE/DELETE) is derived
     * from the event stream, the log is compacted latest-wins per key

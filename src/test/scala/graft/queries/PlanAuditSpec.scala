@@ -110,6 +110,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("nid"), s"expected the survivors-only fetch join on nid:\n$p")
   }
 
+  test("q67: the salted join shuffles on (key, salt) — no broadcast collapse") {
+    val df = graft.SparkEntry.queries("q67_salted_join")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastHashJoin"),
+      s"salt demo collapsed to a broadcast join:\n$p")
+    assert(p.contains("__salt"), s"expected the salt column in the join keys:\n$p")
+  }
+
   test("q59: the eval shingle set is broadcast — the corpus is never shuffled by shingle") {
     val df = graft.SparkEntry.queries("q59_decontaminate")(spark, dir)
     df.collect()
