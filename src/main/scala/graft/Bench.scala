@@ -21,9 +21,16 @@ object Bench {
     // under-measure them) without collecting to the driver.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // warm-up: JIT + noop-writer + parquet-footer caches, so the first
-    // measured query isn't charged session start-up costs
-    try run(spark.read.parquet(s"$sfDir/lineitem.parquet")) catch { case _: Throwable => () }
+    // warm-up: JIT + noop-writer + parquet-footer caches over EVERY
+    // table, so the first measured query (q10, alphabetically) isn't
+    // charged session start-up or first-scan costs — measured variance
+    // on the leading queries dominated run-to-run noise before this
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      // Tables.load, not a raw read: events.parquet carries nanos
+      // timestamps only it decodes
+      try run(graft.sources.Tables.load(spark, sfDir, t)) catch { case _: Throwable => () }
+    }
     // A failed query is reported as NEGATIVE time-to-failure and listed
     // in "errors", so a crash can never masquerade as a fast success.
     // Each query runs TWICE and reports the min: a single run is at the

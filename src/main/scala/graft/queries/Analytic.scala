@@ -232,6 +232,41 @@ object Analytic {
       |     UNNEST(range(1, len(ws) + 1)) AS t(i)
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** Array / higher-order function surface over the embedding vectors:
+    * reductions (min/max/size), positional access, a lambda filter
+    * count, and a sequential `aggregate` fold over a slice — the fold
+    * matches DuckDB's `list_sum` left-to-right double accumulation
+    * bit-for-bit (the q50 discipline), which is what makes a
+    * higher-order DOUBLE reduction oracle-checkable at all. Everything
+    * is map-side codegen'd per row; no shuffle but the final sort.
+    */
+  def q68ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    e.select(
+        $"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        array_min($"embedding").cast("double").as("min_x"),
+        array_max($"embedding").cast("double").as("max_x"),
+        get($"embedding", lit(0)).cast("double").as("first_x"),
+        filter($"embedding", x => x > 0.0f).as("pos"),
+        aggregate(slice($"embedding", 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("head_sum"))
+      .select($"vec_id", $"dim", $"min_x", $"max_x", $"first_x",
+        size($"pos").cast("long").as("n_positive"), $"head_sum")
+      .orderBy($"vec_id")
+  }
+
+  val q68ArrayFuncsSql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(list_min(embedding) AS DOUBLE) AS min_x,
+      |  CAST(list_max(embedding) AS DOUBLE) AS max_x,
+      |  CAST(embedding[1] AS DOUBLE) AS first_x,
+      |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS n_positive,
+      |  list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS head_sum
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** Hopping (sliding) event-time windows via Spark's native TimeWindow
     * generator: 30-minute windows every 10 minutes — each event lands in
     * exactly 3 windows. At 100 TB this is the same one-shuffle groupBy as
