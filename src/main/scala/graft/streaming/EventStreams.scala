@@ -81,6 +81,33 @@ object EventStreams {
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** LEFT OUTER stream-stream join: like [[streamStreamJoin]], but a
+    * left event with no partner inside the join window is still emitted
+    * (right columns null) once the watermark proves no partner can
+    * arrive anymore. This is the "unmatched detection" shape — orders
+    * with no payment within 15 minutes — which an inner join cannot
+    * express: the null row IS the signal, and its emission time is
+    * watermark-bounded, exactly how Spark bounds the join state that a
+    * 100 TB stream would otherwise accumulate forever.
+    */
+  def streamStreamLeftJoin(
+      left: DataFrame,
+      right: DataFrame,
+      watermark: String = "10 minutes",
+      joinWindow: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow") &&
+        col("l_id") =!= col("r_id"),
+      "leftOuter")
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming near-duplicate FLAGGING of a document stream — the ingest
     * twin of the batch MinHash+LSH dedup (queries/Dedup.q41): each
     * arriving document is shingle-hashed and MinHash-signed by the

@@ -85,6 +85,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.map(x => (x.getAs[Long]("l_id"), x.getAs[Long]("r_id"))).toSet == Set((1L, 100L)))
   }
 
+  test("left-outer stream-stream join emits unmatched lefts after the watermark closes") {
+    val l = MemoryStream[Ev](spark)
+    val r = MemoryStream[Ev](spark)
+    val name = s"ssoj_${System.nanoTime()}"
+    val q = EventStreams.streamStreamLeftJoin(l.toDF(), r.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    l.addData(
+      Ev(1, ts(0), 7, "a", 0),  // will match
+      Ev(2, ts(0), 9, "a", 0))  // no partner → must surface with null r_id
+    r.addData(Ev(100, ts(5), 7, "b", 0))
+    q.processAllAvailable()
+    // advance the watermark far past l's window so the unmatched row emits
+    l.addData(Ev(50, Timestamp.valueOf("2024-01-01 12:00:00"), 99, "a", 0))
+    r.addData(Ev(51, Timestamp.valueOf("2024-01-01 12:00:00"), 98, "b", 0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(s"SELECT * FROM $name").collect()
+    val byLeft = rows.map(x =>
+      x.getAs[Long]("l_id") -> Option(x.getAs[java.lang.Long]("r_id"))).toMap
+    assert(byLeft(1L) == Some(100L))
+    assert(byLeft.get(2L) == Some(None), s"unmatched left not emitted: $byLeft")
+  }
+
   test("streaming near-dup flags: cross-batch LSH state catches a late near-copy") {
     val base = "the quick brown fox jumps over the lazy dog while seven wizards " +
       "brew strong potions under a pale winter moon near the frozen river bank"
