@@ -1,0 +1,87 @@
+package graft.app
+
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** YAML config front door: the reference's file shape loads 1:1, engine
+  * blocks extend it, defaults match the reference's SetDefault.
+  */
+class ConfigLoaderSpec extends AnyFunSuite {
+
+  test("the reference benchmark config shape parses field-for-field") {
+    // mirrors /root/reference/benchmark/go-pq-cdc-kafka/main.go:37-80
+    val cfg = ConfigLoader.fromYaml(
+      """cdc:
+        |  host: postgres:5432
+        |  username: cdc_user
+        |  password: cdc_pass
+        |  database: cdc_db
+        |  publication:
+        |    name: cdc_publication
+        |    operations: [INSERT, DELETE, TRUNCATE, UPDATE]
+        |    tables:
+        |      - name: users
+        |        replicaIdentity: Full
+        |  slot:
+        |    name: cdc_slot
+        |  metric:
+        |    port: 2112
+        |kafka:
+        |  tableTopicMapping:
+        |    public.users: cdc.test.produce
+        |  brokers: [redpanda:9092]
+        |  allowAutoTopicCreation: true
+        |  producerBatchTickerDuration: 100ms
+        |  producerBatchSize: 10000
+        |""".stripMargin)
+    assert(cfg.slotName == "cdc_slot")
+    assert(cfg.metricsPort.contains(2112))
+    assert(cfg.kafka.brokers == Seq("redpanda:9092"))
+    assert(cfg.kafka.tableTopicMapping == Map("public.users" -> "cdc.test.produce"))
+    assert(cfg.kafka.allowAutoTopicCreation)
+    assert(cfg.kafka.producerBatchTickerDuration == 100.millis)
+    assert(cfg.kafka.producerBatchSize == 10000)
+    assert(cfg.snapshot.tables == Seq("users")) // publication tables flow through
+  }
+
+  test("defaults match the reference SetDefault when keys are absent") {
+    val cfg = ConfigLoader.fromYaml("kafka:\n  brokers: [b:9092]\n")
+    assert(cfg.kafka.readTimeout == 30.seconds)        // config.go:69-71
+    assert(cfg.kafka.writeTimeout == 30.seconds)       // config.go:73-75
+    assert(cfg.kafka.producerBatchTickerDuration == 10.seconds) // config.go:77-79
+    assert(cfg.kafka.producerBatchSize == 2000)        // config.go:81-83
+    assert(cfg.kafka.producerBatchBytes == (1L << 20)) // config.go:85-87
+    assert(cfg.kafka.requiredAcks == 1)                // config.go:89-91
+    assert(cfg.replica.nBuckets == 16 && cfg.replica.seqField.isEmpty)
+  }
+
+  test("engine blocks: source/snapshot/replica knobs load and batch bytes parse human sizes") {
+    val cfg = ConfigLoader.fromYaml(
+      """source:
+        |  dir: /data/stream
+        |  checkpointDir: /data/ckpt
+        |  format: graft-cdc
+        |  keyField: user_id
+        |  jdbc:
+        |    url: jdbc:derby:memory:t
+        |    numPartitions: 8
+        |snapshot:
+        |  enabled: true
+        |  mode: initial
+        |  tables: [lineitem, orders]
+        |replica:
+        |  nBuckets: 32
+        |  seqField: lsn
+        |kafka:
+        |  brokers: [b:9092]
+        |  producerBatchBytes: 2mb
+        |""".stripMargin)
+    assert(cfg.sourceDir == "/data/stream" && cfg.checkpointDir == "/data/ckpt")
+    assert(cfg.sourceFormat == "graft-cdc" && cfg.keyField == "user_id")
+    assert(cfg.jdbc.url == "jdbc:derby:memory:t" && cfg.jdbc.numPartitions == 8)
+    assert(cfg.snapshot.enabled && cfg.snapshot.tables == Seq("lineitem", "orders"))
+    assert(cfg.replica == ReplicaSinkConfig(nBuckets = 32, seqField = Some("lsn")))
+    assert(cfg.kafka.producerBatchBytes == 2L << 20)
+  }
+}
