@@ -159,4 +159,40 @@ object Multimodal {
       |  CAST(SUM(n_chars * 10) AS BIGINT) AS total_duration_ms
       |FROM documents
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The RESIZE lane under the oracle: because the stub codec's byte
+    * scaling is deterministic integer math, the post-resize metadata
+    * (new dims, new payload size) is SQL-expressible — so the DuckDB
+    * gate checks the whole typed `mapPartitions` codec path (encoder
+    * round-trip, per-partition codec init, payload+metadata single-pass
+    * update, pass-through of already-small media) value-for-value. A
+    * real codec swap changes only the byte content, not this plumbing.
+    */
+  def q69MediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    resize(mediaTable(s, dir), maxWidth = 256)
+      .select(
+        $"mediaId".as("media_id"),
+        $"modality",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        length($"payload").cast("long").as("n_bytes"))
+      .orderBy($"media_id")
+  }
+
+  val q69MediaResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      |    n_chars % 640 + 64 AS w0,
+      |    n_chars % 480 + 48 AS h0,
+      |    octet_length(encode(text)) AS plen
+      |  FROM documents)
+      |SELECT media_id, modality,
+      |  CAST(CASE WHEN w0 <= 256 THEN w0 ELSE 256 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN w0 <= 256 THEN h0
+      |            ELSE greatest((h0 * 256) // w0, 1) END AS BIGINT) AS height,
+      |  CAST(CASE WHEN w0 <= 256 THEN plen
+      |            ELSE greatest((plen * 256) // w0, 1) END AS BIGINT) AS n_bytes
+      |FROM m ORDER BY media_id""".stripMargin
 }
