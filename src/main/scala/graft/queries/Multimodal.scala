@@ -180,6 +180,29 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Frame-sampling under the oracle (same argument as q69): the stub's
+    * every-Nth-byte decimation has closed-form output size ⌈len/N⌉, so
+    * the gate value-checks the sampling lane's plumbing; metadata rides
+    * through unchanged, which the oracle also asserts.
+    */
+  def q70FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sampleFrames(mediaTable(s, dir), everyNth = 4)
+      .select(
+        $"mediaId".as("media_id"),
+        $"modality",
+        $"durationMs".as("duration_ms"),
+        length($"payload").cast("long").as("n_bytes"))
+      .orderBy($"media_id")
+  }
+
+  val q70FrameSampleSql: String =
+    """SELECT doc_id AS media_id,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+      |  CAST(n_chars * 10 AS BIGINT) AS duration_ms,
+      |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val q69MediaResizeSql: String =
     """WITH m AS (
       |  SELECT doc_id AS media_id,

@@ -29,6 +29,14 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(region).isEmpty && region.exceptAll(back).isEmpty)
   }
 
+  test("ORC round-trip preserves rows and values") {
+    val supplier = Tables.load(spark, dir, "supplier")
+    val out = Files.createTempDirectory("graft-orc").toString
+    supplier.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.exceptAll(supplier).isEmpty && supplier.exceptAll(back).isEmpty)
+  }
+
   test("partitioned parquet write prunes partitions on read (scan pushdown)") {
     val customer = Tables.load(spark, dir, "customer")
     val out = Files.createTempDirectory("graft-part").toString
