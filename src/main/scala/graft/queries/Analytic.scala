@@ -308,6 +308,29 @@ object Analytic {
     s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The KMV (bottom-k) distinct sketch under the exact oracle — the
+    * full-probe trick applied to a SKETCH: with capacity k far above the
+    * true cardinality the bottom-k set IS the full distinct hash set, so
+    * `COUNT(DISTINCT)` grades the whole typed-Aggregator machinery
+    * (per-partition partial sketches, kryo buffer encoding, tree-set
+    * merge) exactly. The bounded-k configuration is the same code path,
+    * error-bound-graded in BottomKSketchSpec — at 100 TB a k=1024 sketch
+    * replaces the distinct shuffle with mergeable 8 KB states.
+    */
+  def q71KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = udaf(graft.functions.BottomKSketch.aggregator(1 << 20))
+    Tables.load(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(sketch($"user_id").as("sk"))
+      .select($"event_type", size($"sk").cast("long").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  val q71KmvDistinctSql: String =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Salted JOIN against a skewed fact key (q37's partner for the join
     * case): events carry ~150 distinct user ids over 10k+ rows — a
     * pathological reducer-hotspot shape for a plain shuffle join at
