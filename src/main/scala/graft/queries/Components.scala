@@ -28,6 +28,48 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** BFS depths from a source node — the frontier-expansion iterative
+    * idiom (distinct from label propagation: it terminates the moment the
+    * frontier drains, touches only the REACHED part of the graph, and
+    * yields hop distances rather than component labels). Per round: one
+    * join frontier×edges + one anti-join against the visited set, lineage
+    * truncated per round. Like ccPropagate, the per-round emptiness test
+    * is the standard driver-side fixpoint check — bounded by `maxDepth`,
+    * loud on overrun.
+    *
+    * Input contract matches ccPropagate: two numeric columns, either or
+    * both edge directions (symmetrized internally — see the round-4
+    * gotcha), self-loops ignored. Output: (node, dist) for every node
+    * reachable from `source` within `maxDepth` hops, source included at 0.
+    */
+  def bfsDepths(edges0: DataFrame, source: Long, maxDepth: Int = 20): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val e = edges0.toDF("u", "v").filter($"u" =!= $"v")
+    val edges = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+      .distinct().localCheckpoint(true)
+    var visited = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    var drained = false
+    while (!drained && depth < maxDepth) {
+      depth += 1
+      val next = frontier.join(edges, frontier("node") === edges("u"))
+        .select($"v".as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) drained = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    // reaching maxDepth with a live frontier is not an error: BFS
+    // legitimately truncates at its depth budget
+    visited
+  }
+
   /** Min-label propagation to fixpoint. ONE Spark job per round: the
     * round's labels are materialized by `localCheckpoint(eager = true)`,
     * and the convergence counter is a LongAccumulator filled by that same

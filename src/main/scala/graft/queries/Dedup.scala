@@ -344,6 +344,51 @@ object Dedup {
   /** Same components, stated as a DuckDB recursive CTE over the same
     * exact-Jaccard pair definition.
     */
+  /** BFS hop distances over the duplicate-pair graph from its minimum
+    * node — the frontier-expansion counterpart of q45's component
+    * labels (how FAR a near-copy sits from the cluster's representative,
+    * not just which cluster it is in). Same memoized pair frame; the
+    * oracle walks the same graph with a recursive CTE, cycles bounded by
+    * the shared depth cap and collapsed by MIN(dist).
+    */
+  def q72BfsDepth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = nearDupPairs(s, dir).select($"d1", $"d2").localCheckpoint(true)
+    val src = pairs.agg(min($"d1")).collect()(0)
+    if (src.isNullAt(0)) // no duplicate pairs at this scale: empty result
+      return Seq.empty[(Long, Long)].toDF("doc_id", "dist")
+    Components.bfsDepths(pairs, src.getLong(0), maxDepth = 20)
+      .select($"node".as("doc_id"), $"dist")
+      .orderBy($"doc_id")
+  }
+
+  val q72BfsDepthSql: String =
+    s"""WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT d1, d2
+      |  FROM inter JOIN sz sa ON sa.doc_id = inter.d1
+      |             JOIN sz sb ON sb.doc_id = inter.d2
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $Tau),
+      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |bfs(node, dist) AS (
+      |  SELECT (SELECT MIN(d1) FROM pairs), 0
+      |  UNION
+      |  SELECT e.v, bfs.dist + 1
+      |  FROM edges e JOIN bfs ON e.u = bfs.node
+      |  WHERE bfs.dist < 20)
+      |SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM bfs WHERE node IS NOT NULL
+      |GROUP BY node ORDER BY doc_id""".stripMargin
+
   val q45DupClustersSql: String =
     s"""WITH RECURSIVE
       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -56,6 +56,22 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.ccStar(empty).count() == 0)
   }
 
+  test("bfsDepths: exact hop distances on a chain, one-direction input, unreached excluded") {
+    // chain 0-1-...-10 given in ONE direction plus a disconnected 100-101
+    val edges = edgeFrame((0L until 10L).map(i => (i, i + 1)) :+ (100L, 101L))
+    val d = labelsOf(Components.bfsDepths(edges, source = 0L))
+    assert(d == (0L to 10L).map(i => i -> i).toMap) // exact depths, no 100/101
+  }
+
+  test("bfsDepths: cycles terminate and the depth budget truncates") {
+    val triangle = edgeFrame(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(labelsOf(Components.bfsDepths(triangle, source = 1L)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    val chain = edgeFrame((0L until 10L).map(i => (i, i + 1)))
+    val truncated = labelsOf(Components.bfsDepths(chain, source = 0L, maxDepth = 3))
+    assert(truncated == (0L to 3L).map(i => i -> i).toMap)
+  }
+
   test("ccStar matches ccPropagate on the real near-dup pair graph") {
     val s = spark
     import s.implicits._
