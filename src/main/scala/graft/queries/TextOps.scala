@@ -548,6 +548,44 @@ object TextOps {
       |            FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window document CHUNKING with overlap — the long-document
+    * split that precedes packing in an LLM data pipeline (q47 bins whole
+    * docs into context windows; this splits docs LONGER than the window
+    * into overlapping windows so no span is lost at a boundary). Chunk i
+    * covers tokens [i·stride, i·stride + size); the count is
+    * ⌈max(n − size, 0) / stride⌉ + 1, so a short doc yields exactly one
+    * chunk and every tail token lands in the final (possibly short)
+    * chunk. Pure map-side generate+project — the 100 TB plan is one scan
+    * with a controlled ≤ n/stride row expansion, no shuffle but the
+    * final sort.
+    */
+  def q73Chunk(s: SparkSession, dir: String, window: Int = 64, stride: Int = 48): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .select($"doc_id", $"n_tokens",
+        explode(sequence(lit(0L),
+          ceil(greatest($"n_tokens" - window, lit(0L)).cast("double") / stride)
+            .cast("long"))).as("chunk_idx"))
+      .select($"doc_id", $"n_tokens", $"chunk_idx",
+        ($"chunk_idx" * stride).as("start_tok"),
+        least($"chunk_idx" * stride + window, $"n_tokens").as("end_tok"))
+      .filter($"start_tok" < $"n_tokens" || $"chunk_idx" === 0)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  def q73ChunkSql(size: Int = 64, stride: Int = 48): String =
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(i * $stride AS BIGINT) AS start_tok,
+      |  CAST(least(i * $stride + $size, n_tokens) AS BIGINT) AS end_tok
+      |FROM d, UNNEST(range(0,
+      |  CAST(ceil(CAST(greatest(n_tokens - $size, 0) AS DOUBLE) / $stride) AS BIGINT) + 1)) AS t(i)
+      |WHERE i * $stride < n_tokens OR i = 0
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Corpus-statistics quality profile (the CCNet/TF-DF signal family):
     * score each document by how COMMON its vocabulary is across the
     * corpus — documents of rare/garbage tokens (OCR noise, codes,
