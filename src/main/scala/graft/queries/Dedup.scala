@@ -344,6 +344,48 @@ object Dedup {
   /** Same components, stated as a DuckDB recursive CTE over the same
     * exact-Jaccard pair definition.
     */
+  /** Edit distance over the duplicate pairs — the character-level
+    * refinement of the near-dup verdict (Jaccard says HOW MUCH shingle
+    * overlap; Levenshtein says how few edits separate the texts, the
+    * signal that separates true re-crawls from template cousins).
+    * Computed only on the pair SURVIVORS (never all-pairs) over a fixed
+    * prefix, because Levenshtein is O(len²) per pair — exactly how a
+    * production pipeline bounds it. Both engines implement the same
+    * classic metric, so the oracle is exact.
+    */
+  def q75EditDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = nearDupPairs(s, dir).select($"d1", $"d2")
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", substring($"text", 1, 80).as("prefix"))
+    pairs
+      .join(docs.select($"doc_id".as("d1"), $"prefix".as("p1")), "d1")
+      .join(docs.select($"doc_id".as("d2"), $"prefix".as("p2")), "d2")
+      .select($"d1", $"d2", levenshtein($"p1", $"p2").cast("long").as("edit_dist"))
+      .orderBy($"d1", $"d2")
+  }
+
+  val q75EditDistanceSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT d1, d2
+      |  FROM inter JOIN sz sa ON sa.doc_id = inter.d1
+      |             JOIN sz sb ON sb.doc_id = inter.d2
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $Tau)
+      |SELECT d1, d2,
+      |  CAST(levenshtein(substring(da.text, 1, 80), substring(db.text, 1, 80)) AS BIGINT) AS edit_dist
+      |FROM pairs JOIN documents da ON da.doc_id = d1
+      |           JOIN documents db ON db.doc_id = d2
+      |ORDER BY d1, d2""".stripMargin
+
   /** BFS hop distances over the duplicate-pair graph from its minimum
     * node — the frontier-expansion counterpart of q45's component
     * labels (how FAR a near-copy sits from the cluster's representative,

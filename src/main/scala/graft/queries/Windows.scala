@@ -30,6 +30,29 @@ object Windows {
       .orderBy($"c_nationkey", $"rn")
   }
 
+  /** Relative-position window functions (the rank family's normalized
+    * cousins): percent_rank = (rank−1)/(n−1) and cume_dist = |≤row|/n —
+    * doubles, but each computed from exact integer rank/count in one
+    * expression, identically in both engines (the q53 discipline applied
+    * to window functions).
+    */
+  def q74PctRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.load(s, dir, "customer")
+      .withColumn("pct_rnk", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal", $"pct_rnk", $"cume")
+      .orderBy($"c_nationkey", $"c_custkey")
+  }
+
+  val q74PctRankSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS pct_rnk,
+      |  CUME_DIST()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS cume
+      |FROM customer
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
   val q7RankTopNSql: String =
     """SELECT c_nationkey, rn, rnk, drnk, c_custkey, c_acctbal
       |FROM (SELECT c_nationkey, c_custkey, c_acctbal,

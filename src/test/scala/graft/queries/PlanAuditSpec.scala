@@ -155,6 +155,25 @@ class PlanAuditSpec extends SparkSpec {
       s"eval-shingle/weights joins must broadcast:\n$finalPlan")
   }
 
+  test("q66: the df model is broadcast back — the corpus is never self-joined") {
+    val df = graft.SparkEntry.queries("q66_df_profile")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the vocabulary df model broadcast:\n$p")
+  }
+
+  test("q73: chunking is a map-side generate — no exchange except the final sort") {
+    val df = graft.SparkEntry.queries("q73_chunk")(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString()
+    // AQE prints final + initial plans; audit only the final section
+    val p = full.split("== Initial Plan ==")(0)
+    val exchanges = p.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the final sort exchange, got $exchanges:\n$p")
+    assert(p.contains("Generate"), s"expected the sequence generate:\n$p")
+  }
+
   test("q1: aggregation keeps whole-stage codegen coverage") {
     // codegen'd stages carry the `*(n)` prefix in the simple plan string
     val p = plan("q1_agg")
