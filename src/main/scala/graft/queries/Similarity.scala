@@ -508,6 +508,70 @@ object Similarity {
   def q63AnnPqFullRerank(s: SparkSession, dir: String): DataFrame =
     q63AnnPq(s, dir, rerank = Int.MaxValue)
 
+  /** IVF-PQ — the two scale mechanisms COMPOSED, which is the actual
+    * production serving architecture (FAISS `IndexIVFPQ`): IVF cells
+    * bound WHICH vectors a query touches (~nProbe/C of the corpus), PQ
+    * codes bound WHAT is read and computed per touched vector (M code
+    * ids + an O(M) ADC lookup instead of the full float vector), and
+    * only the top-`rerank` ADC candidates fetch their real vectors for
+    * exact-cosine ordering. Shapes: both codebooks train on the same
+    * bounded driver sample; cell assignment, PQ codes, and the query
+    * LUT are all map-side native codegen; the probe join shuffles on
+    * cell id only; the re-rank fetch is survivors-sized.
+    */
+  def q76AnnIvfPq(s: SparkSession, dir: String, nCentroids: Int = 8,
+      nProbe: Int = 8, m: Int = 8, k: Int = 16, rerank: Int = 32): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+    val cent = trainCodebook(e, nCentroids)
+    val cb = typedLit(trainPqCodebook(e, m, k))
+    // corpus side: cell id (IVF) + codes (PQ) — no full vectors carried
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(s, $"embedding", $"ce"))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter($"arnk" === 1)
+      .select($"vec_id".as("nid"),
+        call_function("pq_encode", $"embedding", cb, lit(m), lit(k)).as("codes"),
+        $"cid")
+    // query side: probed cells + ADC lookup table
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val wProbe = Window.partitionBy($"qid").orderBy($"csim".desc, $"cid")
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(s, $"qe", $"ce"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter($"prnk" <= nProbe)
+      .select($"qid", $"qe",
+        call_function("pq_lut", $"qe", cb, lit(m), lit(k)).as("lut"), $"cid")
+    val wAdc = Window.partitionBy($"qid").orderBy($"adc".desc, $"nid")
+    val cands = probes.join(assigned, "cid")
+      .filter($"nid" =!= $"qid")
+      .withColumn("adc", call_function("pq_adc", $"lut", $"codes"))
+      .withColumn("crnk", row_number().over(wAdc))
+      .filter($"crnk" <= rerank)
+      .select($"qid", $"qe", $"nid")
+    val fetch = e.select($"vec_id".as("nid"), $"embedding".as("ne"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    cands.join(fetch, "nid")
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"cos_sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Gate-registered IVF-PQ: full probe (every cell) AND full re-rank
+    * (every ADC candidate exact-scored) ⇒ provably ≡ q50 brute force —
+    * the exact oracle grades BOTH compositions at once: cell training/
+    * assignment/probe join (IVF) and encode/LUT/ADC (PQ). The pruned
+    * (nProbe<C, small-rerank) configuration is the same code path,
+    * recall-graded in AnnRecallSpec.
+    */
+  def q76AnnIvfPqFull(s: SparkSession, dir: String): DataFrame =
+    q76AnnIvfPq(s, dir, nProbe = 8, rerank = Int.MaxValue)
+
   def q51AnnIvf(s: SparkSession, dir: String, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")

@@ -81,6 +81,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF-PQ with full probe + full re-rank is exactly brute force") {
+    val truth = pairSet(Similarity.q50AnnBrute(spark, dir))
+    assert(truth.nonEmpty)
+    assert(pairSet(Similarity.q76AnnIvfPqFull(spark, dir)) == truth)
+  }
+
+  test("IVF-PQ recall@3 vs brute force (nprobe=4 of 8 cells, rerank=32)") {
+    val truth = pairSet(Similarity.q50AnnBrute(spark, dir))
+    val got   = pairSet(Similarity.q76AnnIvfPq(spark, dir, nProbe = 4))
+    val recall = (truth & got).size.toDouble / truth.size
+    // both prunes stack: ~half the corpus scanned (IVF) and a 16× ADC
+    // candidate cut (PQ) — the floor asserts the composition still finds
+    // most true neighbors on isotropic worst-case data
+    assert(recall >= 0.35, s"recall=$recall")
+  }
+
   test("near-dup detectors agree: q40 (exact) == q41 (MinHash LSH) == q42 (SimHash)") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
