@@ -81,6 +81,16 @@ object EventStreams {
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-STATIC join: enrich each arriving event with a dimension
+    * table — the most common production join, and the cheap one: the
+    * static side needs no watermark and holds no join state (it is
+    * re-planned per micro-batch, broadcast when small), so this scales
+    * with the dimension size, not the stream's history. Contrast with
+    * the stream-stream joins above, whose state is watermark-bounded.
+    */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** LEFT OUTER stream-stream join: like [[streamStreamJoin]], but a
     * left event with no partner inside the join window is still emitted
     * (right columns null) once the watermark proves no partner can

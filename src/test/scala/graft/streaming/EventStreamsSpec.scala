@@ -85,6 +85,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.map(x => (x.getAs[Long]("l_id"), x.getAs[Long]("r_id"))).toSet == Set((1L, 100L)))
   }
 
+  test("stream-static join enriches events with the dimension, unmatched keys survive") {
+    import spark.implicits._
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev](spark)
+    in.addData(Ev(1, ts(0), 7, "a", 0), Ev(2, ts(1), 9, "b", 0))
+    val rows = runToCompletion(
+      EventStreams.streamStaticJoin(in.toDF(), dim), OutputMode.Append())
+    val tiers = rows.map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+    assert(tiers == Map(1L -> Some("gold"), 2L -> None))
+  }
+
   test("left-outer stream-stream join emits unmatched lefts after the watermark closes") {
     val l = MemoryStream[Ev](spark)
     val r = MemoryStream[Ev](spark)
