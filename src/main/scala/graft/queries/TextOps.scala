@@ -586,6 +586,32 @@ object TextOps {
       |WHERE i * $stride < n_tokens OR i = 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Global heavy hitters — the hottest-vocabulary question every corpus
+    * audit asks, via the Misra–Gries mergeable summary
+    * (`functions/FrequentItems`): per-partition constant-size summaries,
+    * one merge, no token-keyed shuffle. Registered at full capacity
+    * (⇒ provably exact counting — the q71 trick on a second sketch
+    * family), so the plain GROUP-BY oracle grades reduce/merge/finish
+    * exactly; the bounded-capacity path carries the classic
+    * n/(capacity+1) undercount guarantee, spec-graded.
+    */
+  def q77FrequentTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fi = udaf(graft.functions.FrequentItems.aggregator(1 << 20))
+    Tables.load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .agg(fi($"w").as("top"))
+      .select(explode($"top").as("t"))
+      .select($"t._1".as("w"), $"t._2".as("cnt"))
+      .orderBy($"cnt".desc, $"w")
+      .limit(20)
+  }
+
+  val q77FrequentTokensSql: String =
+    """SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin
+
   /** Corpus-statistics quality profile (the CCNet/TF-DF signal family):
     * score each document by how COMMON its vocabulary is across the
     * corpus — documents of rare/garbage tokens (OCR noise, codes,

@@ -54,6 +54,28 @@ class PropertiesSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("property: q73 chunks cover every token, overlap by window-stride, start at 0") {
+    val s = spark
+    import s.implicits._
+    val rows = TextOps.q73Chunk(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._3) // by chunk_idx
+      val n = sorted.head._2
+      assert(sorted.head._4 == 0L, s"doc $doc: first chunk must start at 0")
+      assert(sorted.last._5 == n, s"doc $doc: last chunk must end at n_tokens")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 == a._4 + 48, s"doc $doc: stride broken")
+          assert(b._4 < a._5, s"doc $doc: gap between chunks — token uncovered")
+        case _ => ()
+      }
+    }
+  }
+
   test("approx_count_distinct is within its relative-error bound (HLL surface)") {
     import spark.implicits._
     val orders = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "orders")
