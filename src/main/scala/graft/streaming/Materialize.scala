@@ -104,6 +104,35 @@ object Materialize {
       }
       .start()
 
+  /** Replica + PERSISTED change feed in one stream: each batch's net
+    * changes land under `changesDir/batch=<id>` — the downstream
+    * fan-out artifact: an audit trail, a batch-readable feed for
+    * incremental consumers (standard partition-column layout), and the
+    * input shape [[applyAggregateDelta]] takes. Exactly-once by
+    * write-once: the feed partition is written BEFORE the replica
+    * apply and only if not already complete (its `_SUCCESS` marker),
+    * so a redelivered batch neither duplicates rows nor replaces the
+    * original changes with the degraded no-op view a post-apply
+    * recomputation would yield (a redelivered DELETE finds its key
+    * already tombstoned and nets to nothing).
+    */
+  def applyStreamWithChangelog(events: DataFrame, keyField: String,
+      tablePath: String, changesDir: String, checkpoint: String,
+      nBuckets: Int = 16, seqCol: Option[String] = None): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val b = batch.toDF()
+        val part = new Path(changesDir, s"batch=$batchId")
+        val fs = part.getFileSystem(b.sparkSession.sparkContext.hadoopConfiguration)
+        applyBatchCdf(b, keyField, tablePath, nBuckets, seqCol,
+          beforeTableWrite = changes =>
+            if (!fs.exists(new Path(part, "_SUCCESS")))
+              changes.write.mode("overwrite").parquet(part.toString))
+        ()
+      }
+      .start()
+
   /** Replica + incrementally-maintained aggregate view in one stream:
     * each batch's change feed drives [[applyAggregateDelta]] after the
     * replica merge, keeping `SELECT grp, count(*), sum(m) GROUP BY grp`
@@ -133,7 +162,8 @@ object Materialize {
     * ([[applyAggregateDelta]]), audit trails, downstream CDC fan-out.
     */
   def applyBatchCdf(batch: DataFrame, keyField: String, tablePath: String,
-      nBuckets: Int = 16, seqCol: Option[String] = None): DataFrame = {
+      nBuckets: Int = 16, seqCol: Option[String] = None,
+      beforeTableWrite: DataFrame => Unit = _ => ()): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     def mapField(name: String) =
@@ -183,22 +213,31 @@ object Materialize {
       // checkpointed: feeds the table overwrite AND the change feed, and
       // must not lazily re-read the files the overwrite replaces
       .localCheckpoint(true)
+    // CDF: keys where the incoming change won — before from the prior
+    // live row (tombstone ⇒ absent ⇒ null), after from the winner.
+    // Derived entirely from CHECKPOINTED frames, so it reflects the
+    // PRE-apply state no matter when it is evaluated.
+    val prior = existing.select(col(KeyCol),
+      when($"op" =!= Op.Delete, $"data").as("before"))
+    val changes = winners.filter($"src" === "incoming")
+      .select(col(KeyCol),
+        when($"op" =!= Op.Delete, $"data").as("after"))
+      .join(prior, Seq(KeyCol), "left")
+      .filter($"before".isNotNull || $"after".isNotNull) // delete of absent key: no-op
+      .select(col(KeyCol), $"before", $"after")
+    // change-feed persistence runs BEFORE the replica overwrite: on a
+    // retry after a crash between the two, the feed already holds the
+    // original (pre-apply) changes and the idempotent replica write
+    // simply lands again — the feed never records the degraded
+    // post-apply view a recomputation would produce
+    beforeTableWrite(changes)
     winners
       .select(col(KeyCol), $"op", $"data", $"event_time", $"seq", $"bucket")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic") // only touched buckets
       .partitionBy("bucket")
       .parquet(tablePath)
-    // CDF: keys where the incoming change won — before from the prior
-    // live row (tombstone ⇒ absent ⇒ null), after from the winner
-    val prior = existing.select(col(KeyCol),
-      when($"op" =!= Op.Delete, $"data").as("before"))
-    winners.filter($"src" === "incoming")
-      .select(col(KeyCol),
-        when($"op" =!= Op.Delete, $"data").as("after"))
-      .join(prior, Seq(KeyCol), "left")
-      .filter($"before".isNotNull || $"after".isNotNull) // delete of absent key: no-op
-      .select(col(KeyCol), $"before", $"after")
+    changes
   }
 
   /** Incrementally maintain a grouped-aggregate table (count + an exact

@@ -211,6 +211,44 @@ class MaterializeSpec extends SparkSpec {
     assert(state(tbl) == Map("1" -> ("a2", Timestamp.valueOf("2024-01-01 00:00:09"))))
   }
 
+  test("persisted changelog: per-batch partitions, net changes only, redelivery replaces") {
+    val base = Files.createTempDirectory("graft-chlog").toString
+    val ckpt = Files.createTempDirectory("graft-chlog-ckpt").toString
+    val tbl = s"$base/t"; val chg = s"$base/changes"
+    val in = MemoryStream[ChangeEvent](spark)
+    val q = Materialize.applyStreamWithChangelog(
+      in.toDF(), "id", tbl, chg, ckpt, nBuckets = 2)
+    in.addData(ev(Op.Insert, 1, 0, "a"), ev(Op.Insert, 2, 1, "b"))
+    q.processAllAvailable()
+    in.addData(ev(Op.Update, 1, 5, "a2"), ev(Op.Delete, 2, 6, ""),
+      ev(Op.Update, 1, 2, "stale")) // merge loser: must NOT appear in the feed
+    q.processAllAvailable(); q.stop()
+    // the batch partition column reads back as INT (directory inference)
+    val changes = spark.read.parquet(chg).collect()
+      .map(r => (r.getAs[Number]("batch").longValue(), r.getAs[String]("k"),
+        Option(r.getAs[Map[String, String]]("before")).map(_("v")),
+        Option(r.getAs[Map[String, String]]("after")).map(_("v"))))
+    assert(changes.count(_._1 == 0L) == 2) // two inserts
+    val b1 = changes.filter(_._1 == 1L)
+    assert(b1.toSet == Set(
+      (1L, "1", Some("a"), Some("a2")),  // update: before/after
+      (1L, "2", Some("b"), None)))       // delete: after null; stale change absent
+    // redelivery through the same write-once guard: the batch re-applies
+    // to the replica (idempotent) but the feed partition is complete, so
+    // it is NOT rewritten — in particular the delete row survives, which
+    // a post-apply recomputation would have netted away (key 2 is
+    // already tombstoned on redelivery)
+    val total = spark.read.parquet(chg).count()
+    val part = new java.io.File(s"$chg/batch=1")
+    Materialize.applyBatchCdf(
+      Seq(ev(Op.Update, 1, 5, "a2"), ev(Op.Delete, 2, 6, "")).toDF(), "id", tbl, 2,
+      beforeTableWrite = ch =>
+        if (!new java.io.File(part, "_SUCCESS").exists())
+          ch.write.mode("overwrite").parquet(part.toString))
+    assert(spark.read.parquet(chg).count() == total)
+    assert(spark.read.parquet(part.toString).count() == 2) // delete row intact
+  }
+
   test("law: any batching of any event log converges to latest-by-(time, seq) semantics") {
     val rnd = new scala.util.Random(42) // deterministic
     for (round <- 0 until 3) {
