@@ -277,6 +277,24 @@ object Materialize {
       .write.mode("overwrite").parquet(aggPath)
   }
 
+  /** TIME TRAVEL over the persisted change feed: reconstruct the
+    * replica's live state AS OF the end of `batch` by folding the
+    * feed's net changes — each key's state is its latest `after` at or
+    * before that batch (null ⇒ deleted). The feed partitions make this
+    * a partition-PRUNED scan of batches ≤ N, and because the feed
+    * records NET per-batch changes, the fold is one latest-per-key
+    * window, not an event replay.
+    */
+  def replicaAsOf(s: SparkSession, changesDir: String, batch: Long): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col(KeyCol)).orderBy($"batch".desc)
+    s.read.parquet(changesDir)
+      .filter($"batch" <= batch) // partition-pruned
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"after".isNotNull)
+      .select(col(KeyCol), $"after".as("data"))
+  }
+
   /** The replica as a DataFrame: current row per live key (tombstones
     * filtered at read — a parquet predicate on the op column).
     */

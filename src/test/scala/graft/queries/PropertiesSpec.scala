@@ -76,6 +76,25 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile honors its rank-accuracy contract vs the exact percentile") {
+    val s = spark
+    import s.implicits._
+    val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val acc = 100 // rank error <= n/acc by the GK-sketch contract
+    val Array(n, approx, exactLo, exactHi) = {
+      val cnt = li.count()
+      val a = li.selectExpr(s"approx_percentile(l_quantity, 0.5, $acc)").collect()(0).getDouble(0)
+      val err = (cnt / acc).toInt
+      val sorted = li.select($"l_quantity".cast("double")).orderBy($"l_quantity")
+        .collect().map(_.getDouble(0))
+      val mid = (cnt / 2).toInt
+      Array(cnt.toDouble, a,
+        sorted(math.max(mid - err, 0)), sorted(math.min(mid + err, sorted.length - 1)))
+    }
+    assert(approx >= exactLo && approx <= exactHi,
+      s"approx median $approx outside rank-error window [$exactLo, $exactHi] (n=$n)")
+  }
+
   test("approx_count_distinct is within its relative-error bound (HLL surface)") {
     import spark.implicits._
     val orders = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "orders")

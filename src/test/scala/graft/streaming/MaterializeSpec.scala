@@ -247,6 +247,15 @@ class MaterializeSpec extends SparkSpec {
           ch.write.mode("overwrite").parquet(part.toString))
     assert(spark.read.parquet(chg).count() == total)
     assert(spark.read.parquet(part.toString).count() == 2) // delete row intact
+
+    // time travel: fold the feed to reconstruct state as of each batch
+    def asOf(b: Long): Map[String, String] =
+      Materialize.replicaAsOf(spark, chg, b).collect()
+        .map(r => r.getString(0) -> r.getMap[String, String](1)("v")).toMap
+    assert(asOf(0L) == Map("1" -> "a", "2" -> "b"))
+    assert(asOf(1L) == Map("1" -> "a2")) // 2 deleted, 1 updated
+    // ...and the as-of-latest view agrees with the live replica
+    assert(asOf(1L) == state(tbl).map { case (k, (v, _)) => k -> v })
   }
 
   test("law: any batching of any event log converges to latest-by-(time, seq) semantics") {
