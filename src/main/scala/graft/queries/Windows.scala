@@ -111,6 +111,34 @@ object Windows {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** Frame-boundary value functions — last_value and nth_value, which
+    * q9's lag/lead/first family leaves uncovered, with the frame spelled
+    * EXPLICITLY: the default frame stops at CURRENT ROW, so a
+    * "last value per partition" needs UNBOUNDED FOLLOWING or it silently
+    * returns the current row's value (the classic window footgun, pinned
+    * here on both engines). Value functions SELECT rather than
+    * accumulate, so doubles stay exact cross-engine.
+    */
+  def q78FrameValues(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "events")
+      .withColumn("last_value_full", last($"value").over(full))
+      .withColumn("third_value", nth_value($"value", 3).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"event_id", $"value", $"last_value_full", $"third_value")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q78FrameValuesSql: String =
+    """SELECT user_id, event_id, value,
+      |  LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value_full,
+      |  NTH_VALUE(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   /** CDC latest-by-key compaction (SURVEY §2B "Dedup"): last event per key
     * by (event-time, unique id) — the reference's keyed latest-wins
     * semantics for change streams. At scale: one shuffle on the key, then
