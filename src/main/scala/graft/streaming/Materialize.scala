@@ -277,6 +277,29 @@ object Materialize {
       .write.mode("overwrite").parquet(aggPath)
   }
 
+  /** Point lookup on the replica — the serving path: the key's bucket is
+    * computable client-side (same xxhash64 the writer used), so the scan
+    * prunes to ONE bucket directory regardless of table size; at a few
+    * GB per bucket that is an index-free O(bucket) read, the replica
+    * layout's second dividend after partial rewrites.
+    */
+  def lookup(s: SparkSession, tablePath: String, key: String,
+      nBuckets: Int = 16): DataFrame = {
+    import s.implicits._
+    // the writer's pmod(xxhash64(k), n), evaluated driver-side (same
+    // expression, same default seed) — no job just to find the bucket
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.sql.types.StringType)),
+      42L /* functions.xxhash64's fixed seed */).eval(null).asInstanceOf[Long]
+    val bucket = (((h % nBuckets) + nBuckets) % nBuckets).toInt
+    s.read.parquet(tablePath)
+      .filter($"bucket" === bucket) // partition-pruned to one directory
+      .filter(col(KeyCol) === key && $"op" =!= Op.Delete)
+      .select(col(KeyCol), $"data", $"event_time", $"seq")
+  }
+
   /** TIME TRAVEL over the persisted change feed: reconstruct the
     * replica's live state AS OF the end of `batch` by folding the
     * feed's net changes — each key's state is its latest `after` at or

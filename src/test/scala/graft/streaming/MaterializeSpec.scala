@@ -258,6 +258,22 @@ class MaterializeSpec extends SparkSpec {
     assert(asOf(1L) == state(tbl).map { case (k, (v, _)) => k -> v })
   }
 
+  test("point lookup prunes to the key's bucket and respects tombstones") {
+    val tablePath = Files.createTempDirectory("graft-lookup").toString + "/t"
+    Materialize.applyBatch(
+      (1 to 32).map(i => ev(Op.Insert, i, 0, s"v$i")).toDF(), "id", tablePath, nBuckets = 8)
+    Materialize.applyBatch(Seq(ev(Op.Delete, 7, 5, "")).toDF(), "id", tablePath, nBuckets = 8)
+    val hit = Materialize.lookup(spark, tablePath, "3", nBuckets = 8)
+    assert(hit.collect().map(r => r.getMap[String, String](1)("v")).toSeq == Seq("v3"))
+    // the scan is pruned to one bucket directory
+    val scanned = hit.queryExecution.executedPlan.toString()
+    assert(scanned.contains("PartitionFilters") && scanned.contains("bucket"),
+      s"expected bucket partition pruning:\n$scanned")
+    // deleted key: tombstone present on disk, lookup returns nothing
+    assert(Materialize.lookup(spark, tablePath, "7", nBuckets = 8).isEmpty)
+    assert(Materialize.lookup(spark, tablePath, "nosuch", nBuckets = 8).isEmpty)
+  }
+
   test("law: any batching of any event log converges to latest-by-(time, seq) semantics") {
     val rnd = new scala.util.Random(42) // deterministic
     for (round <- 0 until 3) {
