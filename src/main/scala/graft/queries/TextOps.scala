@@ -586,6 +586,36 @@ object TextOps {
       |WHERE i * $stride < n_tokens OR i = 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** BPE-style pre-tokenization counts — the token-budget estimate a
+    * training pipeline runs BEFORE committing to a real tokenizer pass:
+    * a GPT-2-ish pre-tokenizer splits runs of letters, runs of digits,
+    * and runs of other non-space symbols (the regex is deliberately in
+    * the dialect subset Java and RE2 interpret identically), and the
+    * piece count upper-bounds the BPE token count (BPE only merges
+    * within pieces). Whitespace tokens (q30) undercount code/punctuated
+    * text badly; this is the standard cheap correction. Map-side scan,
+    * exact integer outputs.
+    */
+  def q79BpeCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val piece = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        regexp_count($"text", lit(piece)).cast("long").as("bpe_pieces"),
+        regexp_count($"text", lit("[0-9]+")).cast("long").as("digit_runs"),
+        regexp_count($"text", lit("[^a-z0-9 ]+")).cast("long").as("symbol_runs"))
+      .orderBy($"doc_id")
+  }
+
+  val q79BpeCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS bpe_pieces,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_runs,
+      |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]+')) AS BIGINT) AS symbol_runs
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Global heavy hitters — the hottest-vocabulary question every corpus
     * audit asks, via the Misra–Gries mergeable summary
     * (`functions/FrequentItems`): per-partition constant-size summaries,
