@@ -182,6 +182,9 @@ object Materialize {
       .filter($"rn" === 1)
       .select(col(KeyCol), $"op", $"newData".as("data"), $"event_time", $"seq")
       .withColumn("bucket", pmod(xxhash64(col(KeyCol)), lit(nBuckets)).cast("int"))
+      // materialized once: feeds the touched-bucket probe AND the merge
+      // union — without this the source scan + window run twice per batch
+      .localCheckpoint(true)
     val emptyCdf = upserts.limit(0).select(
       col(KeyCol), $"data".as("before"), $"data".as("after"))
     // touched buckets: ≤ nBuckets ints — bounded driver-side by design
