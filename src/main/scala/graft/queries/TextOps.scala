@@ -442,14 +442,21 @@ object TextOps {
     * contaminated ids — both broadcast back), and the packing window.
     * The oracle states the identical chain as CTEs.
     */
-  def q62CurateFull(s: SparkSession, dir: String, budget: Int = 512, shards: Int = 8): DataFrame = {
+  /** The curation funnel's intermediate frames, shared by the pipeline
+    * output (q62) and the attrition report (q80): (corpus pool after
+    * hold-out, exact-dedup survivors, quality+repetition-gated, after
+    * decontamination, after train-split, after mixture sampling).
+    */
+  private def curationStages(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     graft.GraftExtensions.register(s)
     val docs = Tables.load(s, dir, "documents")
     // eval shingles: tiny (the benchmark suite), broadcast everywhere
     val evSh = docs.filter($"doc_id" % 50 === 0)
       .select(explode(call_function("word_shingle_hashes", $"text")).as("g")).distinct()
-    val uniq = docs.filter($"doc_id" % 50 =!= 0)
+    val pool = docs.filter($"doc_id" % 50 =!= 0)
+    val uniq = pool
       .groupBy($"text")
       .agg(min($"doc_id").as("doc_id"), min_by($"source", $"doc_id").as("source"))
       .select($"doc_id", $"source", $"text",
@@ -468,16 +475,25 @@ object TextOps {
     def bucket(salt: String): Column =
       conv(substring(md5(concat(lit(salt), $"doc_id".cast("string"))), 1, 8),
         16, 10).cast("long") % 100
+    val clean = gated.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // trainSplit, NOT split: a local `split` val would shadow
+    // functions.split used above and knot the block into a type cycle
+    val trainSplit = clean.filter(bucket("split:") < 80)
+    val mixed = trainSplit
+      .join(broadcast(weights), Seq("source"), "left")
+      .filter(bucket("mix:") < coalesce($"rate", lit(60L)))
+    (pool, uniq, gated, clean, trainSplit, mixed)
+  }
+
+  def q62CurateFull(s: SparkSession, dir: String, budget: Int = 512, shards: Int = 8): DataFrame = {
+    import s.implicits._
+    val (_, _, _, _, _, mixed) = curationStages(s, dir)
     val shard = (conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 8),
       16, 10).cast("long") % shards).as("shard")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"shard").orderBy($"doc_id").rowsBetween(Long.MinValue, 0)
     val binId = floor(($"cum" - $"n_tokens").cast("double") / budget).cast("long")
-    gated
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-      .filter(bucket("split:") < 80)
-      .join(broadcast(weights), Seq("source"), "left")
-      .filter(bucket("mix:") < coalesce($"rate", lit(60L)))
+    mixed
       .select($"doc_id", $"source", shard, $"n_tokens")
       .withColumn("cum", sum($"n_tokens").over(w))
       .select($"doc_id", $"source", $"shard", $"n_tokens",
@@ -485,6 +501,81 @@ object TextOps {
         (($"cum" - $"n_tokens") - binId * budget).as("offset_in_bin"))
       .orderBy($"doc_id")
   }
+
+  /** The funnel REPORT over the same stages — what a data engineer
+    * actually inspects before a run: per-stage document and token
+    * attrition, each stage counted exactly once off the shared frames.
+    * The oracle recomputes the identical funnel declaratively, so the
+    * gate proves the pipeline's bookkeeping (not just its final
+    * output) is right.
+    */
+  def q80CurationReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (pool, uniq, gated, clean, trainSplit, mixed) = curationStages(s, dir)
+    def stage(ord: Int, name: String, df: DataFrame, tokens: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tokens), lit(0L)).cast("long").as("n_tokens"))
+        .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+          $"n_docs", $"n_tokens")
+    val nTok = col("n_tokens")
+    stage(1, "pool", pool, size(split(col("text"), " ")).cast("long"))
+      .unionByName(stage(2, "dedup", uniq, nTok))
+      .unionByName(stage(3, "quality_gate", gated, nTok))
+      .unionByName(stage(4, "decontaminated", clean, nTok))
+      .unionByName(stage(5, "train_split", trainSplit, nTok))
+      .unionByName(stage(6, "mixture", mixed, nTok))
+      .orderBy($"stage_ord")
+  }
+
+  val q80CurationReportSql: String =
+    """WITH w0 AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w0),
+      |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+      |pool AS (SELECT doc_id, source, text,
+      |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |         FROM documents WHERE doc_id % 50 <> 0),
+      |uniq AS (
+      |  SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS source, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id % 50 <> 0 GROUP BY text),
+      |gated AS (
+      |  SELECT u.doc_id, u.source, u.n_tokens FROM uniq u
+      |  WHERE u.n_tokens >= 15
+      |    AND 1.0 - CAST(len(list_distinct(list_transform(
+      |          range(1, greatest(len(string_split(u.text, ' ')), 2)),
+      |          i -> array_to_string(string_split(u.text, ' ')[i:i+1], ' ')))) AS DOUBLE)
+      |        / greatest(u.n_tokens - 1, 1) <= 0.2),
+      |contaminated AS (
+      |  SELECT DISTINCT sh.doc_id
+      |  FROM sh JOIN gated ON sh.doc_id = gated.doc_id, unnest(sh.s) AS t(g)
+      |  WHERE t.g IN (SELECT g FROM ev)),
+      |clean AS (SELECT * FROM gated
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |split AS (SELECT * FROM clean
+      |  WHERE CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |          % 100 < 80),
+      |mixw(source, rate) AS (VALUES ('src0', 100), ('src1', 100), ('src2', 20), ('src3', 20)),
+      |mixed AS (
+      |  SELECT s.* FROM split s LEFT JOIN mixw ON s.source = mixw.source
+      |  WHERE CAST(('0x' || substring(md5('mix:' || CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |          % 100 < COALESCE(mixw.rate, 60))
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'pool' AS stage,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM pool
+      |  UNION ALL SELECT 2, 'dedup', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM uniq
+      |  UNION ALL SELECT 3, 'quality_gate', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM gated
+      |  UNION ALL SELECT 4, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM clean
+      |  UNION ALL SELECT 5, 'train_split', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM split
+      |  UNION ALL SELECT 6, 'mixture', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM mixed)
+      |ORDER BY stage_ord""".stripMargin
 
   def q62CurateFullSql(budget: Int = 512, shards: Int = 8): String =
     s"""WITH w0 AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
