@@ -414,6 +414,9 @@ object Analytic {
       when($"op" =!= "DELETE", payload)
         .otherwise(map().cast("map<string,string>")).as("newData"),
       $"op")
+      // the replay harness re-filters this log per batch; materialize the
+      // scan once instead of three times
+      .localCheckpoint(true)
     val tablePath =
       java.nio.file.Files.createTempDirectory("graft_q64_replica").toString + "/t"
     (0 until 3).foreach { i =>
@@ -462,6 +465,7 @@ object Analytic {
       when($"op" =!= "DELETE", payload)
         .otherwise(map().cast("map<string,string>")).as("newData"),
       $"op")
+      .localCheckpoint(true) // one scan feeds all three replay batches
     val base = java.nio.file.Files.createTempDirectory("graft_q65_mv").toString
     val tablePath = s"$base/t"
     val aggPath = s"$base/agg"

@@ -258,6 +258,25 @@ class MaterializeSpec extends SparkSpec {
     assert(asOf(1L) == state(tbl).map { case (k, (v, _)) => k -> v })
   }
 
+  test("copy-on-write self-consolidates: buckets never accrete files across rewrites") {
+    val tablePath = Files.createTempDirectory("graft-cow-files").toString + "/t"
+    (1 to 12).foreach { i =>
+      Materialize.applyBatch(Seq(ev(Op.Insert, i, i % 10, s"v$i")).toDF(), "id",
+        tablePath, nBuckets = 2)
+    }
+    // 12 rewrites later each bucket holds only its LAST rewrite's files —
+    // dynamic overwrite replaces, never appends, so the replica needs no
+    // compaction pass (unlike the append-accreting IVF cells, which
+    // CompactionSpec covers)
+    (0 to 1).foreach { b =>
+      val files = Option(new java.io.File(s"$tablePath/bucket=$b").list())
+        .toSeq.flatten.filter(_.endsWith(".parquet"))
+      assert(files.size <= spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        s"bucket $b accreted ${files.size} files")
+    }
+    assert(state(tablePath).keySet == (1 to 12).map(_.toString).toSet)
+  }
+
   test("point lookup prunes to the key's bucket and respects tombstones") {
     val tablePath = Files.createTempDirectory("graft-lookup").toString + "/t"
     Materialize.applyBatch(
