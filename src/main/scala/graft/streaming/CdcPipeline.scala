@@ -58,7 +58,11 @@ object CdcPipeline {
     val cdc = cfg.sourceFormat match {
       case "graft-cdc"      => fromCdcSource(spark, cfg.sourceDir)
       case "graft-jdbc-cdc" => fromJdbc(spark, cfg)
-      case _                => fromJsonFiles(spark, cfg.sourceDir)
+      case "json"           => fromJsonFiles(spark, cfg.sourceDir)
+      // loud, not a silent fallback: a typo'd format draining the wrong
+      // lane (and committing its checkpoint) is the worse failure
+      case other => throw new IllegalArgumentException(
+        s"unknown source.format '$other' (expected json | graft-cdc | graft-jdbc-cdc)")
     }
     // `initial` snapshot mode rides the SAME query as a union branch: the
     // snapshot file-stream is exhausted after its first listing, and the
