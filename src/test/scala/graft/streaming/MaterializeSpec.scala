@@ -258,6 +258,37 @@ class MaterializeSpec extends SparkSpec {
     assert(asOf(1L) == state(tbl).map { case (k, (v, _)) => k -> v })
   }
 
+  test("initial snapshot hydrates the replica, CDC keeps it current (connector-driven)") {
+    import scala.concurrent.duration._
+    val src = Files.createTempDirectory("graft-snaprep-src")
+    val chk = Files.createTempDirectory("graft-snaprep-chk")
+    val tbl = Files.createTempDirectory("graft-snaprep-tbl").toString + "/t"
+    // a CDC update that must override the snapshot row (later event time
+    // than any snapshot timestamp)
+    Files.write(src.resolve("upd.json"),
+      ("""{"eventTime":"2130-01-01T00:00:00.000Z","tableNamespace":"public","tableName":"nation",""" +
+        """"oldData":null,"newData":{"n_nationkey":"3","n_name":"PATCHED"},"op":"UPDATE"}""").getBytes)
+    val cfg = graft.app.ConnectorConfig(
+      sourceDir = src.toString, checkpointDir = chk.toString,
+      kafka = graft.app.KafkaSinkConfig(
+        brokers = Seq("unused:9092"),
+        tableTopicMapping = Map("public.nation" -> "nation-topic"),
+        producerBatchTickerDuration = 250.millis),
+      snapshot = graft.app.SnapshotConfig(
+        enabled = true, mode = graft.app.SnapshotConfig.ModeInitial,
+        tables = Seq("nation"), dataDir = "/root/testdata/sf0.001"),
+      keyField = "n_nationkey")
+    val conn = new graft.app.Connector(spark, cfg, sink = "replica", parquetOutDir = tbl)
+    val q = conn.start()
+    q.processAllAvailable()
+    conn.close()
+    val rows = Materialize.replica(spark, tbl).collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1)("n_name")).toMap
+    assert(rows.size == 25, s"expected the 25 snapshot rows, got ${rows.size}")
+    assert(rows("3") == "PATCHED") // CDC override beat its snapshot image
+    assert(rows("0") != "PATCHED" && rows("0").nonEmpty)
+  }
+
   test("copy-on-write self-consolidates: buckets never accrete files across rewrites") {
     val tablePath = Files.createTempDirectory("graft-cow-files").toString + "/t"
     (1 to 12).foreach { i =>
