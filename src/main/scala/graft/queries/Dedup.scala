@@ -457,4 +457,70 @@ object Dedup {
       |       (COALESCE(c.cluster_rep, d.doc_id) = d.doc_id) AS keep
       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Span width (words) for sub-document dedup: q73's chunking convention
+    * at the granularity where boilerplate repeats.
+    */
+  private val SpanWords = 16
+
+  /** q81 — span-level exact dedup: the sub-document pass a training
+    * pipeline runs AFTER document-level dedup, because boilerplate and
+    * quoted passages repeat across documents that are not near-dups as
+    * wholes (the public motivation for substring-level dedup in Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better").
+    * Documents are segmented into non-overlapping [[SpanWords]]-word
+    * spans — the fixed-granularity approximation of suffix-array
+    * substring dedup, sharing q73's word-window convention — every
+    * occurrence of a span after its corpus-wide first (ordered by
+    * (doc_id, span_idx)) is dropped, and each document is reassembled
+    * from its surviving spans in order.
+    *
+    * At 100 TB: ONE shuffle, keyed by span text (in production by
+    * md5(span) so shuffle keys are 16 bytes — the first-occurrence
+    * winner is identical either way); the reassembly aggregates on
+    * doc_id. No joins, no candidate generation, nothing quadratic —
+    * span dedup is exact dedup (q33) applied one level down.
+    */
+  def q81SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"span_text").orderBy($"doc_id", $"span_idx")
+    val spans = Tables.load(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(transform(
+        sequence(lit(0L),
+          ceil(size($"ws").cast("double") / SpanWords).cast("long") - 1),
+        i => struct(i.as("span_idx"),
+          concat_ws(" ", slice($"ws", (i * SpanWords + 1).cast("int"), lit(SpanWords)))
+            .as("span_text")))).as("sp"))
+      .select($"doc_id", $"sp.span_idx", $"sp.span_text")
+    spans
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dropped"),
+        // nulls (dropped spans) are skipped by collect_list; struct sort
+        // puts surviving spans back in span_idx order
+        array_join(transform(
+          array_sort(collect_list(when($"rn" === 1,
+            struct($"span_idx", $"span_text")))),
+          x => x.getField("span_text")), " ").as("text_clean"))
+      .orderBy($"doc_id")
+  }
+
+  val q81SpanDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sp AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+      |    array_to_string(ws[i*$SpanWords+1 : i*$SpanWords+$SpanWords], ' ') AS span_text
+      |  FROM w, UNNEST(range(0,
+      |    CAST(ceil(len(ws) / CAST($SpanWords AS DOUBLE)) AS BIGINT))) AS t(i)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY span_text
+      |        ORDER BY doc_id, span_idx) AS rn FROM sp)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+      |    ORDER BY span_idx), '') AS text_clean
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,48 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** q82 BM25: ordering laws on a hand-built corpus where term frequency,
+  * document length, and term rarity each vary in isolation, plus shape
+  * checks on the real corpus.
+  */
+class RankingSpec extends SparkSpec {
+
+  private def scores(dir: String): Map[Long, Double] =
+    Ranking.q82Bm25(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("score"))).toMap
+
+  test("BM25 ordering: tf raises, length lowers, rarity outweighs a common term") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-bm25").toString
+    val docs = Seq(
+      (0L, "dup z z z"),         // tf_dup=1, dl=4
+      (1L, "spark z z z"),       // tf_spark=1, dl=4 — common term
+      (2L, "dup dup z z"),       // tf_dup=2, dl=4
+      (3L, "dup z z z z z z z"), // tf_dup=1, dl=8
+      (4L, "z z z z")            // no query terms
+    ) ++ (5L to 14L).map(i => (i, "spark z")) // make df_spark >> df_dup
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sc = scores(tmp)
+    assert(sc(4L) == 0.0)            // no term hit scores exactly zero
+    assert(sc(2L) > sc(0L))          // more occurrences rank higher
+    assert(sc(0L) > sc(3L))          // same tf, longer doc ranks lower
+    assert(sc(0L) > sc(1L))          // rare term beats common at same tf/dl
+  }
+
+  test("real corpus: top-k is sorted, finite, and only term-bearing docs score") {
+    val rows = Ranking.q82Bm25(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20)
+    val sc = rows.map(_.getDouble(rows.head.fieldIndex("score")))
+    assert(sc.forall(s => !s.isNaN && !s.isInfinite && s > 0))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    // every scored doc carries at least one query term occurrence
+    rows.foreach { r =>
+      val tf = r.getLong(r.fieldIndex("tf_dup")) +
+        r.getLong(r.fieldIndex("tf_spark")) + r.getLong(r.fieldIndex("tf_key"))
+      assert(tf > 0)
+    }
+  }
+}
