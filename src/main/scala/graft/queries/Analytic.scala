@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -521,4 +521,64 @@ object Analytic {
       |SELECT user_id, op, event_id, event_type, value
       |FROM latest WHERE rn = 1 AND op <> 'DELETE'
       |ORDER BY user_id""".stripMargin
+
+  /** q83 — the Debezium-envelope serializer
+    * (`Handlers.debeziumEnvelope`) under the oracle: the q46/q64 change
+    * log (ops derived from event_id, eventTime = ts, so everything is
+    * deterministic) rides the real handler path — op filtering, topic
+    * routing, key extraction from the correct image, and the full
+    * envelope (explicit-null before/after, c/u/d codes, epoch-millis
+    * ts_ms, source block) — and the oracle reconstructs every JSON byte
+    * by string concatenation. UPDATE/DELETE pre-images are synthesized
+    * (event_id - 1) since the parquet log has no real ones; the doubles
+    * column stays out of the payload (engine double→string rendering is
+    * not portable — the q21 convention).
+    */
+  def q83Debezium(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.load(s, dir, "events")
+      .withColumn("op",
+        when($"event_id" % 10 === 0, "DELETE")
+          .when($"event_id" % 3 === 0, "UPDATE")
+          .otherwise("INSERT"))
+    def img(eventId: Column) = map(
+      lit("user_id"), $"user_id".cast("string"),
+      lit("event_id"), eventId.cast("string"),
+      lit("event_type"), $"event_type")
+    val nullMap = lit(null).cast("map<string,string>")
+    val events = log.select(
+      $"ts".as("eventTime"),
+      lit("public").as("tableNamespace"), lit("events").as("tableName"),
+      when($"op".isin("UPDATE", "DELETE"), img($"event_id" - 1))
+        .otherwise(nullMap).as("oldData"),
+      when($"op" =!= "DELETE", img($"event_id"))
+        .otherwise(nullMap).as("newData"),
+      $"op")
+    graft.transform.Handlers.debeziumEnvelope(
+        events,
+        graft.route.TopicRouter(Map("public.events" -> "events-topic")),
+        keyField = "user_id")
+      .orderBy($"key", $"value")
+  }
+
+  val q83DebeziumSql: String =
+    """WITH log AS (
+      |  SELECT event_id, ts, user_id, event_type,
+      |    CASE WHEN event_id % 10 = 0 THEN 'd'
+      |         WHEN event_id % 3 = 0 THEN 'u'
+      |         ELSE 'c' END AS opc
+      |  FROM events),
+      |imgs AS (
+      |  SELECT *,
+      |    '{"user_id":"' || CAST(user_id AS VARCHAR) || '","event_id":"' ||
+      |      CAST(event_id AS VARCHAR) || '","event_type":"' || event_type || '"}' AS after_j,
+      |    '{"user_id":"' || CAST(user_id AS VARCHAR) || '","event_id":"' ||
+      |      CAST(event_id - 1 AS VARCHAR) || '","event_type":"' || event_type || '"}' AS before_j
+      |  FROM log)
+      |SELECT 'events-topic' AS topic, CAST(user_id AS VARCHAR) AS key,
+      |  '{"before":' || CASE WHEN opc IN ('u','d') THEN before_j ELSE 'null' END ||
+      |  ',"after":' || CASE WHEN opc <> 'd' THEN after_j ELSE 'null' END ||
+      |  ',"op":"' || opc || '","ts_ms":' || CAST(epoch_ms(ts) AS VARCHAR) ||
+      |  ',"source":{"connector":"graft","schema":"public","table":"events"}}' AS value
+      |FROM imgs ORDER BY key, value""".stripMargin
 }

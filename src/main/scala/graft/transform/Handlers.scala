@@ -97,6 +97,50 @@ object Handlers {
         ).as("headers")): _*)
   }
 
+  /** Debezium-style envelope serializer: the drop-in wire format for
+    * consumers written against Debezium's PostgreSQL connector. The
+    * reference positions itself as a Debezium replacement and emits a
+    * flat row-image JSON (`example/simple/main.go:110-139`); this lane
+    * emits the public Debezium envelope instead —
+    * `{"before":…,"after":…,"op":…,"ts_ms":…,"source":{…}}` with ops
+    * c/u/d (and r for snapshot reads) — so a migration can keep existing
+    * downstream consumers byte-compatible.
+    *
+    * Shape rules (public Debezium semantics): INSERT carries after only,
+    * DELETE carries before only, UPDATE carries both, SNAPSHOT is op "r"
+    * with after only; absent images serialize as explicit JSON nulls
+    * (`ignoreNullFields=false`). Pure column expressions — same codegen
+    * profile as [[declarative]].
+    */
+  def debeziumEnvelope(events: DataFrame, router: TopicRouter, keyField: String): DataFrame = {
+    val opCode = when(col("op") === Op.Insert, "c")
+      .when(col("op") === Op.Update, "u")
+      .when(col("op") === Op.Delete, "d")
+      .otherwise("r")
+    val img = payloadImage(col("op"), col("oldData"), col("newData"))
+    val nullMap = lit(null).cast("map<string,string>")
+    events
+      .filter(col("op").isin(Op.all: _*))
+      .withColumn("topic", router.resolveColumn(col("tableNamespace"), col("tableName")))
+      .filter(col("topic").isNotNull)
+      .select(
+        col("topic"),
+        element_at(img, keyField).as("key"),
+        to_json(
+          struct(
+            when(col("op").isin(Op.Update, Op.Delete), col("oldData"))
+              .otherwise(nullMap).as("before"),
+            when(col("op") =!= Op.Delete, col("newData"))
+              .otherwise(nullMap).as("after"),
+            opCode.as("op"),
+            unix_millis(col("eventTime")).as("ts_ms"),
+            struct(
+              lit("graft").as("connector"),
+              col("tableNamespace").as("schema"),
+              col("tableName").as("table")).as("source")),
+          Map("ignoreNullFields" -> "false")).as("value"))
+  }
+
   /** Kafka wire-size estimate of a record (reference O18,
     * `producer_batch.go:199-206`: 14 bytes fixed overhead + key + value +
     * per-header key/value). Usable to enforce `producerBatchBytes`

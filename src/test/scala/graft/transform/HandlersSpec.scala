@@ -96,4 +96,35 @@ class HandlersSpec extends SparkSpec {
       Seq(KafkaRecord(null, "k".getBytes, "v".getBytes, Seq.empty))
     assert(Handlers.applyTyped(events, pass, router).isEmpty)
   }
+
+  test("debezium envelope: exact JSON per op — c/u/d/r, explicit nulls, key from the live image") {
+    import spark.implicits._
+    val pre  = Map("id" -> "7", "name" -> "old")
+    val post = Map("id" -> "7", "name" -> "new")
+    val events = Seq(
+      ev(Op.Insert, newD = post),
+      ev(Op.Update, oldD = pre, newD = post),
+      ev(Op.Delete, oldD = pre),
+      ev(Op.Snapshot, newD = post)).toDF()
+    val out = Handlers.debeziumEnvelope(events, router, "id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val src = """"source":{"connector":"graft","schema":"public","table":"users"}"""
+    val preJ  = """{"id":"7","name":"old"}"""
+    val postJ = """{"id":"7","name":"new"}"""
+    assert(out.forall(_._1 == "users-topic"))
+    assert(out.forall(_._2 == "7")) // DELETE keys from the pre-image
+    assert(out.map(_._3).toSeq == Seq(
+      s"""{"before":null,"after":$postJ,"op":"c","ts_ms":1700000000000,$src}""",
+      s"""{"before":$preJ,"after":$postJ,"op":"u","ts_ms":1700000000000,$src}""",
+      s"""{"before":$preJ,"after":null,"op":"d","ts_ms":1700000000000,$src}""",
+      s"""{"before":null,"after":$postJ,"op":"r","ts_ms":1700000000000,$src}"""))
+  }
+
+  test("debezium envelope: unmapped tables and unknown ops are dropped") {
+    import spark.implicits._
+    val events = Seq(
+      ev(Op.Insert, table = "ghost", newD = Map("id" -> "1")),
+      ev("TRUNCATE", newD = Map("id" -> "2"))).toDF()
+    assert(Handlers.debeziumEnvelope(events, router, "id").isEmpty)
+  }
 }
