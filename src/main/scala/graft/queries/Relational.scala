@@ -352,4 +352,41 @@ object Relational {
       |       - ${sqlDsum("o_totalprice")} * ${sqlDsum("o_totalprice")} / COUNT(*))
       |      / (COUNT(*) - 1)) AS stddev_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q84 — the z-order clustering key (`functions/ZOrder`,
+    * `sources/Layout`) under the oracle: Morton codes over
+    * (customer key, days-since-epoch of the order date), the two
+    * dimensions an orders table is queried by. The oracle reproduces
+    * the mask-spread bit-twiddling chain in SQL bit arithmetic, so the
+    * gate proves the interleaving bit-for-bit; LayoutSpec separately
+    * proves that SORTING by this key actually buys file-level locality.
+    */
+  def q84ZOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"o_custkey".cast("long")
+    val y = datediff($"o_orderdate", lit(java.sql.Date.valueOf("1992-01-01"))).cast("long")
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey",
+        x.bitwiseAND(lit(65535L)).as("x16"),
+        y.bitwiseAND(lit(65535L)).as("y16"),
+        graft.functions.ZOrder.zValue(x, y).as("zval"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q84ZOrderSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    CAST(o_custkey AS BIGINT) & 65535 AS xa,
+      |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) & 65535 AS ya
+      |  FROM orders),
+      |s1 AS (SELECT o_orderkey, xa, ya,
+      |  ((xa | (xa << 8)) & 16711935) AS xb, ((ya | (ya << 8)) & 16711935) AS yb FROM t),
+      |s2 AS (SELECT *, ((xb | (xb << 4)) & 252645135) AS xc,
+      |  ((yb | (yb << 4)) & 252645135) AS yc FROM s1),
+      |s3 AS (SELECT *, ((xc | (xc << 2)) & 858993459) AS xd,
+      |  ((yc | (yc << 2)) & 858993459) AS yd FROM s2),
+      |s4 AS (SELECT *, ((xd | (xd << 1)) & 1431655765) AS xe,
+      |  ((yd | (yd << 1)) & 1431655765) AS ye FROM s3)
+      |SELECT o_orderkey, xa AS x16, ya AS y16, (xe | (ye << 1)) AS zval
+      |FROM s4 ORDER BY o_orderkey""".stripMargin
 }
