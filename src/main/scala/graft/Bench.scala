@@ -37,7 +37,25 @@ object Bench {
     // mercy of co-located load / GC debt from the previous query, and the
     // gate should measure the plan, not the neighbors.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Persistent-storage hygiene between queries: eager localCheckpoints
+    // (connected components' per-round frames, the replica lane's
+    // per-batch merges, q43's assignment frame, q62's survivor frame)
+    // stay in the block manager until the driver's ContextCleaner
+    // happens to GC them — which within one bench run is "never", so
+    // they accrete as executor-heap pressure that the min-of-two
+    // discipline cannot cancel (both attempts of a LATER query pay the
+    // same GC debt). Sweep each query's new persistent RDDs once its
+    // attempts finish. The dedup family's shared shingle/pair caches
+    // are the deliberate exception: they persist ACROSS that family's
+    // queries (built at q40, reused through q45; rebuilt at q72 for
+    // q72/q75), so family members skip the sweep and the two family
+    // ends (q45, q75) drop the shared frames via clearCaches first,
+    // then sweep their own round-checkpoints.
+    val cacheSharers = Set("q40_ngram_jaccard", "q41_minhash_lsh",
+      "q42_simhash", "q45_dup_clusters", "q72_bfs_depth", "q75_edit_distance")
+    val familyEnds = Set("q45_dup_clusters", "q75_edit_distance")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val preIds = spark.sparkContext.getPersistentRDDs.keySet
       def attempt(): Either[Double, Double] = {
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
@@ -50,11 +68,11 @@ object Bench {
           case Left(_)  => errors += name; -a // succeeded once, then failed
         }
       }
-      // The shared shingle/signature caches earn their keep inside the
-      // dedup family; past its LAST member in sorted order (q45 reuses
-      // the shingle frame via q40) they are pure executor-heap pressure
-      // on every later query — drop them.
-      if (name == "q45_dup_clusters") graft.queries.Dedup.clearCaches(spark)
+      if (familyEnds.contains(name)) graft.queries.Dedup.clearCaches(spark)
+      if (!cacheSharers.contains(name) || familyEnds.contains(name))
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preIds.contains(id)) rdd.unpersist(blocking = false)
+        }
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
