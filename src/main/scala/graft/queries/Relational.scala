@@ -353,6 +353,51 @@ object Relational {
       |      / (COUNT(*) - 1)) AS stddev_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q85 — bivariate statistics (covariance, Pearson correlation, OLS
+    * slope) per group, the `DataFrame.stat`-surface capability in the
+    * engine-portable exact form: all six sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) are EXACT decimal aggregates
+    * (associative ⇒ partition-order independent), and each output is one
+    * fixed-shape double expression over them — the q19/q53 convention
+    * extended to second-order cross moments. Built-in `corr`/`covar_pop`
+    * accumulate doubles in partition order and can't be oracle-gated;
+    * this form can, and is the same single-shuffle plan.
+    */
+  def q85Corr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qd = d2($"l_quantity"); val pd = d2($"l_extendedprice")
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(qd).as("sq"), sum(pd).as("sp"),
+        sum(qd * qd).as("sqq"), sum(pd * pd).as("spp"), sum(qd * pd).as("sqp"))
+      .select($"l_returnflag", $"n",
+        (($"sqp".cast("double") - $"sq".cast("double") * $"sp".cast("double") / $"n") / $"n")
+          .as("cov_qp"),
+        (($"sqp".cast("double") - $"sq".cast("double") * $"sp".cast("double") / $"n") /
+          (sqrt($"sqq".cast("double") - $"sq".cast("double") * $"sq".cast("double") / $"n") *
+            sqrt($"spp".cast("double") - $"sp".cast("double") * $"sp".cast("double") / $"n")))
+          .as("corr_qp"),
+        (($"sqp".cast("double") - $"sq".cast("double") * $"sp".cast("double") / $"n") /
+          ($"sqq".cast("double") - $"sq".cast("double") * $"sq".cast("double") / $"n"))
+          .as("beta_qp"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q85CorrSql: String = {
+    val (sq, sp)  = ("CAST(SUM(qd) AS DOUBLE)", "CAST(SUM(pd) AS DOUBLE)")
+    val (sqq, spp, sqp) = ("CAST(SUM(qd*qd) AS DOUBLE)", "CAST(SUM(pd*pd) AS DOUBLE)",
+      "CAST(SUM(qd*pd) AS DOUBLE)")
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+      |  ($sqp - $sq * $sp / COUNT(*)) / COUNT(*) AS cov_qp,
+      |  ($sqp - $sq * $sp / COUNT(*)) /
+      |    (SQRT($sqq - $sq * $sq / COUNT(*)) * SQRT($spp - $sp * $sp / COUNT(*))) AS corr_qp,
+      |  ($sqp - $sq * $sp / COUNT(*)) / ($sqq - $sq * $sq / COUNT(*)) AS beta_qp
+      |FROM (SELECT l_returnflag, ${sqlD2("l_quantity")} AS qd,
+      |        ${sqlD2("l_extendedprice")} AS pd FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   /** q84 — the z-order clustering key (`functions/ZOrder`,
     * `sources/Layout`) under the oracle: Morton codes over
     * (customer key, days-since-epoch of the order date), the two

@@ -186,6 +186,38 @@ object TextOps {
     * assignment), which is exactly why production pipelines use it.
     * Map-side codegen'd; scales as a scan.
     */
+  /** q86 — deterministic corpus shuffle + sharding: the step between
+    * curation and training that destroys source/crawl locality (batches
+    * drawn in order from an UNSHUFFLED corpus are correlated — one
+    * source, one domain — which visibly hurts training). Order is the
+    * md5 of a salted doc key: engine-portable, reproducible across
+    * reruns, and uncorrelated with every data attribute; the shard is
+    * the key's top 32 bits mod `shards`, and position is a shard-local
+    * row_number. Scale shape: one hash shuffle to shards + per-shard
+    * sort (partitioned window, no global order) — exactly how a 100 TB
+    * corpus is written as N independent training shards.
+    */
+  def q86Shuffle(s: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    import s.implicits._
+    val key = md5(concat(lit("shuffle:"), $"doc_id".cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"skey", $"doc_id")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", key.as("skey"),
+        (conv(substring(key, 1, 8), 16, 10).cast("long") % shards).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .orderBy($"shard", $"pos")
+  }
+
+  def q86ShuffleSql(shards: Int = 8): String =
+    s"""SELECT doc_id, skey, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+      |FROM (SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey,
+      |        CAST(('0x' || substring(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |          % $shards AS shard
+      |      FROM documents)
+      |ORDER BY shard, pos""".stripMargin
+
   def q39StableSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bucket = (conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 8),

@@ -379,4 +379,30 @@ class MaterializeSpec extends SparkSpec {
     assert(Materialize.replica(spark, tablePath).count() == 64)
     assert(state(tablePath)("1") == ("v1b", ts(9)))
   }
+
+  test("schema drift: a column added mid-stream flows into the replica without restart") {
+    // The dynamic map lane is what makes DDL painless (SURVEY §1.2: the
+    // reference decodes pgoutput Relation messages into map[string]any,
+    // and PgOutput replaces the relation schema in-stream the same way):
+    // a widened row is just a map with one more key. Pin the contract:
+    // no restart, no migration — old rows read NULL for the new column,
+    // new rows carry it, and a typed projection stays valid.
+    val tablePath = Files.createTempDirectory("graft-replica-drift").toString + "/t"
+    Materialize.applyBatch(
+      Seq(ev(Op.Insert, 1, 0, "a"), ev(Op.Insert, 2, 1, "b")).toDF(),
+      "id", tablePath, nBuckets = 4)
+    // "ALTER TABLE t ADD COLUMN w" happened upstream: later events carry w
+    val widened = ChangeEvent(ts(5), "public", "t", Map.empty,
+      Map("id" -> "3", "v" -> "c", "w" -> "42"), Op.Insert)
+    val updated = ChangeEvent(ts(6), "public", "t", Map.empty,
+      Map("id" -> "1", "v" -> "a2", "w" -> "7"), Op.Update)
+    Materialize.applyBatch(Seq(widened, updated).toDF(), "id", tablePath, nBuckets = 4)
+    val rows = Materialize.replica(spark, tablePath).collect()
+      .map(r => r.getString(0) -> Option(r.getMap[String, String](1).getOrElse("w", null)))
+      .toMap
+    assert(rows == Map("1" -> Some("7"), "2" -> None, "3" -> Some("42")))
+    // bucket-pruned point lookup sees the new column immediately
+    val one = Materialize.lookup(spark, tablePath, "3", nBuckets = 4).collect()
+    assert(one.length == 1 && one(0).getMap[String, String](1)("w") == "42")
+  }
 }
