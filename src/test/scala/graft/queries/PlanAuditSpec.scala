@@ -180,4 +180,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*("), s"expected codegen stage markers:\n$p")
     assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
   }
+
+  test("q89: the correlated scalar subquery decorrelates into aggregate + join") {
+    // per-row subquery execution would keep a (Lateral)Subquery node in
+    // the final plan; decorrelation rewrites it to one grouped aggregate
+    // joined back on the correlation key — the single-shuffle plan.
+    val p = plan("q89_scalar_subquery")
+    assert(!p.contains("Subquery"), s"expected no per-row subquery node:\n$p")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+        p.contains("ShuffledHashJoin")),
+      s"expected decorrelated aggregate + join:\n$p")
+  }
+
+  test("q86: shard positions come from a partitioned window, not a global sort") {
+    val df = graft.SparkEntry.queries("q86_shuffle")(spark, dir)
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"expected every window partitioned by shard:\n$opt")
+  }
 }
