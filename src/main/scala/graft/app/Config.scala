@@ -188,4 +188,19 @@ final case class ConnectorConfig(
     jdbc: JdbcSourceConfig = JdbcSourceConfig(),
     slotName: String = "graft_slot",   // metric label (reference slot_name)
     metricsPort: Option[Int] = None,   // ≙ cdc.metric.port (README.md:229); 0 = ephemeral
-    replica: ReplicaSinkConfig = ReplicaSinkConfig())
+    replica: ReplicaSinkConfig = ReplicaSinkConfig(),
+    // Value wire format: "default" = the reference's flat row-image JSON
+    // with injected operation (example/simple/main.go:110-139);
+    // "debezium" = the public Debezium envelope (before/after/op/ts_ms/
+    // source) for byte-compatible consumer migration.
+    serializer: String = ConnectorConfig.SerializerDefault) {
+  require(ConnectorConfig.supportedSerializers.contains(serializer),
+    s"unsupported serializer '$serializer': supported are " +
+      ConnectorConfig.supportedSerializers.mkString(", "))
+}
+
+object ConnectorConfig {
+  val SerializerDefault  = "default"
+  val SerializerDebezium = "debezium"
+  val supportedSerializers: Seq[String] = Seq(SerializerDefault, SerializerDebezium)
+}

@@ -91,7 +91,8 @@ object ConfigLoader {
       metricsPort = metric.get("port").map(v => v.toString.toInt),
       replica = ReplicaSinkConfig(
         nBuckets = int(replica.get("nBuckets"), 16),
-        seqField = replica.get("seqField").map(_.toString)))
+        seqField = replica.get("seqField").map(_.toString)),
+      serializer = str(kafka.get("serializer"), ConnectorConfig.SerializerDefault))
   }
 
   private def asMap(v: Any): Map[String, Any] = v match {

@@ -97,13 +97,22 @@ object CdcPipeline {
     * contract (topic/key/value/headers), with per-batch observed metrics
     * (O17) riding the plan.
     */
-  def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
-    Metrics.observedSink(
-      withPlacement(
-        Handlers.declarative(Metrics.observed(events),
-          TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField),
-        cfg),
+  def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame = {
+    val router = TopicRouter(cfg.kafka.tableTopicMapping)
+    val records = cfg.serializer match {
+      case graft.app.ConnectorConfig.SerializerDebezium =>
+        // envelope lane emits string key/value; the sink contract (and
+        // the client-side balancers hashing `key`) expect binary
+        Handlers.debeziumEnvelope(Metrics.observed(events), router, cfg.keyField)
+          .select(col("topic"),
+            col("key").cast("binary").as("key"),
+            col("value").cast("binary").as("value"))
+      case _ =>
+        Handlers.declarative(Metrics.observed(events), router, cfg.keyField)
+    }
+    Metrics.observedSink(withPlacement(records, cfg),
       cfg.kafka.tableTopicMapping.values.toSeq)
+  }
 
   /** Client-side balancer placement (reference `config.go:48-51`):
     * `ReferenceHash` and `CRC32Balancer` are pure key functions, so they

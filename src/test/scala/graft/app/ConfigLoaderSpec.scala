@@ -54,6 +54,15 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.kafka.producerBatchBytes == (1L << 20)) // config.go:85-87
     assert(cfg.kafka.requiredAcks == 1)                // config.go:89-91
     assert(cfg.replica.nBuckets == 16 && cfg.replica.seqField.isEmpty)
+    assert(cfg.serializer == ConnectorConfig.SerializerDefault)
+  }
+
+  test("kafka.serializer selects the Debezium envelope lane; unknown values fail loudly") {
+    val cfg = ConfigLoader.fromYaml(
+      "kafka:\n  brokers: [b:9092]\n  serializer: debezium\n")
+    assert(cfg.serializer == ConnectorConfig.SerializerDebezium)
+    intercept[IllegalArgumentException](
+      ConfigLoader.fromYaml("kafka:\n  brokers: [b:9092]\n  serializer: protobuf\n"))
   }
 
   test("engine blocks: source/snapshot/replica knobs load and batch bytes parse human sizes") {

@@ -70,4 +70,25 @@ class BalancerPlacementSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       cfg(KafkaSinkConfig.BalancerCrc32, 0).kafka.sinkOptions)
   }
+
+  test("serializer = debezium: the sink contract carries envelope values, binary-typed") {
+    val c = cfg(KafkaSinkConfig.BalancerHash, 0)
+      .copy(serializer = ConnectorConfig.SerializerDebezium)
+    val out = CdcPipeline.defaultTransform(events(2), c)
+    assert(out.schema("key").dataType.typeName == "binary")
+    assert(out.schema("value").dataType.typeName == "binary")
+    val vals = out.collect().map(r => new String(r.getAs[Array[Byte]]("value"))).sorted
+    assert(vals.forall(v => v.startsWith("""{"before":null,"after":{"id":"""") &&
+      v.contains(""""op":"c"""") && v.contains(""""ts_ms":1700000000000""") &&
+      v.contains(""""source":{"connector":"graft","schema":"public","table":"users"}""")))
+    // placement still composes with the envelope lane (hashes the binary key)
+    val placed = CdcPipeline.defaultTransform(events(10),
+      c.copy(kafka = c.kafka.copy(balancer = KafkaSinkConfig.BalancerCrc32, topicPartitions = 4)))
+      .select("key", "partition").collect()
+    placed.foreach { r =>
+      assert(r.getInt(1) == (crc(r.getAs[Array[Byte]](0)) % 4).toInt)
+    }
+    // unknown serializers fail loudly at construction
+    intercept[IllegalArgumentException](c.copy(serializer = "avro"))
+  }
 }
