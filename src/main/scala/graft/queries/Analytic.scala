@@ -522,6 +522,68 @@ object Analytic {
       |FROM latest WHERE rn = 1 AND op <> 'DELETE'
       |ORDER BY user_id""".stripMargin
 
+  /** q92 — replica TIME TRAVEL under the oracle: the q64 change log is
+    * replayed through `applyBatchCdf` with the change feed persisted
+    * write-once per batch, and the query result is `replicaAsOf` at the
+    * MIDDLE batch — state reconstructed from feed batches 0..1 alone
+    * (one partition-pruned latest-per-key fold, no event replay). The
+    * oracle restates the contract declaratively: latest-by-(ts,
+    * event_id) over exactly the events of batches 0..1, deletes
+    * dropped. Batches are interleaved by event_id (not time-ordered),
+    * so the gate also re-proves merge correctness at the as-of point —
+    * including changes that LOST their batch's merge and must be
+    * invisible to time travel.
+    */
+  def q92TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.load(s, dir, "events")
+      .withColumn("op",
+        when($"event_id" % 10 === 0, "DELETE")
+          .when($"event_id" % 3 === 0, "UPDATE")
+          .otherwise("INSERT"))
+    val payload = map(
+      lit("user_id"), $"user_id".cast("string"),
+      lit("event_id"), $"event_id".cast("string"),
+      lit("event_type"), $"event_type")
+    val events = log.select(
+      $"event_id".as("batch_src"),
+      $"ts".as("eventTime"),
+      lit("public").as("tableNamespace"), lit("events").as("tableName"),
+      when($"op" === "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("oldData"),
+      when($"op" =!= "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("newData"),
+      $"op")
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft_q92_tt").toString
+    val tbl = s"$base/t"; val chg = s"$base/changes"
+    (0 until 3).foreach { i =>
+      graft.streaming.Materialize.applyBatchCdf(
+        events.filter(pmod($"batch_src", lit(3)) === i).drop("batch_src"),
+        keyField = "user_id", tbl, nBuckets = 8, seqCol = Some("event_id"),
+        beforeTableWrite =
+          ch => ch.write.mode("overwrite").parquet(s"$chg/batch=$i"))
+    }
+    graft.streaming.Materialize.replicaAsOf(s, chg, batch = 1)
+      .select($"k".cast("long").as("user_id"),
+        element_at($"data", "event_id").cast("long").as("event_id"),
+        element_at($"data", "event_type").as("event_type"))
+      .orderBy($"user_id")
+  }
+
+  val q92TimeTravelSql: String =
+    """WITH log AS (
+      |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'
+      |                 WHEN event_id % 3 = 0 THEN 'UPDATE'
+      |                 ELSE 'INSERT' END AS op
+      |  FROM events WHERE event_id % 3 <> 2),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM log)
+      |SELECT user_id, event_id, event_type
+      |FROM latest WHERE rn = 1 AND op <> 'DELETE'
+      |ORDER BY user_id""".stripMargin
+
   /** q83 — the Debezium-envelope serializer
     * (`Handlers.debeziumEnvelope`) under the oracle: the q46/q64 change
     * log (ops derived from event_id, eventTime = ts, so everything is
