@@ -458,6 +458,73 @@ object Dedup {
       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q94 — local graph structure of the near-dup pair graph: per-node
+    * degree, wedge count (open triads), triangle count, and local
+    * clustering coefficient. The density diagnostic that separates
+    * boilerplate-driven quasi-cliques (coefficient → 1: safe to collapse
+    * to one survivor, q45) from chain-like false-positive strings
+    * (coefficient → 0: review before collapsing). Triangle counting is
+    * the ordered three-way self-join on d1 < d2 < d3 — each triangle
+    * found once, credited to its three corners; at 100 TB the join is on
+    * the SURVIVOR pair set (sparse by construction), not the corpus.
+    */
+  def q94Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = nearDupPairs(s, dir).select($"d1", $"d2").localCheckpoint(true)
+    val deg = pairs.select($"d1".as("node")).unionAll(pairs.select($"d2".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    val tri = pairs.as("p1")
+      .join(pairs.as("p2"), $"p2.d1" === $"p1.d2")
+      .join(pairs.as("p3"), $"p3.d1" === $"p1.d1" && $"p3.d2" === $"p2.d2")
+      .select(explode(array($"p1.d1", $"p1.d2", $"p2.d2")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .select($"node".as("doc_id"), $"degree",
+        // integral `/` is double division in BOTH engines; the product is
+        // even so the double is exact — cast back once, like the oracle
+        ($"degree" * ($"degree" - 1) / 2).cast("long").as("wedges"),
+        coalesce($"triangles", lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when($"wedges" > 0, $"triangles".cast("double") / $"wedges")
+          .otherwise(lit(0.0)))
+      .orderBy($"doc_id")
+  }
+
+  val q94TrianglesSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT d1, d2
+      |  FROM inter JOIN sz sa ON sa.doc_id = inter.d1
+      |             JOIN sz sb ON sb.doc_id = inter.d2
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $Tau),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT d1 AS node FROM pairs UNION ALL SELECT d2 FROM pairs)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+      |    SELECT unnest([p1.d1, p1.d2, p2.d2]) AS node
+      |    FROM pairs p1
+      |    JOIN pairs p2 ON p2.d1 = p1.d2
+      |    JOIN pairs p3 ON p3.d1 = p1.d1 AND p3.d2 = p2.d2)
+      |  GROUP BY node)
+      |SELECT deg.node AS doc_id, degree,
+      |  CAST(degree * (degree - 1) / 2 AS BIGINT) AS wedges,
+      |  COALESCE(tri.triangles, 0) AS triangles,
+      |  CASE WHEN degree * (degree - 1) / 2 > 0
+      |       THEN CAST(COALESCE(tri.triangles, 0) AS DOUBLE) / (degree * (degree - 1) / 2)
+      |       ELSE 0.0 END AS clustering
+      |FROM deg LEFT JOIN tri ON tri.node = deg.node
+      |ORDER BY doc_id""".stripMargin
+
   /** Span width (words) for sub-document dedup: q73's chunking convention
     * at the granularity where boilerplate repeats.
     */

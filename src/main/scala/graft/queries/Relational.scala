@@ -398,6 +398,33 @@ object Relational {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** q93 — equi-width histogram: the distribution profile every data
+    * audit starts with, as pure binning arithmetic (floor of the scaled
+    * value, overflow clipped into the last bucket) so both engines
+    * compute the same IEEE op — DuckDB has no `width_bucket`, and
+    * binning arithmetic is what `width_bucket` compiles to anyway.
+    * Exact decimal sums per bucket (the q19 convention); one shuffle on
+    * ≤ 12 keys.
+    */
+  def q93Histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy(least(floor($"o_totalprice" / 50000).cast("long"), lit(11L)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum($"o_totalprice").as("sum_price"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .orderBy($"bucket")
+  }
+
+  val q93HistogramSql: String =
+    s"""SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 11) AS bucket,
+      |  COUNT(*) AS n,
+      |  ${sqlDsum("o_totalprice")} AS sum_price,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** q84 — the z-order clustering key (`functions/ZOrder`,
     * `sources/Layout`) under the oracle: Morton codes over
     * (customer key, days-since-epoch of the order date), the two

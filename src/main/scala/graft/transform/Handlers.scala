@@ -141,6 +141,34 @@ object Handlers {
           Map("ignoreNullFields" -> "false")).as("value"))
   }
 
+  /** Dead-letter routing — per-record error isolation for the sink: a
+    * record over the broker's size budget (`message.max.bytes` /
+    * `producerBatchBytes`, reference O19) fails its whole produce
+    * request, and under at-least-once the batch retries forever — one
+    * oversized row is a poison pill (the reference surfaces this only as
+    * a produce-error callback, O16). Route such records to
+    * `<topic>.dlq` with diagnostic headers instead: the main topic keeps
+    * flowing, the DLQ preserves the untruncated payload for triage, and
+    * per-key ordering on the MAIN topic is unaffected (the poisoned key's
+    * record is diverted, not reordered). Pure column expressions over the
+    * sink contract — composes after either serializer and before
+    * balancer placement.
+    */
+  def withDlq(records: DataFrame, maxWireBytes: Long): DataFrame = {
+    val size = recordWireSize(col("key"), col("value"), col("headers"))
+    records
+      .withColumn("_oversize", size > maxWireBytes)
+      .withColumn("headers", when(col("_oversize"), concat(col("headers"), array(
+          struct(lit("dlq-reason").as("key"), lit("oversize").cast("binary").as("value")),
+          struct(lit("dlq-wire-bytes").as("key"),
+            size.cast("string").cast("binary").as("value")),
+          struct(lit("dlq-origin-topic").as("key"), col("topic").cast("binary").as("value")))))
+        .otherwise(col("headers")))
+      .withColumn("topic",
+        when(col("_oversize"), concat(col("topic"), lit(".dlq"))).otherwise(col("topic")))
+      .drop("_oversize")
+  }
+
   /** Kafka wire-size estimate of a record (reference O18,
     * `producer_batch.go:199-206`: 14 bytes fixed overhead + key + value +
     * per-header key/value). Usable to enforce `producerBatchBytes`

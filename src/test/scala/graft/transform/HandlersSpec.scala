@@ -127,4 +127,25 @@ class HandlersSpec extends SparkSpec {
       ev("TRUNCATE", newD = Map("id" -> "2"))).toDF()
     assert(Handlers.debeziumEnvelope(events, router, "id").isEmpty)
   }
+
+  test("DLQ routing: oversized records divert to <topic>.dlq with diagnostic headers") {
+    import spark.implicits._
+    val events = Seq(
+      ev(Op.Insert, newD = Map("id" -> "1", "name" -> "small")),
+      ev(Op.Insert, newD = Map("id" -> "2", "name" -> "x" * 500))).toDF()
+    val out = Handlers.withDlq(Handlers.declarative(events, router, "id"), maxWireBytes = 200)
+      .collect().sortBy(r => new String(r.getAs[Array[Byte]]("key")))
+    assert(out.length == 2) // nothing dropped — diverted, not discarded
+    val (ok, dlq) = (out(0), out(1))
+    assert(ok.getString(0) == "users-topic")
+    assert(dlq.getString(0) == "users-topic.dlq")
+    val hs = dlq.getSeq[org.apache.spark.sql.Row](dlq.fieldIndex("headers"))
+      .map(h => h.getString(0) -> new String(h.getAs[Array[Byte]](1))).toMap
+    assert(hs("dlq-reason") == "oversize")
+    assert(hs("dlq-origin-topic") == "users-topic")
+    assert(hs("dlq-wire-bytes").toInt > 500) // untruncated payload accounted
+    // the healthy record's headers are untouched
+    assert(!ok.getSeq[org.apache.spark.sql.Row](ok.fieldIndex("headers"))
+      .exists(_.getString(0).startsWith("dlq-")))
+  }
 }
