@@ -243,4 +243,55 @@ object Windows {
       |        CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d
       |      FROM lineitem WHERE l_suppkey <= 25)
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** q95 — running DISTINCT count over an ordered window: suppliers seen
+    * so far within each order. Spark has no `COUNT(DISTINCT) OVER`, so
+    * the idiom is `size(collect_set(...))` over a ROWS frame — the
+    * registered form proves it equals the engine that has the builtin.
+    * Determinism under ties: the order key includes the counted column
+    * itself, so rows tying on (linenumber, suppkey) are same-supplier
+    * duplicates whose running counts are equal in either order.
+    */
+  def q95WindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber", $"l_suppkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_suppkey",
+        size(collect_set($"l_suppkey").over(w)).cast("long").as("suppliers_so_far"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_suppkey")
+  }
+
+  val q95WindowDistinctSql: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey,
+      |  CAST(COUNT(DISTINCT l_suppkey)
+      |         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS BIGINT) AS suppliers_so_far
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey""".stripMargin
+
+  /** q96 — ratio-to-report: each line's share of its return-flag group's
+    * total value, the percent-of-total idiom (`ratio_to_report` in other
+    * engines) as a full-partition window. The denominator is the exact
+    * decimal group sum cast to double once; no running frame, so tie
+    * order is irrelevant.
+    */
+  def q96RatioToReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+    Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_extendedprice",
+        ($"l_extendedprice" / sum(d2($"l_extendedprice")).over(w).cast("double"))
+          .as("share_of_flag"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+  }
+
+  val q96RatioToReportSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |  l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY l_returnflag) AS DOUBLE) AS share_of_flag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin
 }
