@@ -103,10 +103,28 @@ object Bench {
     val cdcSec = if (cdcOk) cdcSecs.min else 0.0
     // A failed CDC run must not report a (possibly inflated) throughput.
     val cdcRps = if (cdcOk && cdcSec > 0) cdcRows / cdcSec else -1.0
+
+    // The Debezium-envelope serializer twin: same snapshot, same routing,
+    // envelope wire format — reported separately so a cost difference in
+    // the alternative serializer is visible instead of averaged away.
+    val dbzDf = Handlers.debeziumEnvelope(
+      SnapshotSource.snapshot(spark, sfDir, "lineitem"),
+      TopicRouter(Map("public.lineitem" -> "lineitem-topic")),
+      keyField = "l_orderkey")
+    def dbzAttempt(): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { run(dbzDf); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
+    val dbzSecs = Seq(dbzAttempt(), dbzAttempt()).flatten
+    if (dbzSecs.isEmpty) errors += "cdc_debezium_pipeline"
+    val dbzRps =
+      if (dbzSecs.nonEmpty && dbzSecs.min > 0) cdcRows / dbzSecs.min else -1.0
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cdc_rows":$cdcRows,"cdc_sec":$cdcSec,"cdc_rows_per_sec":$cdcRps,""" +
+      s""""cdc_debezium_rows_per_sec":$dbzRps,""" +
       s""""errors":$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }

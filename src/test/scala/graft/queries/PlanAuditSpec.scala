@@ -193,6 +193,32 @@ class PlanAuditSpec extends SparkSpec {
       s"expected decorrelated aggregate + join:\n$p")
   }
 
+  test("q82: corpus statistics are broadcast, tf/dl stay map-side, top-k is TakeOrderedAndProject") {
+    val p = plan("q82_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the one-row corpus-stats frame broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q81: span dedup shuffles only on the span window and the doc reassembly") {
+    val df = graft.SparkEntry.queries("q81_span_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    val exchanges = p.split("\n").count(_.contains("Exchange"))
+    // window-by-span + groupBy-doc + final orderBy — nothing else
+    assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"span dedup must not join:\n$p")
+  }
+
+  test("q85: sufficient statistics aggregate in one shuffle, no second pass") {
+    val df = graft.SparkEntry.queries("q85_corr")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    val exchanges = p.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected partial-agg shuffle + sort only, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
   test("q86: shard positions come from a partitioned window, not a global sort") {
     val df = graft.SparkEntry.queries("q86_shuffle")(spark, dir)
     df.collect()
