@@ -584,6 +584,46 @@ object Analytic {
       |FROM latest WHERE rn = 1 AND op <> 'DELETE'
       |ORDER BY user_id""".stripMargin
 
+  /** q97 — SCD Type-2 history from the change log: every change becomes
+    * a VERSION row with its validity interval ([ts, next change's ts)),
+    * open-ended for the key's current version — the standard
+    * slowly-changing-dimension product a warehouse derives from CDC,
+    * and the batch twin of the replica lane's time travel (q92 answers
+    * "state as of X", this materializes ALL the intervals at once).
+    * One partitioned window (lead over each key's change sequence), no
+    * joins; DELETE rows stay in the history as tombstone versions, so
+    * a key's lifecycle — including gaps while it did not exist — is
+    * reconstructible from the intervals alone.
+    */
+  def q97Scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("op",
+        when($"event_id" % 10 === 0, "DELETE")
+          .when($"event_id" % 3 === 0, "UPDATE")
+          .otherwise("INSERT"))
+      .select($"user_id", $"event_id", $"op", $"event_type",
+        $"ts".as("valid_from"),
+        lead($"ts", 1).over(w).as("valid_to"),
+        (lead($"ts", 1).over(w).isNull && $"op" =!= "DELETE").as("is_current"))
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  val q97Scd2Sql: String =
+    """SELECT user_id, event_id,
+      |  CASE WHEN event_id % 10 = 0 THEN 'DELETE'
+      |       WHEN event_id % 3 = 0 THEN 'UPDATE'
+      |       ELSE 'INSERT' END AS op,
+      |  event_type,
+      |  ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  (LEAD(ts) OVER w IS NULL
+      |    AND event_id % 10 <> 0) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   /** q83 — the Debezium-envelope serializer
     * (`Handlers.debeziumEnvelope`) under the oracle: the q46/q64 change
     * log (ops derived from event_id, eventTime = ts, so everything is
