@@ -341,6 +341,61 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q98 — cluster collapse with a QUALITY keeper policy: q45 assigns
+    * clusters and keeps the minimum doc_id; production pipelines keep
+    * the BEST member instead (longest, highest quality score — here:
+    * longest text, doc_id as the deterministic tie-break), because the
+    * survivor is what trains. Same component assignment, one extra
+    * per-cluster argmax window; the policy is the only delta, so q45
+    * and q98 disagreeing on `keep` within a cluster is exactly the
+    * policy's effect, never a clustering difference.
+    */
+  def q98BestKeeper(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", length($"text").cast("long").as("quality"))
+    val edges = nearDupPairs(s, dir).select($"d1", $"d2")
+      .toDF("u", "v").localCheckpoint(true)
+    val labels = Components.ccPropagate(edges)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_rep").orderBy($"quality".desc, $"doc_id")
+    docs.join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", $"quality", coalesce($"rep", $"doc_id").as("cluster_rep"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy($"doc_id")
+  }
+
+  val q98BestKeeperSql: String =
+    s"""WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT d1, d2
+      |  FROM inter JOIN sz sa ON sa.doc_id = inter.d1
+      |             JOIN sz sb ON sb.doc_id = inter.d2
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $Tau),
+      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(u, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |comp AS (SELECT u AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY u),
+      |q AS (
+      |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS quality,
+      |    COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      |SELECT doc_id, quality, cluster_rep,
+      |  (row_number() OVER (PARTITION BY cluster_rep
+      |     ORDER BY quality DESC, doc_id) = 1) AS keep
+      |FROM q ORDER BY doc_id""".stripMargin
+
   /** Same components, stated as a DuckDB recursive CTE over the same
     * exact-Jaccard pair definition.
     */
