@@ -272,6 +272,56 @@ object Windows {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, l_suppkey""".stripMargin
 
+  /** q99 — burst debounce: collapse each BURST of same-(user, type)
+    * events — consecutive events chained by sub-hold-off gaps — to its
+    * first event: the noise filter telemetry/CDC pipelines apply to
+    * button-mash and retry storms. Session semantics (the q16
+    * gaps-and-islands construction): a burst ends only when a gap
+    * reaches the hold-off, so a long drumbeat is ONE burst — the
+    * behavior that collapses a retry storm to a single record. One
+    * partitioned window stack, no joins; gap arithmetic is
+    * whole-seconds (Spark's timestamp→long truncation ≡ DuckDB's
+    * second-boundary date_diff).
+    */
+  def q99Debounce(s: SparkSession, dir: String, holdOffMin: Int = 5): DataFrame = {
+    import s.implicits._
+    val key = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("gap_s",
+        $"ts".cast("long") - lag($"ts", 1).over(key).cast("long"))
+      .withColumn("starts_group",
+        when($"gap_s".isNull || $"gap_s" >= holdOffMin * 60L, 1L).otherwise(0L))
+      .withColumn("grp", sum($"starts_group")
+        .over(key.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"event_type", $"grp").orderBy($"ts", $"event_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"ts")
+      .orderBy($"user_id", $"event_type", $"ts", $"event_id")
+  }
+
+  def q99DebounceSql(holdOffMin: Int = 5): String =
+    s"""WITH g AS (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) >= ${holdOffMin * 60}
+      |         THEN 1 ELSE 0 END AS starts_group
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+      |grp AS (
+      |  SELECT *, SUM(starts_group) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM g),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, grp
+      |    ORDER BY ts, event_id) AS rn
+      |  FROM grp)
+      |SELECT user_id, event_type, event_id, ts
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id, event_type, ts, event_id""".stripMargin
+
   /** q96 — ratio-to-report: each line's share of its return-flag group's
     * total value, the percent-of-total idiom (`ratio_to_report` in other
     * engines) as a full-partition window. The denominator is the exact
