@@ -33,9 +33,11 @@ object Bench {
     }
     // A failed query is reported as NEGATIVE time-to-failure and listed
     // in "errors", so a crash can never masquerade as a fast success.
-    // Each query runs TWICE and reports the min: a single run is at the
-    // mercy of co-located load / GC debt from the previous query, and the
-    // gate should measure the plan, not the neighbors.
+    // Each query runs TWICE and reports the min; if the two attempts
+    // disagree by more than 3x (co-located load hit BOTH windows, so
+    // min-of-two cannot cancel it) a THIRD attempt runs and the min of
+    // all successes is reported. Every attempt is published in the
+    // "attempts" JSON map so an outlier is visible, not laundered.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Persistent-storage hygiene between queries: eager localCheckpoints
     // (connected components' per-round frames, the replica lane's
@@ -46,38 +48,61 @@ object Bench {
     // discipline cannot cancel (both attempts of a LATER query pay the
     // same GC debt). Sweep each query's new persistent RDDs once its
     // attempts finish. The dedup family's shared shingle/pair caches
-    // are the deliberate exception: they persist ACROSS that family's
-    // queries (built at q40, reused through q45; rebuilt at q72 for
-    // q72/q75), so family members skip the sweep and the two family
-    // ends (q45, q75) drop the shared frames via clearCaches first,
-    // then sweep their own round-checkpoints.
+    // are the deliberate exception: they persist ACROSS a family
+    // segment (built at q40, reused through q45; rebuilt at q72 for
+    // q72/q75; rebuilt at q94 for q94/q98), so family members skip the
+    // per-query sweep entirely and each segment END (q45, q75, q98)
+    // drops the shared frames via clearCaches, then sweeps EVERYTHING
+    // created since the segment's first member — which also reclaims
+    // mid-family members' own localCheckpoints (e.g. q72's BFS
+    // frontier/visited frames) that their own turn skipped.
     val cacheSharers = Set("q40_ngram_jaccard", "q41_minhash_lsh",
-      "q42_simhash", "q45_dup_clusters", "q72_bfs_depth", "q75_edit_distance")
-    val familyEnds = Set("q45_dup_clusters", "q75_edit_distance")
+      "q42_simhash", "q45_dup_clusters", "q72_bfs_depth", "q75_edit_distance",
+      "q94_triangles", "q98_best_keeper")
+    val familyEnds = Set("q45_dup_clusters", "q75_edit_distance", "q98_best_keeper")
+    var familyStartIds: Option[Set[Int]] = None
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val preIds = spark.sparkContext.getPersistentRDDs.keySet
-      def attempt(): Either[Double, Double] = {
+      val preIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      if (cacheSharers.contains(name) && familyStartIds.isEmpty)
+        familyStartIds = Some(preIds)
+      val attempts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def attempt(): Boolean = {
         val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => Left((System.nanoTime() - t0) / 1e9) }
+        try { run(fn(spark, sfDir)); attempts += (System.nanoTime() - t0) / 1e9; true }
+        catch { case _: Throwable =>
+          attempts += -((System.nanoTime() - t0) / 1e9); false }
       }
-      val sec = attempt() match {
-        case Left(t)  => errors += name; -t
-        case Right(a) => attempt() match {
-          case Right(b) => math.min(a, b)
-          case Left(_)  => errors += name; -a // succeeded once, then failed
+      val sec =
+        if (!attempt()) { errors += name; attempts.last }
+        else if (!attempt()) { errors += name; -attempts.head }
+        else {
+          val two = attempts.toSeq
+          // both windows contended: a 17x outlier must not publish as
+          // the query's number when a clean run is 3x+ faster
+          if (two.max / two.min > 3.0 && !attempt())
+            errors += s"${name}_third_attempt"
+          attempts.filter(_ > 0).min
         }
-      }
-      if (familyEnds.contains(name)) graft.queries.Dedup.clearCaches(spark)
-      if (!cacheSharers.contains(name) || familyEnds.contains(name))
+      if (familyEnds.contains(name)) {
+        graft.queries.Dedup.clearCaches(spark)
+        val base = familyStartIds.getOrElse(preIds)
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!base.contains(id)) rdd.unpersist(blocking = false)
+        }
+        familyStartIds = None
+      } else if (!cacheSharers.contains(name)) {
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!preIds.contains(id)) rdd.unpersist(blocking = false)
         }
-      name -> sec
+      }
+      (name, sec, attempts.toSeq)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v > 0 => v }.sum
+    val attemptsJson = results.map { case (k, _, as) =>
+      s"\"" + k + "\":" + as.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v > 0 => v }.sum
 
     // CDC end-to-end throughput, apples-to-apples with the reference's
     // 10M-row replication race (BASELINE.md, ~66.7k rows/s): snapshot
@@ -118,11 +143,13 @@ object Bench {
     }
     val dbzSecs = Seq(dbzAttempt(), dbzAttempt()).flatten
     if (dbzSecs.isEmpty) errors += "cdc_debezium_pipeline"
+    else if (dbzSecs.length == 1) errors += "cdc_debezium_pipeline_flaky"
     val dbzRps =
       if (dbzSecs.nonEmpty && dbzSecs.min > 0) cdcRows / dbzSecs.min else -1.0
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""attempts":$attemptsJson,""" +
       s""""cdc_rows":$cdcRows,"cdc_sec":$cdcSec,"cdc_rows_per_sec":$cdcRps,""" +
       s""""cdc_debezium_rows_per_sec":$dbzRps,""" +
       s""""errors":$errsJson,"sf":"$sfDir"}""")

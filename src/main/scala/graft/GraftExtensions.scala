@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{CosineSimilarity, Fnv1a32, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
+import graft.functions.{CosineSimilarity, Fnv1a32, MapDropKey, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -58,6 +58,8 @@ object GraftExtensions {
       arity(2, "slot_agreement")(a => SlotAgreement(a.head, a(1)))),
     ("fnv1a32", Fnv1a32.info,
       arity(1, "fnv1a32")(a => Fnv1a32(a.head))),
+    ("map_drop_key", MapDropKey.info,
+      arity(2, "map_drop_key")(a => MapDropKey(a.head, a(1)))),
     ("min_shingle_md5", MinShingleMd5.info, args => {
       require(args.length == 1 || args.length == 2,
         "min_shingle_md5(text[, n]) takes 1 or 2 arguments")

@@ -1,9 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.apache.spark.sql.functions.udf
-
 /** Character n-gram language identification — the classic profile-ranking
   * heuristic (Cavnar & Trenkle–style): score each candidate language by
   * hits of its most characteristic trigrams/function words, plus Unicode
@@ -12,8 +8,9 @@ import org.apache.spark.sql.functions.udf
   *
   * This is the typed-lane complement of TextOps.q32LangScore (the
   * declarative marker-word scorer with a DuckDB oracle): same shape of
-  * evidence, richer profiles. Exposed as a UDF for ad-hoc use; for bulk
-  * scoring prefer the declarative scorer (codegen'd, no serialization).
+  * evidence, richer profiles. Pure JVM functions — wrap in `udf(...)` at
+  * the call site for ad-hoc column use; for bulk scoring prefer the
+  * declarative scorer (codegen'd, no serialization).
   */
 object LangId {
 
@@ -59,8 +56,4 @@ object LangId {
     val best = scores.maxBy { case (lang, s) => (s, lang) } // deterministic tie-break
     if (best._2 == 0) "und" else best._1
   }
-
-  val detectUdf: UserDefinedFunction = udf(detect _)
-
-  def detectCol(text: Column): Column = detectUdf(text)
 }

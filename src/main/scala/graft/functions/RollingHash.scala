@@ -1,9 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.apache.spark.sql.functions.udf
-
 /** Rabin–Karp rolling hash + winnowing fingerprints — the classic
   * document-fingerprinting scheme (Schleimer/Wilkerson/Aiken winnowing):
   * hash every k-char window in O(n) via the rolling recurrence
@@ -56,12 +52,10 @@ object RollingHash {
     out.toArray
   }
 
-  /** Full fingerprint: k-gram rolling hashes winnowed with window w. */
+  /** Full fingerprint: k-gram rolling hashes winnowed with window w.
+    * Pure JVM function — wrap in `udf(...)` at the call site for ad-hoc
+    * column use.
+    */
   def fingerprint(text: String, k: Int = 8, w: Int = 4): Array[Long] =
     winnow(hashes(text, k), w)
-
-  val fingerprintUdf: UserDefinedFunction =
-    udf((text: String) => fingerprint(text))
-
-  def fingerprintCol(text: Column): Column = fingerprintUdf(text)
 }

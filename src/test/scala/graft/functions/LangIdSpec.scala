@@ -22,10 +22,10 @@ class LangIdSpec extends SparkSpec {
     assert(LangId.detect("0123 4567 89") == "und")
   }
 
-  test("works as a column UDF over the documents table") {
+  test("works over the documents table via the typed lane") {
     import spark.implicits._
     val langs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
-      .select(LangId.detectCol($"text").as("detected"))
+      .select($"text").as[String].map(LangId.detect).toDF("detected")
       .groupBy("detected").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // synthetic corpus is English word-soup regardless of its lang label

@@ -37,10 +37,11 @@ class RollingHashSpec extends SparkSpec {
     assert(RollingHash.hashes(null, 8).isEmpty)
   }
 
-  test("works as a column UDF over documents") {
+  test("works over documents via the typed lane") {
     import spark.implicits._
     val n = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
-      .select(RollingHash.fingerprintCol($"text").as("fp"))
+      .select($"text").as[String]
+      .map(t => RollingHash.fingerprint(t)).toDF("fp")
       .selectExpr("size(fp) AS n").agg(org.apache.spark.sql.functions.min("n"))
       .collect()(0).getInt(0)
     assert(n > 0)

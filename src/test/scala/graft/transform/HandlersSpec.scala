@@ -39,6 +39,20 @@ class HandlersSpec extends SparkSpec {
     assert(new String(out(0).getAs[Array[Byte]]("value")).contains(""""operation":"DELETE""""))
   }
 
+  test("declarative handler: source column named 'operation' is overwritten, not duplicated") {
+    import spark.implicits._
+    // reference map-insert overwrites (example/simple/main.go:113-114);
+    // this exercises the gated map_filter branch (the codegen-fallback path)
+    val events = Seq(ev(Op.Update,
+      oldD = Map("id" -> "3"),
+      newD = Map("id" -> "3", "operation" -> "stale", "name" -> "n"))).toDF()
+    val value = new String(Handlers.declarative(events, router, "id")
+      .collect()(0).getAs[Array[Byte]]("value"))
+    assert(value.contains(""""operation":"UPDATE""""))
+    assert(!value.contains("stale"))
+    assert(value.indexOf(""""operation":""") == value.lastIndexOf(""""operation":"""))
+  }
+
   test("declarative handler: unmapped table is dropped") {
     import spark.implicits._
     val events = Seq(ev(Op.Insert, table = "ghost", newD = Map("id" -> "1"))).toDF()
@@ -147,5 +161,20 @@ class HandlersSpec extends SparkSpec {
     // the healthy record's headers are untouched
     assert(!ok.getSeq[org.apache.spark.sql.Row](ok.fieldIndex("headers"))
       .exists(_.getString(0).startsWith("dlq-")))
+  }
+
+  test("DLQ routing composes after the headerless debezium envelope") {
+    import spark.implicits._
+    val events = Seq(
+      ev(Op.Insert, newD = Map("id" -> "1", "name" -> "small")),
+      ev(Op.Insert, newD = Map("id" -> "2", "name" -> "y" * 500))).toDF()
+    val out = Handlers.withDlq(
+        Handlers.debeziumEnvelope(events, router, "id"), maxWireBytes = 200)
+      .collect().sortBy(_.getString(1))
+    assert(out.map(_.getString(0)).toSeq == Seq("users-topic", "users-topic.dlq"))
+    val dlqHeaders = out(1).getSeq[org.apache.spark.sql.Row](out(1).fieldIndex("headers"))
+      .map(_.getString(0))
+    assert(dlqHeaders.contains("dlq-reason"))
+    assert(out(0).getSeq[org.apache.spark.sql.Row](out(0).fieldIndex("headers")).isEmpty)
   }
 }
