@@ -168,6 +168,20 @@ final case class JdbcSourceConfig(
     numPartitions: Int = 4,
     maxRowsPerBatch: Long = 0L)
 
+/** PostgreSQL replication-connection block (reference `cdc.host` /
+  * `cdc.username` / `cdc.password` / `cdc.database`, `README.md:223-226`)
+  * — the endpoint the live replication-protocol lane
+  * (`graft.sources.cdc.ReplicationTail`) dials. The reference keeps port
+  * inside the upstream engine's default; exposed here explicitly.
+  */
+final case class PostgresSourceConfig(
+    host: String = "",
+    port: Int = 5432,
+    username: String = "",
+    password: String = "",
+    database: String = "",
+    publicationName: String = "graft_pub")
+
 /** Replica-sink knobs (`sink = "replica"` → streaming/Materialize):
   * key-hash bucket count (size so a bucket is a few GB at the target
   * scale) and the optional data-map field carrying the change's log
@@ -188,6 +202,10 @@ final case class ConnectorConfig(
     jdbc: JdbcSourceConfig = JdbcSourceConfig(),
     slotName: String = "graft_slot",   // metric label (reference slot_name)
     metricsPort: Option[Int] = None,   // ≙ cdc.metric.port (README.md:229); 0 = ephemeral
+    postgres: PostgresSourceConfig = PostgresSourceConfig(),
+    // ≙ cdc.debugMode (README.md:227,276): serves a JVM diagnostics
+    // endpoint (/debug/threads — the pprof analogue) on the metric port
+    debugMode: Boolean = false,
     replica: ReplicaSinkConfig = ReplicaSinkConfig(),
     // Value wire format: "default" = the reference's flat row-image JSON
     // with injected operation (example/simple/main.go:110-139);

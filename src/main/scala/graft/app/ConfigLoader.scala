@@ -89,6 +89,14 @@ object ConfigLoader {
         maxRowsPerBatch = long(asMap(source.get("jdbc")).get("maxRowsPerBatch"), 0L)),
       slotName = str(slot.get("name"), "graft_slot"),
       metricsPort = metric.get("port").map(v => v.toString.toInt),
+      postgres = PostgresSourceConfig(
+        host = str(cdc.get("host"), ""),
+        port = int(cdc.get("port"), 5432),
+        username = str(cdc.get("username"), ""),
+        password = str(cdc.get("password"), ""),
+        database = str(cdc.get("database"), ""),
+        publicationName = str(publication.get("name"), "graft_pub")),
+      debugMode = bool(cdc.get("debugMode"), default = false),
       replica = ReplicaSinkConfig(
         nBuckets = int(replica.get("nBuckets"), 16),
         seqField = replica.get("seqField").map(_.toString)),

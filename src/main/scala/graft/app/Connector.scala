@@ -94,7 +94,8 @@ final class Connector(
     cfg.metricsPort.foreach { p =>
       if (metricsServer == null)
         metricsServer = new graft.streaming.MetricsServer(
-          metrics, () => { val q = query; q != null && q.isActive }, p)
+          metrics, () => { val q = query; q != null && q.isActive }, p,
+          debugMode = cfg.debugMode)
     }
     query =
       if (sink == "parquet") CdcPipeline.startToParquet(spark, cfg, parquetOutDir)

@@ -1,0 +1,150 @@
+package graft.sources.cdc
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+/** Client half of the PostgreSQL streaming-replication protocol: the
+  * network loop the reference runs inside upstream go-pq-cdc
+  * (`/root/reference/connector.go:51-56` creates it; the reference's
+  * README positions the slot/publication pair as the source contract).
+  * Speaks `START_REPLICATION SLOT ... LOGICAL` over a `replication=
+  * database` connection, demultiplexes XLogData from keepalives, and
+  * carries the client's LSN feedback (standby status updates — the ACK
+  * lane, ≙ `producer_batch.go:141-151`).
+  *
+  * Deliberately session-scoped and driver-side: one socket, one slot —
+  * PostgreSQL serializes a logical slot to one consumer (the
+  * reference's HA story is the same slot exclusivity, `README.md:36-42`),
+  * so the parallelism lives downstream in Spark, not here. The client
+  * hands raw pgoutput payloads to the caller; [[PgOutputSession]] does
+  * the decode and [[ReplicationTail]] the batching/checkpointing.
+  *
+  * Auth: trust (AuthenticationOk) and cleartext password — the two
+  * modes a loopback/fixture setup uses. SCRAM would slot in at
+  * [[connect]]'s auth match.
+  */
+final class PgReplicationClient(host: String, port: Int, user: String,
+    database: String, password: Option[String] = None,
+    receiveTimeoutMs: Int = 0) extends AutoCloseable {
+  import PgWire._
+
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+  // 0 = block indefinitely (a live primary keepalives every ~10s anyway);
+  // tests set a bound so a protocol bug fails instead of hanging
+  socket.setSoTimeout(receiveTimeoutMs)
+  private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream))
+  private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+
+  /** Last LSN the caller confirmed durable; echoed on keepalive replies. */
+  @volatile var flushedLsn: Long = 0L
+  private var receivedLsn: Long = 0L
+  private var copyMode = false
+
+  private def fail(body: Array[Byte]): Nothing = {
+    val f = parseFields(body)
+    throw new java.io.IOException(
+      s"replication error ${f.getOrElse('C', "?????")}: ${f.getOrElse('M', "(no message)")}")
+  }
+
+  /** Startup handshake: `replication=database` + auth → ReadyForQuery. */
+  def connect(): Unit = {
+    writeStartup(out, Seq(
+      "user" -> user, "database" -> database, "replication" -> "database"))
+    var ready = false
+    while (!ready) {
+      val (typ, body) = readMessage(in)
+      typ match {
+        case 'R' =>
+          java.nio.ByteBuffer.wrap(body).getInt match {
+            case 0 => // AuthenticationOk
+            case 3 => // cleartext password
+              val pw = password.getOrElse(throw new java.io.IOException(
+                "server requests a password but none was configured"))
+              writeMessage(out, 'p', pw.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
+            case other => throw new java.io.IOException(
+              s"unsupported authentication request $other")
+          }
+        case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
+        case 'Z' => ready = true
+        case 'E' => fail(body)
+        case other => throw new java.io.IOException(
+          s"unexpected message '$other' during startup")
+      }
+    }
+  }
+
+  /** Enter COPY-both mode from `startLsn` on `slot` with the pgoutput
+    * plugin options the reference's publication setup implies
+    * (`example/simple/main.go:57-81`).
+    */
+  def startReplication(slot: String, publication: String, startLsn: Long,
+      protoVersion: Int = 1): Unit = {
+    flushedLsn = startLsn
+    receivedLsn = startLsn
+    val sql = s"START_REPLICATION SLOT $slot LOGICAL ${lsnString(startLsn)} " +
+      s"(proto_version '$protoVersion', publication_names '$publication')"
+    writeMessage(out, 'Q', sql.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
+    val (typ, body) = readMessage(in)
+    typ match {
+      case 'W' => copyMode = true // CopyBothResponse
+      case 'E' => fail(body)
+      case other => throw new java.io.IOException(
+        s"expected CopyBothResponse, got '$other'")
+    }
+  }
+
+  /** Next XLogData frame, or None when the server ends the stream.
+    * Keepalives are answered inline (current [[flushedLsn]]) when the
+    * server requests a reply — the liveness contract that keeps the
+    * slot from being considered abandoned.
+    */
+  def poll(): Option[XLogData] = {
+    require(copyMode, "poll() before startReplication()")
+    try {
+      while (true) {
+        val (typ, body) = readMessage(in)
+        typ match {
+          case 'd' => decodeCopyPayload(body) match {
+            case x: XLogData =>
+              receivedLsn = math.max(receivedLsn, x.walEnd)
+              return Some(x)
+            case k: Keepalive =>
+              receivedLsn = math.max(receivedLsn, k.walEnd)
+              if (k.replyRequested) sendStandbyStatus()
+            case _: StandbyStatus => // server never sends this; ignore
+          }
+          case 'c' => return None // CopyDone: orderly end of stream
+          case 'E' => fail(body)
+          case 'C' | 'Z' | 'S' | 'N' => // command complete / ready / params
+          case other => throw new java.io.IOException(
+            s"unexpected message '$other' in copy mode")
+        }
+      }
+      None
+    } catch { case _: EOFException => None }
+  }
+
+  /** LSN feedback: received high-water mark + the caller-confirmed
+    * flushed/applied LSN. Call [[ack]] first so `flushed` reflects only
+    * sink-durable positions (ACK-after-write, `producer_batch.go:141-151`).
+    */
+  def sendStandbyStatus(replyRequested: Boolean = false): Unit =
+    writeMessage(out, 'd', encodeStandbyStatus(StandbyStatus(
+      receivedLsn, flushedLsn, flushedLsn, nowPgMicros(), replyRequested)))
+
+  /** Mark everything up to `lsn` durably delivered and tell the server. */
+  def ack(lsn: Long): Unit = {
+    flushedLsn = math.max(flushedLsn, lsn)
+    sendStandbyStatus()
+  }
+
+  override def close(): Unit = {
+    try {
+      if (!socket.isClosed) {
+        try writeMessage(out, 'X', Array.empty) catch { case _: Throwable => () }
+      }
+    } finally socket.close()
+  }
+}

@@ -76,14 +76,18 @@ final class MetricsRegistry(val slotName: String) {
   * serves the registry in Prometheus text format, `/status` returns
   * 200 OK while the supplied probe holds (the reference pings PostgreSQL;
   * here the probe is typically "the streaming query is active"), 503
-  * otherwise. Built on the JDK's own HttpServer — no dependencies.
-  * Port 0 binds an ephemeral port (tests); the reference default is 8080
-  * (`cdc.metric.port`, `README.md:229`).
+  * otherwise. With `debugMode` (≙ `cdc.debugMode` serving pprof,
+  * `README.md:227,276`) `/debug/threads` dumps every JVM thread with its
+  * stack — the goroutine-dump analogue; off by default and 404 when
+  * disabled, like the reference's pprof mount. Built on the JDK's own
+  * HttpServer — no dependencies. Port 0 binds an ephemeral port (tests);
+  * the reference default is 8080 (`cdc.metric.port`, `README.md:229`).
   */
 final class MetricsServer(
     registry: MetricsRegistry,
     statusProbe: () => Boolean = () => true,
-    port: Int = 0) extends AutoCloseable {
+    port: Int = 0,
+    debugMode: Boolean = false) extends AutoCloseable {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -100,6 +104,20 @@ final class MetricsServer(
   server.createContext("/status", { (x: HttpExchange) =>
     val up = try statusProbe() catch { case _: Exception => false }
     respond(x, if (up) 200 else 503, if (up) "OK" else "UNAVAILABLE", "text/plain")
+  })
+  server.createContext("/debug/threads", { (x: HttpExchange) =>
+    if (!debugMode) respond(x, 404, "debugMode disabled", "text/plain")
+    else {
+      val sb = new StringBuilder
+      import scala.jdk.CollectionConverters._
+      Thread.getAllStackTraces.asScala.toSeq
+        .sortBy(_._1.getName).foreach { case (t, frames) =>
+          sb ++= s""""${t.getName}" #${t.getId} ${t.getState}\n"""
+          frames.foreach(f => sb ++= s"\tat $f\n")
+          sb ++= "\n"
+        }
+      respond(x, 200, sb.result(), "text/plain")
+    }
   })
   server.start()
 

@@ -43,6 +43,29 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.kafka.producerBatchTickerDuration == 100.millis)
     assert(cfg.kafka.producerBatchSize == 10000)
     assert(cfg.snapshot.tables == Seq("users")) // publication tables flow through
+    // connection block feeds the live replication lane
+    assert(cfg.postgres.host == "postgres:5432")
+    assert(cfg.postgres.username == "cdc_user")
+    assert(cfg.postgres.password == "cdc_pass")
+    assert(cfg.postgres.database == "cdc_db")
+    assert(cfg.postgres.publicationName == "cdc_publication")
+    assert(!cfg.debugMode) // README.md:227 default false
+  }
+
+  test("cdc.debugMode and cdc.port load; defaults hold when absent") {
+    val cfg = ConfigLoader.fromYaml(
+      """cdc:
+        |  host: pg.internal
+        |  port: 5433
+        |  database: app
+        |  debugMode: true
+        |kafka:
+        |  brokers: [b:9092]
+        |""".stripMargin)
+    assert(cfg.debugMode)
+    assert(cfg.postgres.port == 5433)
+    val bare = ConfigLoader.fromYaml("kafka:\n  brokers: [b:9092]\n")
+    assert(!bare.debugMode && bare.postgres.port == 5432)
   }
 
   test("defaults match the reference SetDefault when keys are absent") {

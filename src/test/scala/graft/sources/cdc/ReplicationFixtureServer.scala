@@ -1,0 +1,191 @@
+package graft.sources.cdc
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.mutable
+
+/** One canned transaction: pgoutput payloads Begin..Commit, replayed as
+  * XLogData frames whose positions end at `commitLsn`.
+  */
+final case class FixtureTxn(commitLsn: Long, payloads: Seq[Array[Byte]])
+
+/** Loopback stand-in for a PostgreSQL primary's replication endpoint:
+  * accepts `replication=database` startup (trust or cleartext password),
+  * answers `START_REPLICATION SLOT ... LOGICAL <lsn>` with CopyBoth and
+  * replays the fixture transactions strictly after `<lsn>`, exactly how
+  * a real primary resumes from confirmed_flush. Sends one
+  * reply-requested keepalive before the replay (exercising the client's
+  * inline feedback path) and records every standby status update the
+  * client sends. Handles sequential connections, so a kill/restart test
+  * drives resume against the same server instance.
+  */
+final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
+    transactions: Seq[FixtureTxn], password: Option[String] = None) {
+  import PgWire._
+
+  private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+
+  /** Every standby status update received, across all connections. */
+  val statusUpdates = new ConcurrentLinkedQueue[StandbyStatus]
+  /** The start LSN each connection's START_REPLICATION requested. */
+  val requestedStartLsns = new ConcurrentLinkedQueue[java.lang.Long]
+
+  @volatile private var running = true
+  private val acceptThread = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        try serve(sock) catch { case _: Throwable => () }
+        finally sock.close()
+      } catch { case _: Throwable => () } // closed during accept
+    }
+  }, "replication-fixture-server")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    // untyped startup packet
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    val params = parseStartup(body)
+    require(params.get("replication").contains("database"),
+      "fixture server only accepts replication connections")
+    password match {
+      case Some(expected) =>
+        writeMessage(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(3).array())
+        val (t, pbody) = readMessage(in)
+        require(t == 'p', s"expected PasswordMessage, got '$t'")
+        val got = new String(pbody, 0, pbody.length - 1, StandardCharsets.UTF_8)
+        if (got != expected) {
+          writeMessage(out, 'E',
+            fieldsBody("FATAL", "28P01", "password authentication failed"))
+          return
+        }
+        writeMessage(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
+      case None =>
+        writeMessage(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
+    }
+    writeMessage(out, 'Z', Array('I'.toByte))
+
+    val (qt, qbody) = readMessage(in)
+    require(qt == 'Q', s"expected Query, got '$qt'")
+    val sql = new String(qbody, 0, qbody.length - 1, StandardCharsets.UTF_8)
+    val lsnRe = "START_REPLICATION SLOT \\S+ LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)".r
+    val startLsn = lsnRe.findFirstMatchIn(sql) match {
+      case Some(m) => parseLsn(m.group(1))
+      case None =>
+        writeMessage(out, 'E', fieldsBody("ERROR", "42601", s"unsupported command: $sql"))
+        return
+    }
+    requestedStartLsns.add(startLsn)
+
+    // CopyBothResponse: format 0, no columns
+    writeMessage(out, 'W', Array[Byte](0, 0, 0))
+    def xlog(pos: Long, payload: Array[Byte]): Unit =
+      writeMessage(out, 'd', encodeXLogData(XLogData(pos, pos, nowPgMicros(), payload)))
+    // liveness probe before any data: the client must answer with its
+    // current (pre-replay) flushed position
+    writeMessage(out, 'd',
+      encodeKeepalive(Keepalive(startLsn, nowPgMicros(), replyRequested = true)))
+    // schema prefix (PG re-sends Relation messages per connection)
+    schemaPayloads.foreach(p => xlog(startLsn, p))
+    // resume semantics: strictly after the confirmed position
+    transactions.filter(_.commitLsn > startLsn).foreach { txn =>
+      txn.payloads.foreach(p => xlog(txn.commitLsn, p))
+    }
+    // drain feedback until the client disconnects (or Terminates)
+    try {
+      var open = true
+      while (open) {
+        val (t, b) = readMessage(in)
+        t match {
+          case 'd' => decodeCopyPayload(b) match {
+            case s: StandbyStatus => statusUpdates.add(s)
+            case _ => ()
+          }
+          case 'X' => open = false
+          case _   => ()
+        }
+      }
+    } catch { case _: EOFException => () }
+  }
+
+  def stop(): Unit = {
+    running = false
+    server.close()
+  }
+}
+
+/** pgoutput payload builders for protocol-level fixtures (same
+  * byte-by-byte construction as PgOutputSpec's golden fixtures).
+  */
+object PgOutputFixtures {
+  import java.nio.ByteBuffer
+
+  private def buf(): ByteBuffer = ByteBuffer.allocate(4096)
+  private def fin(b: ByteBuffer): Array[Byte] = {
+    val out = new Array[Byte](b.position()); b.flip(); b.get(out); out
+  }
+  private def cstr(b: ByteBuffer, s: String): Unit = {
+    b.put(s.getBytes(StandardCharsets.UTF_8)); b.put(0.toByte)
+  }
+  private def text(b: ByteBuffer, v: String): Unit = {
+    b.put('t'.toByte)
+    val bytes = v.getBytes(StandardCharsets.UTF_8)
+    b.putInt(bytes.length); b.put(bytes)
+  }
+  private def tupleBytes(b: ByteBuffer, cells: Seq[Option[String]]): Unit = {
+    b.putShort(cells.length.toShort)
+    cells.foreach {
+      case Some(v) => text(b, v)
+      case None    => b.put('n'.toByte)
+    }
+  }
+
+  def beginMsg(lsn: Long, microsSincePgEpoch: Long, xid: Int): Array[Byte] = {
+    val b = buf(); b.put('B'.toByte); b.putLong(lsn)
+    b.putLong(microsSincePgEpoch); b.putInt(xid); fin(b)
+  }
+  def commitMsg(lsn: Long, micros: Long): Array[Byte] = {
+    val b = buf(); b.put('C'.toByte); b.put(0.toByte)
+    b.putLong(lsn); b.putLong(lsn + 8); b.putLong(micros); fin(b)
+  }
+  def relationMsg(relId: Int, ns: String, name: String, ident: Char,
+      cols: Seq[(Boolean, String)]): Array[Byte] = {
+    val b = buf(); b.put('R'.toByte); b.putInt(relId)
+    cstr(b, ns); cstr(b, name); b.put(ident.toByte)
+    b.putShort(cols.length.toShort)
+    cols.foreach { case (key, cname) =>
+      b.put(if (key) 1.toByte else 0.toByte); cstr(b, cname)
+      b.putInt(23); b.putInt(-1)
+    }
+    fin(b)
+  }
+  def insertMsg(relId: Int, cells: Seq[Option[String]]): Array[Byte] = {
+    val b = buf(); b.put('I'.toByte); b.putInt(relId); b.put('N'.toByte)
+    tupleBytes(b, cells); fin(b)
+  }
+  def updateMsg(relId: Int, oldKind: Option[Char],
+      oldCells: Seq[Option[String]], newCells: Seq[Option[String]]): Array[Byte] = {
+    val b = buf(); b.put('U'.toByte); b.putInt(relId)
+    oldKind.foreach { k => b.put(k.toByte); tupleBytes(b, oldCells) }
+    b.put('N'.toByte); tupleBytes(b, newCells); fin(b)
+  }
+  def deleteMsg(relId: Int, kind: Char, cells: Seq[Option[String]]): Array[Byte] = {
+    val b = buf(); b.put('D'.toByte); b.putInt(relId); b.put(kind.toByte)
+    tupleBytes(b, cells); fin(b)
+  }
+
+  /** A simple single-table transaction: Begin, rows, Commit. */
+  def txn(commitLsn: Long, micros: Long, xid: Int,
+      rows: Seq[Array[Byte]]): FixtureTxn =
+    FixtureTxn(commitLsn,
+      beginMsg(commitLsn, micros, xid) +: rows :+ commitMsg(commitLsn, micros))
+}

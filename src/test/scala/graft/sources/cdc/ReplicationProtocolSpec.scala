@@ -1,0 +1,165 @@
+package graft.sources.cdc
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.model.{ChangeEvent, Op}
+
+/** The live replication-protocol lane (S1 v2's network half) against the
+  * loopback fixture server: connect → START_REPLICATION → decode →
+  * per-transaction sink → checkpoint → LSN feedback, then kill/restart
+  * resume with no gap and no duplicate — mirroring the reference's
+  * at-least-once contract (`connector_test.go:416-648`,
+  * `producer_batch.go:141-151`).
+  */
+class ReplicationProtocolSpec extends SparkSpec {
+  import PgOutputFixtures._
+
+  private val pg2024 = 757382400000000L // 2024-01-01 in PG-epoch micros
+
+  private val rel = relationMsg(1, "public", "users", 'd',
+    Seq(true -> "id", false -> "name"))
+
+  // 4 row events across 3 transactions; commit LSNs spaced so that
+  // endLsn (commit + 8) sits strictly below the next commit
+  private def fixtures: Seq[FixtureTxn] = Seq(
+    txn(0x100L, pg2024, 1, Seq(insertMsg(1, Seq(Some("1"), Some("alice"))))),
+    txn(0x200L, pg2024, 2, Seq(
+      insertMsg(1, Seq(Some("2"), Some("bob"))),
+      updateMsg(1, Some('K'), Seq(Some("2"), None), Seq(Some("2"), Some("bobby"))))),
+    txn(0x300L, pg2024, 3, Seq(deleteMsg(1, 'K', Seq(Some("1"), None)))))
+
+  private def tail(port: Int, ckpt: java.nio.file.Path,
+      sink: CommittedTxn => Unit, password: Option[String] = None) =
+    new ReplicationTail("127.0.0.1", port, "graft", "db", password,
+      "graft_slot", "graft_pub", ckpt, sink, receiveTimeoutMs = 15000)
+
+  test("connect → decode → checkpoint → LSN feedback, transaction-batched") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures)
+    try {
+      val ckpt = Files.createTempDirectory("repl").resolve("lsn")
+      val txns = mutable.ArrayBuffer.empty[CommittedTxn]
+      val flushed = tail(server.port, ckpt, txns += _).run(maxTransactions = 3)
+
+      assert(txns.map(_.commitLsn) == Seq(0x100L, 0x200L, 0x300L))
+      val events = txns.flatMap(_.events)
+      assert(events.map(_.op) == Seq(Op.Insert, Op.Insert, Op.Update, Op.Delete))
+      assert(events.head.newData == Map("id" -> "1", "name" -> "alice"))
+      // replica identity DEFAULT: PK-only pre-images
+      assert(events(2).oldData == Map("id" -> "2"))
+      assert(events(2).newData == Map("id" -> "2", "name" -> "bobby"))
+      assert(events(3).oldData == Map("id" -> "1") && events(3).newData == null)
+      // commit timestamp rides every event (unix epoch)
+      assert(events.forall(_.eventTime.getTime == 1704067200000L))
+
+      // checkpoint & client feedback point past the last commit
+      assert(flushed == 0x308L)
+      assert(new String(Files.readAllBytes(ckpt)).trim == PgWire.lsnString(0x308L))
+      val updates = server.statusUpdates.asScala.toSeq
+      // first update answers the pre-replay reply-requested keepalive
+      // with the pre-ack position; later ones track each commit's ACK
+      assert(updates.head.flushedLsn == 0L)
+      assert(updates.map(_.flushedLsn).containsSlice(Seq(0x108L, 0x208L, 0x308L)))
+      assert(server.requestedStartLsns.asScala.toSeq == Seq(0L))
+    } finally server.stop()
+  }
+
+  test("kill/restart resumes at the checkpoint: no gap, no duplicate") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures)
+    try {
+      val ckpt = Files.createTempDirectory("repl").resolve("lsn")
+      val events = mutable.ArrayBuffer.empty[ChangeEvent]
+      // "kill" after two acked transactions (client closes cleanly; the
+      // fixture txns it acked are gone from any future replay)
+      tail(server.port, ckpt, events ++= _.events).run(maxTransactions = 2)
+      assert(events.length == 3)
+      // restart: resume strictly after the acked endLsn
+      tail(server.port, ckpt, events ++= _.events).run(maxTransactions = 1)
+      assert(server.requestedStartLsns.asScala.toSeq == Seq(0L, 0x208L))
+      // every event exactly once, in order
+      assert(events.map(_.op) == Seq(Op.Insert, Op.Insert, Op.Update, Op.Delete))
+      assert(events.map(e => Option(e.newData).orElse(Option(e.oldData)).get("id"))
+        == Seq("1", "2", "2", "1"))
+    } finally server.stop()
+  }
+
+  test("stale checkpoint re-delivers (at-least-once, never a gap)") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures)
+    try {
+      val ckpt = Files.createTempDirectory("repl").resolve("lsn")
+      // checkpoint as if only txn1 was confirmed
+      Files.write(ckpt, PgWire.lsnString(0x108L).getBytes)
+      val events = mutable.ArrayBuffer.empty[ChangeEvent]
+      tail(server.port, ckpt, events ++= _.events).run(maxTransactions = 2)
+      // txn2 + txn3 re-streamed, txn1 never re-sent
+      assert(events.map(_.op) == Seq(Op.Insert, Op.Update, Op.Delete))
+      assert(server.requestedStartLsns.asScala.toSeq == Seq(0x108L))
+    } finally server.stop()
+  }
+
+  test("cleartext password auth: success and loud failure") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures.take(1),
+      password = Some("sekret"))
+    try {
+      val ckpt = Files.createTempDirectory("repl").resolve("lsn")
+      val events = mutable.ArrayBuffer.empty[ChangeEvent]
+      tail(server.port, ckpt, events ++= _.events, password = Some("sekret"))
+        .run(maxTransactions = 1)
+      assert(events.length == 1)
+
+      val bad = intercept[java.io.IOException] {
+        tail(server.port, Files.createTempDirectory("repl").resolve("lsn2"),
+          _ => (), password = Some("wrong")).run(maxTransactions = 1)
+      }
+      assert(bad.getMessage.contains("28P01"))
+    } finally server.stop()
+  }
+
+  test("the reference YAML cdc block drives the live lane via fromConfig") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures.take(1))
+    try {
+      val cfg = graft.app.ConfigLoader.fromYaml(
+        s"""cdc:
+           |  host: 127.0.0.1
+           |  port: ${server.port}
+           |  username: cdc_user
+           |  database: cdc_db
+           |  publication:
+           |    name: cdc_publication
+           |  slot:
+           |    name: cdc_slot
+           |kafka:
+           |  brokers: [b:9092]
+           |""".stripMargin)
+      val ckpt = Files.createTempDirectory("repl").resolve("lsn")
+      val events = mutable.ArrayBuffer.empty[ChangeEvent]
+      ReplicationTail.fromConfig(cfg, ckpt, events ++= _.events,
+        receiveTimeoutMs = 15000).run(maxTransactions = 1)
+      assert(events.map(_.op) == Seq(Op.Insert))
+    } finally server.stop()
+  }
+
+  test("captureSink lands per-txn .pgo files that replay through graft-cdc") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures)
+    try {
+      val dir = Files.createTempDirectory("pgo_capture")
+      val ckpt = dir.resolve("lsn")
+      tail(server.port, ckpt, ReplicationTail.captureSink(dir.resolve("wal")))
+        .run(maxTransactions = 3)
+      val files = Files.list(dir.resolve("wal")).iterator().asScala
+        .map(_.getFileName.toString).toSeq.sorted
+      assert(files == Seq("0000000000000100.pgo", "0000000000000200.pgo",
+        "0000000000000300.pgo"))
+      // the captured wire files ARE the existing source lane's contract
+      val out = spark.read.format("graft-cdc")
+        .option("path", dir.resolve("wal").toString).load()
+        .orderBy("eventTime", "op").collect()
+      assert(out.length == 4)
+      assert(out.map(_.getAs[String]("op")).sorted.toSeq
+        == Seq("DELETE", "INSERT", "INSERT", "UPDATE"))
+    } finally server.stop()
+  }
+}

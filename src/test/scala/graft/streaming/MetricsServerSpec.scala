@@ -108,4 +108,20 @@ class MetricsServerSpec extends SparkSpec {
       assert(code == 503 && body == "UNAVAILABLE")
     } finally srv.close()
   }
+
+  test("/debug/threads: 404 without debugMode, thread dump with it (cdc.debugMode)") {
+    val r = new MetricsRegistry("s")
+    val off = new MetricsServer(r, () => true, 0)
+    try {
+      val (code, _) = get(s"http://127.0.0.1:${off.boundPort}/debug/threads")
+      assert(code == 404) // like the reference's unmounted pprof
+    } finally off.close()
+    val on = new MetricsServer(r, () => true, 0, debugMode = true)
+    try {
+      val (code, body) = get(s"http://127.0.0.1:${on.boundPort}/debug/threads")
+      assert(code == 200)
+      assert(body.contains("\"main\"") || body.contains("RUNNABLE"))
+      assert(body.contains("\tat ")) // stack frames present
+    } finally on.close()
+  }
 }
