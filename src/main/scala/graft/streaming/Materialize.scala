@@ -54,6 +54,85 @@ object Materialize {
   /** Replica schema: k, op, data, event_time, seq, bucket(partition). */
   private val KeyCol = "k"
 
+  /** Single-writer lease for a replica table. The copy-on-write merge
+    * (read touched buckets → dynamically overwrite touched buckets) is
+    * only correct with ONE writer; two connectors pointed at the same
+    * `tablePath` would silently interleave reads and overwrites. The
+    * reference gets the equivalent guarantee from replication-slot
+    * exclusivity — PostgreSQL admits one consumer per slot
+    * (`/root/reference/README.md:36-42`); this is that contract shifted
+    * to the table: a `_graft_writer.lock` file under the table path
+    * (underscore prefix — invisible to parquet readers) holds the
+    * holder's instance id, its modification time is the heartbeat. A
+    * second writer with a different id is rejected while the lease is
+    * fresh; a crashed writer's lease expires after `ttlMs` with no
+    * unlock step (crash-safe, like the slot's session-scoped activity
+    * flag). Every streaming lane acquires at start and renews per
+    * micro-batch, failing the query if the lease was lost (e.g. a
+    * GC pause past the TTL let another writer take over).
+    */
+  final class WriterLease(spark: SparkSession, tablePath: String,
+      val instanceId: String, ttlMs: Long = 60000L) {
+    private val path = new Path(tablePath, "_graft_writer.lock")
+    private def fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def holder(): Option[(String, Long)] =
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val id = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+        Some(id -> fs.getFileStatus(path).getModificationTime)
+      }
+
+    private def write(): Unit = {
+      val out = fs.create(path, true)
+      try out.write(instanceId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    def acquire(): WriterLease = {
+      holder() match {
+        case Some((id, mtime)) if id != instanceId =>
+          val age = System.currentTimeMillis() - mtime
+          if (age < ttlMs) throw new IllegalStateException(
+            s"replica at $tablePath already has an active writer '$id' " +
+            s"(heartbeat ${age}ms ago, ttl ${ttlMs}ms); one writer per " +
+            "replica — the slot-exclusivity contract")
+        case _ => ()
+      }
+      write()
+      this
+    }
+
+    /** Heartbeat + fencing: fail fast if another writer took over. */
+    def renew(): Unit = holder() match {
+      case Some((id, _)) if id == instanceId => write()
+      case other => throw new IllegalStateException(
+        s"writer lease on $tablePath lost to ${other.map(_._1)} — " +
+        "refusing to write (the merge contract is single-writer)")
+    }
+
+    def release(): Unit = holder() match {
+      case Some((id, _)) if id == instanceId => fs.delete(path, false); ()
+      case _ => ()
+    }
+  }
+
+  object WriterLease {
+    /** Default writer identity: the CHECKPOINT — a restart of the same
+      * streaming query (same checkpoint dir) is the same logical writer
+      * and re-enters its own lease immediately, while a second connector
+      * (necessarily a different checkpoint) conflicts. Explicit ids
+      * override for tests/multi-writer fencing.
+      */
+    def identity(explicit: String, checkpoint: String): String =
+      Option(explicit).getOrElse(
+        "ckpt-" + java.util.UUID.nameUUIDFromBytes(
+          checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .toString.take(8))
+  }
+
   /** Start continuously applying `events` (ChangeEvent schema) into the
     * replica at `tablePath`, keyed by `keyField` (a data-map key, e.g.
     * the table's PK column). `seqCol` optionally names a data-map field
@@ -64,13 +143,18 @@ object Materialize {
     */
   def applyStream(events: DataFrame, keyField: String, tablePath: String,
       checkpoint: String, nBuckets: Int = 16,
-      seqCol: Option[String] = None): StreamingQuery =
+      seqCol: Option[String] = None,
+      instanceId: String = null): StreamingQuery = {
+    val lease = new WriterLease(events.sparkSession, tablePath,
+      WriterLease.identity(instanceId, checkpoint)).acquire()
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        lease.renew()
         applyBatch(batch.toDF(), keyField, tablePath, nBuckets, seqCol)
       }
       .start()
+  }
 
   /** Apply one batch of change events to the replica (idempotent). */
   def applyBatch(batch: DataFrame, keyField: String, tablePath: String,
@@ -91,10 +175,15 @@ object Materialize {
     */
   def applyStreamPerTable(events: DataFrame, tables: Map[String, String],
       baseDir: String, checkpoint: String, nBuckets: Int = 16,
-      seqCol: Option[String] = None): StreamingQuery =
+      seqCol: Option[String] = None,
+      instanceId: String = null): StreamingQuery = {
+    val leases = tables.keys.map(fullName =>
+      new WriterLease(events.sparkSession, s"$baseDir/$fullName",
+        WriterLease.identity(instanceId, checkpoint)).acquire()).toSeq
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        leases.foreach(_.renew())
         val b = batch.toDF().localCheckpoint(true) // one source read feeds all tables
         tables.foreach { case (fullName, keyField) =>
           applyBatch(
@@ -103,6 +192,7 @@ object Materialize {
         }
       }
       .start()
+  }
 
   /** Replica + PERSISTED change feed in one stream: each batch's net
     * changes land under `changesDir/batch=<id>` — the downstream
@@ -118,10 +208,14 @@ object Materialize {
     */
   def applyStreamWithChangelog(events: DataFrame, keyField: String,
       tablePath: String, changesDir: String, checkpoint: String,
-      nBuckets: Int = 16, seqCol: Option[String] = None): StreamingQuery =
+      nBuckets: Int = 16, seqCol: Option[String] = None,
+      instanceId: String = null): StreamingQuery = {
+    val lease = new WriterLease(events.sparkSession, tablePath,
+      WriterLease.identity(instanceId, checkpoint)).acquire()
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        lease.renew()
         val b = batch.toDF()
         val part = new Path(changesDir, s"batch=$batchId")
         val fs = part.getFileSystem(b.sparkSession.sparkContext.hadoopConfiguration)
@@ -132,6 +226,7 @@ object Materialize {
         ()
       }
       .start()
+  }
 
   /** Replica + incrementally-maintained aggregate view in one stream:
     * each batch's change feed drives [[applyAggregateDelta]] after the
@@ -141,14 +236,19 @@ object Materialize {
   def applyStreamWithView(events: DataFrame, keyField: String, tablePath: String,
       aggPath: String, groupField: String, measureField: String,
       checkpoint: String, nBuckets: Int = 16,
-      seqCol: Option[String] = None): StreamingQuery =
+      seqCol: Option[String] = None,
+      instanceId: String = null): StreamingQuery = {
+    val lease = new WriterLease(events.sparkSession, tablePath,
+      WriterLease.identity(instanceId, checkpoint)).acquire()
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        lease.renew()
         val changes = applyBatchCdf(batch.toDF(), keyField, tablePath, nBuckets, seqCol)
         applyAggregateDelta(changes, groupField, measureField, aggPath)
       }
       .start()
+  }
 
   /** Apply one batch and return its CHANGE DATA FEED: the net row-level
     * effect on the replica, one row per key the batch actually changed —
@@ -191,8 +291,12 @@ object Materialize {
     val touched = upserts.select($"bucket").distinct().collect().map(_.getInt(0))
     if (touched.isEmpty) return emptyCdf
     val fs = new Path(tablePath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // "table exists" = it has bucket partitions — the writer lease file
+    // alone (created at stream start, before batch 0) is not a table
+    def hasBuckets = fs.exists(new Path(tablePath)) &&
+      fs.listStatus(new Path(tablePath)).exists(_.getPath.getName.startsWith("bucket="))
     val existing =
-      if (fs.exists(new Path(tablePath)))
+      if (hasBuckets)
         s.read.parquet(tablePath)
           .filter($"bucket".isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
           .withColumn("src", lit("existing"))

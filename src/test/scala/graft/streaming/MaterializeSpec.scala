@@ -405,4 +405,46 @@ class MaterializeSpec extends SparkSpec {
     val one = Materialize.lookup(spark, tablePath, "3", nBuckets = 4).collect()
     assert(one.length == 1 && one(0).getMap[String, String](1)("w") == "42")
   }
+
+  test("second writer on the same table path is rejected while the lease is fresh") {
+    import spark.implicits._
+    val tablePath = Files.createTempDirectory("graft-replica-lock").toString + "/t"
+    val ckpt1 = Files.createTempDirectory("graft-replica-lock-ckpt1").toString
+    val in = MemoryStream[ChangeEvent](spark)
+    val q = Materialize.applyStream(in.toDF(), "id", tablePath, ckpt1,
+      nBuckets = 4, instanceId = "writer-A")
+    try {
+      in.addData(ev(Op.Insert, 1, 0, "a"))
+      q.processAllAvailable()
+      // a second connector pointed at the same replica must fail loudly
+      // at START, before it can interleave with the merge contract
+      val ckpt2 = Files.createTempDirectory("graft-replica-lock-ckpt2").toString
+      val err = intercept[IllegalStateException] {
+        Materialize.applyStream(MemoryStream[ChangeEvent](spark).toDF(),
+          "id", tablePath, ckpt2, nBuckets = 4, instanceId = "writer-B")
+      }
+      assert(err.getMessage.contains("writer-A"))
+      // the live writer keeps writing (its own renew is not a conflict)
+      in.addData(ev(Op.Update, 1, 5, "a2"))
+      q.processAllAvailable()
+      assert(state(tablePath)("1") == ("a2", ts(5)))
+    } finally q.stop()
+  }
+
+  test("a crashed writer's stale lease is taken over after the TTL") {
+    import spark.implicits._
+    val tablePath = Files.createTempDirectory("graft-replica-stale").toString + "/t"
+    Materialize.applyBatch(Seq(ev(Op.Insert, 1, 0, "a")).toDF(), "id",
+      tablePath, nBuckets = 4)
+    // "crashed" writer: lease file exists, heartbeat long past the TTL
+    new Materialize.WriterLease(spark, tablePath, "dead-writer", ttlMs = 50L).acquire()
+    Thread.sleep(120)
+    val lease = new Materialize.WriterLease(spark, tablePath, "new-writer",
+      ttlMs = 50L).acquire()
+    assert(lease.instanceId == "new-writer")
+    // and renew() fences: once taken over, the dead writer cannot renew
+    intercept[IllegalStateException] {
+      new Materialize.WriterLease(spark, tablePath, "dead-writer").renew()
+    }
+  }
 }
