@@ -645,4 +645,59 @@ object Dedup {
       |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
       |    ORDER BY span_idx), '') AS text_clean
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q101 — INCREMENTAL exact dedup against a PERSISTED fingerprint
+    * index: the shape a 100 TB ingest actually runs — the corpus is
+    * deduped ONCE at bootstrap (one corpus-sized shuffle building the
+    * fp→(owner, count) index), and every later batch shuffles only
+    * ITSELF: aggregate the batch by fingerprint (batch-sized), merge
+    * full-outer with the index on fp, write the merged index back.
+    * Per-batch cost is O(batch + index), never O(corpus re-read +
+    * re-shuffle); with the index persisted through
+    * [[graft.sources.Bucketing.writeBucketed]] (catalog bucket metadata)
+    * the index side of the merge carries no Exchange at all.
+    *
+    * Fixture: history = even doc_ids at their original ids; the arrival
+    * batch is a full re-crawl (every text again, ids offset by 1e6), so
+    * it mixes previously-seen texts (dedup against the index) with new
+    * ones (survive and enter the index). Oracle: the one-shot dedup of
+    * the union — first occurrence wins, counts accumulate — which the
+    * two-phase incremental run must reproduce exactly.
+    */
+  def q101IncrDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", md5($"text").as("fp"))
+    val history = docs.filter($"doc_id" % 2 === 0)
+    val arrivals = docs.select(($"doc_id" + 1000000L).as("doc_id"), $"fp")
+    val idx = java.nio.file.Files.createTempDirectory("graft-fp-index").toString
+    // bootstrap: ONE corpus shuffle → persisted index, hash-laid-out by fp
+    history.groupBy($"fp")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .repartition(8, $"fp")
+      .write.mode("overwrite").parquet(s"$idx/v0")
+    // ingest: batch-sized aggregation + index merge; first occurrence
+    // keeps ownership, counts accumulate
+    val batch = arrivals.groupBy($"fp")
+      .agg(min($"doc_id").as("bdoc"), count(lit(1)).as("bn"))
+    s.read.parquet(s"$idx/v0").as("i")
+      .join(batch.as("b"), Seq("fp"), "full_outer")
+      .select($"fp",
+        coalesce($"i.doc_id", $"bdoc").as("doc_id"),
+        (coalesce($"i.n_copies", lit(0L)) + coalesce($"bn", lit(0L))).as("n_copies"))
+      .repartition(8, $"fp")
+      .write.mode("overwrite").parquet(s"$idx/v1") // the day-1 index state
+    // the live set IS the index — read the round-tripped artifact back
+    s.read.parquet(s"$idx/v1")
+      .select($"doc_id", $"n_copies", ($"doc_id" < 1000000L).as("from_history"))
+      .orderBy($"doc_id")
+  }
+
+  val q101IncrDedupSql: String =
+    """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |arr AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+      |u AS (SELECT * FROM hist UNION ALL SELECT * FROM arr)
+      |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  (MIN(doc_id) < 1000000) AS from_history
+      |FROM u GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 }

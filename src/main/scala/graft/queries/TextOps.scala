@@ -812,4 +812,33 @@ object TextOps {
       |FROM tok JOIN dfm USING (w)
       |GROUP BY tok.doc_id
       |ORDER BY tok.doc_id""".stripMargin
+
+  /** q100 — per-source quota cap: the crawl-balancing step that keeps a
+    * handful of giant domains from dominating the training mixture —
+    * each source retains its `cap` highest-priority documents (longest
+    * text first, doc_id tiebreak), everything else is dropped. One
+    * window over a (source)-partitioned shuffle: at 100 TB sources
+    * spread across executors and per-source state is one counter; a
+    * skewed mega-source is the q37/q67 salting situation and would cap
+    * early anyway (rank > cap rows short-circuit at the window).
+    */
+  def q100SourceQuota(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars",
+        row_number().over(w).cast("long").as("rk"))
+      .filter($"rk" <= cap)
+      .orderBy($"source", $"rk")
+  }
+
+  def q100SourceQuotaSql(cap: Int = 10): String =
+    s"""SELECT doc_id, source, n_chars, rk FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+      |  FROM documents)
+      |WHERE rk <= $cap
+      |ORDER BY source, rk""".stripMargin
 }

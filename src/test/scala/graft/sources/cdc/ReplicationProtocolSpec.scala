@@ -142,6 +142,42 @@ class ReplicationProtocolSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("live lane E2E: slot → capture → graft-cdc stream → handler → sink, across a tail restart") {
+    import org.apache.spark.sql.functions.col
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures)
+    try {
+      val dir = Files.createTempDirectory("live_e2e")
+      val wal = dir.resolve("wal")
+      Files.createDirectories(wal)
+      val ckpt = dir.resolve("lsn")
+      // the full reference loop: replication socket feeds the capture
+      // directory, Spark streams it through routing + the default
+      // handler into the sink
+      val events = spark.readStream.format("graft-cdc")
+        .option("path", wal.toString).load()
+      val records = graft.transform.Handlers.declarative(events,
+        graft.route.TopicRouter(Map("public.users" -> "users-topic")), "id")
+      val q = records.writeStream.format("memory").queryName("live_e2e")
+        .option("checkpointLocation", dir.resolve("spark_ckpt").toString).start()
+      try {
+        // ingest 2 txns, "crash", restart the tail, ingest the rest
+        tail(server.port, ckpt, ReplicationTail.captureSink(wal)).run(maxTransactions = 2)
+        q.processAllAvailable()
+        tail(server.port, ckpt, ReplicationTail.captureSink(wal)).run(maxTransactions = 1)
+        q.processAllAvailable()
+        val out = spark.table("live_e2e")
+          .select(col("topic"), col("key").cast("string"), col("value").cast("string"))
+          .collect()
+        assert(out.length == 4) // exactly once: no gap, no duplicate
+        assert(out.forall(_.getString(0) == "users-topic"))
+        val values = out.map(_.getString(2)).sorted.toSeq
+        assert(values.count(_.contains(""""operation":"INSERT"""")) == 2)
+        assert(values.count(_.contains(""""operation":"UPDATE"""")) == 1)
+        assert(values.count(_.contains(""""operation":"DELETE"""")) == 1)
+      } finally q.stop()
+    } finally server.stop()
+  }
+
   test("captureSink lands per-txn .pgo files that replay through graft-cdc") {
     val server = new ReplicationFixtureServer(Seq(rel), fixtures)
     try {
