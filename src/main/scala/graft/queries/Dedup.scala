@@ -664,27 +664,50 @@ object Dedup {
     * the union — first occurrence wins, counts accumulate — which the
     * two-phase incremental run must reproduce exactly.
     */
-  def q101IncrDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The q101 fixture frames: history (even doc_ids, original ids) and
+    * the arrival batch (full re-crawl, ids offset by 1e6), both already
+    * aggregated per fingerprint.
+    */
+  private def q101Frames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
       .select($"doc_id", md5($"text").as("fp"))
-    val history = docs.filter($"doc_id" % 2 === 0)
-    val arrivals = docs.select(($"doc_id" + 1000000L).as("doc_id"), $"fp")
-    val idx = java.nio.file.Files.createTempDirectory("graft-fp-index").toString
-    // bootstrap: ONE corpus shuffle → persisted index, hash-laid-out by fp
-    history.groupBy($"fp")
+    val historyAgg = docs.filter($"doc_id" % 2 === 0).groupBy($"fp")
       .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      .repartition(8, $"fp")
-      .write.mode("overwrite").parquet(s"$idx/v0")
-    // ingest: batch-sized aggregation + index merge; first occurrence
-    // keeps ownership, counts accumulate
-    val batch = arrivals.groupBy($"fp")
+    val batchAgg = docs.select(($"doc_id" + 1000000L).as("doc_id"), $"fp")
+      .groupBy($"fp")
       .agg(min($"doc_id").as("bdoc"), count(lit(1)).as("bn"))
-    s.read.parquet(s"$idx/v0").as("i")
-      .join(batch.as("b"), Seq("fp"), "full_outer")
+    (historyAgg, batchAgg)
+  }
+
+  /** The incremental merge step: keyed full-outer on fingerprint —
+    * first occurrence keeps ownership, counts accumulate. Exposed so
+    * PlanAuditSpec can pin the join shape of the actual merge plan.
+    */
+  def incrIndexMerge(index: DataFrame, batchAgg: DataFrame): DataFrame = {
+    import index.sparkSession.implicits._
+    index.as("i").join(batchAgg.as("b"), Seq("fp"), "full_outer")
       .select($"fp",
         coalesce($"i.doc_id", $"bdoc").as("doc_id"),
         (coalesce($"i.n_copies", lit(0L)) + coalesce($"bn", lit(0L))).as("n_copies"))
+  }
+
+  /** The merge plan q101 executes, without the parquet round-trips —
+    * for plan audit only (q101 itself grades the round-tripped state).
+    */
+  def q101MergeFrame(s: SparkSession, dir: String): DataFrame = {
+    val (historyAgg, batchAgg) = q101Frames(s, dir)
+    incrIndexMerge(historyAgg, batchAgg)
+  }
+
+  def q101IncrDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (historyAgg, batchAgg) = q101Frames(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-fp-index").toString
+    // bootstrap: ONE corpus shuffle → persisted index, hash-laid-out by fp
+    historyAgg.repartition(8, $"fp").write.mode("overwrite").parquet(s"$idx/v0")
+    // ingest: batch-sized aggregation + index merge, new index written back
+    incrIndexMerge(s.read.parquet(s"$idx/v0"), batchAgg)
       .repartition(8, $"fp")
       .write.mode("overwrite").parquet(s"$idx/v1") // the day-1 index state
     // the live set IS the index — read the round-tripped artifact back

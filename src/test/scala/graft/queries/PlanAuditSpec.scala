@@ -67,6 +67,27 @@ class PlanAuditSpec extends SparkSpec {
       s"q47 regressed to an unpartitioned window:\n${df.queryExecution.optimizedPlan}")
   }
 
+  test("q100: the quota window is partitioned by source — no single-partition WindowExec") {
+    val df = graft.SparkEntry.queries("q100_source_quota")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"q100 must rank within sources, not globally:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q101: the index merge is a keyed full-outer join, never a cartesian") {
+    val df = graft.queries.Dedup.q101MergeFrame(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.exists(_.joinType.sql == "FULL OUTER"),
+      s"expected the fp-keyed full-outer index merge:\n$plan")
+    assert(joins.forall(_.condition.nonEmpty),
+      s"q101 must never join the index unkeyed:\n$plan")
+  }
+
   test("q52: the fullprobe index scan stays cell-filtered (isin over cids)") {
     val df = graft.SparkEntry.queries("q52_ann_ivf_indexed_fullprobe")(spark, dir)
     df.collect()
