@@ -47,6 +47,36 @@ final class Connector(
   private val metricsCollector = new graft.streaming.Metrics.Collector(Some(metrics))
   @volatile private var metricsServer: graft.streaming.MetricsServer = _
 
+  // live replication lane (source.format = graft-replication): the
+  // connector owns the replication-socket tail, which lands per-txn
+  // .pgo capture files in sourceDir for the graft-cdc stream to drain.
+  // The tail reconnects with backoff on transient network errors —
+  // resume-from-LSN-checkpoint makes a reconnect loss- and dup-free —
+  // and stops with the connector.
+  @volatile private var replicationTail: graft.sources.cdc.ReplicationTail = _
+  @volatile private var tailThread: Thread = _
+  @volatile private var tailStopped = false
+
+  private def startReplicationTail(): Unit = {
+    if (tailThread != null) return
+    val lsnFile = java.nio.file.Paths.get(cfg.checkpointDir, "replication.lsn")
+    java.nio.file.Files.createDirectories(lsnFile.getParent)
+    val tail = graft.sources.cdc.ReplicationTail.fromConfig(cfg, lsnFile,
+      graft.sources.cdc.ReplicationTail.captureSink(
+        java.nio.file.Paths.get(cfg.sourceDir)))
+    replicationTail = tail
+    val t = new Thread(() => {
+      while (!tailStopped) {
+        try tail.run()
+        catch { case _: Throwable => () } // transient: reconnect below
+        if (!tailStopped) Thread.sleep(1000L)
+      }
+    }, s"graft-replication-tail-${cfg.slotName}")
+    t.setDaemon(true)
+    tailThread = t
+    t.start()
+  }
+
   /** The bound metrics port, when exposition is enabled and started. */
   def metricsPort: Option[Int] = Option(metricsServer).map(_.boundPort)
 
@@ -97,6 +127,7 @@ final class Connector(
           metrics, () => { val q = query; q != null && q.isActive }, p,
           debugMode = cfg.debugMode)
     }
+    if (cfg.sourceFormat == "graft-replication") startReplicationTail()
     query =
       if (sink == "parquet") CdcPipeline.startToParquet(spark, cfg, parquetOutDir)
       else if (sink == "replica")
@@ -130,6 +161,9 @@ final class Connector(
     * (≙ flush-then-close, `connector.go:118-127`).
     */
   def close(): Unit = synchronized {
+    tailStopped = true
+    if (replicationTail != null) replicationTail.stop()
+    if (tailThread != null) { tailThread.join(5000L); tailThread = null }
     if (query != null) query.stop()
     if (listenerAdded) {
       spark.streams.removeListener(listener)

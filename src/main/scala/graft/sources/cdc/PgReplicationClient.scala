@@ -20,9 +20,9 @@ import java.nio.charset.StandardCharsets
   * hands raw pgoutput payloads to the caller; [[PgOutputSession]] does
   * the decode and [[ReplicationTail]] the batching/checkpointing.
   *
-  * Auth: trust (AuthenticationOk) and cleartext password — the two
-  * modes a loopback/fixture setup uses. SCRAM would slot in at
-  * [[connect]]'s auth match.
+  * Auth: trust (AuthenticationOk), cleartext password, and
+  * SCRAM-SHA-256 (the PostgreSQL default since v10; RFC 5802/7677 via
+  * [[ScramSha256]], with mutual server-signature verification).
   */
 final class PgReplicationClient(host: String, port: Int, user: String,
     database: String, password: Option[String] = None,
@@ -53,16 +53,48 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     writeStartup(out, Seq(
       "user" -> user, "database" -> database, "replication" -> "database"))
     var ready = false
+    var scram: ScramSha256.Client = null
+    var expectedServerSig: String = null
+    def pw = password.getOrElse(throw new java.io.IOException(
+      "server requests a password but none was configured"))
     while (!ready) {
       val (typ, body) = readMessage(in)
       typ match {
         case 'R' =>
-          java.nio.ByteBuffer.wrap(body).getInt match {
+          val b = java.nio.ByteBuffer.wrap(body)
+          b.getInt match {
             case 0 => // AuthenticationOk
             case 3 => // cleartext password
-              val pw = password.getOrElse(throw new java.io.IOException(
-                "server requests a password but none was configured"))
               writeMessage(out, 'p', pw.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
+            case 10 => // AuthenticationSASL: null-terminated mechanism list
+              val mechs = new String(body, 4, body.length - 4, StandardCharsets.UTF_8)
+                .split("\u0000").filter(_.nonEmpty).toSeq
+              if (!mechs.contains(ScramSha256.Mechanism))
+                throw new java.io.IOException(
+                  s"server offers SASL mechanisms $mechs; only " +
+                  s"${ScramSha256.Mechanism} is supported")
+              val nonce = {
+                val r = new Array[Byte](18)
+                new java.security.SecureRandom().nextBytes(r)
+                java.util.Base64.getEncoder.encodeToString(r)
+              }
+              scram = new ScramSha256.Client(pw, nonce)
+              val initial = scram.clientFirst.getBytes(StandardCharsets.UTF_8)
+              val msg = java.nio.ByteBuffer.allocate(
+                ScramSha256.Mechanism.length + 1 + 4 + initial.length)
+              msg.put(ScramSha256.Mechanism.getBytes(StandardCharsets.UTF_8))
+                .put(0.toByte).putInt(initial.length).put(initial)
+              writeMessage(out, 'p', msg.array())
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              val serverFirst = new String(body, 4, body.length - 4, StandardCharsets.UTF_8)
+              val (clientFinal, sig) = scram.respond(serverFirst)
+              expectedServerSig = sig
+              writeMessage(out, 'p', clientFinal.getBytes(StandardCharsets.UTF_8))
+            case 12 => // AuthenticationSASLFinal: verify the SERVER too
+              val serverFinal = new String(body, 4, body.length - 4, StandardCharsets.UTF_8)
+              val v = ScramSha256.attrs(serverFinal).getOrElse('v', "")
+              if (v != expectedServerSig) throw new java.io.IOException(
+                "SCRAM server signature mismatch — refusing to trust the server")
             case other => throw new java.io.IOException(
               s"unsupported authentication request $other")
           }

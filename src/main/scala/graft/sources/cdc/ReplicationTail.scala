@@ -43,6 +43,19 @@ final class ReplicationTail(host: String, port: Int, user: String,
     receiveTimeoutMs: Int = 0) {
   import PgOutput._
 
+  @volatile private var stopRequested = false
+  @volatile private var activeClient: PgReplicationClient = _
+
+  /** Ask a blocked [[run]] to exit: closes the live socket (unblocking
+    * the read) and makes the loop treat the resulting error as a clean
+    * end-of-stream. Safe from any thread.
+    */
+  def stop(): Unit = {
+    stopRequested = true
+    val c = activeClient
+    if (c != null) c.close()
+  }
+
   /** Confirmed-durable resume position; 0 = stream from slot start. */
   def readCheckpoint(): Long =
     if (Files.exists(checkpointFile))
@@ -64,6 +77,7 @@ final class ReplicationTail(host: String, port: Int, user: String,
     val startLsn = readCheckpoint()
     val client = new PgReplicationClient(host, port, user, database, password,
       receiveTimeoutMs)
+    activeClient = client
     try {
       client.connect()
       client.startReplication(slot, publication, startLsn)
@@ -77,8 +91,11 @@ final class ReplicationTail(host: String, port: Int, user: String,
       val events = mutable.ArrayBuffer.empty[ChangeEvent]
       var commits = 0
       var done = false
-      while (!done && commits < maxTransactions) {
-        client.poll() match {
+      while (!done && commits < maxTransactions && !stopRequested) {
+        val polled =
+          try client.poll()
+          catch { case e: Throwable if stopRequested => None } // stop() closed us
+        polled match {
           case None => done = true
           case Some(x) =>
             val msg = decode(x.payload)

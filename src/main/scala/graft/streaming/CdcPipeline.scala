@@ -57,12 +57,17 @@ object CdcPipeline {
   private def source(spark: SparkSession, cfg: ConnectorConfig): DataFrame = {
     val cdc = cfg.sourceFormat match {
       case "graft-cdc"      => fromCdcSource(spark, cfg.sourceDir)
+      // the LIVE lane: the Connector's ReplicationTail lands commit-LSN-
+      // named .pgo capture files in sourceDir; the Spark side is the
+      // same graft-cdc stream (lexicographic file order == LSN order)
+      case "graft-replication" => fromCdcSource(spark, cfg.sourceDir)
       case "graft-jdbc-cdc" => fromJdbc(spark, cfg)
       case "json"           => fromJsonFiles(spark, cfg.sourceDir)
       // loud, not a silent fallback: a typo'd format draining the wrong
       // lane (and committing its checkpoint) is the worse failure
       case other => throw new IllegalArgumentException(
-        s"unknown source.format '$other' (expected json | graft-cdc | graft-jdbc-cdc)")
+        s"unknown source.format '$other' (expected json | graft-cdc | " +
+        "graft-replication | graft-jdbc-cdc)")
     }
     // `initial` snapshot mode rides the SAME query as a union branch: the
     // snapshot file-stream is exhausted after its first listing, and the

@@ -23,7 +23,8 @@ final case class FixtureTxn(commitLsn: Long, payloads: Seq[Array[Byte]])
   * drives resume against the same server instance.
   */
 final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
-    transactions: Seq[FixtureTxn], password: Option[String] = None) {
+    transactions: Seq[FixtureTxn], password: Option[String] = None,
+    scram: Boolean = false) {
   import PgWire._
 
   private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
@@ -57,9 +58,51 @@ final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
     val params = parseStartup(body)
     require(params.get("replication").contains("database"),
       "fixture server only accepts replication connections")
+    def authCode(code: Int, extra: Array[Byte] = Array.empty): Unit =
+      writeMessage(out, 'R',
+        java.nio.ByteBuffer.allocate(4 + extra.length).putInt(code).put(extra).array())
     password match {
+      case Some(expected) if scram =>
+        import ScramSha256._
+        // AuthenticationSASL with the mechanism list (null-terminated)
+        authCode(10, (Mechanism + "\u0000\u0000").getBytes(StandardCharsets.UTF_8))
+        val (t1, ibody) = readMessage(in)
+        require(t1 == 'p', s"expected SASLInitialResponse, got '$t1'")
+        val ib = java.nio.ByteBuffer.wrap(ibody)
+        val mechEnd = ibody.indexOf(0.toByte)
+        require(new String(ibody, 0, mechEnd, StandardCharsets.UTF_8) == Mechanism)
+        ib.position(mechEnd + 1)
+        val ilen = ib.getInt
+        val clientFirst = new String(ibody, ib.position(), ilen, StandardCharsets.UTF_8)
+        require(clientFirst.startsWith("n,,"), "fixture expects no channel binding")
+        val clientFirstBare = clientFirst.drop(3)
+        val clientNonce = attrs(clientFirstBare)('r')
+        val salt = "graft-fixture-salt".getBytes(StandardCharsets.UTF_8)
+        val iterations = 4096
+        val fullNonce = clientNonce + "srvext"
+        val serverFirst = s"r=$fullNonce,s=${b64(salt)},i=$iterations"
+        authCode(11, serverFirst.getBytes(StandardCharsets.UTF_8))
+        val (t2, fbody) = readMessage(in)
+        require(t2 == 'p', s"expected SASLResponse, got '$t2'")
+        val clientFinal = new String(fbody, StandardCharsets.UTF_8)
+        val fa = attrs(clientFinal)
+        val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+        val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+        val salted = saltedPassword(expected, salt, iterations)
+        val clientKey = hmac(salted, "Client Key")
+        val storedKey = sha256(clientKey)
+        val recoveredKey = xor(unb64(fa('p')), hmac(storedKey, authMessage))
+        if (fa('r') != fullNonce ||
+            !java.util.Arrays.equals(sha256(recoveredKey), storedKey)) {
+          writeMessage(out, 'E',
+            fieldsBody("FATAL", "28P01", "password authentication failed"))
+          return
+        }
+        val serverSig = b64(hmac(hmac(salted, "Server Key"), authMessage))
+        authCode(12, s"v=$serverSig".getBytes(StandardCharsets.UTF_8))
+        authCode(0)
       case Some(expected) =>
-        writeMessage(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(3).array())
+        authCode(3)
         val (t, pbody) = readMessage(in)
         require(t == 'p', s"expected PasswordMessage, got '$t'")
         val got = new String(pbody, 0, pbody.length - 1, StandardCharsets.UTF_8)
@@ -68,9 +111,9 @@ final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
             fieldsBody("FATAL", "28P01", "password authentication failed"))
           return
         }
-        writeMessage(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
+        authCode(0)
       case None =>
-        writeMessage(out, 'R', java.nio.ByteBuffer.allocate(4).putInt(0).array())
+        authCode(0)
     }
     writeMessage(out, 'Z', Array('I'.toByte))
 

@@ -118,6 +118,24 @@ class ReplicationProtocolSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("SCRAM-SHA-256 auth: full RFC 5802 exchange with mutual verification; wrong password fails") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures.take(1),
+      password = Some("s3cret"), scram = true)
+    try {
+      val ckpt = Files.createTempDirectory("repl").resolve("lsn")
+      val events = mutable.ArrayBuffer.empty[ChangeEvent]
+      tail(server.port, ckpt, events ++= _.events, password = Some("s3cret"))
+        .run(maxTransactions = 1)
+      assert(events.length == 1)
+
+      val bad = intercept[java.io.IOException] {
+        tail(server.port, Files.createTempDirectory("repl").resolve("lsn2"),
+          _ => (), password = Some("wrong")).run(maxTransactions = 1)
+      }
+      assert(bad.getMessage.contains("28P01"))
+    } finally server.stop()
+  }
+
   test("the reference YAML cdc block drives the live lane via fromConfig") {
     val server = new ReplicationFixtureServer(Seq(rel), fixtures.take(1))
     try {
@@ -175,6 +193,53 @@ class ReplicationProtocolSpec extends SparkSpec {
         assert(values.count(_.contains(""""operation":"UPDATE"""")) == 1)
         assert(values.count(_.contains(""""operation":"DELETE"""")) == 1)
       } finally q.stop()
+    } finally server.stop()
+  }
+
+  test("Connector owns the live lane: source.format graft-replication runs tail + pipeline under one lifecycle") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures)
+    try {
+      val dir = Files.createTempDirectory("conn_live")
+      val cfg = graft.app.ConfigLoader.fromYaml(
+        s"""cdc:
+           |  host: 127.0.0.1
+           |  port: ${server.port}
+           |  username: cdc_user
+           |  database: cdc_db
+           |  publication:
+           |    name: cdc_publication
+           |  slot:
+           |    name: cdc_slot
+           |source:
+           |  format: graft-replication
+           |  dir: ${dir.resolve("wal")}
+           |  checkpointDir: ${dir.resolve("chk")}
+           |  keyField: id
+           |kafka:
+           |  tableTopicMapping:
+           |    public.users: users-topic
+           |  brokers: [unused:9092]
+           |  producerBatchTickerDuration: 250ms
+           |""".stripMargin)
+      val out = dir.resolve("out")
+      val conn = new graft.app.Connector(spark, cfg, sink = "parquet",
+        parquetOutDir = out.toString)
+      conn.start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        def count(): Long =
+          try spark.read.parquet(out.toString).count() catch { case _: Throwable => 0L }
+        while (count() < 4 && System.currentTimeMillis() < deadline)
+          Thread.sleep(250)
+        assert(count() == 4, "expected all 4 live events through the full connector")
+        val rows = spark.read.parquet(out.toString)
+          .selectExpr("topic", "cast(value AS string) AS v").collect()
+        assert(rows.forall(_.getString(0) == "users-topic"))
+        assert(rows.count(_.getString(1).contains(""""operation":"INSERT"""")) == 2)
+        // the tail acked everything it sank
+        assert(new String(Files.readAllBytes(dir.resolve("chk").resolve("replication.lsn")))
+          .trim == PgWire.lsnString(0x308L))
+      } finally conn.close()
     } finally server.stop()
   }
 
