@@ -683,4 +683,35 @@ object Analytic {
       |  ',"op":"' || opc || '","ts_ms":' || CAST(epoch_ms(ts) AS VARCHAR) ||
       |  ',"source":{"connector":"graft","schema":"public","table":"events"}}' AS value
       |FROM imgs ORDER BY key, value""".stripMargin
+
+  /** q102 — one-pass mergeable quantile SKETCH per group: the scale
+    * path for percentiles. q27's exact percentiles sort each group; at
+    * 100 TB the right operator is Spark's built-in `percentile_approx`
+    * (a Greenwald–Khanna-style summary: bounded memory per group,
+    * partial-mergeable, one shuffle of sketch state — never row data).
+    * Registered at full accuracy, where the summary holds every rank
+    * and the answer is EXACTLY the discrete quantile — so the DuckDB
+    * `quantile_disc` oracle grades the whole sketch lane, the same
+    * full-capacity⇒exact discipline as q71 (KMV) / q77 (Misra–Gries);
+    * the bounded-accuracy path is rank-error-graded in
+    * QuantileSketchSpec.
+    */
+  def q102QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx($"value", lit(0.5), lit(1000000)).as("p50"),
+        percentile_approx($"value", lit(0.9), lit(1000000)).as("p90"),
+        percentile_approx($"value", lit(0.99), lit(1000000)).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  val q102QuantileSketchSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  quantile_disc(value, 0.5) AS p50,
+      |  quantile_disc(value, 0.9) AS p90,
+      |  quantile_disc(value, 0.99) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The bounded-accuracy half of q102's contract: at accuracy A,
+  * `percentile_approx` guarantees rank error ≤ n/A (the published
+  * Greenwald–Khanna bound Spark documents). The full-accuracy
+  * registered form is graded value-exactly by the DuckDB oracle; this
+  * spec grades the SKETCHING path — small accuracy on the same data —
+  * by measuring the actual rank of each returned value.
+  */
+class QuantileSketchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("bounded-accuracy sketch answers are within the documented rank-error bound") {
+    import spark.implicits._
+    val accuracy = 100 // rank error ≤ n/100 = 1% of each group
+    val events = Tables.load(spark, dir, "events").select($"event_type", $"value")
+    val approx = events.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx($"value", lit(0.5), lit(accuracy)).as("a50"),
+        percentile_approx($"value", lit(0.9), lit(accuracy)).as("a90"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // true rank of each sketch answer within its group
+    val ranks = events.as("e").join(
+        approx.toSeq.toDF("event_type", "stats").select($"event_type",
+          $"stats._2".as("a50"), $"stats._3".as("a90")), "event_type")
+      .groupBy($"event_type")
+      .agg(sum(when($"value" <= $"a50", 1L).otherwise(0L)).as("r50"),
+           sum(when($"value" <= $"a90", 1L).otherwise(0L)).as("r90"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    approx.foreach { case (et, (n, _, _)) =>
+      val (r50, r90) = ranks(et)
+      val eps = n.toDouble / accuracy
+      assert(math.abs(r50 - 0.5 * n) <= eps + 1,
+        s"$et: p50 rank $r50 outside ${0.5 * n} ± $eps")
+      assert(math.abs(r90 - 0.9 * n) <= eps + 1,
+        s"$et: p90 rank $r90 outside ${0.9 * n} ± $eps")
+    }
+  }
+
+  test("full-accuracy sketch equals the exact discrete quantile (the oracle's premise)") {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events").select($"event_type", $"value")
+    val full = events.groupBy($"event_type")
+      .agg(percentile_approx($"value", lit(0.9), lit(1000000)).as("p"))
+    val exact = events.groupBy($"event_type")
+      .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("x"))
+    val joined = full.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"${r.getString(0)}: sketch ${r.getDouble(1)} != exact ${r.getDouble(2)}"))
+  }
+}
