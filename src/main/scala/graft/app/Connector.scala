@@ -61,9 +61,16 @@ final class Connector(
     if (tailThread != null) return
     val lsnFile = java.nio.file.Paths.get(cfg.checkpointDir, "replication.lsn")
     java.nio.file.Files.createDirectories(lsnFile.getParent)
+    val capture = graft.sources.cdc.ReplicationTail.captureSink(
+      java.nio.file.Paths.get(cfg.sourceDir))
     val tail = graft.sources.cdc.ReplicationTail.fromConfig(cfg, lsnFile,
-      graft.sources.cdc.ReplicationTail.captureSink(
-        java.nio.file.Paths.get(cfg.sourceDir)))
+      txn => {
+        capture(txn)
+        // replication health: lag to the last acked commit + commit count
+        metrics.setReplicationLag(
+          System.currentTimeMillis() - txn.commitMicros / 1000L)
+        metrics.incrementReplicationCommit()
+      })
     replicationTail = tail
     val t = new Thread(() => {
       while (!tailStopped) {
@@ -112,7 +119,7 @@ final class Connector(
     val mode = if (snap.enabled) snap.mode else SnapshotConfig.ModeNever
 
     if (mode == SnapshotConfig.ModeSnapshotOnly) {
-      CdcPipeline.runSnapshotPhase(spark, cfg, sink, parquetOutDir)
+      CdcPipeline.runSnapshotPhase(spark, cfg, sink, parquetOutDir, Some(metrics))
       ready.countDown() // no CDC to wait for (connector.go:88-89)
       return null
     }

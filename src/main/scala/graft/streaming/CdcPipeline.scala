@@ -259,15 +259,58 @@ object CdcPipeline {
     * (batch-written files are invisible to readers of a file-sink dir).
     */
   def runSnapshotPhase(
-      spark: SparkSession, cfg: ConnectorConfig, sink: String, outDir: String): Unit = {
+      spark: SparkSession, cfg: ConnectorConfig, sink: String, outDir: String,
+      registry: Option[MetricsRegistry] = None): Unit = {
     val snap = snapshotEventStream(spark, cfg).getOrElse(
       throw new IllegalArgumentException("snapshot mode requires snapshot.tables"))
     val ckpt = s"${cfg.checkpointDir}/snapshot"
+    // snapshot metric family (reference README.md:292-301): progress of
+    // the bounded run, one committed micro-batch ≙ one claimed chunk
+    val t0 = System.currentTimeMillis()
+    registry.foreach { r =>
+      r.setSnapshotInProgress(true)
+      r.setSnapshotTotalTables(cfg.snapshot.tables.size.toLong)
+    }
+    // scope to OUR bounded query: the listener is session-global
+    val qid = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val progressListener = registry.map { r =>
+      val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.id == qid.get) {
+            r.incrementSnapshotChunk()
+            r.addSnapshotRows(e.progress.numInputRows)
+          }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(l)
+      l
+    }
+    def finish(): Unit = {
+      progressListener.foreach(spark.streams.removeListener)
+      registry.foreach { r =>
+        r.setSnapshotInProgress(false)
+        r.setSnapshotDurationMs(System.currentTimeMillis() - t0)
+      }
+    }
+    try runSnapshotPhaseInner(spark, cfg, sink, outDir, snap, ckpt,
+      q => qid.set(q.id))
+    finally finish()
+  }
+
+  private def runSnapshotPhaseInner(
+      spark: SparkSession, cfg: ConnectorConfig, sink: String, outDir: String,
+      snap: DataFrame, ckpt: String,
+      onStart: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
     if (sink == "replica") {
       // the replica sink consumes raw ChangeEvents (its merge IS the
       // handler); SNAPSHOT ops upsert like inserts
       val q = Materialize.applyStream(snap, cfg.keyField, outDir, ckpt,
         nBuckets = cfg.replica.nBuckets, seqCol = cfg.replica.seqField)
+      onStart(q)
       // AvailableNow semantics: drain what the bounded snapshot source has
       q.processAllAvailable(); q.stop()
       return
@@ -284,6 +327,7 @@ object CdcPipeline {
         }
     }
     val q = writer.trigger(Trigger.AvailableNow()).start()
+    onStart(q)
     q.awaitTermination() // bounded: returns when the table scan is drained
   }
 }

@@ -29,6 +29,20 @@ final class MetricsRegistry(val slotName: String) {
   private val writeTotal = TrieMap.empty[String, LongAdder]
   private val errTotal = TrieMap.empty[String, LongAdder]
 
+  // snapshot family (reference README.md:292-301). Chunk mapping for
+  // the bounded AvailableNow snapshot run: one committed micro-batch ≙
+  // one claimed chunk (the resume-safe unit of snapshot progress).
+  private val snapInProgress = new AtomicLong(0L)
+  private val snapTotalTables = new AtomicLong(0L)
+  private val snapCompletedChunks = new AtomicLong(0L)
+  private val snapRows = new LongAdder
+  private val snapDurationMs = new AtomicLong(0L)
+
+  // live replication-lane gauges (upstream go-pq-cdc exposes slot/CDC
+  // health the same way; lag = now - last commit's timestamp)
+  private val replLagMs = new AtomicLong(0L)
+  private val replCommits = new LongAdder
+
   def setProcessLatency(ms: Long): Unit = processLatencyMs.set(ms)
   def setBulkRequestLatency(ms: Long): Unit = bulkLatencyMs.set(ms)
   def incrementSuccess(topic: String, n: Long = 1L): Unit =
@@ -38,6 +52,19 @@ final class MetricsRegistry(val slotName: String) {
 
   def successCount(topic: String): Long = writeTotal.get(topic).fold(0L)(_.sum)
   def errCount(topic: String): Long = errTotal.get(topic).fold(0L)(_.sum)
+
+  def setSnapshotInProgress(active: Boolean): Unit =
+    snapInProgress.set(if (active) 1L else 0L)
+  def setSnapshotTotalTables(n: Long): Unit = snapTotalTables.set(n)
+  def incrementSnapshotChunk(): Unit = snapCompletedChunks.incrementAndGet()
+  def addSnapshotRows(n: Long): Unit = snapRows.add(n)
+  def setSnapshotDurationMs(ms: Long): Unit = snapDurationMs.set(ms)
+  def snapshotRows: Long = snapRows.sum
+  def snapshotCompletedChunks: Long = snapCompletedChunks.get
+
+  def setReplicationLag(ms: Long): Unit = replLagMs.set(math.max(ms, 0L))
+  def incrementReplicationCommit(): Unit = replCommits.increment()
+  def replicationCommits: Long = replCommits.sum
 
   private def esc(v: String): String =
     v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
@@ -68,6 +95,26 @@ final class MetricsRegistry(val slotName: String) {
       "total number of successful write operations to the sink", writeTotal)
     counter("graft_cdc_err_total",
       "total number of failed write operations to the sink", errTotal)
+    gauge("graft_cdc_snapshot_in_progress",
+      "whether a snapshot is currently in progress (1 active, 0 inactive)",
+      snapInProgress.get)
+    gauge("graft_cdc_snapshot_total_tables",
+      "total number of tables to snapshot", snapTotalTables.get)
+    gauge("graft_cdc_snapshot_completed_chunks",
+      "number of snapshot chunks (committed micro-batches) completed",
+      snapCompletedChunks.get)
+    sb ++= "# HELP graft_cdc_snapshot_total_rows total rows read during snapshot\n"
+    sb ++= "# TYPE graft_cdc_snapshot_total_rows counter\n"
+    sb ++= s"graft_cdc_snapshot_total_rows${labels()} ${snapRows.sum.toDouble}\n"
+    sb ++= "# HELP graft_cdc_snapshot_duration_seconds duration of the last snapshot\n"
+    sb ++= "# TYPE graft_cdc_snapshot_duration_seconds gauge\n"
+    sb ++= s"graft_cdc_snapshot_duration_seconds${labels()} ${snapDurationMs.get / 1000.0}\n"
+    gauge("graft_cdc_replication_lag_current",
+      "milliseconds between now and the last replicated commit",
+      replLagMs.get)
+    sb ++= "# HELP graft_cdc_replication_commits_total transactions replicated and acked\n"
+    sb ++= "# TYPE graft_cdc_replication_commits_total counter\n"
+    sb ++= s"graft_cdc_replication_commits_total${labels()} ${replCommits.sum.toDouble}\n"
     sb.result()
   }
 }

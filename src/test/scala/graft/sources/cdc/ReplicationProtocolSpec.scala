@@ -239,6 +239,8 @@ class ReplicationProtocolSpec extends SparkSpec {
         // the tail acked everything it sank
         assert(new String(Files.readAllBytes(dir.resolve("chk").resolve("replication.lsn")))
           .trim == PgWire.lsnString(0x308L))
+        // replication health metrics tracked each acked commit
+        assert(conn.metrics.replicationCommits == 3)
       } finally conn.close()
     } finally server.stop()
   }

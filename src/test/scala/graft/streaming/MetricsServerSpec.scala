@@ -109,6 +109,32 @@ class MetricsServerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("snapshot metric family populates during a snapshot_only run (reference README.md:292-301)") {
+    val r = new MetricsRegistry("snap-slot")
+    val chk = Files.createTempDirectory("graft-snap-metrics-chk")
+    val out = Files.createTempDirectory("graft-snap-metrics-out")
+    val cfg = ConnectorConfig(
+      sourceDir = "",
+      checkpointDir = chk.toString,
+      kafka = KafkaSinkConfig(
+        brokers = Seq("unused:9092"),
+        tableTopicMapping = Map("public.nation" -> "nation-topic")),
+      keyField = "n_nationkey",
+      snapshot = graft.app.SnapshotConfig(enabled = true,
+        mode = graft.app.SnapshotConfig.ModeSnapshotOnly,
+        tables = Seq("nation"), dataDir = "/root/testdata/sf0.001"))
+    CdcPipeline.runSnapshotPhase(spark, cfg, "parquet", out.toString, Some(r))
+    assert(r.snapshotRows == 25, s"nation has 25 rows, saw ${r.snapshotRows}")
+    assert(r.snapshotCompletedChunks >= 1)
+    val body = r.render
+    assert(metricValue(body, "graft_cdc_snapshot_total_rows") == 25.0)
+    assert(metricValue(body, "graft_cdc_snapshot_total_tables") == 1.0)
+    assert(metricValue(body, "graft_cdc_snapshot_in_progress") == 0.0) // finished
+    assert(metricValue(body, "graft_cdc_snapshot_duration_seconds") >= 0.0)
+    assert(body.contains("graft_cdc_replication_lag_current"))
+    assert(body.contains("graft_cdc_replication_commits_total"))
+  }
+
   test("/debug/threads: 404 without debugMode, thread dump with it (cdc.debugMode)") {
     val r = new MetricsRegistry("s")
     val off = new MetricsServer(r, () => true, 0)
