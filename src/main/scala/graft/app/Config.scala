@@ -168,11 +168,39 @@ final case class JdbcSourceConfig(
     numPartitions: Int = 4,
     maxRowsPerBatch: Long = 0L)
 
+/** One published table (reference `cdc.publication.tables[i]`,
+  * `README.md:233-236`): name, schema (default `public`), and the
+  * replica identity the connector sets on it — `FULL` captures the
+  * whole old row on update/delete, `DEFAULT` only the primary key.
+  */
+final case class PublicationTable(
+    name: String,
+    schema: String = "public",
+    replicaIdentity: String = PublicationTable.IdentityDefault) {
+  require(PublicationTable.identities.contains(replicaIdentity),
+    s"replicaIdentity must be one of ${PublicationTable.identities.mkString(", ")}, got '$replicaIdentity'")
+  def qualified: String = s"$schema.$name"
+}
+
+object PublicationTable {
+  val IdentityFull = "FULL"
+  val IdentityDefault = "DEFAULT"
+  val identities: Set[String] = Set(IdentityFull, IdentityDefault)
+}
+
 /** PostgreSQL replication-connection block (reference `cdc.host` /
   * `cdc.username` / `cdc.password` / `cdc.database`, `README.md:223-226`)
   * — the endpoint the live replication-protocol lane
   * (`graft.sources.cdc.ReplicationTail`) dials. The reference keeps port
   * inside the upstream engine's default; exposed here explicitly.
+  *
+  * Bootstrap contract (`README.md:230-239`): `publicationCreateIfNotExists`
+  * / `slotCreateIfNotExists` make the connector create the publication
+  * (with the configured operations + per-table replica identity) and the
+  * logical slot at startup; without the flag a missing object is a loud
+  * startup error, exactly the reference's behavior.
+  * `slotActivityCheckerIntervalMs` (reference default 1000) paces the
+  * slot-health monitor.
   */
 final case class PostgresSourceConfig(
     host: String = "",
@@ -180,7 +208,24 @@ final case class PostgresSourceConfig(
     username: String = "",
     password: String = "",
     database: String = "",
-    publicationName: String = "graft_pub")
+    publicationName: String = "graft_pub",
+    publicationCreateIfNotExists: Boolean = false,
+    publicationOperations: Seq[String] = PostgresSourceConfig.allOperations,
+    publicationTables: Seq[PublicationTable] = Seq.empty,
+    slotCreateIfNotExists: Boolean = false,
+    slotActivityCheckerIntervalMs: Long = 1000L) {
+  require(publicationOperations.nonEmpty &&
+    publicationOperations.forall(PostgresSourceConfig.allOperations.contains),
+    s"publication.operations must be a non-empty subset of " +
+    s"${PostgresSourceConfig.allOperations.mkString(", ")}, got $publicationOperations")
+}
+
+object PostgresSourceConfig {
+  /** The operation vocabulary the reference accepts
+    * (`example/simple/main.go:60-65`: insert/update/delete/truncate).
+    */
+  val allOperations: Seq[String] = Seq("INSERT", "UPDATE", "DELETE", "TRUNCATE")
+}
 
 /** Replica-sink knobs (`sink = "replica"` → streaming/Materialize):
   * key-hash bucket count (size so a bucket is a few GB at the target

@@ -58,16 +58,26 @@ object ConfigLoader {
       balancer = str(kafka.get("balancer"), KafkaSinkConfig.BalancerHash),
       topicPartitions = int(kafka.get("topicPartitions"), 0))
 
+    // publication.tables[i]: name (+ optional schema, replicaIdentity —
+    // reference README.md:233-236; a bare string is shorthand for a
+    // public-schema DEFAULT-identity table)
+    val pubTableCfgs = publication.get("tables").toSeq.flatMap {
+      case l: java.util.List[_] => l.asScala.map {
+        case m: java.util.Map[_, _] =>
+          val t = asMap(m)
+          PublicationTable(
+            name = str(t.get("name"), ""),
+            schema = str(t.get("schema"), "public"),
+            replicaIdentity =
+              str(t.get("replicaIdentity"), PublicationTable.IdentityDefault).toUpperCase)
+        case v => PublicationTable(name = v.toString)
+      }
+      case _ => Seq.empty
+    }.filter(_.name.nonEmpty)
     // publication tables double as the snapshot table list when the
     // snapshot block doesn't name its own (the reference snapshots what
     // it publishes)
-    val pubTables = publication.get("tables").toSeq.flatMap {
-      case l: java.util.List[_] => l.asScala.map {
-        case m: java.util.Map[_, _] => str(asMap(m).get("name"), "")
-        case v => v.toString
-      }
-      case _ => Seq.empty
-    }.filter(_.nonEmpty)
+    val pubTables = pubTableCfgs.map(_.name)
 
     ConnectorConfig(
       sourceDir = str(source.get("dir"), ""),
@@ -95,7 +105,17 @@ object ConfigLoader {
         username = str(cdc.get("username"), ""),
         password = str(cdc.get("password"), ""),
         database = str(cdc.get("database"), ""),
-        publicationName = str(publication.get("name"), "graft_pub")),
+        publicationName = str(publication.get("name"), "graft_pub"),
+        publicationCreateIfNotExists =
+          bool(publication.get("createIfNotExists"), default = false),
+        publicationOperations = {
+          val ops = seq(publication.get("operations")).map(_.toUpperCase)
+          if (ops.nonEmpty) ops else PostgresSourceConfig.allOperations
+        },
+        publicationTables = pubTableCfgs,
+        slotCreateIfNotExists = bool(slot.get("createIfNotExists"), default = false),
+        slotActivityCheckerIntervalMs =
+          long(slot.get("slotActivityCheckerInterval"), 1000L)),
       debugMode = bool(cdc.get("debugMode"), default = false),
       replica = ReplicaSinkConfig(
         nBuckets = int(replica.get("nBuckets"), 16),

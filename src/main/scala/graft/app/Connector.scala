@@ -56,9 +56,33 @@ final class Connector(
   @volatile private var replicationTail: graft.sources.cdc.ReplicationTail = _
   @volatile private var tailThread: Thread = _
   @volatile private var tailStopped = false
+  @volatile private var slotChecker: graft.sources.cdc.SlotActivityChecker = _
+
+  private def mkPgClient() = new graft.sources.cdc.PgReplicationClient(
+    cfg.postgres.host, cfg.postgres.port, cfg.postgres.username,
+    cfg.postgres.database,
+    Option(cfg.postgres.password).filter(_.nonEmpty),
+    receiveTimeoutMs = 15000)
 
   private def startReplicationTail(): Unit = {
     if (tailThread != null) return
+    // bootstrap FIRST, synchronously, on its own connection: ensure the
+    // publication + slot exist (creating them when the config allows —
+    // the reference's CreateIfNotExists contract) so a misconfigured
+    // connector fails at start(), not in the tail's retry loop
+    val boot = mkPgClient()
+    try {
+      boot.connect()
+      graft.sources.cdc.ReplicationBootstrap.run(boot, cfg.postgres, cfg.slotName)
+    } finally boot.close()
+    // slot-health monitor on its own paced connection (the tail's socket
+    // lives in COPY mode and cannot run catalog queries)
+    if (cfg.postgres.slotActivityCheckerIntervalMs > 0) {
+      slotChecker = new graft.sources.cdc.SlotActivityChecker(
+        () => mkPgClient(), cfg.slotName,
+        cfg.postgres.slotActivityCheckerIntervalMs, metrics.setSlotInfo)
+      slotChecker.start()
+    }
     val lsnFile = java.nio.file.Paths.get(cfg.checkpointDir, "replication.lsn")
     java.nio.file.Files.createDirectories(lsnFile.getParent)
     val capture = graft.sources.cdc.ReplicationTail.captureSink(
@@ -169,6 +193,7 @@ final class Connector(
     */
   def close(): Unit = synchronized {
     tailStopped = true
+    if (slotChecker != null) { slotChecker.close(); slotChecker = null }
     if (replicationTail != null) replicationTail.stop()
     if (tailThread != null) { tailThread.join(5000L); tailThread = null }
     if (query != null) query.stop()

@@ -107,6 +107,59 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     }
   }
 
+  /** Run one SQL (or replication: `CREATE_REPLICATION_SLOT`, ...) command
+    * through the simple-query protocol and collect its text-format result
+    * rows as column-name → value maps (NULL cells are absent). A
+    * `replication=database` connection accepts regular SQL too — this is
+    * how the reference's engine bootstraps publications/slots and polls
+    * `pg_replication_slots` for slot health.
+    */
+  def simpleQuery(sql: String): Seq[Map[String, String]] = {
+    require(!copyMode, "simpleQuery after startReplication()")
+    writeMessage(out, 'Q', sql.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
+    var columns: Array[String] = Array.empty
+    val rows = Seq.newBuilder[Map[String, String]]
+    var err: Map[Char, String] = null
+    var done = false
+    while (!done) {
+      val (typ, body) = readMessage(in)
+      typ match {
+        case 'T' => // RowDescription
+          val b = java.nio.ByteBuffer.wrap(body)
+          columns = Array.fill(b.getShort.toInt) {
+            val start = b.position()
+            while (b.get(b.position()) != 0) b.position(b.position() + 1)
+            val name = new String(body, start, b.position() - start, StandardCharsets.UTF_8)
+            b.position(b.position() + 1)
+            b.getInt; b.getShort; b.getInt; b.getShort; b.getInt; b.getShort
+            name
+          }
+        case 'D' => // DataRow: text-format cells in column order
+          val b = java.nio.ByteBuffer.wrap(body)
+          val n = b.getShort.toInt
+          val row = Map.newBuilder[String, String]
+          var i = 0
+          while (i < n) {
+            val len = b.getInt
+            if (len >= 0) {
+              val v = new Array[Byte](len); b.get(v)
+              row += columns(i) -> new String(v, StandardCharsets.UTF_8)
+            }
+            i += 1
+          }
+          rows += row.result()
+        case 'C' | 'I' | 'S' | 'N' => // CommandComplete / EmptyQuery / params
+        case 'E' => err = parseFields(body) // ReadyForQuery still follows
+        case 'Z' => done = true
+        case other => throw new java.io.IOException(
+          s"unexpected message '$other' in simple-query response")
+      }
+    }
+    if (err != null) throw new java.io.IOException(
+      s"query failed ${err.getOrElse('C', "?????")}: ${err.getOrElse('M', "(no message)")} [$sql]")
+    rows.result()
+  }
+
   /** Enter COPY-both mode from `startLsn` on `slot` with the pgoutput
     * plugin options the reference's publication setup implies
     * (`example/simple/main.go:57-81`).

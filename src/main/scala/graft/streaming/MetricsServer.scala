@@ -43,6 +43,17 @@ final class MetricsRegistry(val slotName: String) {
   private val replLagMs = new AtomicLong(0L)
   private val replCommits = new LongAdder
 
+  // slot-health family fed by the SlotActivityChecker each tick
+  // (upstream go-pq-cdc's replication_slot metrics: activity,
+  // confirmed_flush/current LSN, retained WAL, lag)
+  private val slotKnown = new AtomicLong(0L) // 1 once a check has run
+  private val slotActive = new AtomicLong(0L)
+  private val slotConfirmedFlush = new AtomicLong(0L)
+  private val slotCurrentLsn = new AtomicLong(0L)
+  private val slotRetainedWal = new AtomicLong(0L)
+  private val slotLagBytes = new AtomicLong(0L)
+  private val slotDropped = new AtomicLong(0L)
+
   def setProcessLatency(ms: Long): Unit = processLatencyMs.set(ms)
   def setBulkRequestLatency(ms: Long): Unit = bulkLatencyMs.set(ms)
   def incrementSuccess(topic: String, n: Long = 1L): Unit =
@@ -65,6 +76,25 @@ final class MetricsRegistry(val slotName: String) {
   def setReplicationLag(ms: Long): Unit = replLagMs.set(math.max(ms, 0L))
   def incrementReplicationCommit(): Unit = replCommits.increment()
   def replicationCommits: Long = replCommits.sum
+
+  /** One slot-health observation; None = the slot has been dropped. */
+  def setSlotInfo(info: Option[graft.sources.cdc.ReplicationBootstrap.SlotInfo]): Unit = {
+    slotKnown.set(1L)
+    info match {
+      case Some(s) =>
+        slotActive.set(if (s.active) 1L else 0L)
+        slotConfirmedFlush.set(s.confirmedFlushLsn)
+        slotCurrentLsn.set(s.currentWalLsn)
+        slotRetainedWal.set(s.retainedWalBytes)
+        slotLagBytes.set(s.lagBytes)
+        slotDropped.set(0L)
+      case None =>
+        slotActive.set(0L)
+        slotDropped.set(1L)
+    }
+  }
+  def slotObserved: Boolean = slotKnown.get == 1L
+  def slotIsDropped: Boolean = slotDropped.get == 1L
 
   private def esc(v: String): String =
     v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
@@ -115,6 +145,24 @@ final class MetricsRegistry(val slotName: String) {
     sb ++= "# HELP graft_cdc_replication_commits_total transactions replicated and acked\n"
     sb ++= "# TYPE graft_cdc_replication_commits_total counter\n"
     sb ++= s"graft_cdc_replication_commits_total${labels()} ${replCommits.sum.toDouble}\n"
+    if (slotKnown.get == 1L) {
+      gauge("graft_cdc_slot_activity",
+        "whether the replication slot has an active consumer (1 active)",
+        slotActive.get)
+      gauge("graft_cdc_slot_confirmed_flush_lsn",
+        "the slot's confirmed_flush_lsn", slotConfirmedFlush.get)
+      gauge("graft_cdc_slot_current_lsn",
+        "the server's current WAL write position", slotCurrentLsn.get)
+      gauge("graft_cdc_slot_retained_walsize",
+        "WAL bytes retained for the slot (current - restart_lsn)",
+        slotRetainedWal.get)
+      gauge("graft_cdc_slot_lag",
+        "WAL bytes not yet confirmed by the consumer (current - confirmed_flush)",
+        slotLagBytes.get)
+      gauge("graft_cdc_slot_dropped",
+        "1 when the replication slot no longer exists on the server",
+        slotDropped.get)
+    }
     sb.result()
   }
 }

@@ -49,7 +49,62 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.postgres.password == "cdc_pass")
     assert(cfg.postgres.database == "cdc_db")
     assert(cfg.postgres.publicationName == "cdc_publication")
+    assert(cfg.postgres.publicationOperations
+      == Seq("INSERT", "DELETE", "TRUNCATE", "UPDATE"))
+    assert(cfg.postgres.publicationTables
+      == Seq(PublicationTable("users", "public", "FULL")))
     assert(!cfg.debugMode) // README.md:227 default false
+  }
+
+  test("publication/slot bootstrap knobs load (reference README.md:230-239)") {
+    val cfg = ConfigLoader.fromYaml(
+      """cdc:
+        |  host: pg
+        |  database: app
+        |  publication:
+        |    name: app_pub
+        |    createIfNotExists: true
+        |    operations: [insert, update]
+        |    tables:
+        |      - name: users
+        |        replicaIdentity: FULL
+        |      - name: books
+        |        schema: inventory
+        |  slot:
+        |    name: app_slot
+        |    createIfNotExists: true
+        |    slotActivityCheckerInterval: 3000
+        |kafka:
+        |  brokers: [b:9092]
+        |""".stripMargin)
+    assert(cfg.postgres.publicationCreateIfNotExists)
+    assert(cfg.postgres.publicationOperations == Seq("INSERT", "UPDATE"))
+    assert(cfg.postgres.publicationTables == Seq(
+      PublicationTable("users", "public", "FULL"),
+      PublicationTable("books", "inventory", "DEFAULT")))
+    assert(cfg.postgres.slotCreateIfNotExists)
+    assert(cfg.postgres.slotActivityCheckerIntervalMs == 3000L)
+    // defaults: never create implicitly; checker paces at the reference's 1000ms
+    val bare = ConfigLoader.fromYaml("kafka:\n  brokers: [b:9092]\n")
+    assert(!bare.postgres.publicationCreateIfNotExists && !bare.postgres.slotCreateIfNotExists)
+    assert(bare.postgres.slotActivityCheckerIntervalMs == 1000L)
+    // invalid surface fails loudly
+    intercept[IllegalArgumentException](ConfigLoader.fromYaml(
+      """cdc:
+        |  publication:
+        |    tables:
+        |      - name: t
+        |        replicaIdentity: NOTHING
+        |kafka:
+        |  brokers: [b:9092]
+        |""".stripMargin))
+    intercept[IllegalArgumentException](ConfigLoader.fromYaml(
+      """cdc:
+        |  publication:
+        |    operations: [UPSERT]
+        |kafka:
+        |  brokers: [b:9092]
+        |""".stripMargin))
   }
 
   test("cdc.debugMode and cdc.port load; defaults hold when absent") {

@@ -19,8 +19,17 @@ final case class FixtureTxn(commitLsn: Long, payloads: Seq[Array[Byte]])
   * a real primary resumes from confirmed_flush. Sends one
   * reply-requested keepalive before the replay (exercising the client's
   * inline feedback path) and records every standby status update the
-  * client sends. Handles sequential connections, so a kill/restart test
-  * drives resume against the same server instance.
+  * client sends. Each connection is served on its own thread (a slot
+  * checker polls concurrently with the tail), so kill/restart tests
+  * drive resume against the same server instance.
+  *
+  * Also answers the bootstrap/monitoring surface over the simple-query
+  * protocol: `pg_publication` / `pg_replication_slots` probes against
+  * the `publicationExists` / `slotExists` knobs (both default true so
+  * plain-tail tests see an already-provisioned primary),
+  * `CREATE PUBLICATION` / `ALTER TABLE ... REPLICA IDENTITY` /
+  * `CREATE_REPLICATION_SLOT` recorded into [[executedDdl]] and flipping
+  * the knobs — the state transition a real primary performs.
   */
 final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
     transactions: Seq[FixtureTxn], password: Option[String] = None,
@@ -34,14 +43,28 @@ final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
   val statusUpdates = new ConcurrentLinkedQueue[StandbyStatus]
   /** The start LSN each connection's START_REPLICATION requested. */
   val requestedStartLsns = new ConcurrentLinkedQueue[java.lang.Long]
+  /** Every DDL / replication command executed (bootstrap assertions). */
+  val executedDdl = new ConcurrentLinkedQueue[String]
+
+  /** Canned catalog state the bootstrap queries observe. */
+  @volatile var publicationExists = true
+  @volatile var slotExists = true
+  @volatile var slotActive = false
+  @volatile var slotConfirmedFlushLsn = 0x100L
+  @volatile var slotRestartLsn = 0x80L
+  @volatile var currentWalLsn = 0x400L
 
   @volatile private var running = true
   private val acceptThread = new Thread(() => {
     while (running) {
       try {
         val sock = server.accept()
-        try serve(sock) catch { case _: Throwable => () }
-        finally sock.close()
+        val t = new Thread(() => {
+          try serve(sock) catch { case _: Throwable => () }
+          finally sock.close()
+        }, "replication-fixture-conn")
+        t.setDaemon(true)
+        t.start()
       } catch { case _: Throwable => () } // closed during accept
     }
   }, "replication-fixture-server")
@@ -117,15 +140,80 @@ final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
     }
     writeMessage(out, 'Z', Array('I'.toByte))
 
-    val (qt, qbody) = readMessage(in)
-    require(qt == 'Q', s"expected Query, got '$qt'")
-    val sql = new String(qbody, 0, qbody.length - 1, StandardCharsets.UTF_8)
+    // text-format result set: RowDescription + DataRows + complete + ready
+    def sendRows(cols: Seq[String], rows: Seq[Seq[Option[String]]]): Unit = {
+      val t = new java.io.ByteArrayOutputStream()
+      val td = new java.io.DataOutputStream(t)
+      td.writeShort(cols.length)
+      cols.foreach { c =>
+        td.write(c.getBytes(StandardCharsets.UTF_8)); td.write(0)
+        td.writeInt(0); td.writeShort(0); td.writeInt(25) // text oid
+        td.writeShort(-1); td.writeInt(-1); td.writeShort(0)
+      }
+      writeMessage(out, 'T', t.toByteArray)
+      rows.foreach { row =>
+        val d = new java.io.ByteArrayOutputStream()
+        val dd = new java.io.DataOutputStream(d)
+        dd.writeShort(row.length)
+        row.foreach {
+          case Some(v) =>
+            val b = v.getBytes(StandardCharsets.UTF_8)
+            dd.writeInt(b.length); dd.write(b)
+          case None => dd.writeInt(-1)
+        }
+        writeMessage(out, 'D', d.toByteArray)
+      }
+      complete(s"SELECT ${rows.length}")
+    }
+    def complete(tag: String): Unit = {
+      writeMessage(out, 'C', tag.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
+      writeMessage(out, 'Z', Array('I'.toByte))
+    }
+
+    // simple-query loop until START_REPLICATION flips to COPY-both
+    var startLsn = -1L
     val lsnRe = "START_REPLICATION SLOT \\S+ LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)".r
-    val startLsn = lsnRe.findFirstMatchIn(sql) match {
-      case Some(m) => parseLsn(m.group(1))
-      case None =>
-        writeMessage(out, 'E', fieldsBody("ERROR", "42601", s"unsupported command: $sql"))
-        return
+    while (startLsn < 0) {
+      val (qt, qbody) = readMessage(in)
+      if (qt == 'X') return
+      require(qt == 'Q', s"expected Query, got '$qt'")
+      val sql = new String(qbody, 0, qbody.length - 1, StandardCharsets.UTF_8)
+      lsnRe.findFirstMatchIn(sql) match {
+        case Some(m) => startLsn = parseLsn(m.group(1))
+        case None => sql match {
+          case s if s.contains("FROM pg_publication") =>
+            sendRows(Seq("pubname"),
+              if (publicationExists) Seq(Seq(Some("pub"))) else Seq.empty)
+          case s if s.contains("FROM pg_replication_slots") && slotExists =>
+            sendRows(
+              Seq("active", "active_pid", "confirmed_flush_lsn", "restart_lsn",
+                "current_lsn"),
+              Seq(Seq(Some(if (slotActive) "t" else "f"),
+                if (slotActive) Some("4242") else None,
+                Some(lsnString(slotConfirmedFlushLsn)),
+                Some(lsnString(slotRestartLsn)),
+                Some(lsnString(currentWalLsn)))))
+          case s if s.contains("FROM pg_replication_slots") =>
+            sendRows(Seq("active", "active_pid", "confirmed_flush_lsn",
+              "restart_lsn", "current_lsn"), Seq.empty)
+          case s if s.startsWith("CREATE_REPLICATION_SLOT") =>
+            executedDdl.add(s); slotExists = true
+            sendRows(
+              Seq("slot_name", "consistent_point", "snapshot_name", "output_plugin"),
+              Seq(Seq(Some(s.split("\\s+")(1)), Some(lsnString(currentWalLsn)),
+                None, Some("pgoutput"))))
+          case s if s.startsWith("CREATE PUBLICATION") =>
+            executedDdl.add(s); publicationExists = true
+            complete("CREATE PUBLICATION")
+          case s if s.startsWith("ALTER TABLE") =>
+            executedDdl.add(s)
+            complete("ALTER TABLE")
+          case s =>
+            writeMessage(out, 'E',
+              fieldsBody("ERROR", "42601", s"unsupported command: $s"))
+            writeMessage(out, 'Z', Array('I'.toByte))
+        }
+      }
     }
     requestedStartLsns.add(startLsn)
 

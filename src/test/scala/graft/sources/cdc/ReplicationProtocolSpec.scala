@@ -241,6 +241,11 @@ class ReplicationProtocolSpec extends SparkSpec {
           .trim == PgWire.lsnString(0x308L))
         // replication health metrics tracked each acked commit
         assert(conn.metrics.replicationCommits == 3)
+        // the slot activity checker observed the (fixture) slot
+        val slotDeadline = System.currentTimeMillis() + 15000
+        while (!conn.metrics.slotObserved && System.currentTimeMillis() < slotDeadline)
+          Thread.sleep(100)
+        assert(conn.metrics.slotObserved && !conn.metrics.slotIsDropped)
       } finally conn.close()
     } finally server.stop()
   }
