@@ -211,6 +211,9 @@ final class PgOutputPartitionReader(file: String, filters: Array[Filter])
   private val frames = PgOutput.readFramed(in)
   private val session = new PgOutputSession
   private var current: InternalRow = _
+  // one frame can release a whole streamed transaction (protocol v2
+  // Stream Commit) — drain released events before reading the next frame
+  private val released = scala.collection.mutable.Queue.empty[PgOutput.RowEvent]
 
   private def passes(field: String, value: String): Boolean = filters.forall {
     case EqualTo(a, v) if a == field => v == value
@@ -219,17 +222,19 @@ final class PgOutputPartitionReader(file: String, filters: Array[Filter])
   }
 
   override def next(): Boolean = {
-    while (frames.hasNext) {
-      session.feed(frames.next()) match {
-        case Some(ev) if passes("op", ev.op) && passes("tableName", ev.tableName) &&
-            passes("tableNamespace", ev.tableNamespace) =>
+    while (released.nonEmpty || frames.hasNext) {
+      if (released.isEmpty) released ++= session.feed(frames.next())
+      if (released.nonEmpty) {
+        val ev = released.dequeue()
+        if (passes("op", ev.op) && passes("tableName", ev.tableName) &&
+            passes("tableNamespace", ev.tableNamespace)) {
           current = InternalRow(
             ev.eventTimeMicros,
             WireJson.utf8(ev.tableNamespace), WireJson.utf8(ev.tableName),
             WireJson.toMapFromPairs(ev.oldData), WireJson.toMapFromPairs(ev.newData),
             WireJson.utf8(ev.op))
           return true
-        case _ => // filtered out, or a non-row message
+        }
       }
     }
     false

@@ -9,7 +9,14 @@ import scala.collection.mutable
 /** Decoder for the PostgreSQL `pgoutput` logical-replication output
   * plugin's binary message format (public PostgreSQL documentation,
   * "Protocol → Logical Streaming Replication → Message Formats",
-  * protocol version 1). This is the wire format the reference's
+  * protocol versions 1 and 2 — v2 adds streamed in-progress transactions
+  * (Stream Start/Stop/Commit/Abort), the path PostgreSQL takes when a
+  * transaction exceeds `logical_decoding_work_mem` — exactly the
+  * huge-backfill transactions a 100 TB ingest produces. Inside a
+  * Stream Start..Stop segment every object-carrying message is prefixed
+  * with the subtransaction's xid; segments of different top-level
+  * transactions interleave on the wire and commit/abort independently.
+  * This is the wire format the reference's
   * replication slot actually speaks: upstream go-pq-cdc performs this
   * decode and the reference dispatches the resulting Insert/Update/Delete
   * messages (`connector.go:129-142`); here the decode itself is
@@ -85,10 +92,47 @@ object PgOutput {
   final case class Delete(relId: Int, oldKind: Char,
       oldTuple: IndexedSeq[Cell]) extends Msg
 
-  /** Decode one pgoutput message payload (the XLogData payload of a
-    * replication-stream copy-data frame).
+  /** 'M' — `pg_logical_emit_message` payload; carried, not dispatched
+    * (the reference's listener likewise sees row events only).
     */
-  def decode(payload: Array[Byte]): Msg = {
+  final case class LogicalMessage(transactional: Boolean, lsn: Long,
+      prefix: String, content: Array[Byte]) extends Msg
+
+  /** 'S' — protocol v2: opens one on-the-wire segment of a streamed
+    * in-progress transaction. `firstSegment` = first segment of this xid.
+    */
+  final case class StreamStart(xid: Int, firstSegment: Boolean) extends Msg
+
+  /** 'E' — protocol v2: closes the current streamed segment. */
+  case object StreamStop extends Msg
+
+  /** 'c' — protocol v2: commits a streamed transaction; only now are its
+    * buffered changes durable (and only now may they be emitted).
+    */
+  final case class StreamCommit(xid: Int, flags: Byte, commitLsn: Long,
+      endLsn: Long, commitMicros: Long) extends Msg
+
+  /** 'A' — protocol v2: aborts a streamed (sub)transaction; `subXid ==
+    * xid` aborts the whole transaction.
+    */
+  final case class StreamAbort(xid: Int, subXid: Int) extends Msg
+
+  /** An object-carrying message decoded inside a streamed segment: the
+    * wire prefixes it with the (sub)transaction xid it belongs to.
+    */
+  final case class Streamed(xid: Int, inner: Msg) extends Msg
+
+  /** Message types that carry a leading Int32 xid when they arrive
+    * inside a protocol-v2 streamed segment.
+    */
+  private val XidPrefixed = "RYIUDTM"
+
+  /** Decode one pgoutput message payload (the XLogData payload of a
+    * replication-stream copy-data frame). `streamedTx` = the caller is
+    * inside a Stream Start..Stop segment, where object messages carry a
+    * leading xid ([[PgOutputSession.decodeHere]] tracks this state).
+    */
+  def decode(payload: Array[Byte], streamedTx: Boolean = false): Msg = {
     val b = ByteBuffer.wrap(payload) // big-endian by default
     def cstring(): String = {
       val start = b.position()
@@ -117,7 +161,7 @@ object PgOutput {
         }
       }
     }
-    (b.get.toChar: @unchecked) match {
+    def body(t: Char): Msg = (t: @unchecked) match {
       case 'B' => Begin(b.getLong, b.getLong + PgEpochMicros, b.getInt)
       case 'C' => Commit(b.get, b.getLong, b.getLong, b.getLong + PgEpochMicros)
       case 'O' => Origin(b.getLong, cstring())
@@ -161,8 +205,26 @@ object PgOutput {
         val n = b.getInt
         val opts = b.get
         Truncate((0 until n).map(_ => b.getInt), (opts & 1) == 1, (opts & 2) == 2)
+      case 'M' =>
+        val flags = b.get
+        val lsn = b.getLong
+        val prefix = cstring()
+        val len = b.getInt
+        val content = new Array[Byte](len); b.get(content)
+        LogicalMessage((flags & 1) == 1, lsn, prefix, content)
       case other =>
         throw new IllegalArgumentException(s"pgoutput: unknown message type '$other'")
+    }
+    b.get.toChar match {
+      case 'S' => StreamStart(b.getInt, b.get == 1.toByte)
+      case 'E' => StreamStop
+      case 'c' => StreamCommit(b.getInt, b.get, b.getLong, b.getLong,
+        b.getLong + PgEpochMicros)
+      case 'A' => StreamAbort(b.getInt, b.getInt)
+      case t if streamedTx && XidPrefixed.indexOf(t) >= 0 =>
+        val xid = b.getInt
+        Streamed(xid, body(t))
+      case t => body(t)
     }
   }
 
@@ -216,6 +278,13 @@ object PgOutput {
   * kept as strings (the ChangeEvent dynamic-schema lane); binary cells
   * are rendered as PostgreSQL hex bytea (`\x...`).
   *
+  * Protocol v2 streamed transactions are buffered per (top-level xid,
+  * subtransaction xid) and emitted only at Stream Commit — stamped with
+  * the commit timestamp, with Stream Abort discarding exactly the
+  * aborted subtransaction's rows — so a consumer never observes an
+  * uncommitted change even when segments of concurrent large
+  * transactions interleave on the wire.
+  *
   * One session per replay stream; not thread-safe (a partition reader
   * owns exactly one).
   */
@@ -224,6 +293,11 @@ final class PgOutputSession {
 
   private val relations = mutable.Map.empty[Int, Relation]
   private var commitMicros = 0L
+  // inside a Stream Start..Stop segment: that segment's top-level xid
+  private var segmentXid: Option[Int] = None
+  // streamed-but-uncommitted rows: top xid -> [(subtransaction xid, event)]
+  private val pending =
+    mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[(Int, RowEvent)]]
 
   private def hex(bytes: Array[Byte]): String =
     "\\x" + bytes.map(b => f"$b%02x").mkString
@@ -252,32 +326,75 @@ final class PgOutputSession {
       s"pgoutput: row event for unknown relation $relId — no Relation " +
       "message seen; a replay must start at a transaction boundary"))
 
-  /** Feed one decoded message; returns the row event it produces, if any.
-    * Begin/Commit/Relation/Type/Origin/Truncate maintain state or are
-    * carried silently (the reference likewise only dispatches row events).
+  /** A row-carrying message rendered against the live schema registry,
+    * stamped with `micros` (the commit time, or 0 for streamed rows
+    * whose commit time is unknown until Stream Commit).
     */
-  def accept(msg: Msg): Option[RowEvent] = msg match {
-    case Begin(_, t, _) => commitMicros = t; None
-    case _: Commit      => None
-    case r: Relation    => relations(r.relId) = r; None
-    case _: TypeMsg     => None
-    case _: Origin      => None
-    case _: Truncate    => None
+  private def rowEvent(msg: Msg, micros: Long): Option[RowEvent] = msg match {
     case Insert(relId, newT) =>
       val rel = relation(relId)
-      Some(RowEvent(commitMicros, rel.namespace, rel.name,
+      Some(RowEvent(micros, rel.namespace, rel.name,
         null, render(rel, newT), graft.model.Op.Insert))
     case Update(relId, oldKind, oldT, newT) =>
       val rel = relation(relId)
-      Some(RowEvent(commitMicros, rel.namespace, rel.name,
+      Some(RowEvent(micros, rel.namespace, rel.name,
         oldT.map(render(rel, _, keyOnly = oldKind.contains('K'))).orNull,
         render(rel, newT), graft.model.Op.Update))
     case Delete(relId, oldKind, oldT) =>
       val rel = relation(relId)
-      Some(RowEvent(commitMicros, rel.namespace, rel.name,
+      Some(RowEvent(micros, rel.namespace, rel.name,
         render(rel, oldT, keyOnly = oldKind == 'K'), null, graft.model.Op.Delete))
+    case _ => None
   }
 
+  /** Feed one decoded message; returns the committed row events it
+    * releases (0..1 for plain transactions; a whole transaction's worth
+    * at a protocol-v2 Stream Commit). Begin/Commit/Relation/Type/Origin/
+    * Truncate/Message maintain state or are carried silently (the
+    * reference likewise only dispatches row events).
+    */
+  def accept(msg: Msg): Seq[RowEvent] = msg match {
+    case Begin(_, t, _)    => commitMicros = t; Nil
+    case _: Commit         => Nil
+    case r: Relation       => relations(r.relId) = r; Nil
+    case _: TypeMsg        => Nil
+    case _: Origin         => Nil
+    case _: Truncate       => Nil
+    case _: LogicalMessage => Nil
+    case StreamStart(xid, _) =>
+      require(segmentXid.isEmpty,
+        s"pgoutput: Stream Start for $xid inside an open segment")
+      segmentXid = Some(xid)
+      pending.getOrElseUpdate(xid, mutable.ArrayBuffer.empty)
+      Nil
+    case StreamStop =>
+      require(segmentXid.nonEmpty, "pgoutput: Stream Stop outside a segment")
+      segmentXid = None; Nil
+    case Streamed(subXid, inner) =>
+      val top = segmentXid.getOrElse(throw new IllegalStateException(
+        "pgoutput: streamed message outside a Stream Start..Stop segment"))
+      inner match {
+        case r: Relation => relations(r.relId) = r
+        case other => rowEvent(other, 0L).foreach(ev => pending(top) += ((subXid, ev)))
+      }
+      Nil
+    case StreamCommit(xid, _, _, _, micros) =>
+      pending.remove(xid).fold(Seq.empty[RowEvent])(
+        _.toSeq.map { case (_, ev) => ev.copy(eventTimeMicros = micros) })
+    case StreamAbort(xid, subXid) =>
+      if (subXid == xid) pending.remove(xid)
+      else pending.get(xid).foreach(_.filterInPlace(_._1 != subXid))
+      Nil
+    case row => rowEvent(row, commitMicros).toSeq
+  }
+
+  /** Decode a raw payload under the session's current stream state:
+    * inside a Stream Start..Stop segment, object messages carry a
+    * leading xid that a stateless [[PgOutput.decode]] cannot know about.
+    */
+  def decodeHere(payload: Array[Byte]): Msg =
+    decode(payload, streamedTx = segmentXid.isDefined)
+
   /** Decode + accept raw payload bytes. */
-  def feed(payload: Array[Byte]): Option[RowEvent] = accept(decode(payload))
+  def feed(payload: Array[Byte]): Seq[RowEvent] = accept(decodeHere(payload))
 }

@@ -168,8 +168,11 @@ final class PgReplicationClient(host: String, port: Int, user: String,
       protoVersion: Int = 1): Unit = {
     flushedLsn = startLsn
     receivedLsn = startLsn
+    // proto_version 2 unlocks streamed in-progress transactions; the
+    // `streaming` option asks the server to actually use them
+    val streamOpt = if (protoVersion >= 2) ", streaming 'true'" else ""
     val sql = s"START_REPLICATION SLOT $slot LOGICAL ${lsnString(startLsn)} " +
-      s"(proto_version '$protoVersion', publication_names '$publication')"
+      s"(proto_version '$protoVersion', publication_names '$publication'$streamOpt)"
     writeMessage(out, 'Q', sql.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
     val (typ, body) = readMessage(in)
     typ match {

@@ -40,7 +40,7 @@ final case class CommittedTxn(commitLsn: Long, endLsn: Long,
 final class ReplicationTail(host: String, port: Int, user: String,
     database: String, password: Option[String], slot: String,
     publication: String, checkpointFile: Path, sink: CommittedTxn => Unit,
-    receiveTimeoutMs: Int = 0) {
+    receiveTimeoutMs: Int = 0, protoVersion: Int = 1) {
   import PgOutput._
 
   @volatile private var stopRequested = false
@@ -80,7 +80,7 @@ final class ReplicationTail(host: String, port: Int, user: String,
     activeClient = client
     try {
       client.connect()
-      client.startReplication(slot, publication, startLsn)
+      client.startReplication(slot, publication, startLsn, protoVersion)
       val session = new PgOutputSession
       // raw Relation payloads by relId: the schema prefix each capture
       // file needs to replay standalone (PG re-sends Relation per
@@ -89,8 +89,22 @@ final class ReplicationTail(host: String, port: Int, user: String,
       var txnRaw = mutable.ArrayBuffer.empty[Array[Byte]]
       var txnPrefix: Seq[Array[Byte]] = Seq.empty
       val events = mutable.ArrayBuffer.empty[ChangeEvent]
+      // protocol v2: raw capture per in-progress streamed transaction
+      // (segments of concurrent large transactions interleave on the
+      // wire; each xid's capture replays standalone), and the top-level
+      // xid of the currently open segment
+      val streamRaw = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Array[Byte]]]
+      var curSeg: Option[Int] = None
       var commits = 0
       var done = false
+      // sink returned == durable: now (and only now) move the
+      // checkpoint and feed the LSN back
+      def commitTxn(txn: CommittedTxn): Unit = {
+        sink(txn)
+        writeCheckpoint(txn.endLsn)
+        client.ack(txn.endLsn)
+        commits += 1
+      }
       while (!done && commits < maxTransactions && !stopRequested) {
         val polled =
           try client.poll()
@@ -98,34 +112,52 @@ final class ReplicationTail(host: String, port: Int, user: String,
         polled match {
           case None => done = true
           case Some(x) =>
-            val msg = decode(x.payload)
+            val msg = session.decodeHere(x.payload)
             msg match {
               case r: Relation =>
                 relations(r.relId) = x.payload
                 txnRaw += x.payload
+                session.accept(msg)
               case _: Begin =>
                 // schema registry as of txn start; a mid-txn Relation
                 // (DDL) rides inside txnRaw in stream order
                 txnPrefix = relations.values.toSeq
                 txnRaw = mutable.ArrayBuffer(x.payload)
                 events.clear()
+                session.accept(msg)
               case c: Commit =>
                 txnRaw += x.payload
                 session.accept(msg)
-                sink(CommittedTxn(c.commitLsn, c.endLsn, c.commitMicros,
+                commitTxn(CommittedTxn(c.commitLsn, c.endLsn, c.commitMicros,
                   events.toSeq, txnPrefix ++ txnRaw.toSeq))
-                // sink returned == durable: now (and only now) move the
-                // checkpoint and feed the LSN back
-                writeCheckpoint(c.endLsn)
-                client.ack(c.endLsn)
-                commits += 1
                 txnRaw = mutable.ArrayBuffer.empty
-              case _ =>
+              case s @ StreamStart(xid, _) =>
+                session.accept(s)
+                curSeg = Some(xid)
+                // first segment seeds the capture with the schema prefix
+                streamRaw.getOrElseUpdate(xid,
+                  mutable.ArrayBuffer(relations.values.toSeq: _*)) += x.payload
+              case StreamStop =>
+                session.accept(msg)
+                curSeg.foreach(xid => streamRaw(xid) += x.payload)
+                curSeg = None
+              case c: StreamCommit =>
+                val evs = session.accept(msg).map(_.toChangeEvent)
+                val raw = streamRaw.remove(c.xid).map(_.toSeq).getOrElse(Seq.empty)
+                commitTxn(CommittedTxn(c.commitLsn, c.endLsn, c.commitMicros,
+                  evs, raw :+ x.payload))
+              case a: StreamAbort =>
+                session.accept(msg)
+                if (a.subXid == a.xid) streamRaw.remove(a.xid)
+                else streamRaw.get(a.xid).foreach(_ += x.payload)
+              case st: Streamed =>
+                // rows buffer session-side until Stream Commit; the raw
+                // payload rides in its transaction's capture
+                session.accept(st)
+                curSeg.foreach(xid => streamRaw(xid) += x.payload)
+              case other =>
                 txnRaw += x.payload
-            }
-            msg match {
-              case _: Commit => // handled above (accept before sink)
-              case other => session.accept(other).foreach(ev => events += ev.toChangeEvent)
+                session.accept(other).foreach(ev => events += ev.toChangeEvent)
             }
         }
       }
@@ -141,13 +173,14 @@ object ReplicationTail {
     * publication names (`README.md:223-247`).
     */
   def fromConfig(cfg: graft.app.ConnectorConfig, checkpointFile: Path,
-      sink: CommittedTxn => Unit, receiveTimeoutMs: Int = 0): ReplicationTail = {
+      sink: CommittedTxn => Unit, receiveTimeoutMs: Int = 0,
+      protoVersion: Int = 1): ReplicationTail = {
     val pg = cfg.postgres
     require(pg.host.nonEmpty && pg.database.nonEmpty,
       "replication lane needs cdc.host and cdc.database")
     new ReplicationTail(pg.host, pg.port, pg.username, pg.database,
       Option(pg.password).filter(_.nonEmpty), cfg.slotName,
-      pg.publicationName, checkpointFile, sink, receiveTimeoutMs)
+      pg.publicationName, checkpointFile, sink, receiveTimeoutMs, protoVersion)
   }
 
   /** Sink landing each committed transaction as one length-framed `.pgo`

@@ -77,6 +77,32 @@ class PgOutputSpec extends SparkSpec {
     tupleBytes(b, cells); fin(b)
   }
 
+  // -- protocol v2 (streamed in-progress transactions) builders ----------
+
+  private def streamStartMsg(xid: Int, first: Boolean): Array[Byte] = {
+    val b = buf(); b.put('S'.toByte); b.putInt(xid)
+    b.put(if (first) 1.toByte else 0.toByte); fin(b)
+  }
+  private def streamStopMsg(): Array[Byte] = Array('E'.toByte)
+  private def streamCommitMsg(xid: Int, lsn: Long, micros: Long): Array[Byte] = {
+    val b = buf(); b.put('c'.toByte); b.putInt(xid); b.put(0.toByte)
+    b.putLong(lsn); b.putLong(lsn + 8); b.putLong(micros); fin(b)
+  }
+  private def streamAbortMsg(xid: Int, subXid: Int): Array[Byte] = {
+    val b = buf(); b.put('A'.toByte); b.putInt(xid); b.putInt(subXid); fin(b)
+  }
+  /** Prefix an object message with the in-stream xid (v2 wire shape). */
+  private def streamed(xid: Int, inner: Array[Byte]): Array[Byte] = {
+    val b = buf(); b.put(inner(0)); b.putInt(xid)
+    b.put(inner, 1, inner.length - 1); fin(b)
+  }
+  private def logicalMsg(transactional: Boolean, lsn: Long, prefix: String,
+      content: Array[Byte]): Array[Byte] = {
+    val b = buf(); b.put('M'.toByte)
+    b.put(if (transactional) 1.toByte else 0.toByte)
+    b.putLong(lsn); cstr(b, prefix); b.putInt(content.length); b.put(content); fin(b)
+  }
+
   private def frame(msgs: Seq[Array[Byte]]): Array[Byte] = {
     val b = ByteBuffer.allocate(msgs.map(_.length + 4).sum)
     msgs.foreach { m => b.putInt(m.length); b.put(m) }
@@ -174,15 +200,15 @@ class PgOutputSpec extends SparkSpec {
     s.feed(beginMsg(10L, pg2024, 2))
     // DELETE under DEFAULT: 'K' tuple pads non-key columns with nulls —
     // the pre-image must keep ONLY the key column
-    val del = s.feed(deleteMsg(1, 'K', Seq(Some("9"), None))).get.toChangeEvent
+    val del = s.feed(deleteMsg(1, 'K', Seq(Some("9"), None))).head.toChangeEvent
     assert(del.oldData == Map("id" -> "9") && del.newData == null)
     // UPDATE that changed the key: 'K' pre-image, key column only
     val upd = s.feed(updateMsg(1, Some('K'), Seq(Some("9"), None),
-      Seq(Some("10"), Some("z")))).get.toChangeEvent
+      Seq(Some("10"), Some("z")))).head.toChangeEvent
     assert(upd.oldData == Map("id" -> "9"))
     assert(upd.newData == Map("id" -> "10", "name" -> "z"))
     // UPDATE that did not change the key: no pre-image at all
-    val upd2 = s.feed(updateMsg(1, None, Nil, Seq(Some("10"), Some("w")))).get.toChangeEvent
+    val upd2 = s.feed(updateMsg(1, None, Nil, Seq(Some("10"), Some("w")))).head.toChangeEvent
     assert(upd2.oldData == null && upd2.newData == Map("id" -> "10", "name" -> "w"))
   }
 
@@ -190,10 +216,10 @@ class PgOutputSpec extends SparkSpec {
     val s = new PgOutputSession
     s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id")))
     s.feed(beginMsg(10L, pg2024, 3))
-    assert(s.feed(insertMsg(1, Seq(Some("1")))).get.newData == Seq("id" -> "1"))
+    assert(s.feed(insertMsg(1, Seq(Some("1")))).head.newData == Seq("id" -> "1"))
     // DDL adds a column: pgoutput re-sends the Relation before the next row
     s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id", false -> "extra")))
-    assert(s.feed(insertMsg(1, Seq(Some("2"), Some("e")))).get.newData ==
+    assert(s.feed(insertMsg(1, Seq(Some("2"), Some("e")))).head.newData ==
       Seq("id" -> "2", "extra" -> "e"))
     // row event for a relation never announced fails loudly
     intercept[IllegalStateException](s.feed(insertMsg(99, Seq(Some("1")))))
@@ -203,7 +229,7 @@ class PgOutputSpec extends SparkSpec {
     val s = new PgOutputSession
     s.feed(relationMsg(1, "public", "docs", 'd', Seq(true -> "id", false -> "body")))
     s.feed(beginMsg(10L, pg2024, 4))
-    val ev = s.feed(updateMsg(1, None, Nil, Seq(Some("5"), Some("<u>")))).get
+    val ev = s.feed(updateMsg(1, None, Nil, Seq(Some("5"), Some("<u>")))).head
     assert(ev.newData == Seq("id" -> "5")) // body not sent, not fabricated
   }
 
@@ -238,6 +264,120 @@ class PgOutputSpec extends SparkSpec {
       assert(decode(deleteMsg(relId, 'O', cells)) ==
         Delete(relId, 'O', cells.map(expect).toIndexedSeq))
     }
+  }
+
+  // -- protocol v2: streamed transactions --------------------------------
+
+  test("v2 control and logical-decoding messages decode from golden bytes") {
+    assert(decode(streamStartMsg(700, first = true)) == StreamStart(700, firstSegment = true))
+    assert(decode(streamStopMsg()) == StreamStop)
+    decode(streamCommitMsg(700, 0x2000L, pg2024)) match {
+      case StreamCommit(xid, flags, clsn, elsn, micros) =>
+        assert(xid == 700 && flags == 0 && clsn == 0x2000L && elsn == 0x2008L &&
+          micros == 1704067200000000L)
+      case other => fail(s"expected StreamCommit, got $other")
+    }
+    assert(decode(streamAbortMsg(700, 701)) == StreamAbort(700, 701))
+    decode(logicalMsg(transactional = true, 5L, "wal2json", "hi".getBytes)) match {
+      case LogicalMessage(tx, lsn, prefix, content) =>
+        assert(tx && lsn == 5L && prefix == "wal2json" &&
+          new String(content) == "hi")
+      case other => fail(s"expected LogicalMessage, got $other")
+    }
+    // inside a segment the same INSERT bytes carry a leading xid
+    val ins = insertMsg(1, Seq(Some("1")))
+    assert(decode(streamed(700, ins), streamedTx = true) ==
+      Streamed(700, decode(ins)))
+    // outside a segment nothing changes (v1 decode path untouched)
+    assert(decode(ins) == Insert(1, IndexedSeq(TextCell("1"))))
+  }
+
+  test("session buffers streamed rows until Stream Commit, stamped with commit time") {
+    val s = new PgOutputSession
+    s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id")))
+    // two segments of xid 900, nothing released until the commit
+    assert(s.feed(streamStartMsg(900, first = true)).isEmpty)
+    assert(s.feed(streamed(900, insertMsg(1, Seq(Some("1"))))).isEmpty)
+    assert(s.feed(streamStopMsg()).isEmpty)
+    assert(s.feed(streamStartMsg(900, first = false)).isEmpty)
+    assert(s.feed(streamed(900, insertMsg(1, Seq(Some("2"))))).isEmpty)
+    assert(s.feed(streamStopMsg()).isEmpty)
+    val out = s.feed(streamCommitMsg(900, 0x3000L, pg2024))
+    assert(out.map(_.newData.head._2) == Seq("1", "2"))
+    assert(out.forall(_.eventTimeMicros == 1704067200000000L))
+    // a second commit for the same xid releases nothing
+    assert(s.feed(streamCommitMsg(900, 0x3000L, pg2024)).isEmpty)
+  }
+
+  test("interleaved streamed transactions commit independently, in wire order") {
+    val s = new PgOutputSession
+    s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id")))
+    s.feed(streamStartMsg(10, first = true))
+    s.feed(streamed(10, insertMsg(1, Seq(Some("a1")))))
+    s.feed(streamStopMsg())
+    s.feed(streamStartMsg(20, first = true))
+    s.feed(streamed(20, insertMsg(1, Seq(Some("b1")))))
+    s.feed(streamStopMsg())
+    s.feed(streamStartMsg(10, first = false))
+    s.feed(streamed(10, insertMsg(1, Seq(Some("a2")))))
+    s.feed(streamStopMsg())
+    // xid 20 commits first even though 10 started first
+    val b = s.feed(streamCommitMsg(20, 0x100L, pg2024))
+    assert(b.map(_.newData.head._2) == Seq("b1"))
+    val a = s.feed(streamCommitMsg(10, 0x200L, pg2024 + 1L))
+    assert(a.map(_.newData.head._2) == Seq("a1", "a2"))
+    assert(a.forall(_.eventTimeMicros == 1704067200000001L))
+  }
+
+  test("Stream Abort drops exactly the aborted subtransaction's rows") {
+    val s = new PgOutputSession
+    s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id")))
+    s.feed(streamStartMsg(50, first = true))
+    s.feed(streamed(50, insertMsg(1, Seq(Some("keep1")))))
+    s.feed(streamed(51, insertMsg(1, Seq(Some("drop1"))))) // subxact 51
+    s.feed(streamed(50, insertMsg(1, Seq(Some("keep2")))))
+    s.feed(streamStopMsg())
+    s.feed(streamAbortMsg(50, 51)) // subtransaction rollback
+    val out = s.feed(streamCommitMsg(50, 0x400L, pg2024))
+    assert(out.map(_.newData.head._2) == Seq("keep1", "keep2"))
+    // full abort: subXid == xid wipes the whole transaction
+    s.feed(streamStartMsg(60, first = true))
+    s.feed(streamed(60, insertMsg(1, Seq(Some("gone")))))
+    s.feed(streamStopMsg())
+    s.feed(streamAbortMsg(60, 60))
+    assert(s.feed(streamCommitMsg(60, 0x500L, pg2024)).isEmpty)
+  }
+
+  test("in-stream Relation (DDL inside a streamed txn) applies to later rows") {
+    val s = new PgOutputSession
+    s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id")))
+    s.feed(streamStartMsg(70, first = true))
+    s.feed(streamed(70, insertMsg(1, Seq(Some("1")))))
+    s.feed(streamed(70, relationMsg(1, "public", "t", 'd',
+      Seq(true -> "id", false -> "added"))))
+    s.feed(streamed(70, insertMsg(1, Seq(Some("2"), Some("x")))))
+    s.feed(streamStopMsg())
+    val out = s.feed(streamCommitMsg(70, 0x600L, pg2024))
+    assert(out.map(_.newData) == Seq(Seq("id" -> "1"), Seq("id" -> "2", "added" -> "x")))
+  }
+
+  test("a streamed-transaction .pgo capture replays through graft-cdc") {
+    val dir = Files.createTempDirectory("cdc-pgo-v2")
+    Files.write(dir.resolve("000001.pgo"), frame(Seq(
+      relationMsg(1, "public", "users", 'd', Seq(true -> "id", false -> "name")),
+      streamStartMsg(800, first = true),
+      streamed(800, insertMsg(1, Seq(Some("1"), Some("alice")))),
+      streamed(800, insertMsg(1, Seq(Some("2"), Some("bob")))),
+      streamStopMsg(),
+      streamStartMsg(800, first = false),
+      streamed(800, deleteMsg(1, 'K', Seq(Some("1"), None))),
+      streamStopMsg(),
+      streamCommitMsg(800, 0x700L, pg2024))))
+    val df = spark.read.format("graft-cdc").option("path", dir.toString).load()
+    assert(df.count() == 3) // one Stream Commit released the whole txn
+    val rows = df.orderBy("op").collect()
+    assert(rows.map(_.getAs[String]("op")).toSeq == Seq("DELETE", "INSERT", "INSERT"))
+    assert(rows.forall(_.getAs[java.sql.Timestamp]("eventTime").getTime == 1704067200000L))
   }
 
   test("framed replay file round-trips") {

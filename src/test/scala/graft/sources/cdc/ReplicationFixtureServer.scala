@@ -319,4 +319,36 @@ object PgOutputFixtures {
       rows: Seq[Array[Byte]]): FixtureTxn =
     FixtureTxn(commitLsn,
       beginMsg(commitLsn, micros, xid) +: rows :+ commitMsg(commitLsn, micros))
+
+  // -- protocol v2 (streamed in-progress transactions) -------------------
+
+  def streamStartMsg(xid: Int, first: Boolean): Array[Byte] = {
+    val b = buf(); b.put('S'.toByte); b.putInt(xid)
+    b.put(if (first) 1.toByte else 0.toByte); fin(b)
+  }
+  def streamStopMsg(): Array[Byte] = Array('E'.toByte)
+  def streamCommitMsg(xid: Int, lsn: Long, micros: Long): Array[Byte] = {
+    val b = buf(); b.put('c'.toByte); b.putInt(xid); b.put(0.toByte)
+    b.putLong(lsn); b.putLong(lsn + 8); b.putLong(micros); fin(b)
+  }
+  def streamAbortMsg(xid: Int, subXid: Int): Array[Byte] = {
+    val b = buf(); b.put('A'.toByte); b.putInt(xid); b.putInt(subXid); fin(b)
+  }
+  /** Prefix an object message with the in-stream xid (v2 wire shape). */
+  def streamed(xid: Int, inner: Array[Byte]): Array[Byte] = {
+    val b = buf(); b.put(inner(0)); b.putInt(xid)
+    b.put(inner, 1, inner.length - 1); fin(b)
+  }
+
+  /** A streamed transaction delivered as one segment per row batch:
+    * S(first) rows E, S rows E, ..., Stream Commit. The commit LSN keys
+    * resume filtering exactly like a plain transaction's.
+    */
+  def streamedTxn(commitLsn: Long, micros: Long, xid: Int,
+      segments: Seq[Seq[Array[Byte]]]): FixtureTxn = {
+    val payloads = segments.zipWithIndex.flatMap { case (rows, i) =>
+      streamStartMsg(xid, first = i == 0) +: rows.map(streamed(xid, _)) :+ streamStopMsg()
+    } :+ streamCommitMsg(xid, commitLsn, micros)
+    FixtureTxn(commitLsn, payloads)
+  }
 }

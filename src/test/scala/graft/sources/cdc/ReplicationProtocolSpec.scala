@@ -33,9 +33,11 @@ class ReplicationProtocolSpec extends SparkSpec {
     txn(0x300L, pg2024, 3, Seq(deleteMsg(1, 'K', Seq(Some("1"), None)))))
 
   private def tail(port: Int, ckpt: java.nio.file.Path,
-      sink: CommittedTxn => Unit, password: Option[String] = None) =
+      sink: CommittedTxn => Unit, password: Option[String] = None,
+      protoVersion: Int = 1) =
     new ReplicationTail("127.0.0.1", port, "graft", "db", password,
-      "graft_slot", "graft_pub", ckpt, sink, receiveTimeoutMs = 15000)
+      "graft_slot", "graft_pub", ckpt, sink, receiveTimeoutMs = 15000,
+      protoVersion = protoVersion)
 
   test("connect → decode → checkpoint → LSN feedback, transaction-batched") {
     val server = new ReplicationFixtureServer(Seq(rel), fixtures)
@@ -97,6 +99,59 @@ class ReplicationProtocolSpec extends SparkSpec {
       // txn2 + txn3 re-streamed, txn1 never re-sent
       assert(events.map(_.op) == Seq(Op.Insert, Op.Update, Op.Delete))
       assert(server.requestedStartLsns.asScala.toSeq == Seq(0x108L))
+    } finally server.stop()
+  }
+
+  test("protocol v2: interleaved streamed transactions commit atomically through the live tail") {
+    // segments of xid 100 and 200 interleave on the wire — the shape a
+    // primary produces when two bulk transactions both exceed
+    // logical_decoding_work_mem; subxact 101 aborts before the commit
+    val interleaved = Seq(
+      FixtureTxn(0x400L, Seq(
+        streamStartMsg(100, first = true),
+        streamed(100, insertMsg(1, Seq(Some("10"), Some("x")))),
+        streamStopMsg(),
+        streamStartMsg(200, first = true),
+        streamed(200, insertMsg(1, Seq(Some("20"), Some("y")))),
+        streamStopMsg(),
+        streamStartMsg(100, first = false),
+        streamed(100, insertMsg(1, Seq(Some("11"), Some("x2")))),
+        streamed(101, insertMsg(1, Seq(Some("12"), Some("aborted-subxact")))),
+        streamStopMsg(),
+        streamAbortMsg(100, 101),
+        streamCommitMsg(100, 0x400L, pg2024))),
+      FixtureTxn(0x500L, Seq(
+        streamStartMsg(200, first = false),
+        streamed(200, insertMsg(1, Seq(Some("21"), Some("y2")))),
+        streamStopMsg(),
+        streamCommitMsg(200, 0x500L, pg2024 + 1000000L))))
+    val server = new ReplicationFixtureServer(Seq(rel), interleaved)
+    try {
+      val ckpt = Files.createTempDirectory("repl").resolve("lsn")
+      val capDir = Files.createTempDirectory("repl-cap")
+      val cap = ReplicationTail.captureSink(capDir)
+      val txns = mutable.ArrayBuffer.empty[CommittedTxn]
+      val flushed = tail(server.port, ckpt, t => { txns += t; cap(t) },
+        protoVersion = 2).run(maxTransactions = 2)
+
+      // one sink call per Stream Commit, in commit (not start) order
+      assert(txns.map(_.commitLsn) == Seq(0x400L, 0x500L))
+      assert(txns(0).events.map(_.newData("id")) == Seq("10", "11")) // 12 aborted
+      assert(txns(1).events.map(_.newData("id")) == Seq("20", "21"))
+      // commit timestamps stamp the whole transaction at Stream Commit
+      assert(txns(0).events.forall(_.eventTime.getTime == 1704067200000L))
+      assert(txns(1).events.forall(_.eventTime.getTime == 1704067201000L))
+      // ACK strictly after each durable commit, through the final endLsn
+      assert(flushed == 0x508L)
+      assert(server.statusUpdates.asScala.map(_.flushedLsn).toSeq
+        .containsSlice(Seq(0x408L, 0x508L)))
+
+      // each capture file replays standalone — including xid 200's,
+      // whose first segment arrived interleaved with xid 100's
+      val df = spark.read.format("graft-cdc").option("path", capDir.toString).load()
+      assert(df.count() == 4)
+      val ids = df.selectExpr("newData['id']").collect().map(_.getString(0)).toSet
+      assert(ids == Set("10", "11", "20", "21"))
     } finally server.stop()
   }
 
