@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Statistical language-model scoring and importance weighting over the
+  * documents corpus — the quality/mixture signals a training-data
+  * pipeline computes per document before sampling (KenLM-style n-gram
+  * perplexity filters; DSIR importance resampling, Xie et al. 2023,
+  * public formulation with hashed n-gram features).
+  *
+  * Determinism (the q53/q82 convention): every model statistic (n-gram
+  * counts, bucket counts, vocabulary size) is an exact integer
+  * aggregate; per-token/bigram log terms are one fixed-shape double
+  * expression over those integers; per-document totals fold the terms
+  * in position order (sorted-array fold ≡ DuckDB
+  * `list_sum(list(term ORDER BY pos))`). Because libm `ln` and Java
+  * `Math.log` disagree by 1 ulp on ~1/37k inputs (measured over the
+  * first 1.2M integers), every ln-derived score is presented in SINGLE
+  * precision: IEEE double→float rounding is a primitive, engine-
+  * identical op that absorbs the divergence while keeping ~7
+  * significant digits — plenty for a filtering signal.
+  *
+  * At 100 TB: the count models are one map-side-combined shuffle each;
+  * scoring joins the exploded corpus against the model — the bucketed
+  * DSIR model (64 rows) broadcasts, and a production bigram model would
+  * be pruned to the top-K n-grams and broadcast likewise. Everything
+  * else is scan + one grouped fold per document.
+  */
+object LangModel {
+
+  private def ws: Column = split(col("text"), " ")
+
+  /** Ordered fold of per-position double terms: sum in position order so
+    * the result is bit-identical across engines and partitionings.
+    */
+  private def orderedSum(pos: Column, term: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(pos.as("pos"), term.as("t")))),
+        x => x.getField("t")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** q104: bigram language-model scoring. Train add-one-smoothed bigram
+    * statistics on the corpus itself, then score every document by its
+    * total and mean bigram log-probability — the "perplexity filter"
+    * signal (documents whose transitions are improbable under the
+    * corpus model are candidates for removal).
+    */
+  def q104BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
+    // bigrams in reading order, as one array column (no early explode)
+    val bi = docs.select($"doc_id",
+      zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat(a, lit(" "), b)).as("bs"))
+    val uni = docs.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val voc = uni.agg(count(lit(1)).as("v"))
+    val big = bi.select(explode($"bs").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+    val terms = bi.select($"doc_id", posexplode($"bs").as(Seq("pos", "b")))
+      .join(big, "b")
+      .withColumn("w1", split($"b", " ").getItem(0))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(voc))
+      // P(w2|w1) with add-one smoothing over the unigram vocabulary
+      .select($"doc_id", $"pos",
+        log(($"c2" + lit(1.0)) / ($"c1" + $"v")).as("t"))
+    // ln-based scores are PRESENTED in single precision: libm ln differs
+    // from Java Math.log by 1 ulp on ~1/37k inputs (measured: 32 of the
+    // first 1.2M integers), so a double presentation cannot hash-match
+    // across engines; IEEE double→float rounding is a primitive op,
+    // engine-identical, and absorbs the 1-ulp divergence. The fold
+    // itself stays double.
+    terms.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        orderedSum($"pos", $"t").as("sum_lp"))
+      .select($"doc_id", $"n_bigrams",
+        $"sum_lp".cast("float").as("sum_logprob"),
+        ($"sum_lp" / $"n_bigrams").cast("float").as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  val q104BigramLmSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bi AS (SELECT doc_id,
+      |         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bs
+      |       FROM d),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      |        FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+      |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      |bg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2
+      |       FROM (SELECT unnest(bs) AS b FROM bi) GROUP BY b),
+      |t AS (SELECT u.doc_id, u.pos,
+      |        ln((bg.c2 + CAST(1.0 AS DOUBLE)) / (uni.c1 + voc.v)) AS t
+      |      FROM (SELECT doc_id, unnest(bs) AS b,
+      |              generate_subscripts(bs, 1) AS pos FROM bi) u
+      |      JOIN bg ON bg.b = u.b
+      |      JOIN uni ON uni.w = string_split(u.b, ' ')[1]
+      |      CROSS JOIN voc)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(list_sum(list(t ORDER BY pos)) AS FLOAT) AS sum_logprob,
+      |  CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT) AS avg_logprob
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q105: DSIR-style importance weights with hashed unigram features.
+    * Target distribution = the English subset; raw = the whole corpus.
+    * Each token hashes (md5 prefix, engine-portable) into one of 64
+    * buckets; a document's log importance weight is the positionwise sum
+    * of log(p_target(bucket)/p_raw(bucket)) with +0.5 smoothing —
+    * documents whose token distribution resembles the target score high
+    * and get upsampled in the mixture (q61's gate would consume this).
+    */
+  def q105DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 64
+    val tok = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", posexplode(ws).as(Seq("pos", "w")))
+      .withColumn("bucket",
+        conv(substring(md5($"w"), 1, 6), 16, 10).cast("long") % B)
+    val raw = tok.groupBy($"bucket").agg(count(lit(1)).as("rc"))
+    val tgt = tok.filter($"lang" === "en")
+      .groupBy($"bucket").agg(count(lit(1)).as("tc"))
+    val totals = tok.agg(count(lit(1)).as("rt"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"))
+    val weights = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"bucket",
+        (log((coalesce($"tc", lit(0L)) + lit(0.5)) / ($"tt" + lit(32.0))) -
+          log(($"rc" + lit(0.5)) / ($"rt" + lit(32.0)))).as("wt"))
+    tok.join(broadcast(weights), "bucket")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        orderedSum($"pos", $"wt").as("li"))
+      // single-precision presentation for the same libm-ln reason as q104
+      .select($"doc_id", $"lang", $"n_tokens",
+        $"li".cast("float").as("log_importance"))
+      .orderBy($"doc_id")
+  }
+
+  val q105DsirWeightsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, w, pos,
+      |    CAST(('0x' || substring(md5(w), 1, 6)) AS BIGINT) % 64 AS bucket
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+      |          generate_subscripts(string_split(text, ' '), 1) AS pos
+      |        FROM documents)),
+      |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM tok GROUP BY bucket),
+      |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+      |        FROM tok WHERE lang = 'en' GROUP BY bucket),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS rt,
+      |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+      |        FROM tok),
+      |wts AS (
+      |  SELECT raw.bucket,
+      |    ln((COALESCE(tgt.tc, 0) + CAST(0.5 AS DOUBLE)) / (tot.tt + CAST(32.0 AS DOUBLE)))
+      |      - ln((raw.rc + CAST(0.5 AS DOUBLE)) / (tot.rt + CAST(32.0 AS DOUBLE))) AS wt
+      |  FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot)
+      |SELECT tok.doc_id, tok.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(list_sum(list(wts.wt ORDER BY tok.pos)) AS FLOAT) AS log_importance
+      |FROM tok JOIN wts ON wts.bucket = tok.bucket
+      |GROUP BY tok.doc_id, tok.lang ORDER BY tok.doc_id""".stripMargin
+
+  /** q106: inverted-index construction — the posting-list build behind
+    * BM25/keyword retrieval (q82 consumes these statistics). Emits per
+    * term: document frequency, total term frequency, and the first five
+    * posting doc ids; top terms by df. One (term, doc) shuffle then one
+    * term shuffle — at 100 TB the posting lists themselves would land
+    * partitioned by term (bucketed write), which is exactly the shape
+    * this aggregation produces.
+    */
+  def q106InvertedIndex(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import s.implicits._
+    val tf = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(ws).as("w"))
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"w")
+      .agg(count(lit(1)).as("df"),
+        sum($"tf").as("tf_total"),
+        concat_ws(",",
+          transform(slice(array_sort(collect_list($"doc_id")), 1, 5),
+            _.cast("string"))).as("head_postings"))
+      .orderBy($"df".desc, $"w")
+      .limit(k)
+  }
+
+  val q106InvertedIndexSql: String =
+    """WITH tf AS (
+      |  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w, doc_id)
+      |SELECT w, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+      |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS head_postings
+      |FROM tf GROUP BY w ORDER BY df DESC, w LIMIT 50""".stripMargin
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** q103 PageRank + q104-q106 language-model lanes: invariant laws the
+  * oracle hash cannot state (mass conservation, monotonicity), plus
+  * hand-built micro-corpora where the expected answer is computable by
+  * hand.
+  */
+class GraphsLangModelSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q103: ranks are a probability distribution (sum≈1, all positive)") {
+    val rows = Graphs.q103PageRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.map(_.getDouble(rows.head.fieldIndex("rank")))
+    assert(ranks.forall(r => r > 0 && !r.isNaN))
+    // with every node having outgoing mass absorbed by teleport+damping,
+    // total rank stays 1 up to dangling-node leakage (<= damping mass)
+    val total = ranks.sum
+    assert(total > 0.5 && total <= 1.000001, s"total rank $total")
+  }
+
+  test("q103: a 2-node cycle converges to uniform ranks") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-pr").toString
+    // user 1 alternates a->b->a->b: edge a->b and b->a, weight symmetric
+    Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (1L, 4L, 4L, "b"), (1L, 5L, 5L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val m = Graphs.q103PageRank(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("rank"))).toMap
+    assert(math.abs(m("a") - 0.5) < 1e-12 && math.abs(m("b") - 0.5) < 1e-12)
+  }
+
+  test("q104: repetitive doc scores higher avg logprob than a one-off doc") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-lm").toString
+    // corpus dominated by "a b" transitions; doc 2 has never-repeated ones
+    (Seq((0L, "a b a b a b a b"), (1L, "a b a b a b"), (2L, "q r s t u v"))
+      ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = LangModel.q104BigramLm(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getFloat(r.fieldIndex("avg_logprob"))).toMap
+    assert(m(0L) > m(2L) && m(1L) > m(2L))
+    val n = LangModel.q104BigramLm(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_bigrams"))).toMap
+    assert(n(0L) == 7L && n(1L) == 5L && n(2L) == 5L)
+  }
+
+  test("q105: target-language docs get higher importance than off-target") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dsir").toString
+    // en docs share a vocabulary; the xx doc uses disjoint tokens, so its
+    // buckets are raw-only and must score below every en doc
+    (Seq(
+      (0L, "en", "alpha beta gamma alpha beta"),
+      (1L, "en", "alpha beta beta gamma gamma"),
+      (2L, "xx", "zork quux blarg zork quux")
+    )).toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = LangModel.q105DsirWeights(spark, tmp).collect()
+    val m = rows.map(r => r.getLong(0) -> r.getFloat(r.fieldIndex("log_importance"))).toMap
+    assert(m(0L) > m(2L) && m(1L) > m(2L))
+    val nt = rows.map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_tokens"))).toMap
+    assert(nt == Map(0L -> 5L, 1L -> 5L, 2L -> 5L))
+  }
+
+  test("q106: df/tf accounting and head postings on a micro-corpus") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-inv").toString
+    (Seq((3L, "x y x"), (1L, "x z"), (2L, "y"))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = LangModel.q106InvertedIndex(spark, tmp).collect()
+    val byW = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(r.fieldIndex("head_postings")))).toMap
+    assert(byW("x") == ((2L, 3L, "1,3")))  // df=2 docs, tf=3 total, postings sorted
+    assert(byW("y") == ((2L, 2L, "2,3")))
+    assert(byW("z") == ((1L, 1L, "1")))
+    // ordered by df desc then term asc
+    assert(rows.map(_.getString(0)).toSeq == Seq("x", "y", "z"))
+  }
+}
