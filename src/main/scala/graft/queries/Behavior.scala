@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral analytics over the event stream — the product-analytics
+  * pair every warehouse ships: cohort retention matrices and marketing
+  * attribution. Both are plain declarative plans (grouped aggregates and
+  * per-user windows); the point of registering them is pinning the
+  * cross-engine arithmetic corners (week truncation, day-diff division,
+  * IGNORE NULLS frame semantics) that silently corrupt real dashboards.
+  */
+object Behavior {
+
+  /** q109: weekly cohort retention. Cohort = the Monday-truncated week
+    * of a user's first event; each (user, active week) pair counts once
+    * toward (cohort_week, week_offset). Two grouped aggregates and one
+    * user-keyed join — at scale both shuffles key on user_id and the
+    * join is co-partitioned with the first aggregate's output (no extra
+    * exchange), so the cost is ~one pass over events.
+    *
+    * Arithmetic corners pinned by the oracle: `date_trunc('week')` is
+    * Monday-start in both engines; week offsets divide an exact
+    * multiple-of-7 day count (integral `/` is double division in BOTH
+    * engines — cast back to BIGINT on both sides, the q94 discipline).
+    */
+  def q109CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uw = Tables.load(s, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy($"cohort_week",
+        (datediff($"wk", $"cohort_week") / 7).cast("long").as("week_offset"))
+      .agg(count_distinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q109CohortRetentionSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id)
+      |SELECT cohort.cohort_week,
+      |  CAST(date_diff('day', cohort.cohort_week, uw.wk) / 7 AS BIGINT) AS week_offset,
+      |  CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+      |FROM uw JOIN cohort ON cohort.user_id = uw.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q110: touch attribution for purchases. For every purchase event,
+    * last-touch = the most recent strictly-preceding click by the same
+    * user; first-touch = the user's earliest preceding click-or-view.
+    * One per-user window with a `ROWS ... AND 1 PRECEDING` frame and
+    * IGNORE NULLS conditional first/last — the frame excludes the
+    * conversion itself, and the (ts, event_id) order key makes
+    * same-timestamp ties deterministic. Map-side after one user_id
+    * window shuffle; no self-join (the naive formulation is a per-
+    * conversion correlated subquery over the user's history).
+    */
+  def q110Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prior = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "events")
+      .withColumn("last_click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true)
+          .over(prior))
+      .withColumn("first_touch_id",
+        first(when($"event_type".isin("click", "view"), $"event_id"),
+          ignoreNulls = true).over(prior))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        $"last_click_id", $"first_touch_id")
+      .orderBy($"event_id")
+  }
+
+  val q110AttributionSql: String =
+    """SELECT event_id, user_id, ts, last_click_id, first_touch_id FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+      |    first_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch_id
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q108 entity pairs + q109 cohort retention + q110 attribution: the
+  * wildcard-blocking completeness proof checked against brute force on
+  * real data, plus hand-built timelines where the answers are computable
+  * by hand.
+  */
+class EntityBehaviorSpec extends SparkSpec {
+
+  test("q108: blocked pairs == brute-force pairs on the real sf0.001 customer table") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val blocked = Entity.q108EntityPairs(spark, dir)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val c = graft.sources.Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_name")
+    val brute = c.as("a").crossJoin(c.as("b"))
+      .filter($"a.c_custkey" < $"b.c_custkey" &&
+        length($"a.c_name") === length($"b.c_name") &&
+        levenshtein($"a.c_name", $"b.c_name") <= 1)
+      .select($"a.c_custkey", $"b.c_custkey").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)        // the check is vacuous on an empty set
+    assert(blocked == brute)      // complete AND precise
+  }
+
+  test("q108: substitution pair found once; distance-2 and identical-name edges behave") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-er").toString
+    Seq(
+      (1L, "alpha"), (2L, "alphb"),  // dist 1 (substitution)
+      (3L, "alpxy"),                 // dist 2 from both — excluded
+      (4L, "gamma"), (5L, "gamma")   // identical: dist 0, must appear ONCE
+    ).toDF("c_custkey", "c_name").write.mode("overwrite")
+      .parquet(s"$tmp/customer.parquet")
+    val rows = Entity.q108EntityPairs(spark, tmp).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(r.fieldIndex("dist"))))
+    assert(pairs.toSeq == Seq((1L, 2L, 1), (4L, 5L, 0)))
+  }
+
+  test("q109: two-cohort micro timeline produces the hand-computed matrix") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cohort").toString
+    // Tables.load("events") expects nanos-long ts (the driver parquet shape)
+    def ts(s: String) = Timestamp.valueOf(s).getTime * 1000000L
+    // user 10: first week of 2024-01-01 (Mon), returns 2 weeks later
+    // user 20: first week of 2024-01-08, returns the next week
+    Seq(
+      (1L, ts("2024-01-02 10:00:00"), 10L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-16 10:00:00"), 10L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-10 10:00:00"), 20L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-15 10:00:00"), 20L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Behavior.q109CohortRetention(spark, tmp).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+
+  test("q110: last/first touch pick the right events; conversions without touches get nulls") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-attr").toString
+    def ts(s: String) = Timestamp.valueOf(s).getTime * 1000000L
+    Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 1L, "purchase", 9.0, "{}"),
+      (5L, ts("2024-01-01 13:00:00"), 1L, "click", 0.0, "{}"), // after: ignored
+      (6L, ts("2024-01-01 08:00:00"), 2L, "purchase", 5.0, "{}") // no history
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = Behavior.q110Attribution(spark, tmp).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (Option(r.get(r.fieldIndex("last_click_id"))),
+        Option(r.get(r.fieldIndex("first_touch_id"))))).toMap
+    assert(byId(4L) == ((Some(3L), Some(1L)))) // latest click; earliest view
+    assert(byId(6L) == ((None, None)))         // frame empty -> nulls
+  }
+}
