@@ -196,4 +196,67 @@ object LangModel {
       |SELECT w, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
       |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS head_postings
       |FROM tf GROUP BY w ORDER BY df DESC, w LIMIT 50""".stripMargin
+
+  /** The q112 linear model: weights are independent literals on both
+    * engines (the fastText/CCNet-style quality classifier stand-in — a
+    * trained model would broadcast its weight vector the same way).
+    */
+  private val QLexicon = Seq("table", "row", "value", "query", "data")
+
+  /** q112: model-based quality scoring — apply a fixed logistic model
+    * over per-document lexical features and emit the keep/drop verdict
+    * (the production shape of "quality filtering": a trained linear
+    * classifier scored per document, CCNet / fastText-style, public
+    * recipe). Features come from ONE explode + one doc-keyed aggregate
+    * (exact integers: token/distinct/lexicon/char counts — no
+    * interpreted per-row lambdas), the logit is one fixed-shape double
+    * expression over those integers, and the sigmoid is presented in
+    * single precision (the q104 libm-vs-JVM discipline, here for `exp`).
+    * At 100 TB: map-side partial aggregation on doc_id, then a
+    * map-only model application — no joins, no driver state.
+    */
+  def q112QualityModel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = QLexicon
+    val feats = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(ws).as("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct($"w").as("n_distinct"),
+        sum(when($"w".isin(lex: _*), 1L).otherwise(0L)).as("n_lexicon"),
+        sum(length($"w")).as("n_chars"))
+    val z = lit(-2.0) +
+      lit(0.35) * log($"n_tokens") +
+      lit(2.0) * ($"n_distinct" / $"n_tokens") +
+      lit(1.5) * ($"n_lexicon" / $"n_tokens") +
+      lit(0.05) * ($"n_chars" / $"n_tokens")
+    feats
+      .withColumn("score_d", lit(1.0) / (lit(1.0) + exp(-z)))
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"n_lexicon",
+        $"score_d".cast("float").as("quality_score"),
+        ($"score_d" >= 0.5).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val q112QualityModelSql: String = {
+    val lexList = QLexicon.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(CASE WHEN list_contains($lexList, w) THEN 1 ELSE 0 END) AS BIGINT) AS n_lexicon,
+      |    CAST(SUM(length(w)) AS BIGINT) AS n_chars
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY doc_id),
+      |s AS (
+      |  SELECT *, CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+      |    CAST(-2.0 AS DOUBLE) +
+      |    CAST(0.35 AS DOUBLE) * ln(n_tokens) +
+      |    CAST(2.0 AS DOUBLE) * (n_distinct / n_tokens) +
+      |    CAST(1.5 AS DOUBLE) * (n_lexicon / n_tokens) +
+      |    CAST(0.05 AS DOUBLE) * (n_chars / n_tokens)))) AS score_d
+      |  FROM f)
+      |SELECT doc_id, n_tokens, n_distinct, n_lexicon,
+      |  CAST(score_d AS FLOAT) AS quality_score, score_d >= 0.5 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
 }

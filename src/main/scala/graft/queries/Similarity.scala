@@ -602,4 +602,48 @@ object Similarity {
       .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"cos_sim")
       .orderBy($"qid", $"rnk")
   }
+
+  /** q111: SEMANTIC eval-set decontamination — the embedding-space twin
+    * of q59's n-gram decontamination: flag corpus vectors whose cosine
+    * similarity to ANY held-out eval vector exceeds a threshold
+    * (paraphrased eval leakage that exact shingle overlap misses; the
+    * public SemDedup/decontamination recipe). Eval set = every 20th
+    * vector; corpus = the rest. One corpus scan against the broadcast
+    * eval frame, aggregated per corpus vector — max and count are
+    * order-independent (exact double comparisons), so no ordered-fold
+    * machinery is needed. At 100 TB the eval set stays a broadcast
+    * (eval suites are small by construction) and the scan is
+    * embarrassingly parallel; a too-big eval set would route through
+    * the IVF index path (q52) instead.
+    */
+  def q111SemanticDecontam(s: SparkSession, dir: String, tau: Double = 0.6): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val ev = e.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("eid"), $"embedding".as("ee"))
+    e.filter($"vec_id" % 20 =!= 0)
+      .select($"vec_id".as("nid"), $"embedding".as("ne"))
+      .crossJoin(broadcast(ev))
+      .withColumn("cos_sim", cosine(s, $"ne", $"ee"))
+      .groupBy($"nid")
+      .agg(max($"cos_sim").as("max_sim"),
+        sum(when($"cos_sim" > tau, 1L).otherwise(0L)).as("n_over"))
+      .withColumn("contaminated", $"max_sim" > tau)
+      .orderBy($"nid")
+  }
+
+  val q111SemanticDecontamSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee FROM embeddings WHERE vec_id % 20 = 0),
+      |scored AS (
+      |  SELECT e.vec_id AS nid,
+      |    ${dot("e.embedding", "ev.ee")} /
+      |    (sqrt(${dot("e.embedding", "e.embedding")}) * sqrt(${dot("ev.ee", "ev.ee")})) AS cos_sim
+      |  FROM embeddings e, ev WHERE e.vec_id % 20 <> 0)
+      |SELECT nid, max(cos_sim) AS max_sim,
+      |  CAST(SUM(CASE WHEN cos_sim > 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+      |  max(cos_sim) > 0.6 AS contaminated
+      |FROM scored GROUP BY nid ORDER BY nid""".stripMargin
+  }
 }
