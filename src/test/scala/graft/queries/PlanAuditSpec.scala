@@ -249,4 +249,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       s"expected every window partitioned by shard:\n$opt")
   }
+
+  test("q108: blocking join is a signature equijoin — never a cartesian product") {
+    val p = plan("q108_entity_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"entity blocking must not degrade to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a sig-keyed equijoin:\n$p")
+  }
+
+  test("q111: the eval side is broadcast — the corpus is never shuffled for scoring") {
+    val df = graft.SparkEntry.queries("q111_semantic_decontam")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"expected broadcast eval frame:\n$p")
+    val exchanges = p.split("\n").count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+    // per-vector aggregate + final sort — the corpus shuffles at most twice
+    assert(exchanges <= 2, s"expected ≤2 non-broadcast exchanges, got $exchanges:\n$p")
+  }
+
+  test("q112: the model applies map-side — one doc aggregate, no join") {
+    val df = graft.SparkEntry.queries("q112_quality_model")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"quality scoring must not join:\n$p")
+    val exchanges = p.split("\n").count(_.contains("Exchange"))
+    // (doc_id, w) + doc_id phases of the exact-distinct aggregate + the
+    // final sort — COUNT(DISTINCT) is inherently two-shuffle
+    assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q104/q105: the tiny model frames broadcast; the corpus joins at most by token stats") {
+    for (name <- Seq("q104_bigram_lm", "q105_dsir_weights")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+      assert(p.contains("BroadcastExchange"),
+        s"$name: expected the vocabulary/weights frame broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: no cartesian allowed:\n$p")
+    }
+  }
 }
