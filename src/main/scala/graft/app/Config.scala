@@ -26,6 +26,13 @@ final case class KafkaSinkConfig(
     clientId: String = "graft",
     allowAutoTopicCreation: Boolean = false,
     metadataTtl: FiniteDuration = 60.seconds,           // config.go:27 MetadataTTL
+    // config.go:22 MetadataTopics — kafka-go eagerly refreshes metadata
+    // for ALL cluster topics unless restricted to this list; the Java
+    // producer underneath Spark's sink already fetches metadata lazily
+    // per produced topic, so the knob is subsumed. Accepted (and kept
+    // here so a reference YAML round-trips) but never rendered as a
+    // sink option.
+    metadataTopics: Seq[String] = Seq.empty,
     // security surface (config.go:32 SecureConnection; kafka/client.go:53-115:
     // SCRAM-SHA-512 over TLS >= 1.2 with a root+intermediate CA pool)
     secureConnection: Boolean = false,

@@ -50,6 +50,7 @@ object ConfigLoader {
       clientId = str(kafka.get("clientID"), "graft"),
       allowAutoTopicCreation = bool(kafka.get("allowAutoTopicCreation"), default = false),
       metadataTtl = millis(kafka.get("metadataTTL"), 60.seconds),
+      metadataTopics = seq(kafka.get("metadataTopics")),
       secureConnection = bool(kafka.get("secureConnection"), default = false),
       scramUsername = str(kafka.get("scramUsername"), ""),
       scramPassword = str(kafka.get("scramPassword"), ""),

@@ -34,6 +34,7 @@ class ConfigLoaderSpec extends AnyFunSuite {
         |  allowAutoTopicCreation: true
         |  producerBatchTickerDuration: 100ms
         |  producerBatchSize: 10000
+        |  metadataTopics: [cdc.test.produce]
         |""".stripMargin)
     assert(cfg.slotName == "cdc_slot")
     assert(cfg.metricsPort.contains(2112))
@@ -42,6 +43,10 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.kafka.allowAutoTopicCreation)
     assert(cfg.kafka.producerBatchTickerDuration == 100.millis)
     assert(cfg.kafka.producerBatchSize == 10000)
+    // config.go:22 — accepted for YAML round-trip, subsumed by the Java
+    // producer's lazy per-topic metadata (never a sink option)
+    assert(cfg.kafka.metadataTopics == Seq("cdc.test.produce"))
+    assert(!cfg.kafka.sinkOptions.keys.exists(_.contains("metadata.topics")))
     assert(cfg.snapshot.tables == Seq("users")) // publication tables flow through
     // connection block feeds the live replication lane
     assert(cfg.postgres.host == "postgres:5432")
