@@ -79,6 +79,42 @@ object Behavior {
       .orderBy($"event_id")
   }
 
+  /** q114: rolling 7-day active users (the DAU/WAU pair every product
+    * dashboard carries). Exact distinct counts over a sliding day range
+    * — Spark has no `COUNT(DISTINCT) OVER (RANGE ...)`, so the rolling
+    * window is a broadcast range join against the tiny day axis: the
+    * (day, user) distinct frame is the data mass (one shuffle), each
+    * pair lands in the ≤7 windows it belongs to via the broadcast, and
+    * one distinct aggregate per window day finishes it. At 100 TB the
+    * axis stays a few thousand rows (one per day) while the mass never
+    * joins itself — the same broadcast-the-small-axis shape as q91's
+    * month spine. DAU rides the same aggregate as a conditional
+    * distinct count.
+    */
+  def q114RollingActive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.load(s, dir, "events")
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val axis = du.select($"day".as("window_day")).distinct()
+    du.join(broadcast(axis), datediff($"window_day", $"day").between(0, 6))
+      .groupBy($"window_day")
+      .agg(
+        count_distinct(when($"day" === $"window_day", $"user_id")).as("dau"),
+        count_distinct($"user_id").as("wau_7d"))
+      .orderBy($"window_day")
+  }
+
+  val q114RollingActiveSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |axis AS (SELECT DISTINCT day AS window_day FROM du)
+      |SELECT axis.window_day,
+      |  CAST(COUNT(DISTINCT CASE WHEN du.day = axis.window_day THEN du.user_id END) AS BIGINT) AS dau,
+      |  CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau_7d
+      |FROM du JOIN axis
+      |  ON date_diff('day', du.day, axis.window_day) BETWEEN 0 AND 6
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q110AttributionSql: String =
     """SELECT event_id, user_id, ts, last_click_id, first_touch_id FROM (
       |  SELECT event_id, user_id, ts, event_type,

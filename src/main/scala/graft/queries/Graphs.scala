@@ -71,6 +71,78 @@ object Graphs {
       .orderBy($"node")
   }
 
+  /** q113: 3-round synchronous label propagation over the same
+    * event-transition graph — community detection (Raghavan et al. 2007,
+    * public formulation), made deterministic: edges are symmetrized and
+    * weight-summed, each node adopts the label with the highest total
+    * incident weight among its neighbours' current labels (ties → the
+    * lexicographically smallest label; isolated nodes keep their own),
+    * and every round is exact integer aggregates + one argmax window —
+    * no floating point anywhere, so the unrolled-CTE oracle matches by
+    * construction. Per round: one label-mass shuffle + one per-node
+    * window — the same one-shuffle-per-iteration scale shape as q103.
+    */
+  def q113LabelProp(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val directed = ev
+      .withColumn("src", lag($"event_type", 1).over(byUser))
+      .filter($"src".isNotNull)
+      .groupBy($"src", $"event_type".as("dst"))
+      .agg(count(lit(1)).as("wt"))
+    // symmetrize INTERNALLY (the ComponentsSpec lesson): an undirected
+    // neighbourhood, with parallel edge weights summed
+    val edges = directed
+      .unionByName(directed.select($"dst".as("src"), $"src".as("dst"), $"wt"))
+      .groupBy($"src", $"dst").agg(sum($"wt").as("wt"))
+    val nodes = ev.select($"event_type".as("node")).distinct()
+    var labels = nodes.select($"node", $"node".as("lbl"))
+    val byMass = Window.partitionBy($"node").orderBy($"w".desc, $"lbl")
+    for (_ <- 1 to rounds) {
+      val mass = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node"), $"lbl").agg(sum($"wt").as("w"))
+      val winner = mass.withColumn("rk", row_number().over(byMass))
+        .filter($"rk" === 1).select($"node", $"lbl".as("new_lbl"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select($"node", coalesce($"new_lbl", $"lbl").as("lbl"))
+    }
+    labels.select($"node", $"lbl".as("community")).orderBy($"node")
+  }
+
+  val q113LabelPropSql: String = {
+    def round(i: Int, prev: String) =
+      s"""m$i AS (
+         |  SELECT e.dst AS node, r.lbl, CAST(SUM(e.wt) AS BIGINT) AS w
+         |  FROM e JOIN $prev r ON r.node = e.src GROUP BY 1, 2),
+         |w$i AS (
+         |  SELECT node, lbl AS new_lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY w DESC, lbl) AS rk
+         |    FROM m$i) WHERE rk = 1),
+         |l$i AS (
+         |  SELECT p.node, COALESCE(w$i.new_lbl, p.lbl) AS lbl
+         |  FROM $prev p LEFT JOIN w$i ON w$i.node = p.node)""".stripMargin
+    s"""WITH tr AS (
+       |  SELECT event_type AS dst,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+       |  FROM events),
+       |d AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt
+       |  FROM tr WHERE src IS NOT NULL GROUP BY src, dst),
+       |e AS (
+       |  SELECT src, dst, CAST(SUM(wt) AS BIGINT) AS wt FROM (
+       |    SELECT src, dst, wt FROM d
+       |    UNION ALL SELECT dst AS src, src AS dst, wt FROM d)
+       |  GROUP BY src, dst),
+       |l0 AS (SELECT DISTINCT event_type AS node, event_type AS lbl FROM events),
+       |${round(1, "l0")},
+       |${round(2, "l1")},
+       |${round(3, "l2")}
+       |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
+  }
+
   /** Oracle: the same three iterations unrolled as CTEs, mass summed via
     * `list_sum(list(contrib ORDER BY src))` — the sequential fold that
     * bit-matches the Spark side's sorted-array aggregate.

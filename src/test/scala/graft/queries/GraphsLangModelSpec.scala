@@ -71,6 +71,44 @@ class GraphsLangModelSpec extends SparkSpec {
     assert(nt == Map(0L -> 5L, 1L -> 5L, 2L -> 5L))
   }
 
+  test("q113: two disjoint triangles converge to their min-label communities") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-lpa").toString
+    // u1 walks cycle a->b->c twice, u2 walks x->y->z twice: two
+    // equal-weight triangles; 3 synchronous rounds collapse each onto
+    // its lexicographically smallest member (hand-traced: r1 mixes,
+    // r2 floods "a"/"x", r3 stabilizes)
+    val walk1 = Seq("a", "b", "c", "a", "b", "c", "a")
+    val walk2 = Seq("x", "y", "z", "x", "y", "z", "x")
+    val rows =
+      walk1.zipWithIndex.map { case (t, i) => (1L, i.toLong, i.toLong, t) } ++
+      walk2.zipWithIndex.map { case (t, i) => (2L, i.toLong, (100 + i).toLong, t) }
+    rows.toDF("user_id", "ts", "event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Graphs.q113LabelProp(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
+  test("q114: hand-built day grid yields the right DAU and 7-day WAU") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-wau").toString
+    def day(d: Int, u: Long, id: Long) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00").getTime * 1000000L,
+        u, "view", 0.0, "{}")
+    // day 1: users 1,2 · day 5: user 2 (twice) · day 9: user 3
+    Seq(day(1, 1L, 1), day(1, 2L, 2), day(5, 2L, 3), day(5, 2L, 4), day(9, 3L, 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Behavior.q114RollingActive(spark, tmp).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L),   // users 1,2
+      ("2024-01-05", 1L, 2L),   // dau {2}; wau covers day 1 too: {1,2}
+      ("2024-01-09", 1L, 2L)))  // dau {3}; wau covers day 5: {2,3}
+  }
+
   test("q106: df/tf accounting and head postings on a micro-corpus") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-inv").toString
