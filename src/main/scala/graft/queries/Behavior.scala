@@ -115,6 +115,53 @@ object Behavior {
       |  ON date_diff('day', du.day, axis.window_day) BETWEEN 0 AND 6
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q116: point-in-time (SCD) join — every purchase picks up the
+    * dimension attributes that were valid AT ITS TIMESTAMP (signup
+    * events carry the user's segment; later signups supersede earlier
+    * ones). Declaratively this is an interval-containment join against
+    * the q97-style validity history; executed naively it is a per-fact
+    * range probe. The scale-correct form used here is the union-window
+    * trick: tag dimension rows 0 and fact rows 1, union, ONE per-user
+    * window ordered by (ts, tag, event_id) taking the last non-null
+    * segment — no join at all, one user-keyed shuffle, ties resolved
+    * dimension-first so a same-instant version applies to the fact.
+    * The oracle states the interval semantics as the range join,
+    * proving the two formulations equivalent.
+    */
+  def q116PitJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val dim = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", lit(0).as("tag"), $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("segment"))
+    val facts = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("tag"), $"event_id",
+        lit(null).cast("long").as("segment"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dim.unionByName(facts)
+      .withColumn("seg_at_ts", last($"segment", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"user_id", $"ts", $"seg_at_ts".as("segment"))
+      .orderBy($"event_id")
+  }
+
+  val q116PitJoinSql: String =
+    """WITH dim AS (
+      |  SELECT user_id, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS segment,
+      |    ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT f.event_id, f.user_id, f.ts, dim.segment
+      |FROM events f
+      |LEFT JOIN dim ON dim.user_id = f.user_id
+      |  AND dim.valid_from <= f.ts
+      |  AND (dim.valid_to IS NULL OR f.ts < dim.valid_to)
+      |WHERE f.event_type = 'purchase'
+      |ORDER BY f.event_id""".stripMargin
+
   val q110AttributionSql: String =
     """SELECT event_id, user_id, ts, last_click_id, first_touch_id FROM (
       |  SELECT event_id, user_id, ts, event_type,

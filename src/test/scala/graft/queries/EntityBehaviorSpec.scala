@@ -66,6 +66,24 @@ class EntityBehaviorSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
 
+  test("q116: purchases see the dimension version valid at their instant") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-pit").toString
+    def ts(s: String) = Timestamp.valueOf(s).getTime * 1000000L
+    Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "purchase", 0.0, "{}"),        // pre-history
+      (2L, ts("2024-01-01 09:00:00"), 1L, "signup", 0.0, "{\"k\": 7}"),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "purchase", 0.0, "{}"),        // seg 7
+      (4L, ts("2024-01-01 11:00:00"), 1L, "signup", 0.0, "{\"k\": 9}"),
+      (5L, ts("2024-01-01 11:00:00"), 1L, "purchase", 0.0, "{}"),        // same instant: new seg
+      (6L, ts("2024-01-01 12:00:00"), 1L, "purchase", 0.0, "{}")         // seg 9
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val m = Behavior.q116PitJoin(spark, tmp).collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("segment")))).toMap
+    assert(m == Map(1L -> None, 3L -> Some(7L), 5L -> Some(9L), 6L -> Some(9L)))
+  }
+
   test("q110: last/first touch pick the right events; conversions without touches get nulls") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-attr").toString
