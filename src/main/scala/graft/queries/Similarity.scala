@@ -632,6 +632,60 @@ object Similarity {
       .orderBy($"nid")
   }
 
+  /** q117: retrieval-quality evaluation — the measurement half of the
+    * ANN family (every embedding pipeline reports MRR/precision@k
+    * against labeled data before swapping an index in). Exact top-k per
+    * labeled query (the q50 shape: broadcast query set, deterministic
+    * (cos desc, nid) ranking), relevance = label equality, then
+    * per-query reciprocal rank and precision@k. RR folds as
+    * MAX(relevant ? 1/rank) — order-independent, one exact IEEE
+    * division — and precision@4 is an exact dyadic fraction, so no
+    * single-precision presentation is needed anywhere.
+    */
+  def q117RetrievalEval(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"label".as("q_label"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    e.select($"vec_id".as("nid"), $"embedding".as("ne"), $"label".as("n_label"))
+      .crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .groupBy($"qid", $"q_label")
+      .agg(
+        coalesce(max(when($"n_label" === $"q_label", lit(1.0) / $"rnk")), lit(0.0))
+          .as("reciprocal_rank"),
+        sum(when($"n_label" === $"q_label", 1L).otherwise(0L)).as("n_relevant"),
+        (sum(when($"n_label" === $"q_label", 1L).otherwise(0L)) / k)
+          .as("precision_at_k"))
+      .orderBy($"qid")
+  }
+
+  val q117RetrievalEvalSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS q_label
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT qid, q_label, e.vec_id AS nid, e.label AS n_label,
+      |    ${dot("qe", "e.embedding")} /
+      |    (sqrt(${dot("qe", "qe")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos_sim
+      |  FROM q, embeddings e WHERE e.vec_id <> qid),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rnk
+      |  FROM scored)
+      |SELECT qid, q_label,
+      |  COALESCE(MAX(CASE WHEN n_label = q_label THEN CAST(1.0 AS DOUBLE) / rnk END),
+      |           CAST(0 AS DOUBLE)) AS reciprocal_rank,
+      |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+      |  SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) / 4 AS precision_at_k
+      |FROM ranked WHERE rnk <= 4
+      |GROUP BY qid, q_label ORDER BY qid""".stripMargin
+  }
+
   val q111SemanticDecontamSql: String = {
     def dot(a: String, b: String) =
       s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

@@ -28,6 +28,29 @@ class DecontamQualitySpec extends SparkSpec {
     assert(m(3L)._3)                         // paraphrase-distance leak caught
   }
 
+  test("q117: reciprocal rank and precision@4 on a hand-ranked neighborhood") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-receval").toString
+    // query 0 (label 9); cosine to (1,0) strictly decreases with t in
+    // (1,t): ranks are 1..5 in listed order. First relevant at rank 2.
+    Seq(
+      (0L,   Array(1.0f, 0.0f),  9),
+      (1L,   Array(1.0f, 0.1f),  5),   // rank 1, irrelevant
+      (2L,   Array(1.0f, 0.2f),  9),   // rank 2, relevant -> rr = 1/2
+      (3L,   Array(1.0f, 0.35f), 5),   // rank 3, irrelevant
+      (4L,   Array(1.0f, 0.5f),  9),   // rank 4, relevant
+      (5L,   Array(1.0f, 2.0f),  9)    // rank 5: outside k=4
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.q117RetrievalEval(spark, tmp).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 0L && r.getInt(1) == 9)
+    assert(r.getDouble(r.fieldIndex("reciprocal_rank")) == 0.5)
+    assert(r.getLong(r.fieldIndex("n_relevant")) == 2L)
+    assert(r.getDouble(r.fieldIndex("precision_at_k")) == 0.5)
+  }
+
   test("q112: logistic score matches a hand computation and orders by lexicon density") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-qmodel").toString
