@@ -43,6 +43,47 @@ object Validation {
       .orderBy($"bucket")
   }
 
+  /** q118: skyline (Pareto frontier) — parts not dominated on
+    * (maximize p_size, maximize p_retailprice); the classic preference
+    * query whose declarative semantics is a quadratic NOT EXISTS
+    * dominance test. Executed as the standard two-phase distributed
+    * skyline: (1) local Pareto pruning — per-size max price, a map-side-
+    * combined aggregate that shrinks the corpus to one row per value of
+    * the first dimension (any same-size lower-price row is dominated by
+    * its size's maximum, so nothing on the frontier is lost); (2) the
+    * merge pass — one running-max window over that BOUNDED maxima frame
+    * (cardinality = the size domain, ~50 for integer sizes, never the
+    * corpus), keeping sizes whose max price strictly exceeds every
+    * larger size's; (3) a broadcast join back to recover all part rows
+    * carrying a frontier (size, price) pair — equal pairs are mutually
+    * non-dominating and all belong on the skyline, matching the
+    * NOT-EXISTS oracle's strictness exactly.
+    */
+  def q118Skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.load(s, dir, "part")
+      .select($"p_partkey", $"p_name", $"p_size", $"p_retailprice")
+    val maxima = p.groupBy($"p_size").agg(max($"p_retailprice").as("p_retailprice"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .orderBy($"p_size".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = maxima
+      .withColumn("prev_max", max($"p_retailprice").over(wPrev))
+      .filter($"prev_max".isNull || $"prev_max" < $"p_retailprice")
+      .select($"p_size", $"p_retailprice")
+    p.join(broadcast(frontier), Seq("p_size", "p_retailprice"))
+      .select($"p_partkey", $"p_name", $"p_size", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
+  val q118SkylineSql: String =
+    """SELECT p_partkey, p_name, p_size, p_retailprice FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+      |    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))
+      |ORDER BY p_partkey""".stripMargin
+
   val q115ReplicaChecksumSql: String =
     """WITH h AS (
       |  SELECT l_orderkey % 16 AS bucket,

@@ -29,6 +29,37 @@ class ValidationSpec extends SparkSpec {
     assert(sums(tmp) == base)
   }
 
+  test("q118: skyline equals the brute-force dominance test on real data") {
+    import spark.implicits._
+    val sky = Validation.q118Skyline(spark, dir)
+      .select($"p_partkey").as[Long].collect().toSet
+    val p = graft.sources.Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_size", $"p_retailprice")
+    val brute = p.as("p").crossJoin(p.as("q"))
+      .filter($"q.p_size" >= $"p.p_size" && $"q.p_retailprice" >= $"p.p_retailprice" &&
+        ($"q.p_size" > $"p.p_size" || $"q.p_retailprice" > $"p.p_retailprice"))
+      .select($"p.p_partkey").distinct().as[Long].collect().toSet
+    val all = p.select($"p_partkey").as[Long].collect().toSet
+    assert(sky == (all -- brute) && sky.nonEmpty)
+  }
+
+  test("q118: equal frontier pairs are both kept; dominated same-size rows drop") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sky").toString
+    Seq(
+      (1L, "a", 10, 100.0),  // frontier (largest size, top price there)
+      (2L, "b", 10, 100.0),  // identical pair: mutually non-dominating
+      (3L, "c", 10, 90.0),   // same size, lower price: dominated by 1/2
+      (4L, "d", 5, 120.0),   // smaller size but pricier: frontier
+      (5L, "e", 5, 120.0),   // its duplicate
+      (6L, "f", 3, 110.0)    // dominated by (5, 120)
+    ).toDF("p_partkey", "p_name", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val got = Validation.q118Skyline(spark, tmp)
+      .select($"p_partkey").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 4L, 5L))
+  }
+
   test("a single corrupted row flips exactly its own bucket") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-ck2").toString
