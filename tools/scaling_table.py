@@ -37,10 +37,11 @@ contract), inside the full-suite run (contended, min-of-two):
 | cdc_rows_per_sec (flat serializer) | {a["cdc_rows_per_sec"]:.0f} | {b["cdc_rows_per_sec"]:.0f} |
 | cdc_debezium_rows_per_sec (envelope twin) | {a["cdc_debezium_rows_per_sec"]:.0f} | {b["cdc_debezium_rows_per_sec"]:.0f} |
 
-Throughput RISES with scale (fixed costs amortize over 10x rows); the
-flat lane sits within ~15% of its envelope twin (the native
-`map_drop_key` expression keeps the projection inside whole-stage
-codegen — the round-6 2x deficit stays closed).
+Fixed costs amortize over 10x rows (throughput holds or rises with
+scale, modulo co-located load during a given run); the flat lane
+tracks its envelope twin (the native `map_drop_key` expression keeps
+the projection inside whole-stage codegen — the round-6 2x deficit
+stays closed).
 
 Errors: sf0.01 {a["errors"]}, sf0.1 {b["errors"]}.
 
