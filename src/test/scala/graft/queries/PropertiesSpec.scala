@@ -37,6 +37,31 @@ class PropertiesSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("property: q108 wildcard blocking == same-length brute force on random names") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // adversarial shape: tiny alphabet + short strings, so distance-1
+    // pairs, identical names, and different-length pairs all occur
+    val names = Gen.listOfN(120, for {
+      len <- Gen.chooseNum(3, 5)
+      cs  <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString).sample.get
+    val tmp = Files.createTempDirectory("graft-er-prop").toString
+    names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = Entity.q108EntityPairs(spark, tmp)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val idx = names.zipWithIndex
+    def lev1(a: String, b: String) = // same length: distance <= 1 == <= 1 substitution
+      a.length == b.length && a.zip(b).count { case (x, y) => x != y } <= 1
+    val model = (for {
+      (a, i) <- idx; (b, j) <- idx
+      if i < j && lev1(a, b)
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got == model)
+  }
+
   test("property: native word_shingle_hashes == declarative chain on random texts") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
