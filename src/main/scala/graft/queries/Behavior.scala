@@ -115,6 +115,41 @@ object Behavior {
       |  ON date_diff('day', du.day, axis.window_day) BETWEEN 0 AND 6
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q119: path analysis — the top length-3 event journeys (a -> b -> c
+    * per user, consecutive by time) with traversal and user-reach
+    * counts: the product-analytics "flows" report. One per-user window
+    * (both lags share the frame — a second shuffle never happens) then
+    * one path aggregate; top-k with a total tie-break order.
+    */
+  def q119EventPaths(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e1", lag($"event_type", 2).over(w))
+      .withColumn("e2", lag($"event_type", 1).over(w))
+      .filter($"e1".isNotNull)
+      .select(concat_ws(" > ", $"e1", $"e2", $"event_type").as("path"), $"user_id")
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_traversals"),
+        count_distinct($"user_id").as("n_users"))
+      .orderBy($"n_traversals".desc, $"path")
+      .limit(k)
+  }
+
+  val q119EventPathsSql: String =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    lag(event_type, 2) OVER w AS e1,
+      |    lag(event_type, 1) OVER w AS e2,
+      |    event_type AS e3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+      |  CAST(COUNT(*) AS BIGINT) AS n_traversals,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM t WHERE e1 IS NOT NULL
+      |GROUP BY 1 ORDER BY n_traversals DESC, path LIMIT 25""".stripMargin
+
   /** q116: point-in-time (SCD) join — every purchase picks up the
     * dimension attributes that were valid AT ITS TIMESTAMP (signup
     * events carry the user's segment; later signups supersede earlier

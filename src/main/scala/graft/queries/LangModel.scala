@@ -197,6 +197,41 @@ object LangModel {
       |  array_to_string(list_sort(list(doc_id))[1:5], ',') AS head_postings
       |FROM tf GROUP BY w ORDER BY df DESC, w LIMIT 50""".stripMargin
 
+  /** q120: conjunctive (AND) boolean retrieval — the other half of the
+    * retrieval pair next to q82's ranked BM25: documents containing ALL
+    * query terms, ranked by summed term frequency. Executes as the
+    * posting-list intersection the inverted index (q106) exists for:
+    * the scan filters to the broadcast-size query term set FIRST (at
+    * scale this is the partition-pruned read of those terms' posting
+    * shards), one (doc, term) tf aggregate, then a doc-level
+    * terms-present == |Q| gate — no self-join per term, no repeated
+    * corpus scans.
+    */
+  def q120BooleanRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("table", "row", "value")
+    val tf = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(ws).as("w"))
+      .filter($"w".isin(terms: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"tf").as("tf_sum"))
+      .filter($"n_terms" === terms.length)
+      .select($"doc_id", $"tf_sum")
+      .orderBy($"tf_sum".desc, $"doc_id")
+  }
+
+  val q120BooleanRetrievalSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w IN ('table', 'row', 'value')
+      |  GROUP BY doc_id, w)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
+      |FROM tf GROUP BY doc_id
+      |HAVING CAST(COUNT(*) AS BIGINT) = 3
+      |ORDER BY tf_sum DESC, doc_id""".stripMargin
+
   /** The q112 linear model: weights are independent literals on both
     * engines (the fastText/CCNet-style quality classifier stand-in — a
     * trained model would broadcast its weight vector the same way).

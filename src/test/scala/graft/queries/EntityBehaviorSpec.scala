@@ -66,6 +66,27 @@ class EntityBehaviorSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
 
+  test("q119: length-3 paths count traversals and distinct users correctly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-paths").toString
+    // user 1: a b c b c  -> paths: a>b>c, b>c>b, c>b>c
+    // user 2: a b c      -> paths: a>b>c
+    val rows =
+      Seq("a", "b", "c", "b", "c").zipWithIndex.map { case (t, i) =>
+        (1L, i.toLong, i.toLong, t) } ++
+      Seq("a", "b", "c").zipWithIndex.map { case (t, i) =>
+        (2L, i.toLong, (100 + i).toLong, t) }
+    rows.map { case (u, ts, id, t) => (id, ts, u, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Behavior.q119EventPaths(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("a > b > c", 2L, 2L),   // both users traverse it
+      ("b > c > b", 1L, 1L),
+      ("c > b > c", 1L, 1L)))
+  }
+
   test("q116: purchases see the dimension version valid at their instant") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-pit").toString

@@ -109,6 +109,21 @@ class GraphsLangModelSpec extends SparkSpec {
       ("2024-01-09", 1L, 2L)))  // dau {3}; wau covers day 5: {2,3}
   }
 
+  test("q120: AND retrieval keeps only all-terms docs, ranked by summed tf") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-bool").toString
+    Seq(
+      (1L, "table row value"),             // all three, tf_sum 3
+      (2L, "table table row value value"), // all three, tf_sum 5
+      (3L, "table row row row"),           // missing 'value'
+      (4L, "zz zz")                        // none
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = LangModel.q120BooleanRetrieval(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 5L), (1L, 3L)))
+  }
+
   test("q106: df/tf accounting and head postings on a micro-corpus") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-inv").toString
