@@ -25,6 +25,20 @@ import graft.sources.Tables
   */
 object Validation {
 
+  /** The reusable primitive under q115: per-bucket XOR of a 60-bit md5
+    * prefix over a caller-supplied canonical row string, plus counts.
+    * Two frames with equal output are content-identical per bucket
+    * regardless of row order or partitioning — compare source vs
+    * replica after a cutover (MigrationE2eSpec does exactly this).
+    */
+  def checksum(df: DataFrame, bucket: org.apache.spark.sql.Column,
+      canonical: org.apache.spark.sql.Column): DataFrame =
+    df.select(bucket.as("bucket"),
+        conv(substring(md5(canonical), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("bucket"))
+      .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n_rows"))
+      .orderBy(col("bucket"))
+
   /** q115: per-bucket XOR checksum + row count over lineitem. */
   def q115ReplicaChecksum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -35,12 +49,7 @@ object Validation {
       coalesce($"l_extendedprice".cast("decimal(12,2)").cast("string"), lit("∅")),
       coalesce($"l_returnflag", lit("∅")),
       coalesce($"l_shipdate".cast("string"), lit("∅")))
-    Tables.load(s, dir, "lineitem")
-      .select(($"l_orderkey" % 16).as("bucket"),
-        conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
-      .groupBy($"bucket")
-      .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n_rows"))
-      .orderBy($"bucket")
+    checksum(Tables.load(s, dir, "lineitem"), $"l_orderkey" % 16, canon)
   }
 
   /** q118: skyline (Pareto frontier) — parts not dominated on

@@ -87,5 +87,22 @@ class MigrationE2eSpec extends SparkSpec {
     // the serving path: bucket-pruned point lookup
     assert(graft.streaming.Materialize.lookup(spark, tbl, "3", nBuckets = 4)
       .collect().head.getMap[String, String](1)("v") == "v3")
+
+    // migration ACCEPTANCE (the q115 operator): order-insensitive
+    // per-bucket checksum of the replica equals the checksum of the
+    // independently-constructed expected state — cutover proven, not
+    // eyeballed
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.Validation.checksum(df,
+          col("id").cast("long") % 4,
+          concat_ws("|", col("id"), col("v")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val replicaFlat = graft.streaming.Materialize.replica(spark, tbl)
+      .select(col("k").as("id"), col("data")("v").as("v"))
+    val expected = ((3 to 8).map(i => (s"$i", s"v$i")) :+ ("1", "v1b"))
+      .toDF("id", "v")
+    assert(sums(replicaFlat) == sums(expected))
   }
 }
