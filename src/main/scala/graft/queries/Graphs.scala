@@ -24,6 +24,14 @@ import graft.sources.Tables
   * A fixed iteration count keeps the plan static (no driver-side
   * convergence loop over actions); real deployments pick iters by
   * graph diameter, exactly as here.
+  *
+  * One deliberate oracle-discipline trade-off: the per-node sorted
+  * fold materializes a node's in-neighbor contributions as one array,
+  * which for a web-scale hub node (unbounded in-degree) would be the
+  * bottleneck. That fold exists ONLY to make the double sum
+  * bit-reproducible against the oracle; the production form replaces
+  * `orderedSum` with a plain `sum($"c")` — same shuffle shape, no
+  * array, order-free within 1-2 ulp — and everything else unchanged.
   */
 object Graphs {
 
