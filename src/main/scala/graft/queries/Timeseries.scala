@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Time-series idioms over the event stream that every warehouse
+  * eventually grows: gaps-and-islands streaks, exact interval
+  * concurrency via a DISTRIBUTED prefix sum (the sweep line without a
+  * single-partition window), and EWMA smoothing as an ordered fold.
+  * Each pins a cross-engine corner (date arithmetic on islands, tie
+  * ordering at interval endpoints, fold seeding) under the DuckDB
+  * oracle.
+  */
+object Timeseries {
+
+  /** q121: gaps-and-islands — per-user streaks of consecutive active
+    * days. The island key is `day - row_number()` (consecutive days
+    * share it); two grouped aggregates collapse islands to per-user
+    * streak stats. At scale: one (user, day) distinct shuffle, then the
+    * window and both aggregates all key on user_id — AQE coalesces them
+    * onto one exchange footprint; nothing is quadratic and no state
+    * exceeds a user's day count.
+    */
+  def q121Streaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.load(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .withColumn("island", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"), max($"len").as("best_streak"))
+      .orderBy($"user_id")
+  }
+
+  val q121StreaksSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+      |  FROM du),
+      |st AS (
+      |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  max(len) AS best_streak
+      |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q122: exact session concurrency (peak per day) — the sweep line.
+    * Sessions come from the q16 gap rule (30 min); each emits a +1 at
+    * its start and a -1 at its end, and the concurrency curve is the
+    * GLOBAL running sum over (ts, delta DESC) — +1 before -1 at a tie,
+    * i.e. closed intervals: a session starting the instant another ends
+    * overlaps it.
+    *
+    * A global running sum is the textbook excuse for a single-partition
+    * window; this is the distributed form instead: range-partition the
+    * deltas on the sort key, run the per-partition running sum (one
+    * partition-local window), and add each partition's prefix offset —
+    * the per-partition totals are a ≤`parts`-row frame, so the offset
+    * window is bounded by construction and the broadcast join puts the
+    * offsets back without a shuffle. Tie groups split across partition
+    * boundaries are harmless: equal-delta runs reach the same prefix
+    * value multiset under any linear extension, so the per-day max is
+    * invariant.
+    */
+  def q122Sweepline(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sessions = Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_us".isNull || $"ts_us" - $"prev_us" > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
+    val deltas = sessions.select($"start_us".as("ts_us"), lit(1L).as("delta"))
+      .unionAll(sessions.select($"end_us".as("ts_us"), lit(-1L).as("delta")))
+    val ranged = deltas.repartitionByRange(parts, $"ts_us".asc, $"delta".desc)
+      .withColumn("pid", spark_partition_id())
+    // ≤`parts` rows: the one place a single-partition window is sound
+    val offsets = ranged.groupBy($"pid").agg(sum($"delta").as("ptotal"))
+      .withColumn("offset", coalesce(
+        sum($"ptotal").over(Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"pid", $"offset")
+    ranged
+      .withColumn("run", sum($"delta").over(
+        Window.partitionBy($"pid").orderBy($"ts_us".asc, $"delta".desc)))
+      .join(broadcast(offsets), "pid")
+      .groupBy(to_date(timestamp_micros($"ts_us")).as("day"))
+      .agg(max($"run" + $"offset").as("peak_concurrent"))
+      .orderBy($"day")
+  }
+
+  val q122SweeplineSql: String =
+    """WITH t AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |tagged AS (
+      |  SELECT user_id, ts_us,
+      |    sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM t),
+      |sessions AS (
+      |  SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+      |  FROM tagged GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT start_us AS ts_us, 1 AS delta FROM sessions
+      |  UNION ALL
+      |  SELECT end_us AS ts_us, -1 AS delta FROM sessions),
+      |curve AS (
+      |  SELECT ts_us,
+      |    sum(delta) OVER (ORDER BY ts_us, delta DESC
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM deltas)
+      |SELECT CAST(make_timestamp(ts_us) AS DATE) AS day,
+      |  CAST(max(run) AS BIGINT) AS peak_concurrent
+      |FROM curve GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q123: EWMA smoothing of the per-type daily event counts —
+    * `s_1 = x_1`, `s_i = 0.3·x_i + 0.7·s_{i-1}` — as an ordered
+    * `aggregate` fold over the collected day series. The fold is
+    * seeded with the first element (matching DuckDB's seedless
+    * `list_reduce`) and every coefficient is a shared literal, so the
+    * two engines execute the identical IEEE op sequence and the doubles
+    * hash-match bit-for-bit. Per-key state is the day axis (one struct
+    * per day), not the data mass — the same boundedness argument as
+    * q95's frame — and the counts feeding the fold are exact integers,
+    * so no float summation order can diverge upstream of it.
+    */
+  def q123Ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val folded = aggregate(
+      slice($"xs", lit(2), size($"xs") - 1),
+      array(struct(
+        element_at($"xs", 1).getField("day").as("day"),
+        element_at($"xs", 1).getField("n").as("n"),
+        element_at($"xs", 1).getField("n").cast("double").as("ewma"))),
+      (acc, x) => concat(acc, array(struct(
+        x.getField("day").as("day"),
+        x.getField("n").as("n"),
+        (lit(0.3) * x.getField("n") +
+          lit(0.7) * element_at(acc, size(acc)).getField("ewma")).as("ewma")))))
+    Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"n"))).as("xs"))
+      .select($"event_type", explode(folded).as("e"))
+      .select($"event_type", $"e.day".as("day"), $"e.n".as("n"),
+        $"e.ewma".as("ewma"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Oracle-only quadratic fold (the q103 discipline): DuckDB's
+    * `list_reduce` re-folds each prefix to surface the running value —
+    * O(days²) on the tiny day axis, oracle-side only.
+    */
+  val q123EwmaSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type,
+      |    list(day ORDER BY day) AS days,
+      |    list(n ORDER BY day) AS ns
+      |  FROM daily GROUP BY 1),
+      |ew AS (
+      |  SELECT event_type, unnest(days) AS day, unnest(ns) AS n,
+      |    unnest(list_transform(range(1, len(ns) + 1),
+      |      i -> list_reduce(list_transform(ns[1:i], v -> CAST(v AS DOUBLE)),
+      |             (a, x) -> 0.3 * x + 0.7 * a))) AS ewma
+      |  FROM ser)
+      |SELECT event_type, day, n, ewma FROM ew
+      |ORDER BY event_type, day""".stripMargin
+}

@@ -279,6 +279,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges:\n$p")
   }
 
+  test("q122: ONE range exchange, reused — pid assignment cannot diverge between branches") {
+    // the distributed prefix sum reads the range-partitioned deltas twice
+    // (offsets + running sum). Correctness requires both branches to see
+    // the SAME partition boundaries, i.e. the range exchange must execute
+    // once and be reused — two independent samplings could disagree.
+    val df = graft.SparkEntry.queries("q122_sweepline")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    // the delta frame's range exchange keys on (ts_us, delta) — distinct
+    // from the final day sort — and must execute once + be reused
+    val ranges = p.split("\n").count(l =>
+      l.contains("Exchange rangepartitioning(ts_us") && !l.contains("ReusedExchange"))
+    assert(ranges == 1, s"expected exactly one executed delta range exchange, got $ranges:\n$p")
+    assert(p.split("\n").exists(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning(ts_us")),
+      s"expected the offsets branch to reuse the delta range exchange:\n$p")
+    assert(p.contains("BroadcastExchange"), s"offsets must broadcast back:\n$p")
+  }
+
+  test("q125: the rank filter compiles to a window group limit (map-side top-k per stratum)") {
+    val p = plan("q125_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pre-pruning before the stratum exchange:\n$p")
+  }
+
+  test("q124: weighted sampling is a scan + TakeOrderedAndProject — no global sort") {
+    val p = plan("q124_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no sort exchange allowed:\n$p")
+  }
+
   test("q104/q105: the tiny model frames broadcast; the corpus joins at most by token stats") {
     for (name <- Seq("q104_bigram_lm", "q105_dsir_weights")) {
       val df = graft.SparkEntry.queries(name)(spark, dir)

@@ -1,0 +1,117 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic pins for the time-series family (q121-q123) and the
+  * deterministic samplers (q124/q125): hand-built timelines with known
+  * answers, the sweep-line partition-count invariance that proves the
+  * distributed prefix sum is really global, and the sampling laws
+  * (weight monotonicity, exact stratum quotas, determinism).
+  */
+class TimeseriesSamplingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** events fixture: ts written as NANOS longs (Tables.load decodes
+    * nanos-as-long — the q99 fixture convention).
+    */
+  private def writeEvents(rows: Seq[(Long, String, Long, String)]): String = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ts").toString
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .select($"event_id",
+        (unix_timestamp(to_timestamp($"ts_s")) * 1000000000L).as("ts"),
+        $"user_id", $"event_type",
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q121: island arithmetic on a hand-built activity timeline") {
+    // user 1: days 1-3 consecutive, then day 6 alone -> streaks {3, 1}
+    // user 2: one day                                 -> streaks {1}
+    val tmp = writeEvents(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-02 10:00:00", 1L, "click"),
+      (3L, "2024-01-02 18:00:00", 1L, "view"), // same day, must not split
+      (4L, "2024-01-03 10:00:00", 1L, "click"),
+      (5L, "2024-01-06 10:00:00", 1L, "click"),
+      (6L, "2024-01-01 10:00:00", 2L, "click")))
+    val got = Timeseries.q121Streaks(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("q122: peak concurrency pins the closed-interval tie rule") {
+    // Sessions (30-min gap rule, all intra-session gaps <= 25 min):
+    //   u1 09:30-10:20, u2 09:40-10:00, u3 10:00-10:20.
+    // u3 starts the instant u2 ends. Closed intervals (+1 sorts before
+    // -1 at a tie) -> all three overlap at 10:00, peak 3; a half-open
+    // rule would cap the day at 2 — so the assertion pins the tie order.
+    val tmp = writeEvents(Seq(
+      (1L, "2024-02-01 09:30:00", 1L, "a"), (2L, "2024-02-01 09:55:00", 1L, "a"),
+      (3L, "2024-02-01 10:20:00", 1L, "a"),
+      (4L, "2024-02-01 09:40:00", 2L, "a"), (5L, "2024-02-01 10:00:00", 2L, "a"),
+      (6L, "2024-02-01 10:00:00", 3L, "a"), (7L, "2024-02-01 10:20:00", 3L, "a")))
+    val got = Timeseries.q122Sweepline(spark, tmp).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 3L)
+  }
+
+  test("q122: result is invariant to the range-partition count") {
+    val base = Timeseries.q122Sweepline(spark, dir, parts = 1).collect().toSeq
+    for (p <- Seq(3, 32)) {
+      val got = Timeseries.q122Sweepline(spark, dir, parts = p).collect().toSeq
+      assert(got == base, s"parts=$p diverged from parts=1")
+    }
+  }
+
+  test("q123: fold matches the direct recurrence computed on the driver") {
+    import spark.implicits._
+    val got = Timeseries.q123Ewma(spark, dir)
+      .select($"event_type", $"n", $"ewma")
+      .collect().groupBy(_.getString(0))
+    for ((_, rows) <- got) {
+      var s = Double.NaN
+      rows.foreach { r =>
+        val x = r.getLong(1).toDouble
+        s = if (s.isNaN) x else 0.3 * x + 0.7 * s
+        assert(r.getDouble(2) == s) // identical op order -> bit-equal
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("q124: sample is deterministic and favors heavier docs") {
+    val a = Sampling.q124WeightedSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.q124WeightedSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.length == 200 && a.distinct.length == 200)
+    // E-S law: expected inclusion scales with weight. Proxy assertion:
+    // the sampled docs' mean n_chars exceeds the corpus mean.
+    import spark.implicits._
+    val corpusMean = graft.sources.Tables.load(spark, dir, "documents")
+      .agg(avg($"n_chars")).head.getDouble(0)
+    val sampleMean = Sampling.q124WeightedSample(spark, dir)
+      .agg(avg($"n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("q125: exact quota per stratum, disjoint and deterministic") {
+    import spark.implicits._
+    val got = Sampling.q125StratifiedSample(spark, dir)
+    val quota = got.groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = graft.sources.Tables.load(spark, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quota.keySet == avail.keySet)
+    for ((src, n) <- quota) assert(n == math.min(50L, avail(src)))
+    val ids = got.select($"doc_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length)
+  }
+}
