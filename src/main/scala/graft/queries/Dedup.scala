@@ -723,4 +723,41 @@ object Dedup {
       |SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
       |  (MIN(doc_id) < 1000000) AS from_history
       |FROM u GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  /** q126: prefix-filtered EXACT similarity join — the PPJoin-family
+    * answer to q40's quadratic baseline, and the deterministic sibling
+    * of the probabilistic q41/q42 scale paths. Tokens order globally by
+    * (document frequency asc, hash) — rarest first — and each doc keeps
+    * only its first `|sh| - ceil(tau*|sh|) + 1` tokens as its PREFIX.
+    * The classic prefix-filtering lemma (any pair with Jaccard >= tau
+    * must overlap within these prefixes under a shared total order)
+    * makes candidate generation LOSSLESS, so unlike LSH there is no
+    * recall envelope: the exact oracle gates this path with zero
+    * probabilistic caveats.
+    *
+    * At 100 TB: the df aggregate is one token shuffle (the inverted-
+    * index shape), the prefix keeps ~1-tau of each doc's tokens, and
+    * the candidate join only collides docs sharing a RARE token —
+    * hot-token blowup is capped because a frequent token is almost
+    * never inside anyone's prefix. The epsilon in the ceil guards the
+    * conservative direction against float round-up (a longer prefix is
+    * always sound; a shorter one is not).
+    */
+  def q126PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = shingled(s, dir)
+    val ex = docs.select($"doc_id", explode($"sh").as("g"))
+    val dfc = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+    val byRarity = w.partitionBy($"doc_id").orderBy($"df", $"g")
+    val prefix = ex.join(dfc, "g")
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(w.partitionBy($"doc_id")))
+      .filter($"pos" <= $"n" - ceil($"n" * lit(Tau) - lit(1e-9)) + 1)
+      .select($"doc_id", $"g")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+    verifyPairs(cands, docs)
+  }
 }
