@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{CosineSimilarity, Fnv1a32, MapDropKey, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
+import graft.functions.{CosineSimilarity, Fnv1a32, MapDropKey, MapMaskKeys, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -60,6 +60,8 @@ object GraftExtensions {
       arity(1, "fnv1a32")(a => Fnv1a32(a.head))),
     ("map_drop_key", MapDropKey.info,
       arity(2, "map_drop_key")(a => MapDropKey(a.head, a(1)))),
+    ("map_mask_keys", MapMaskKeys.info,
+      arity(3, "map_mask_keys")(a => MapMaskKeys(a.head, a(1), a(2)))),
     ("min_shingle_md5", MinShingleMd5.info, args => {
       require(args.length == 1 || args.length == 2,
         "min_shingle_md5(text[, n]) takes 1 or 2 arguments")

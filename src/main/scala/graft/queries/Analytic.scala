@@ -663,6 +663,41 @@ object Analytic {
       .orderBy($"key", $"value")
   }
 
+  /** q127: the outbox event router (Debezium outbox SMT parity) under
+    * the oracle. The events table plays the outbox table — each row an
+    * INSERT whose post-image carries `aggregatetype`/`aggregateid`/
+    * `payload`/`id` — and [[graft.transform.Handlers.outboxRoute]]
+    * emits the sink contract: derived topic, aggregate key, payload
+    * VERBATIM (no re-serialization), id header. The oracle re-derives
+    * all four as plain strings, proving route/key/payload/id fidelity.
+    * One scan, pure projection — nothing to shuffle at any scale.
+    */
+  def q127Outbox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outbox = Tables.load(s, dir, "events").select(
+      $"ts".as("eventTime"),
+      lit("public").as("tableNamespace"), lit("outbox").as("tableName"),
+      lit(null).cast("map<string,string>").as("oldData"),
+      map(
+        lit("id"), $"event_id".cast("string"),
+        lit("aggregatetype"), $"event_type",
+        lit("aggregateid"), $"user_id".cast("string"),
+        lit("payload"), $"props").as("newData"),
+      lit(graft.model.Op.Insert).as("op"))
+    graft.transform.Handlers.outboxRoute(outbox)
+      .select($"topic", $"key".cast("string").as("key"),
+        $"value".cast("string").as("value"),
+        element_at($"headers", 1).getField("value").cast("string").as("hdr_id"))
+      .orderBy($"hdr_id")
+  }
+
+  val q127OutboxSql: String =
+    """SELECT 'outbox.event.' || event_type AS topic,
+      |  CAST(user_id AS VARCHAR) AS key,
+      |  props AS value,
+      |  CAST(event_id AS VARCHAR) AS hdr_id
+      |FROM events ORDER BY hdr_id""".stripMargin
+
   val q83DebeziumSql: String =
     """WITH log AS (
       |  SELECT event_id, ts, user_id, event_type,

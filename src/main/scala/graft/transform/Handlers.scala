@@ -183,6 +183,78 @@ object Handlers {
       .drop("_oversize")
   }
 
+  /** Field masking (Debezium `MaskField` SMT parity): blind the named
+    * image columns in BOTH row images before serialization — PII never
+    * reaches the sink topic, while key extraction / routing still see
+    * the full map. Native `map_mask_keys` expression, not a
+    * `transform_values` lambda, for the same whole-stage-codegen reason
+    * as the serializer's `map_drop_key` ([[MapDropKey]] scaladoc): one
+    * fallback expression would unfuse the entire serializer stage.
+    */
+  def maskImage(events: DataFrame, fields: Seq[String],
+      mask: String = "***"): DataFrame = {
+    graft.GraftExtensions.register(events.sparkSession)
+    val keys = array(fields.map(lit): _*)
+    events
+      .withColumn("oldData",
+        call_function("map_mask_keys", col("oldData"), keys, lit(mask)))
+      .withColumn("newData",
+        call_function("map_mask_keys", col("newData"), keys, lit(mask)))
+  }
+
+  /** Outbox event router (Debezium's outbox SMT, the transactional-
+    * outbox pattern): the source table IS the envelope — each INSERT
+    * carries its destination in `aggregatetype`, its partition key in
+    * `aggregateid`, and a pre-serialized `payload`. The router reads
+    * the post-image and emits the sink contract directly: topic =
+    * `<prefix><aggregatetype>`, key = aggregateid, value = the payload
+    * verbatim (no re-serialization — the producer service owns the
+    * schema), plus the outbox row id as a header for consumer-side
+    * idempotence. UPDATE/DELETE on an outbox table are housekeeping,
+    * not events — only inserts route, matching the SMT's semantics.
+    */
+  def outboxRoute(events: DataFrame, topicPrefix: String = "outbox.event.",
+      routeField: String = "aggregatetype", keyField: String = "aggregateid",
+      payloadField: String = "payload", idField: String = "id"): DataFrame = {
+    val img = col("newData")
+    events.filter(col("op") === Op.Insert)
+      .select(
+        concat(lit(topicPrefix), element_at(img, routeField)).as("topic"),
+        element_at(img, keyField).cast("binary").as("key"),
+        element_at(img, payloadField).cast("binary").as("value"),
+        array(struct(lit("id").as("key"),
+          element_at(img, idField).cast("binary").as("value"))).as("headers"))
+  }
+
+  /** Tombstones for log-compacted topics: each DELETE additionally
+    * emits a null-value record under the same key, so compaction can
+    * reclaim the key after the delete itself ages out (Debezium's
+    * `tombstones.on.delete`). The tombstone shares the delete's topic
+    * and key (hence its partition); within a micro-batch the sink
+    * appends the serialized delete and its tombstone in frame order —
+    * compose before the per-key ordered-delivery lane if cross-batch
+    * ordering matters, and keep the `tombstone` header so a consumer
+    * can tell an explicit null payload from a compaction marker.
+    */
+  def tombstonesFor(events: DataFrame, router: TopicRouter,
+      keyField: String): DataFrame =
+    events.filter(col("op") === Op.Delete)
+      .withColumn("topic",
+        router.resolveColumn(col("tableNamespace"), col("tableName")))
+      .filter(col("topic").isNotNull)
+      .select(
+        col("topic"),
+        element_at(col("oldData"), keyField).cast("binary").as("key"),
+        lit(null).cast("binary").as("value"),
+        array(struct(lit("tombstone").as("key"),
+          lit("true").cast("binary").as("value"))).as("headers"))
+
+  /** [[declarative]] plus a trailing tombstone per DELETE. */
+  def declarativeWithTombstones(events: DataFrame, router: TopicRouter,
+      keyField: String): DataFrame =
+    declarative(events, router, keyField)
+      .unionAll(tombstonesFor(events, router, keyField))
+
   /** Kafka wire-size estimate of a record (reference O18,
     * `producer_batch.go:199-206`: 14 bytes fixed overhead + key + value +
     * per-header key/value). Usable to enforce `producerBatchBytes`

@@ -177,4 +177,79 @@ class HandlersSpec extends SparkSpec {
     assert(dlqHeaders.contains("dlq-reason"))
     assert(out(0).getSeq[org.apache.spark.sql.Row](out(0).fieldIndex("headers")).isEmpty)
   }
+
+  test("maskImage blinds named fields in both images; key extraction still works") {
+    import spark.implicits._
+    val events = Seq(ev(Op.Update,
+      oldD = Map("id" -> "4", "email" -> "old@x.io", "name" -> "n"),
+      newD = Map("id" -> "4", "email" -> "new@x.io", "name" -> "n"))).toDF()
+    val out = Handlers.declarative(
+      Handlers.maskImage(events, Seq("email")), router, "id").collect()(0)
+    assert(new String(out.getAs[Array[Byte]]("key")) == "4") // unmasked field intact
+    val value = new String(out.getAs[Array[Byte]]("value"))
+    assert(value.contains(""""email":"***"""") && !value.contains("new@x.io"))
+    // pre-image masked too: DELETE serializes oldData
+    val del = Seq(ev(Op.Delete,
+      oldD = Map("id" -> "5", "email" -> "bye@x.io"))).toDF()
+    val dv = new String(Handlers.declarative(
+      Handlers.maskImage(del, Seq("email")), router, "id")
+      .collect()(0).getAs[Array[Byte]]("value"))
+    assert(dv.contains(""""email":"***"""") && !dv.contains("bye@x.io"))
+  }
+
+  test("maskImage stays inside whole-stage codegen (no fallback lambda)") {
+    import spark.implicits._
+    // a file-backed frame: a local relation constant-folds the whole
+    // projection away and there would be no codegen stage to inspect
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mask").toString
+    Seq(ev(Op.Insert, newD = Map("id" -> "1", "email" -> "a@b.c"))).toDF()
+      .write.mode("overwrite").parquet(tmp)
+    val events = spark.read.parquet(tmp)
+    val df = Handlers.declarative(Handlers.maskImage(events, Seq("email")), router, "id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("map_mask_keys"), s"expected the native expression:\n$p")
+    val projLines = p.split("\n").filter(_.contains("map_mask_keys"))
+    assert(projLines.exists(_.contains("*(")),
+      s"masking must not unfuse the serializer projection:\n$p")
+  }
+
+  test("tombstones: DELETE emits its record plus a null-value tombstone on the same key") {
+    import spark.implicits._
+    val events = Seq(
+      ev(Op.Delete, oldD = Map("id" -> "9", "name" -> "gone")),
+      ev(Op.Insert, newD = Map("id" -> "1", "name" -> "new"))).toDF()
+    val out = Handlers.declarativeWithTombstones(events, router, "id").collect()
+    assert(out.length == 3) // INSERT + DELETE + 1 tombstone
+    val tombs = out.filter(_.isNullAt(2))
+    assert(tombs.length == 1)
+    val t = tombs.head
+    assert(t.getString(0) == "users-topic")
+    assert(new String(t.getAs[Array[Byte]]("key")) == "9") // same key as the delete
+    val hs = t.getSeq[org.apache.spark.sql.Row](t.fieldIndex("headers"))
+      .map(h => h.getString(0) -> new String(h.getAs[Array[Byte]](1))).toMap
+    assert(hs == Map("tombstone" -> "true"))
+    // non-deletes never tombstone
+    assert(out.count(r => !r.isNullAt(2)) == 2)
+  }
+
+  test("outboxRoute: only inserts route; topic/key/payload/id come from the image") {
+    import spark.implicits._
+    val outbox = Seq(
+      ev(Op.Insert, table = "outbox", newD = Map(
+        "id" -> "e-1", "aggregatetype" -> "order", "aggregateid" -> "42",
+        "payload" -> """{"total":9}""")),
+      ev(Op.Delete, table = "outbox", oldD = Map(
+        "id" -> "e-0", "aggregatetype" -> "order", "aggregateid" -> "41",
+        "payload" -> "{}"))).toDF()
+    val out = Handlers.outboxRoute(outbox).collect()
+    assert(out.length == 1) // housekeeping DELETE does not route
+    val r = out.head
+    assert(r.getString(0) == "outbox.event.order")
+    assert(new String(r.getAs[Array[Byte]]("key")) == "42")
+    assert(new String(r.getAs[Array[Byte]]("value")) == """{"total":9}""")
+    val hs = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("headers"))
+      .map(h => h.getString(0) -> new String(h.getAs[Array[Byte]](1))).toMap
+    assert(hs == Map("id" -> "e-1"))
+  }
 }
