@@ -663,6 +663,47 @@ object Analytic {
       .orderBy($"key", $"value")
   }
 
+  /** q128: per-group winsorization — outliers clipped to the exact
+    * [p05, p95] band before aggregation, the robust-statistics guard
+    * every metrics pipeline ends up needing. Two passes, both scale-
+    * correct: one grouped exact-percentile aggregate over the handful
+    * of groups (interpolated PERCENTILE_CONT semantics, matching
+    * DuckDB's quantile_cont), whose tiny result broadcasts back onto
+    * the fact scan for the clip-and-sum pass — the naive per-group
+    * window would drag every row through a per-flag sort instead. The
+    * clipped sum rounds to 2 dp: summation ORDER differs across
+    * engines/partitionings, and cent-rounding absorbs the sub-ULP tail
+    * while the bounds themselves are deterministic.
+    */
+  def q128Winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val bounds = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(first($"p05"), 2).as("p05"),
+        round(first($"p95"), 2).as("p95"),
+        round(sum(least(greatest($"l_extendedprice", $"p05"), $"p95")), 2)
+          .as("winsorized_sum"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q128WinsorizeSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS p05,
+      |    quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem GROUP BY 1)
+      |SELECT li.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(min(b.p05), 2) AS p05, round(min(b.p95), 2) AS p95,
+      |  round(SUM(least(greatest(li.l_extendedprice, b.p05), b.p95)), 2)
+      |    AS winsorized_sum
+      |FROM lineitem li JOIN b ON b.l_returnflag = li.l_returnflag
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q127: the outbox event router (Debezium outbox SMT parity) under
     * the oracle. The events table plays the outbox table — each row an
     * INSERT whose post-image carries `aggregatetype`/`aggregateid`/

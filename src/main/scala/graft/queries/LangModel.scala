@@ -294,4 +294,59 @@ object LangModel {
       |  CAST(score_d AS FLOAT) AS quality_score, score_d >= 0.5 AS keep
       |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  /** q129: collocation mining — pointwise mutual information over the
+    * corpus bigrams, `PMI(a,b) = ln(c_ab·M²/(N·c_a·c_b))` with unigram
+    * mass M and bigram mass N, min-support 5, top-k. The statistics are
+    * exact integer counts (two grouped aggregates, the q104 shapes);
+    * the two tiny scalar masses ride a broadcast crossJoin; and the PMI
+    * is ONE fixed-shape double expression so both engines execute the
+    * identical IEEE sequence — presented as float per the q104 ln-ULP
+    * rule, with the bigram as a total tie-break. At 100 TB the only
+    * shuffles are the token/bigram count aggregates; the final top-k is
+    * a TakeOrderedAndProject merge.
+    */
+  def q129Pmi(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
+    val uni = docs.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val m = uni.agg(sum($"c1").as("m"))
+    val bi = docs.select(explode(zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+    val n = bi.agg(sum($"c2").as("n"))
+    bi.filter($"c2" >= 5)
+      .withColumn("w1", split($"b", " ").getItem(0))
+      .withColumn("w2", split($"b", " ").getItem(1))
+      .join(uni.select($"w".as("w1"), $"c1".as("ca")), "w1")
+      .join(uni.select($"w".as("w2"), $"c1".as("cb")), "w2")
+      .crossJoin(broadcast(m)).crossJoin(broadcast(n))
+      .select($"b".as("bigram"), $"c2".as("n_pair"),
+        log(($"c2".cast("double") * $"m" * $"m") /
+          ($"n".cast("double") * $"ca" * $"cb")).cast("float").as("pmi"))
+      .orderBy($"pmi".desc, $"bigram")
+      .limit(k)
+  }
+
+  val q129PmiSql: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM w GROUP BY w),
+      |m AS (SELECT CAST(SUM(c1) AS BIGINT) AS m FROM uni),
+      |ws AS (SELECT string_split(text, ' ') AS l FROM documents),
+      |bg AS (SELECT unnest(list_transform(range(1, greatest(len(l), 1)),
+      |         i -> l[i] || ' ' || l[i + 1])) AS b FROM ws),
+      |bi AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY b),
+      |n AS (SELECT CAST(SUM(c2) AS BIGINT) AS n FROM bi)
+      |SELECT bi.b AS bigram, bi.c2 AS n_pair,
+      |  CAST(ln((CAST(bi.c2 AS DOUBLE) * m.m * m.m)
+      |    / (CAST(n.n AS DOUBLE) * ua.c1 * ub.c1)) AS FLOAT) AS pmi
+      |FROM bi
+      |JOIN uni ua ON ua.w = string_split(bi.b, ' ')[1]
+      |JOIN uni ub ON ub.w = string_split(bi.b, ' ')[2]
+      |CROSS JOIN m CROSS JOIN n
+      |WHERE bi.c2 >= 5
+      |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin
 }

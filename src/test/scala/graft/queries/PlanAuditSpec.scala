@@ -310,6 +310,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), s"no sort exchange allowed:\n$p")
   }
 
+  test("q128: percentile bounds broadcast back — the fact side is never window-sorted") {
+    val p = plan("q128_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the bounds frame broadcast onto the fact scan:\n$p")
+    assert(!p.contains("Window"), s"no per-group window sort allowed:\n$p")
+  }
+
+  test("q129: PMI top-k is a TakeOrderedAndProject over count aggregates") {
+    val p = plan("q129_pmi")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(p.contains("BroadcastExchange"), s"expected the scalar masses broadcast:\n$p")
+  }
+
   test("q104/q105: the tiny model frames broadcast; the corpus joins at most by token stats") {
     for (name <- Seq("q104_bigram_lm", "q105_dsir_weights")) {
       val df = graft.SparkEntry.queries(name)(spark, dir)
