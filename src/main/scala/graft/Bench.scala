@@ -49,14 +49,16 @@ object Bench {
     // same GC debt). Sweep each query's new persistent RDDs once its
     // attempts finish. The dedup family's shared shingle/pair caches
     // are the deliberate exception: they persist ACROSS a family
-    // segment (built at q40, reused through q45; rebuilt at q72 for
-    // q72/q75; rebuilt at q94 for q94/q98), so family members skip the
+    // segment (built at q126 — alphabetically first since round 7 —
+    // and reused through q45; rebuilt at q72 for q72/q75; rebuilt at
+    // q94 for q94/q98), so family members skip the
     // per-query sweep entirely and each segment END (q45, q75, q98)
     // drops the shared frames via clearCaches, then sweeps EVERYTHING
     // created since the segment's first member — which also reclaims
     // mid-family members' own localCheckpoints (e.g. q72's BFS
     // frontier/visited frames) that their own turn skipped.
-    val cacheSharers = Set("q40_ngram_jaccard", "q41_minhash_lsh",
+    val cacheSharers = Set("q126_prefix_join", "q40_ngram_jaccard",
+      "q41_minhash_lsh",
       "q42_simhash", "q45_dup_clusters", "q72_bfs_depth", "q75_edit_distance",
       "q94_triangles", "q98_best_keeper")
     val familyEnds = Set("q45_dup_clusters", "q75_edit_distance", "q98_best_keeper")

@@ -317,6 +317,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no per-group window sort allowed:\n$p")
   }
 
+  test("q126: prefix-filtered candidates come from an equijoin — never a quadratic join") {
+    // q126 exists to re-derive q40's exact pair set WITHOUT the all-pairs
+    // shape: candidates must collide through the rare-token-prefix
+    // equijoin. A cartesian/nested-loop anywhere means the filter
+    // degenerated to the baseline it replaces.
+    val p = plan("q126_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"prefix filtering must not go quadratic:\n$p")
+    // any hash/merge EQUIjoin qualifies — at sf0.001 AQE broadcasts every
+    // side, at scale the same plan shuffles on the token key
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the prefix-token equijoin:\n$p")
+  }
+
   test("q129: PMI top-k is a TakeOrderedAndProject over count aggregates") {
     val p = plan("q129_pmi")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
