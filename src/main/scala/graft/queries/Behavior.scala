@@ -209,4 +209,43 @@ object Behavior {
       |  FROM events)
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
+
+  /** q131: first-order Markov transition matrix over per-user event
+    * sequences — the journey model behind next-action prediction and
+    * flow sankeys. One per-user `lead` window produces the (src, dst)
+    * stream, one grouped aggregate counts it, and the row-normalized
+    * probability divides by a per-src windowed sum over the tiny
+    * |types|² count frame (bounded by construction — never the event
+    * mass). The oracle orders the lead by `epoch_us(ts)` because Spark
+    * reads the nanos timestamps µs-truncated: sub-µs ordering must not
+    * leak into sequence construction on either engine (ties break by
+    * event_id). Probability is one double division cast to float.
+    */
+  def q131Markov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("dst", lead($"event_type", 1).over(w))
+      .filter($"dst".isNotNull)
+      .groupBy($"event_type".as("src"), $"dst")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", ($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"src")).cast("double")).cast("float"))
+      .orderBy($"src", $"dst")
+  }
+
+  val q131MarkovSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_us(ts), event_id) AS dst
+      |  FROM events),
+      |c AS (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  CAST(CAST(n AS DOUBLE) /
+      |       CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS FLOAT) AS p
+      |FROM c ORDER BY src, dst""".stripMargin
 }

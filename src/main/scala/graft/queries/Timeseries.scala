@@ -184,4 +184,98 @@ object Timeseries {
       |  FROM ser)
       |SELECT event_type, day, n, ewma FROM ew
       |ORDER BY event_type, day""".stripMargin
+
+  /** q130: calendar gap filling with last-observation-carried-forward —
+    * the densify step before any rolling metric: every user's daily
+    * series gets its missing days materialized (`sequence` over the
+    * per-user [min, max] span), zero-filled counts, a `filled` flag,
+    * and the carried-forward last observed count via an IGNORE NULLS
+    * running `last`. At scale everything keys on user_id: the daily
+    * aggregate, the span aggregate, the axis join, and the ffill
+    * window share one exchange footprint under AQE, and the explode
+    * fan-out is bounded by each user's own span (never a global axis).
+    */
+  def q130GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.load(s, dir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val axis = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    axis.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        $"n_events".isNull.as("filled"),
+        last($"n_events", ignoreNulls = true)
+          .over(Window.partitionBy($"user_id").orderBy($"day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("carried"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val q130GapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |axis AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)),
+      |j AS (
+      |  SELECT a.user_id, a.day, d.n_events FROM axis a
+      |  LEFT JOIN daily d ON d.user_id = a.user_id AND d.day = a.day)
+      |SELECT user_id, day, COALESCE(n_events, 0) AS n_events,
+      |  n_events IS NULL AS filled,
+      |  last_value(n_events IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+      |FROM j ORDER BY user_id, day""".stripMargin
+
+  /** q132: robust outlier counting by median absolute deviation — the
+    * metric-quality monitor that survives the heavy tails a mean/stddev
+    * z-score drowns in. Two exact-percentile passes (per-type median,
+    * then the median of absolute deviations — interpolated
+    * PERCENTILE_CONT semantics, the q128 convention), each a grouped
+    * aggregate over the handful of event types whose tiny result
+    * broadcasts back onto the fact scan. The outlier rule compares on a
+    * 1e-6 rounding grid on BOTH engines so a sub-ULP interpolation
+    * difference cannot flip a count (the q128 cent-rounding argument,
+    * applied to the comparison instead of the sum); the reported
+    * med/mad round to 2 dp. For groups too large to hold an exact
+    * percentile multiset, the scale path is the q102 mergeable sketch —
+    * registered exact so the oracle gates the rule itself.
+    */
+  def q132MadAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events").select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(round($"adev", 6) > round($"mad" * lit(3.0), 6), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first($"med"), 2).as("med"),
+        round(first($"mad"), 2).as("mad"))
+      .orderBy($"event_type")
+  }
+
+  val q132MadAnomalySql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN round(d.adev, 6) > round(ma.mad * 3.0, 6)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(min(d.med), 2) AS med, round(min(ma.mad), 2) AS mad
+      |FROM dev d JOIN mad ma USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

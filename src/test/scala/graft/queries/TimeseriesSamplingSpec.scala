@@ -114,4 +114,55 @@ class TimeseriesSamplingSpec extends SparkSpec {
     val ids = got.select($"doc_id").as[Long].collect()
     assert(ids.distinct.length == ids.length)
   }
+
+  test("q130: gap days are zero-filled, flagged, and carry the last observation") {
+    // user 1: 2 events on day 1, none on day 2, 1 on day 3
+    // -> day 2 materializes with n_events=0, filled=true, carried=2
+    val tmp = writeEvents(Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "a"), (2L, "2024-03-01 11:00:00", 1L, "a"),
+      (3L, "2024-03-03 10:00:00", 1L, "a"),
+      (4L, "2024-03-05 10:00:00", 2L, "a")))
+    val got = Timeseries.q130GapFill(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toList
+    assert(got == List(
+      (1L, "2024-03-01", 2L, false, 2L),
+      (1L, "2024-03-02", 0L, true, 2L),
+      (1L, "2024-03-03", 1L, false, 1L),
+      (2L, "2024-03-05", 1L, false, 1L)))
+  }
+
+  test("q131: transition counts and row-normalized probabilities") {
+    // user 1: a -> b -> a ; user 2: a -> c
+    // transitions: (a,b)=1 (a,c)=1 (b,a)=1 -> p(a,b)=p(a,c)=0.5, p(b,a)=1
+    val tmp = writeEvents(Seq(
+      (1L, "2024-04-01 10:00:00", 1L, "a"),
+      (2L, "2024-04-01 10:01:00", 1L, "b"),
+      (3L, "2024-04-01 10:02:00", 1L, "a"),
+      (4L, "2024-04-01 10:00:00", 2L, "a"),
+      (5L, "2024-04-01 10:01:00", 2L, "c")))
+    val got = Behavior.q131Markov(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getFloat(3))).toList
+    assert(got == List(
+      ("a", "b", 1L, 0.5f), ("a", "c", 1L, 0.5f), ("b", "a", 1L, 1.0f)))
+  }
+
+  test("q132: MAD flags the planted spike and nothing else") {
+    import spark.implicits._
+    // values 1..9 plus a 100 spike: median 5.5, MAD of the abs
+    // deviations {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5} = 2.5,
+    // threshold 7.5 -> exactly one outlier (the spike)
+    val tmp = Files.createTempDirectory("graft-mad").toString
+    (1 to 10).map(i => (i.toLong, if (i == 10) 100.0 else i.toDouble))
+      .toDF("event_id", "value")
+      .select($"event_id", lit(1704103200000000000L).as("ts"),
+        lit(1L).as("user_id"), lit("a").as("event_type"),
+        $"value", lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Timeseries.q132MadAnomaly(spark, tmp).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 5.5 && r.getDouble(4) == 2.5)
+  }
 }
