@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -349,4 +350,104 @@ object LangModel {
       |CROSS JOIN m CROSS JOIN n
       |WHERE bi.c2 >= 5
       |ORDER BY pmi DESC, bigram LIMIT 100""".stripMargin
+
+  /** q133: vocabulary-growth (Heaps-law) profile — per docid-bucket
+    * token mass, newly-seen type count, and their running totals: the
+    * curve a corpus builder reads to decide whether more crawl still
+    * buys vocabulary. Exact integers only. "New in bucket b" = the
+    * type's min doc_id lands in b, so the per-bucket numbers come from
+    * two grouped aggregates (token mass; min-doc per type) — the full
+    * (doc, type) mass never sorts globally. The cumulative window runs
+    * over the BUCKET frame only; `bucketDocs` is the operator's scale
+    * knob (pick it so #buckets stays ~1e4 at any corpus size — the
+    * q95 bounded-frame argument; a fixed-width global axis, not a
+    * data-mass window).
+    */
+  def q133VocabGrowth(s: SparkSession, dir: String, bucketDocs: Int = 50): DataFrame = {
+    import s.implicits._
+    val tok = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(ws).as("w"))
+    val bucketTokens = tok
+      .groupBy(floor($"doc_id" / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("bucket_tokens"))
+    val newTypes = tok.groupBy($"w").agg(min($"doc_id").as("fd"))
+      .groupBy(floor($"fd" / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val cum = Window.partitionBy(lit(0)).orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketTokens.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce($"new_types", lit(0L)))
+      .withColumn("cum_tokens", sum($"bucket_tokens").over(cum))
+      .withColumn("cum_types", sum($"new_types").over(cum))
+      .orderBy($"bucket")
+  }
+
+  val q133VocabGrowthSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |bt AS (
+      |  SELECT CAST(floor(doc_id / 50) AS BIGINT) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS bucket_tokens
+      |  FROM tok GROUP BY 1),
+      |nt AS (
+      |  SELECT CAST(floor(fd / 50) AS BIGINT) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS new_types
+      |  FROM (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1) GROUP BY 1)
+      |SELECT bt.bucket, bt.bucket_tokens,
+      |  COALESCE(nt.new_types, 0) AS new_types,
+      |  CAST(SUM(bt.bucket_tokens) OVER (ORDER BY bt.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY bt.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+      |FROM bt LEFT JOIN nt USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
+  /** q134: Zipf rank-frequency fit — least-squares slope/intercept of
+    * ln(freq) on ln(rank) over the top-1000 types, the one-row corpus
+    * health number (natural text sits near slope −1; a far-off slope
+    * flags boilerplate or spam). The frequency aggregate is the only
+    * corpus-mass shuffle; top-1000 rides a `TakeOrderedAndProject`
+    * merge and the rank window runs on that bounded frame. The five
+    * regression sums accumulate doubles in partition order, so the
+    * closed-form slope is presented as FLOAT: the sums' relative error
+    * is ~1e-13 while float resolves ~6e-8 — the q104 presentation rule
+    * derived from an explicit error bound rather than luck.
+    */
+  def q134ZipfSlope(s: SparkSession, dir: String, topN: Int = 1000): DataFrame = {
+    import s.implicits._
+    val top = Tables.load(s, dir, "documents")
+      .select(explode(ws).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(topN)
+    top
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy($"c".desc, $"w")))
+      .select(log($"rank".cast("double")).as("x"), log($"c".cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"n_terms",
+        (($"n_terms" * $"sxy" - $"sx" * $"sy") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx")).as("slope_d"),
+        $"sx", $"sy")
+      .select($"n_terms", $"slope_d".cast("float").as("slope"),
+        (($"sy" - $"slope_d" * $"sx") / $"n_terms").cast("float").as("intercept"))
+  }
+
+  val q134ZipfSlopeSql: String =
+    """WITH c AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1 ORDER BY c DESC, w LIMIT 1000),
+      |r AS (
+      |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+      |    ln(CAST(c AS DOUBLE)) AS y FROM c),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM r)
+      |SELECT n_terms,
+      |  CAST((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS FLOAT) AS slope,
+      |  CAST((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+      |       / n_terms AS FLOAT) AS intercept
+      |FROM sums""".stripMargin
 }

@@ -138,4 +138,41 @@ class GraphsLangModelSpec extends SparkSpec {
     // ordered by df desc then term asc
     assert(rows.map(_.getString(0)).toSeq == Seq("x", "y", "z"))
   }
+
+  test("q133: new-type accounting on a micro-corpus with a tiny bucket width") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-heaps").toString
+    // bucket width 2: bucket 0 = docs {0,1}, bucket 1 = docs {2}
+    // bucket 0 introduces {a,b,c} (5 tokens), bucket 1 repeats a,b and
+    // introduces d (3 tokens) -> new_types 3 then 1
+    (Seq((0L, "a b a"), (1L, "b c"), (2L, "a b d"))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = LangModel.q133VocabGrowth(spark, tmp, bucketDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    assert(got == List((0L, 5L, 3L, 5L, 3L), (1L, 3L, 1L, 8L, 4L)))
+  }
+
+  test("q134: slope/intercept match the driver-computed least squares") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-zipf").toString
+    // frequencies 12,6,4,3 on ranks 1..4: exactly c = 12/r, so
+    // ln c = ln 12 - 1·ln r and the least-squares fit recovers the
+    // perfect line (slope -1, intercept ln 12) up to float
+    val corpus = Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++ Seq.fill(4)("w3") ++ Seq.fill(3)("w4")
+    Seq((0L, corpus.mkString(" "))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = LangModel.q134ZipfSlope(spark, tmp).collect().head
+    val xs = (1 to 4).map(i => math.log(i.toDouble))
+    val ys = Seq(12, 6, 4, 3).map(c => math.log(c.toDouble))
+    val (n, sx, sy) = (4.0, xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getFloat(1) - slope) < 1e-6, s"slope ${r.getFloat(1)} vs $slope")
+    assert(math.abs(r.getFloat(2) - intercept) < 1e-6)
+    assert(math.abs(slope + 1.0) < 1e-12 && math.abs(intercept - math.log(12.0)) < 1e-12)
+  }
 }
