@@ -760,4 +760,61 @@ object Dedup {
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
     verifyPairs(cands, docs)
   }
+
+  /** q135: containment (subset-similarity) join — ordered pairs where
+    * doc A's shingle set is τ-contained in doc B: `|Sa∩Sb|/|Sa| ≥ τ`.
+    * The partial-duplicate detector Jaccard misses: a paragraph pasted
+    * into a longer page scores low Jaccard but high containment. Same
+    * lossless prefix-filter argument as q126, asymmetric form: if B
+    * misses ALL of A's (n_a − ⌈τ·n_a⌉ + 1) rarest shingles, the
+    * intersection fits inside the remaining ⌈τ·n_a⌉ − 1 < τ·n_a — so
+    * joining A-prefixes against B's FULL posting list is a complete
+    * candidate generator. The b-side fan-out per prefix token is that
+    * token's df — bounded by A's own rarity ordering, the standard
+    * containment-join cost model; verification is the exact q40 count
+    * aggregate with the asymmetric denominator. Containment is one
+    * IEEE division of exact integers — no rounding needed.
+    */
+  def q135Containment(s: SparkSession, dir: String, tauC: Double = 0.9): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = shingled(s, dir)
+    val ex = docs.select($"doc_id", explode($"sh").as("g"))
+    val sz = docs.select($"doc_id", size($"sh").as("n"))
+    val dfc = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+    val byRarity = w.partitionBy($"doc_id").orderBy($"df", $"g")
+    val prefix = ex.join(dfc, "g")
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(w.partitionBy($"doc_id")))
+      .filter($"pos" <= $"n" - ceil($"n" * lit(tauC) - lit(1e-9)) + 1)
+      .select($"doc_id", $"g")
+    val cands = prefix.as("a").join(ex.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db")).distinct()
+    val inter = ex.as("a")
+      .join(cands.as("c"), $"a.doc_id" === $"c.da")
+      .join(ex.as("b"), $"b.doc_id" === $"c.db" && $"a.g" === $"b.g")
+      .groupBy($"c.da".as("da"), $"c.db".as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(sz.as("sa"), $"da" === $"sa.doc_id")
+      .withColumn("containment", $"inter".cast("double") / $"sa.n")
+      .filter($"containment" >= tauC)
+      .select($"da", $"db", $"containment")
+      .orderBy($"da", $"db")
+  }
+
+  val q135ContainmentSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh)
+      |SELECT da, db, CAST(inter AS DOUBLE) / sa.n AS containment
+      |FROM inter JOIN sz sa ON sa.doc_id = da
+      |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
+      |ORDER BY da, db""".stripMargin
 }

@@ -77,4 +77,54 @@ object Sampling {
       |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
       |  FROM documents)
       |WHERE rn <= 50 ORDER BY source, rn""".stripMargin
+
+  /** q136: token-budget-constrained corpus selection — the greedy
+    * knapsack every mixture builder runs last: rank docs by quality
+    * (type-token ratio here; any deterministic score plugs in), admit
+    * in rank order while the running token total stays ≤ budget. The
+    * running total is a GLOBAL ordered cumsum, executed as the q122
+    * distributed prefix sum: range-partition on the (score DESC,
+    * doc_id) total order, per-partition running sums, ≤`parts`-row
+    * offset frame broadcast back — no single-partition window at any
+    * corpus size. Unlike q122 the sort key is unique, so the prefix
+    * sums ARE the global cumsum exactly; the score is one IEEE
+    * division of exact integers, bit-identical cross-engine.
+    */
+  def q136TokenBudget(s: SparkSession, dir: String,
+      budget: Long = 15000L, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val scored = Tables.load(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", size($"ws").cast("long").as("n_tok"),
+        (size(array_distinct($"ws")).cast("double") / size($"ws")).as("score"))
+    val ranged = scored.repartitionByRange(parts, $"score".desc, $"doc_id".asc)
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy($"pid").agg(sum($"n_tok").as("ptotal"))
+      .withColumn("offset", coalesce(
+        sum($"ptotal").over(Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"offset")
+    ranged
+      .withColumn("run", sum($"n_tok").over(
+        Window.partitionBy($"pid").orderBy($"score".desc, $"doc_id")))
+      .join(broadcast(offsets), "pid")
+      .withColumn("cum_tokens", $"run" + $"offset")
+      .filter($"cum_tokens" <= budget)
+      .select($"doc_id", $"n_tok", $"score", $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val q136TokenBudgetSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS score
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok, score,
+      |    CAST(SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, n_tok, score, cum_tokens FROM c
+      |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin
 }

@@ -106,4 +106,43 @@ object Validation {
       |  FROM lineitem)
       |SELECT bucket, bit_xor(h) AS checksum, CAST(COUNT(*) AS BIGINT) AS n_rows
       |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q137: the per-column data-quality profile — row count, null
+    * count, and exact distinct cardinality for every lineitem column,
+    * the first report any ingestion pipeline runs on a new table. ONE
+    * pass: all 11 null-counters and distinct-aggregates live in a
+    * single `agg`, which Spark plans as one Expand (×12 row fan-out,
+    * map-side, no extra scans) feeding partial aggregates — versus 11
+    * separate jobs for the naive per-column loop. The one-row result
+    * explodes into the (column, stats) report frame. Exact integers
+    * only; distinct-count of doubles compares raw parquet values, no
+    * arithmetic. The oracle is the 11-way UNION ALL stating the same
+    * numbers per column.
+    */
+  def q137Profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val cols = li.columns.sorted
+    val aggs = cols.flatMap { c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct")) }
+    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+          lit(c).as("column"), $"n_rows",
+          col(s"${c}__nulls").as("n_null"),
+          col(s"${c}__distinct").as("n_distinct"))): _*)).as("p"))
+      .select($"p.column", $"p.n_rows", $"p.n_null", $"p.n_distinct")
+      .orderBy($"column")
+  }
+
+  val q137ProfileSql: String = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+    .map(c =>
+      s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM lineitem""".stripMargin)
+    .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 }

@@ -331,6 +331,35 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the prefix-token equijoin:\n$p")
   }
 
+  test("q135: containment candidates come from the posting equijoin — never quadratic") {
+    val p = plan("q135_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"containment join must not go quadratic:\n$p")
+  }
+
+  test("q136: the budget cumsum is distributed — offsets broadcast, no global sort window") {
+    // the logical Window must keep pid in its partitionSpec (the q47
+    // empty-partitionSpec scale-killer applies verbatim); the ≤parts-row
+    // offset frame is the only unpartitioned window allowed
+    val df = graft.SparkEntry.queries("q136_token_budget")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"offsets must broadcast back:\n$p")
+    val logical = df.queryExecution.optimizedPlan
+    val windows = logical.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    val dataMassWindows = windows.filterNot(_.partitionSpec.isEmpty)
+    assert(dataMassWindows.nonEmpty, s"expected the pid-partitioned running sum:\n$logical")
+  }
+
+  test("q137: the profile is ONE scan — the 11-column fan-out rides Expand, not re-reads") {
+    // split off AQE's "== Initial Plan ==" echo or the scan double-counts
+    val p = plan("q137_profile").split("== Initial Plan ==")(0)
+    val scans = p.split("\n").count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected a single lineitem scan, got $scans:\n$p")
+    assert(p.contains("Expand"), s"expected the multi-distinct Expand:\n$p")
+  }
+
   test("q129: PMI top-k is a TakeOrderedAndProject over count aggregates") {
     val p = plan("q129_pmi")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")

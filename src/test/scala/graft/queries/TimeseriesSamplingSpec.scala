@@ -115,6 +115,29 @@ class TimeseriesSamplingSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("q136: selection is budget-maximal and invariant to the partition count") {
+    import spark.implicits._
+    val budget = 1000L // binding on the sf0.001 corpus (~2.5k tokens)
+    val base = Sampling.q136TokenBudget(spark, dir, budget, parts = 1).collect()
+    for (p <- Seq(3, 32)) {
+      val got = Sampling.q136TokenBudget(spark, dir, budget, parts = p).collect()
+      assert(got.toSeq.map(_.toSeq) == base.toSeq.map(_.toSeq),
+        s"parts=$p diverged from parts=1")
+    }
+    // the admitted prefix respects the budget...
+    assert(base.nonEmpty && base.forall(_.getLong(3) <= budget))
+    // ...and is maximal: the corpus exceeds the budget, so the cut must
+    // land within one (corpus-max) doc of the line — any bigger gap
+    // means the next ranked doc was droppable without overflow
+    val stats = graft.sources.Tables.load(spark, dir, "documents")
+      .select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(sum($"n").as("total"), max($"n").as("biggest")).head
+    assert(stats.getLong(0) > budget, "fixture corpus must exceed the budget")
+    val lastCum = base.map(_.getLong(3)).max
+    assert(lastCum + stats.getLong(1) > budget,
+      s"cut at $lastCum leaves more than one doc (${stats.getLong(1)}) of headroom")
+  }
+
   test("q130: gap days are zero-filled, flagged, and carry the last observation") {
     // user 1: 2 events on day 1, none on day 2, 1 on day 3
     // -> day 2 materializes with n_events=0, filled=true, carried=2

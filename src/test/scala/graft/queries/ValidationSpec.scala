@@ -74,4 +74,23 @@ class ValidationSpec extends SparkSpec {
     assert(diff == Set(5L % 16))               // localized to one bucket
     assert(base(5L)._2 == bad(5L)._2)          // counts agree: content drift
   }
+
+  test("q137: null and distinct accounting on a hand-built table") {
+    import spark.implicits._
+    // the profiler adapts to whatever schema it reads — a 3-column
+    // fixture with planted nulls and duplicates has known answers
+    val tmp = Files.createTempDirectory("graft-prof").toString
+    Seq((Some(1L), Some("x"), Some(1.5)),
+        (Some(1L), None,      Some(1.5)),
+        (Some(2L), Some("y"), None),
+        (None,     Some("y"), Some(2.5)))
+      .toDF("k", "s", "v")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Validation.q137Profile(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "k" -> ((4L, 1L, 2L)),
+      "s" -> ((4L, 1L, 2L)),
+      "v" -> ((4L, 1L, 2L))))
+  }
 }
