@@ -803,6 +803,54 @@ object Dedup {
       .orderBy($"da", $"db")
   }
 
+  /** q138: the cross-source duplication (leakage) matrix — how many
+    * near-dup pairs straddle each pair of sources. THE report a corpus
+    * curator reads before mixing: heavy off-diagonal mass means two
+    * "independent" sources are re-crawls of each other and their
+    * mixture weights double-count; diagonal mass is intra-source
+    * redundancy q33/q41 already collapse. Rides the memoized exact
+    * pair frame (built once per session by whichever family member
+    * runs first), joins the tiny pair set against the doc→source map
+    * twice, and aggregates over the ≤|sources|² frame; source pairs
+    * are unordered via least/greatest so (A,B) and (B,A) coincide.
+    * At 100 TB the pair frame is the near-dup output — orders of
+    * magnitude below the corpus — so both joins and the final
+    * aggregate are dwarfed by the dedup that produced it.
+    */
+  def q138SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.load(s, dir, "documents").select($"doc_id", $"source")
+    nearDupPairs(s, dir)
+      .join(src.as("sa"), $"d1" === $"sa.doc_id")
+      .join(src.as("sb"), $"d2" === $"sb.doc_id")
+      .select(least($"sa.source", $"sb.source").as("src_a"),
+        greatest($"sa.source", $"sb.source").as("src_b"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q138SourceOverlapSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |p AS (SELECT d1, d2
+      |      FROM inter JOIN sz sa ON sa.doc_id = inter.d1
+      |                 JOIN sz sb ON sb.doc_id = inter.d2
+      |      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $Tau)
+      |SELECT least(da.source, db.source) AS src_a,
+      |  greatest(da.source, db.source) AS src_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM p JOIN documents da ON da.doc_id = p.d1
+      |       JOIN documents db ON db.doc_id = p.d2
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val q135ContainmentSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(

@@ -138,4 +138,54 @@ object Funnel {
       |FROM hourly JOIN stats ON hourly.user_id = stats.user_id
       |WHERE n > mean_n + 2.0 * sd_n
       |ORDER BY hourly.user_id, h""".stripMargin
+
+  /** q139: conversion-latency report — the "how long from first view
+    * to purchase" one-liner next to q48's stage chaining: per user the
+    * first view, the first purchase AT OR AFTER it (latency 0 allowed,
+    * unlike q48's strict chain — a same-instant purchase still
+    * converted), then one global row with the conversion rate and the
+    * exact interpolated p50/p90 of the latency distribution. All
+    * arithmetic is exact µs integers until the two percentiles, which
+    * round to 2 dp so a sub-ULP interpolation-formula difference
+    * cannot leak (µs magnitudes ~1e9, double ulp ~1e-7 — absorbed).
+    * Both per-user aggregates and the join key on user_id; the final
+    * aggregate is one row.
+    */
+  def q139FunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val viewed = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("tv"))
+    val lat = e.filter($"event_type" === "purchase")
+      .join(viewed, "user_id").filter($"us" >= $"tv")
+      .groupBy($"user_id").agg(min($"us").as("tp"), min($"tv").as("tv"))
+      .select(($"tp" - $"tv").as("lat_us"))
+    val nv = viewed.agg(count(lit(1)).as("n_viewed"))
+    lat.crossJoin(broadcast(nv))
+      .groupBy($"n_viewed")
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(lat_us, 0.5)").as("p50"),
+        expr("percentile(lat_us, 0.9)").as("p90"))
+      .select($"n_viewed", $"n_converted",
+        ($"n_converted".cast("double") / $"n_viewed").as("conv_rate"),
+        round($"p50", 2).as("p50_latency_us"),
+        round($"p90", 2).as("p90_latency_us"))
+  }
+
+  val q139FunnelLatencySql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS tv
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS tp, min(v.tv) AS tv
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.tv
+      |  GROUP BY 1),
+      |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewed FROM v)
+      |SELECT nv.n_viewed, CAST(COUNT(*) AS BIGINT) AS n_converted,
+      |  CAST(COUNT(*) AS DOUBLE) / nv.n_viewed AS conv_rate,
+      |  round(quantile_cont(tp - tv, 0.5), 2) AS p50_latency_us,
+      |  round(quantile_cont(tp - tv, 0.9), 2) AS p90_latency_us
+      |FROM c CROSS JOIN nv GROUP BY nv.n_viewed""".stripMargin
 }

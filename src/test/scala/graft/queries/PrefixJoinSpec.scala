@@ -60,6 +60,22 @@ class PrefixJoinSpec extends SparkSpec {
     assert(jacc.isEmpty, "fixture must be invisible to the Jaccard lane")
   }
 
+  test("q138: the leakage matrix folds unordered source pairs correctly") {
+    import spark.implicits._
+    // three byte-identical docs: 0,2 in src0 and 1 in src1 -> pairs
+    // (0,1) (0,2) (1,2); matrix: within-src0 = 1, src0-src1 = 2 (the
+    // (1,2) pair arrives as src1-src0 and must fold onto src0-src1)
+    val t = "one two three four five six seven eight nine ten"
+    val tmp = Files.createTempDirectory("graft-leak").toString
+    Seq((0L, t, "src0"), (1L, t, "src1"), (2L, t, "src0"),
+        (3L, "entirely different words here nothing shared", "src1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.q138SourceOverlap(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(got == List(("src0", "src0", 1L), ("src0", "src1", 2L)))
+  }
+
   test("q135 == brute force on the hot-vocabulary corpus") {
     import spark.implicits._
     val rnd = new Random(135)

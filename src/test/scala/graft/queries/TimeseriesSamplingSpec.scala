@@ -115,6 +115,22 @@ class TimeseriesSamplingSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("q139: conversion rate and exact percentile latencies on a hand timeline") {
+    // u1 converts 10s after first view, u3 converts 20s after, u2 never
+    // -> rate 2/3, latencies {10e6, 20e6} µs: p50 = 15e6, p90 = 19e6
+    val tmp = writeEvents(Seq(
+      (1L, "2024-05-01 10:00:00", 1L, "view"),
+      (2L, "2024-05-01 10:00:10", 1L, "purchase"),
+      (3L, "2024-05-01 10:00:00", 2L, "view"),
+      (4L, "2024-05-01 10:00:00", 3L, "view"),
+      (5L, "2024-05-01 10:00:20", 3L, "purchase"),
+      (6L, "2024-05-01 09:00:00", 4L, "purchase"))) // purchase before any view: not counted
+    val r = Funnel.q139FunnelLatency(spark, tmp).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3.0) < 1e-15)
+    assert(r.getDouble(3) == 15e6 && r.getDouble(4) == 19e6)
+  }
+
   test("q136: selection is budget-maximal and invariant to the partition count") {
     import spark.implicits._
     val budget = 1000L // binding on the sf0.001 corpus (~2.5k tokens)
