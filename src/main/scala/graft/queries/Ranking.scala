@@ -87,4 +87,72 @@ object Ranking {
       |FROM d, c
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
+
+  /** q140: weighted near-dup pairs by TF-IDF cosine over word bigrams —
+    * the lexical-WEIGHTED twin of q40's set Jaccard: shared RARE
+    * phrasing counts far more than shared boilerplate, so it surfaces
+    * pairs whose overlap is distinctive even when raw set overlap is
+    * diluted. Feature space = word bigrams with a df cap (ubiquitous
+    * bigrams dropped — the stopword analog), which also bounds the
+    * posting self-join: Σ_{df≤cap} df² ≤ cap·Σdf, LINEAR in the corpus
+    * for a fixed cap (the q126 prefix filter composes on top when the
+    * cap alone is too loose). idf/weights are one fixed-shape double
+    * expression over exact integer tf/df/N; the three accumulated sums
+    * (two norms, the dot) are partition-order-dependent, so the cosine
+    * is rounded to 6 dp on BOTH engines before the threshold and the
+    * output — relative sum error ~1e-13 vs the 1e-6 grid (the q134
+    * bound), with the same measure-zero grid-boundary residual q128
+    * accepts.
+    */
+  def q140TfidfPairs(s: SparkSession, dir: String,
+      tauCos: Double = 0.9, dfCap: Long = 2000L): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+    val tf = toks.groupBy($"doc_id", $"g").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfc = tf.groupBy($"g").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
+    val wts = tf.join(dfc, "g").crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"g",
+        ($"tf" * (log(($"n_docs" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0)))
+          .as("wt"))
+    val norms = wts.groupBy($"doc_id").agg(sqrt(sum($"wt" * $"wt")).as("nrm"))
+    val dots = wts.as("a").join(wts.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(sum($"a.wt" * $"b.wt").as("dot"))
+    dots.join(norms.as("na"), $"d1" === $"na.doc_id")
+      .join(norms.as("nb"), $"d2" === $"nb.doc_id")
+      .withColumn("cos_sim", round($"dot" / ($"na.nrm" * $"nb.nrm"), 6))
+      .filter($"cos_sim" >= tauCos)
+      .select($"d1", $"d2", $"cos_sim")
+      .orderBy($"d1", $"d2")
+  }
+
+  val q140TfidfPairsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws), 1)),
+      |    i -> ws[i] || ' ' || ws[i + 1])) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |dfc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      |        GROUP BY 1 HAVING COUNT(*) <= 2000),
+      |w AS (SELECT tf.doc_id, tf.g,
+      |        tf.tf * (ln((nd.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0) AS wt
+      |      FROM tf JOIN dfc USING (g) CROSS JOIN nd),
+      |nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY 1),
+      |dot AS (SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.wt * b.wt) AS dot
+      |        FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2)
+      |SELECT d1, d2, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+      |FROM dot JOIN nrm na ON na.doc_id = d1
+      |         JOIN nrm nb ON nb.doc_id = d2
+      |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
+      |ORDER BY d1, d2""".stripMargin
 }
