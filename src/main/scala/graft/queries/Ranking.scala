@@ -117,10 +117,17 @@ object Ranking {
     val tf = toks.groupBy($"doc_id", $"g").agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfc = tf.groupBy($"g").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
+    // Materialize the weighted postings ONCE: the norm aggregate and both
+    // sides of the dot-product self-join read this frame, and without the
+    // lineage cut each branch re-runs the explode + tf aggregate (4 corpus
+    // scans at sf0.001, measured). The bench sweeps the checkpoint after
+    // the query; the 1-row n_docs cross join also stays out of the final
+    // pair-join plan this way.
     val wts = tf.join(dfc, "g").crossJoin(broadcast(nDocs))
       .select($"doc_id", $"g",
         ($"tf" * (log(($"n_docs" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0)))
           .as("wt"))
+      .localCheckpoint(true)
     val norms = wts.groupBy($"doc_id").agg(sqrt(sum($"wt" * $"wt")).as("nrm"))
     val dots = wts.as("a").join(wts.as("b"),
         $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")

@@ -366,6 +366,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"expected the scalar masses broadcast:\n$p")
   }
 
+  test("q140: tf-idf pairs collide through the bigram posting equijoin — never quadratic") {
+    // the dot-product self-join must key on the bigram (df-capped
+    // postings), same bound as q126/q135: Σ_{df≤cap} df² ≤ cap·Σdf.
+    // A cartesian/nested-loop means the df cap stopped reaching the join.
+    val p = plan("q140_tfidf_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"tf-idf pair join must not go quadratic:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the bigram posting equijoin:\n$p")
+  }
+
   test("q104/q105: the tiny model frames broadcast; the corpus joins at most by token stats") {
     for (name <- Seq("q104_bigram_lm", "q105_dsir_weights")) {
       val df = graft.SparkEntry.queries(name)(spark, dir)
