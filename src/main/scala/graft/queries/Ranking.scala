@@ -105,7 +105,7 @@ object Ranking {
     * accepts.
     */
   def q140TfidfPairs(s: SparkSession, dir: String,
-      tauCos: Double = 0.9, dfCap: Long = 2000L): DataFrame = {
+      tauCos: Double = 0.9, dfCap: Long = 100L): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val toks = docs
@@ -149,7 +149,7 @@ object Ranking {
       |tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2),
       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
       |dfc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-      |        GROUP BY 1 HAVING COUNT(*) <= 2000),
+      |        GROUP BY 1 HAVING COUNT(*) <= 100),
       |w AS (SELECT tf.doc_id, tf.g,
       |        tf.tf * (ln((nd.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0) AS wt
       |      FROM tf JOIN dfc USING (g) CROSS JOIN nd),
