@@ -135,6 +135,64 @@ object Validation {
       .orderBy($"column")
   }
 
+  /** q142: referential-integrity orphan report — for each FK edge of
+    * the star schema, how many child rows reference a missing parent.
+    * Four hard PK edges (clean in this data — the zeros ARE the report)
+    * plus the filtered-dimension variant every warehouse actually
+    * fights: orders pointing at customers with a negative balance
+    * ("inactive" parent — present as a row, invalid as a reference).
+    *
+    * Per edge: ONE left join against the distinct parent keyset + a
+    * conditional count — no per-edge rescans of the parent, no anti-join
+    * + count(*) double pass. At scale the dim keysets broadcast;
+    * lineitem→orders shuffles both sides on the key once — the plan a
+    * hand-written validator would pick.
+    */
+  def q142RiOrphans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val keys = parent.select(col(pkey).as(key)).distinct()
+        .withColumn("present", lit(1))
+      child.select(col(key)).join(keys, Seq(key), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum($"present".isNull.cast("long")).as("orphans"))
+        .select(lit(name).as("relationship"), $"child_rows", $"orphans")
+    }
+    val li = Tables.load(s, dir, "lineitem")
+    val orders = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer")
+    Seq(
+      edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+      edge("lineitem->part", li, "l_partkey",
+        Tables.load(s, dir, "part"), "p_partkey"),
+      edge("lineitem->supplier", li, "l_suppkey",
+        Tables.load(s, dir, "supplier"), "s_suppkey"),
+      edge("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+      edge("orders->active_customer", orders, "o_custkey",
+        cust.filter($"c_acctbal" >= 0), "c_custkey"))
+      .reduce(_ unionAll _)
+      .orderBy($"relationship")
+  }
+
+  val q142RiOrphansSql: String = {
+    def edge(name: String, child: String, key: String,
+        parent: String, pkey: String, parentFilter: String = "") =
+      s"""SELECT '$name' AS relationship, CAST(COUNT(*) AS BIGINT) AS child_rows,
+         |  CAST(SUM(CASE WHEN p.$pkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+         |FROM $child c LEFT JOIN
+         |  (SELECT DISTINCT $pkey FROM $parent $parentFilter) p
+         |  ON c.$key = p.$pkey""".stripMargin
+    Seq(
+      edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("orders->active_customer", "orders", "o_custkey", "customer",
+        "c_custkey", "WHERE c_acctbal >= 0"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
+
   val q137ProfileSql: String = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
     "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
