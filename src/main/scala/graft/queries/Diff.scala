@@ -49,7 +49,11 @@ object Diff {
       .filter(col("op").isNotNull)
       .select(col("op") +:
         pk.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++:
-        compare.map(c => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)): _*)
+        // New image for INSERT/UPDATE, old image for DELETE — a plain
+        // coalesce(new, old) would resurrect the OLD value on a
+        // value→null UPDATE (SnapshotDiffSpec pins this).
+        compare.map(c => when(col("op") === "DELETE", col(s"o.$c"))
+          .otherwise(col(s"n.$c")).as(c)): _*)
   }
 
   /** q141: snapshot-diff changelog over two deterministically derived
@@ -86,8 +90,10 @@ object Diff {
       |       WHEN o.o_orderkey IS NULL THEN 'INSERT'
       |       ELSE 'UPDATE' END AS op,
       |  COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
-      |  COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
-      |  COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice
+      |  CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey
+      |       ELSE n.o_custkey END AS o_custkey,
+      |  CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+      |       ELSE n.o_totalprice END AS o_totalprice
       |FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
       |WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL
       |   OR o.o_custkey IS DISTINCT FROM n.o_custkey
