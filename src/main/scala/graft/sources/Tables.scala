@@ -40,10 +40,24 @@ object Tables {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Older driver-generated data stores events.ts as TIMESTAMP(NANOS),
+    // which surfaces as a raw long under nanosAsLong; newer data is
+    // native µs WITHOUT a timezone, which Spark reads as TIMESTAMP_NTZ.
+    // Dispatch on the read type: nanos-long → floor to µs; NTZ → cast to
+    // session-local TIMESTAMP (the session TZ is pinned to UTC in every
+    // entry point, so the cast relabels without shifting — exactly how
+    // the DuckDB oracle reads the same naive column).
     if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 }
