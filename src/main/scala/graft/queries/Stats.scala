@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Distribution statistics & drift detection — the validation layer a
+  * training-data pipeline runs BEFORE mixing sources: independence
+  * tests over categorical metadata, two-sample drift tests over
+  * numeric columns, digit-distribution audits, divergence of each
+  * source's token distribution from the corpus, and lagged
+  * cross-correlation between event streams. The reference connector
+  * ships rows (`go-pq-cdc-kafka`'s pipeline has no analytic surface);
+  * these are the checks its downstream consumers would run on the
+  * replicated tables, executed here as first-class distributed
+  * operators.
+  *
+  * Determinism discipline (the q134/q128 convention): every input to a
+  * statistic is an exact integer aggregate; the statistic is ONE
+  * fixed-shape double expression whose textual form mirrors the oracle
+  * SQL exactly. Where a float-sum's partition order or a libm `ln`/
+  * `log10` 1-ULP divergence could move the low bits (chi2, KL — sums
+  * of many double terms), the result is PRESENTED in single precision:
+  * the ≲1e-11 relative drift is far below float's 6e-8 ULP. Where
+  * every candidate value is a closed-form function of exact integers
+  * (KS max, correlation), the double is bit-identical by construction
+  * and stays double.
+  */
+object Stats {
+
+  /** q143: chi-square test of independence over the lang × source
+    * contingency table of `documents` — "is language balance uniform
+    * across sources?", the first mixture-health check. The only
+    * corpus-sized shuffle is the cell aggregation (map-side partial);
+    * margins, the |L|·|S| grid, and the statistic all live on the
+    * bounded cell frame. Zero cells still contribute their expected
+    * mass: the grid is the full margin cross-product, not just the
+    * observed cells.
+    */
+  def q143Chi2Indep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables.load(s, dir, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy($"lang").agg(sum($"o").as("rl"))
+    val colT = obs.groupBy($"source").agg(sum($"o").as("cl"))
+    val tot = obs.agg(sum($"o").as("n_docs"),
+      count(lit(1)).as("n_cells_obs"))
+    // full grid: every (lang, source) with both margins, observed or not
+    val grid = rowT.crossJoin(colT).join(obs, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"n_docs", $"rl", $"cl", coalesce($"o", lit(0L)).as("o"),
+        // rl·cl would overflow long at corpus scale; go double first
+        ($"rl".cast("double") * $"cl" / $"n_docs").as("e"))
+    grid.agg(
+      first($"n_docs").as("n_docs"),
+      count(lit(1)).as("n_cells"),
+      sum(($"o" - $"e") * ($"o" - $"e") / $"e").as("chi2_d"))
+      .crossJoin(broadcast(rowT.agg(count(lit(1)).as("n_langs"))))
+      .crossJoin(broadcast(colT.agg(count(lit(1)).as("n_sources"))))
+      .select($"n_docs", $"n_langs", $"n_sources", $"n_cells",
+        (($"n_langs" - 1) * ($"n_sources" - 1)).as("dof"),
+        $"chi2_d".cast("float").as("chi2"))
+  }
+
+  val q143Chi2IndepSql: String =
+    """WITH obs AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rl FROM obs GROUP BY 1),
+      |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cl FROM obs GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_docs FROM obs),
+      |grid AS (
+      |  SELECT n_docs, COALESCE(o, 0) AS o,
+      |    CAST(rl AS DOUBLE) * cl / n_docs AS e
+      |  FROM rt CROSS JOIN ct CROSS JOIN tot
+      |  LEFT JOIN obs USING (lang, source))
+      |SELECT
+      |  (SELECT n_docs FROM tot) AS n_docs,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_langs,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_sources,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  ((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS dof,
+      |  CAST(SUM((o - e) * (o - e) / e) AS FLOAT) AS chi2
+      |FROM grid""".stripMargin
+
+  /** q144: two-sample Kolmogorov–Smirnov drift test — D = max over the
+    * value axis of |F_A − F_B| between `o_totalprice` of URGENT orders
+    * and all others (the "did this segment's distribution move?" check
+    * run between snapshots). The ECDFs need a GLOBAL ordered cumsum
+    * over distinct values; executed as the q122/q136 distributed prefix
+    * sum — range-partition on value, per-partition running counts, a
+    * ≤`parts`-row offset frame broadcast back — so no single-partition
+    * window at any scale. Every D candidate is |ca/na − cb/nb| over
+    * exact integers: three IEEE ops, bit-identical cross-engine, and
+    * `max` of identical candidates is identical — the statistic stays
+    * double. The 1.358·sqrt((na+nb)/(na·nb)) critical value is the
+    * standard α=0.05 asymptote (Smirnov).
+    */
+  def q144KsDrift(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val tagged = Tables.load(s, dir, "orders")
+      .select($"o_totalprice".as("v"),
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("a"))
+    val perV = tagged.groupBy($"v").agg(
+      sum($"a").as("ca"), (count(lit(1)) - sum($"a")).as("cb"))
+    val ranged = perV.repartitionByRange(parts, $"v".asc)
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy($"pid")
+      .agg(sum($"ca").as("pa"), sum($"cb").as("pb"))
+      .select($"pid",
+        coalesce(sum($"pa").over(Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("offa"),
+        coalesce(sum($"pb").over(Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("offb"))
+    val byV = Window.partitionBy($"pid").orderBy($"v")
+    // totals from the row frame directly — one scan-agg, not a second
+    // pass over the distinct-value frame
+    val tot = tagged.agg(sum($"a").as("na"),
+      (count(lit(1)) - sum($"a")).as("nb"))
+    ranged
+      .withColumn("ra", sum($"ca").over(byV))
+      .withColumn("rb", sum($"cb").over(byV))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(tot))
+      .select($"na", $"nb",
+        abs(($"ra" + $"offa").cast("double") / $"na" -
+          ($"rb" + $"offb").cast("double") / $"nb").as("d"))
+      .groupBy($"na", $"nb").agg(max($"d").as("ks_d"))
+      .select($"na".as("n_a"), $"nb".as("n_b"), $"ks_d",
+        (lit(1.358) * sqrt(($"na" + $"nb").cast("double") /
+          ($"na".cast("double") * $"nb"))).as("ks_crit"))
+      .withColumn("drifted", $"ks_d" > $"ks_crit")
+  }
+
+  val q144KsDriftSql: String =
+    """WITH t AS (
+      |  SELECT o_totalprice AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |pv AS (
+      |  SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+      |    CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |               CAST(SUM(cb) AS BIGINT) AS nb FROM pv),
+      |e AS (
+      |  SELECT na, nb,
+      |    abs(CAST(SUM(ca) OVER w AS DOUBLE) / na -
+      |        CAST(SUM(cb) OVER w AS DOUBLE) / nb) AS d
+      |  FROM pv CROSS JOIN tot
+      |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT na AS n_a, nb AS n_b, MAX(d) AS ks_d,
+      |  1.358 * sqrt(CAST(na + nb AS DOUBLE) / (CAST(na AS DOUBLE) * nb)) AS ks_crit,
+      |  MAX(d) > 1.358 * sqrt(CAST(na + nb AS DOUBLE) / (CAST(na AS DOUBLE) * nb))
+      |    AS drifted
+      |FROM e GROUP BY na, nb""".stripMargin
+
+  /** q145: Benford leading-digit audit of `l_extendedprice` — the
+    * classic synthetic-vs-organic numeric-column screen (fabricated or
+    * mis-generated monetary columns fail it). The leading digit is
+    * extracted in integer space (price → exact cents → first decimal
+    * digit of the integer) so no engine's float→string formatting or
+    * `log10`-near-a-power-of-10 boundary can flip a digit. One scan,
+    * a 9-row frame after the partial agg; chi2 against the Benford
+    * mass function via a full-frame window sum (float presentation —
+    * `log10` is libm, 1 ULP across engines).
+    */
+  def q145Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = Tables.load(s, dir, "lineitem")
+      .select(substring(round($"l_extendedprice" * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("lead_digit"))
+      .groupBy($"lead_digit").agg(count(lit(1)).as("n_obs"))
+    val all = Window.partitionBy(lit(0))
+    digits
+      .withColumn("n_total", sum($"n_obs").over(all))
+      .select($"lead_digit", $"n_obs",
+        ($"n_obs".cast("double") / $"n_total").as("obs_p"),
+        log(10.0, lit(1.0) + lit(1.0) / $"lead_digit".cast("double"))
+          .as("bp"),
+        $"n_total")
+      .withColumn("chi2", sum(
+        ($"n_obs" - $"n_total" * $"bp") * ($"n_obs" - $"n_total" * $"bp") /
+          ($"n_total" * $"bp")).over(all).cast("float"))
+      .select($"lead_digit", $"n_obs", $"obs_p",
+        $"bp".cast("float").as("benford_p"), $"chi2")
+      .orderBy($"lead_digit")
+  }
+
+  val q145BenfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INTEGER) AS lead_digit
+      |  FROM lineitem),
+      |g AS (SELECT lead_digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+      |w AS (
+      |  SELECT lead_digit, n_obs,
+      |    CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total,
+      |    log10(1.0 + 1.0 / CAST(lead_digit AS DOUBLE)) AS bp
+      |  FROM g)
+      |SELECT lead_digit, n_obs,
+      |  CAST(n_obs AS DOUBLE) / n_total AS obs_p,
+      |  CAST(bp AS FLOAT) AS benford_p,
+      |  CAST(SUM((n_obs - n_total * bp) * (n_obs - n_total * bp)
+      |    / (n_total * bp)) OVER () AS FLOAT) AS chi2
+      |FROM w ORDER BY lead_digit""".stripMargin
+
+  /** q146: per-source KL divergence from the corpus unigram
+    * distribution — KL(P_src ‖ P_corpus) = Σ_w p·ln(p/q), the mixture
+    * report that quantifies HOW different each source's token
+    * distribution is (q138 says whether sources overlap; this says how
+    * far each sits from the blend). Since every source word is in the
+    * corpus by construction, q > 0 always and the sum is finite. The
+    * two corpus-sized shuffles are the (source,w) and (w) aggregations;
+    * the join is w-keyed on the vocabulary frame, margins broadcast.
+    * Float presentation: a vocabulary-sized sum of libm-ln terms
+    * (drift ≲1e-11 relative, q134's argument).
+    */
+  def q146KlSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.load(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("w"))
+    val perSW = words.groupBy($"source", $"w").agg(count(lit(1)).as("cs"))
+    val perW = perSW.groupBy($"w").agg(sum($"cs").as("cw"))
+    val srcTot = perSW.groupBy($"source").agg(sum($"cs").as("ns"))
+    val corpTot = perW.agg(sum($"cw").as("m"))
+    perSW
+      .join(perW, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpTot))
+      .select($"source", $"ns",
+        (($"cs".cast("double") / $"ns") *
+          log(($"cs".cast("double") / $"ns") /
+            ($"cw".cast("double") / $"m"))).as("t"))
+      .groupBy($"source", $"ns")
+      .agg(count(lit(1)).as("n_types"), sum($"t").as("kl_d"))
+      .select($"source", $"n_types", $"ns".as("n_tokens"),
+        $"kl_d".cast("float").as("kl"))
+      .orderBy($"source")
+  }
+
+  val q146KlSourceSql: String =
+    """WITH words AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs
+      |       FROM words GROUP BY 1, 2),
+      |pw AS (SELECT w, CAST(SUM(cs) AS BIGINT) AS cw FROM sw GROUP BY 1),
+      |st AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM sw GROUP BY 1),
+      |ct AS (SELECT CAST(SUM(cw) AS BIGINT) AS m FROM pw)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types, ns AS n_tokens,
+      |  CAST(SUM((CAST(cs AS DOUBLE) / ns)
+      |    * ln((CAST(cs AS DOUBLE) / ns) / (CAST(cw AS DOUBLE) / m))) AS FLOAT)
+      |    AS kl
+      |FROM sw JOIN pw USING (w) JOIN st USING (source) CROSS JOIN ct
+      |GROUP BY source, ns ORDER BY source""".stripMargin
+
+  /** q147: lagged cross-correlation of two event streams — Pearson
+    * r(click_t, purchase_{t+ℓ}) for ℓ = 0…7 days, the "does activity
+    * lead conversions?" diagnostic. The corpus-sized work is ONE daily
+    * aggregation; the lag join and the five regression sums live on
+    * the bounded day frame (|days| rows ≤ thousands even at 100 TB of
+    * events). All five sums are exact integer aggregates; the Pearson
+    * formula is one fixed-shape double expression (products go through
+    * double before combining — day-count × per-day-count² products
+    * would overflow long at scale), so the result is bit-identical
+    * cross-engine and stays double.
+    */
+  def q147Xcorr(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    import s.implicits._
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+    val lags = s.range(0, maxLag + 1).select($"id".cast("int").as("lag"))
+    val pairs = daily.as("t1").crossJoin(broadcast(lags))
+      .join(daily.as("t2"), expr("t2.d = date_add(t1.d, lag)"))
+      .select($"lag", $"t1.x".as("x"), $"t2.y".as("y"))
+    pairs.groupBy($"lag").agg(
+      count(lit(1)).as("n_days"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"lag", $"n_days",
+        (($"n_days" * $"sxy".cast("double") -
+          $"sx".cast("double") * $"sy") /
+          sqrt(($"n_days" * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx") *
+            ($"n_days" * $"syy".cast("double") -
+              $"sy".cast("double") * $"sy"))).as("xcorr"))
+      .orderBy($"lag")
+  }
+
+  val q147XcorrSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |lags AS (SELECT unnest(range(0, 8)) AS lag),
+      |pairs AS (
+      |  SELECT lag, t1.x AS x, t2.y AS y
+      |  FROM daily t1 CROSS JOIN lags
+      |  JOIN daily t2 ON t2.d = t1.d + CAST(lag AS INTEGER)),
+      |sums AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1)
+      |SELECT CAST(lag AS INTEGER) AS lag, n_days,
+      |  (n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+      |  sqrt((n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) *
+      |       (n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) AS xcorr
+      |FROM sums ORDER BY lag""".stripMargin
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The Stats family: each statistic is pinned to a closed-form fixture
+  * where the exact answer is known (chi2 = 0 under perfect
+  * independence, KS ∈ {0, 1} for identical/disjoint samples, KL = 0
+  * for an identical distribution, Pearson = 1 for an exact shift), plus
+  * shape sanity on the real sf0.001 tables.
+  */
+class StatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q143: perfectly independent contingency table scores chi2 = 0") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-chi2").toString
+    // 2 langs x 2 sources, every cell the same count -> independence
+    val rows = for {
+      lang <- Seq("en", "de"); source <- Seq("s0", "s1"); i <- 1 to 5
+    } yield (lang, source, i.toLong, s"doc $lang $source $i")
+    rows.toDF("lang", "source", "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Stats.q143Chi2Indep(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_docs") == 20L)
+    assert(r.getAs[Long]("n_cells") == 4L)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Float]("chi2") == 0.0f)
+  }
+
+  test("q143: real-data shape — grid covers the full lang x source product") {
+    val r = Stats.q143Chi2Indep(spark, dir).collect().head
+    assert(r.getAs[Long]("n_cells") ==
+      r.getAs[Long]("n_langs") * r.getAs[Long]("n_sources"))
+    assert(r.getAs[Float]("chi2") >= 0.0f)
+  }
+
+  test("q144: identical samples give D = 0; disjoint samples give D = 1") {
+    import spark.implicits._
+    val same = Files.createTempDirectory("graft-ks1").toString
+    ((1 to 10).map(i => (i.toDouble, "1-URGENT")) ++
+      (1 to 10).map(i => (i.toDouble, "5-LOW")))
+      .toDF("o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$same/orders.parquet")
+    val r1 = Stats.q144KsDrift(spark, same).collect().head
+    assert(r1.getAs[Double]("ks_d") == 0.0)
+    assert(!r1.getAs[Boolean]("drifted"))
+
+    val apart = Files.createTempDirectory("graft-ks2").toString
+    ((1 to 10).map(i => (i.toDouble, "1-URGENT")) ++
+      (1 to 10).map(i => (100.0 + i, "5-LOW")))
+      .toDF("o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$apart/orders.parquet")
+    val r2 = Stats.q144KsDrift(spark, apart).collect().head
+    assert(r2.getAs[Double]("ks_d") == 1.0)
+    assert(r2.getAs[Boolean]("drifted"))
+  }
+
+  test("q144: D is invariant under the range-partition count") {
+    val d4 = Stats.q144KsDrift(spark, dir, parts = 4).collect().head
+    val d32 = Stats.q144KsDrift(spark, dir, parts = 32).collect().head
+    assert(d4.getAs[Double]("ks_d") == d32.getAs[Double]("ks_d"))
+    assert(d4.getAs[Long]("n_a") + d4.getAs[Long]("n_b") ==
+      graft.sources.Tables.load(spark, dir, "orders").count())
+  }
+
+  test("q145: digit masses and proportions are consistent on real data") {
+    import spark.implicits._
+    val rows = Stats.q145Benford(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("lead_digit")).toSeq ==
+      rows.map(_.getAs[Int]("lead_digit")).toSeq.sorted)
+    assert(rows.forall(r => (1 to 9).contains(r.getAs[Int]("lead_digit"))))
+    val total = graft.sources.Tables.load(spark, dir, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == total)
+    assert(math.abs(rows.map(_.getAs[Double]("obs_p")).sum - 1.0) < 1e-9)
+    // Benford masses are the closed form, and sum to 1 over digits 1-9
+    rows.foreach { r =>
+      val d = r.getAs[Int]("lead_digit")
+      assert(math.abs(r.getAs[Float]("benford_p") -
+        math.log10(1.0 + 1.0 / d)) < 1e-6)
+    }
+    val chi2 = rows.map(_.getAs[Float]("chi2")).distinct
+    assert(chi2.length == 1 && chi2.head >= 0.0f)
+  }
+
+  test("q146: a source with the corpus's own distribution has KL = 0") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-kl").toString
+    // two sources, identical token multisets -> each equals the blend
+    Seq((1L, "a b b c", "s0"), (2L, "a b b c", "s1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Stats.q146KlSource(spark, tmp).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Float]("kl") == 0.0f)
+      assert(r.getAs[Long]("n_types") == 3L)
+      assert(r.getAs[Long]("n_tokens") == 4L)
+    }
+  }
+
+  test("q146: real data — KL nonnegative per source, types bounded by vocab") {
+    val rows = Stats.q146KlSource(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Float]("kl") >= 0.0f))
+  }
+
+  test("q147: an exact 2-day shift scores Pearson 1 at lag 2") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-xc").toString
+    val counts = Seq(1, 3, 2, 5, 4, 7, 6, 2, 8, 3)
+    val clicks = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i => (s"2024-01-${"%02d".format(d + 1)} 01:00:00", "click"))
+    }
+    val buys = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i => (s"2024-01-${"%02d".format(d + 3)} 01:00:00", "purchase"))
+    }
+    (clicks ++ buys).toDF("ts_s", "event_type")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val byLag = Stats.q147Xcorr(spark, tmp).collect()
+      .map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(byLag(2).getAs[Double]("xcorr") == 1.0)
+    assert(byLag(2).getAs[Long]("n_days") == 10L)
+    assert(byLag(0).getAs[Double]("xcorr") < 1.0)
+  }
+
+  test("q147: real data — 8 lags, day frames shrink by one per lag") {
+    val rows = Stats.q147Xcorr(spark, dir).collect()
+    assert(rows.length == 8)
+    val n0 = rows.head.getAs[Long]("n_days")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_days") == n0 - i)
+      assert(math.abs(r.getAs[Double]("xcorr")) <= 1.0)
+    }
+  }
+}
