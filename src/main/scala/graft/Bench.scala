@@ -59,7 +59,7 @@ object Bench {
     // mid-family members' own localCheckpoints (e.g. q72's BFS
     // frontier/visited frames) that their own turn skipped.
     val cacheSharers = Set("q126_prefix_join", "q135_containment",
-      "q138_source_overlap", "q40_ngram_jaccard", "q41_minhash_lsh",
+      "q138_source_overlap", "q148_snm", "q40_ngram_jaccard", "q41_minhash_lsh",
       "q42_simhash", "q45_dup_clusters", "q72_bfs_depth", "q75_edit_distance",
       "q94_triangles", "q98_best_keeper")
     val familyEnds = Set("q45_dup_clusters", "q75_edit_distance", "q98_best_keeper")

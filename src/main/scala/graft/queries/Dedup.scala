@@ -851,6 +851,83 @@ object Dedup {
       |       JOIN documents db ON db.doc_id = p.d2
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q148: sorted-neighborhood blocking — the classic windowed dedup
+    * (Hernández–Stolfo merge/purge, public formulation): sort the
+    * corpus by a blocking key that collides near-dups, then compare
+    * ONLY rows within a fixed window w of the sort order. The key here
+    * is the lexicographic MINIMUM word-3-gram — 1-permutation MinHash
+    * in string space, P[keys equal] = Jaccard, so τ≥0.8 pairs almost
+    * always become sort neighbors — and it is engine-neutral (the
+    * DuckDB oracle computes the identical string min; a hash key
+    * would not be portable). The global rank is the q122/q136
+    * distributed prefix pattern (range-partition on (key, doc_id),
+    * per-partition row_number, broadcast count offsets — no
+    * single-partition window at any corpus size), and the rank-band
+    * 1 ≤ r2−r1 ≤ w join runs as a bucket EQUIJOIN — the lower-rank
+    * side probes its own width-w bucket and the next one, which by
+    * pigeonhole covers every band pair — so candidate generation is
+    * linear in the corpus with w the per-row comparison budget.
+    * Candidates flow through the family's exact-Jaccard verify; the
+    * oracle states the SAME windowed semantics (SNM is approximate by
+    * design — the gate grades the operator's contract, window misses
+    * included, not the full pair set).
+    */
+  def q148SortedNeighborhood(s: SparkSession, dir: String,
+      w: Int = 10, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = shingled(s, dir)
+    val keyed = Tables.load(s, dir, "documents")
+      .select($"doc_id", expr(
+        "array_min(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))").as("k"))
+    val ranged = keyed.repartitionByRange(parts, $"k".asc, $"doc_id".asc)
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
+      .select($"pid", coalesce(sum($"pn").over(W.orderBy($"pid")
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val ranked = ranged
+      .withColumn("rn", row_number().over(
+        W.partitionBy($"pid").orderBy($"k", $"doc_id")))
+      .join(broadcast(offsets), "pid")
+      .select($"doc_id", ($"rn" + $"off").as("r"))
+    val lower = ranked.select($"doc_id".as("id_a"), $"r".as("ra"),
+      explode(array(expr(s"(r - 1) div $w"), expr(s"(r - 1) div $w + 1")))
+        .as("bkt"))
+    val upper = ranked.select($"doc_id".as("id_b"), $"r".as("rb"),
+      expr(s"(r - 1) div $w").as("bkt"))
+    val cands = lower.join(upper, "bkt")
+      .filter($"rb" - $"ra" >= 1 && $"rb" - $"ra" <= w)
+      .select(least($"id_a", $"id_b").as("d1"),
+        greatest($"id_a", $"id_b").as("d2"))
+    verifyPairs(cands, docs)
+  }
+
+  def q148SortedNeighborhoodSql(w: Int = 10): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |k AS (SELECT doc_id, list_min(list_transform(
+      |        range(1, greatest(len(ws) - 1, 2)),
+      |        i -> array_to_string(ws[i:i+2], ' '))) AS k FROM ws),
+      |r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+      |        AS r FROM k),
+      |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+      |         FROM r a JOIN r b ON b.r - a.r BETWEEN 1 AND $w),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM ws),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT c.da, c.db, COUNT(*) AS inter
+      |          FROM cand c JOIN ex a ON a.doc_id = c.da
+      |          JOIN ex b ON b.doc_id = c.db AND a.g = b.g
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh)
+      |SELECT least(da, db) AS d1, greatest(da, db) AS d2,
+      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+      |FROM inter JOIN sz sa ON sa.doc_id = da
+      |           JOIN sz sb ON sb.doc_id = db
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $Tau
+      |ORDER BY d1, d2""".stripMargin
+
   val q135ContainmentSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(

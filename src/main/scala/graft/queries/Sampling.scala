@@ -127,4 +127,77 @@ object Sampling {
       |  FROM d)
       |SELECT doc_id, n_tok, score, cum_tokens FROM c
       |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin
+
+  /** q149: water-filling mixture allocation — the other half of q136's
+    * knapsack: given a global token budget B (a fraction of the corpus)
+    * and per-source token supplies c_i, allocate min(c_i, λ) to each
+    * source with the water level λ chosen so the allocations sum to B —
+    * the standard cap-and-redistribute rule (max-min fairness) a
+    * mixture builder uses so no single giant source swamps the blend.
+    * λ has a closed form over the supply-sorted prefix sums: sources
+    * are funded in ascending-supply order while c_k·(remaining sources)
+    * fits the remaining budget — that test is EXACT INTEGER arithmetic
+    * (multiplication form, no division), so the funded/unfunded cut
+    * cannot drift between engines; λ itself is the single final
+    * division. The corpus-sized work is one per-source aggregation;
+    * everything after lives on the |sources| frame (bounded, so its
+    * windows are cheap at any scale).
+    */
+  def q149Waterfill(s: SparkSession, dir: String,
+      num: Long = 2L, den: Long = 5L): DataFrame = {
+    import s.implicits._
+    val sup = Tables.load(s, dir, "documents")
+      .select($"source", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("c"))
+    val byC = Window.orderBy($"c", $"source")
+    val f = sup
+      .withColumn("rn", row_number().over(byC).cast("long"))
+      .withColumn("prefix", sum($"c").over(byC))
+      .crossJoin(broadcast(sup.agg(sum($"c").as("tot"),
+        count(lit(1)).as("n"))))
+      // budget B = floor(tot * num / den), exact integer division
+      .withColumn("b", expr(s"(tot * $num) div $den"))
+      // source rn is fully funded iff c·(n − rn + 1) ≤ B − (prefix − c):
+      // all-integer comparison — no float boundary anywhere
+      .withColumn("funded",
+        $"c" * ($"n" - $"rn" + 1) <= $"b" - ($"prefix" - $"c"))
+    val cut = f.agg(
+      coalesce(max(when($"funded", $"rn")), lit(0L)).as("kstar"),
+      coalesce(max(when($"funded", $"prefix")), lit(0L)).as("funded_sum"))
+    f.crossJoin(broadcast(cut))
+      .withColumn("lambda",
+        ($"b" - $"funded_sum").cast("double") / ($"n" - $"kstar"))
+      .select($"source", $"c".as("tokens"),
+        when($"rn" <= $"kstar", $"c".cast("double"))
+          .otherwise($"lambda").as("alloc"),
+        (when($"rn" <= $"kstar", $"c".cast("double"))
+          .otherwise($"lambda") / $"c").as("weight"))
+      .orderBy($"source")
+  }
+
+  def q149WaterfillSql(num: Long = 2L, den: Long = 5L): String =
+    s"""WITH sup AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot,
+      |               CAST(COUNT(*) AS BIGINT) AS n FROM sup),
+      |f AS (
+      |  SELECT source, c,
+      |    CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS rn,
+      |    CAST(SUM(c) OVER (ORDER BY c, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+      |    tot, n, CAST(tot * $num // $den AS BIGINT) AS b
+      |  FROM sup CROSS JOIN tot),
+      |ff AS (SELECT *, c * (n - rn + 1) <= b - (prefix - c) AS funded FROM f),
+      |cut AS (
+      |  SELECT COALESCE(MAX(CASE WHEN funded THEN rn END), 0) AS kstar,
+      |    CAST(COALESCE(MAX(CASE WHEN funded THEN prefix END), 0) AS BIGINT)
+      |      AS funded_sum
+      |  FROM ff)
+      |SELECT source, c AS tokens,
+      |  CASE WHEN rn <= kstar THEN CAST(c AS DOUBLE)
+      |       ELSE CAST(b - funded_sum AS DOUBLE) / (n - kstar) END AS alloc,
+      |  CASE WHEN rn <= kstar THEN CAST(c AS DOUBLE)
+      |       ELSE CAST(b - funded_sum AS DOUBLE) / (n - kstar) END / c AS weight
+      |FROM ff CROSS JOIN cut ORDER BY source""".stripMargin
 }

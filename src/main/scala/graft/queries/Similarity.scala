@@ -700,4 +700,68 @@ object Similarity {
       |  max(cos_sim) > 0.6 AS contaminated
       |FROM scored GROUP BY nid ORDER BY nid""".stripMargin
   }
+
+  /** q150: nearest-centroid label purity — the label-noise screen an
+    * embedding pipeline runs before trusting its labels: per-label
+    * centroids (the Rocchio / nearest-class-mean classifier, public
+    * formulation), assign every vector to its nearest centroid by
+    * squared euclidean distance, report per label how many vectors
+    * defect to another label's centroid. Executed as explode +
+    * codegen'd aggregations: centroids are a (labels × dims) frame
+    * built by one map-side-partial aggregation, broadcast back; the
+    * distance aggregation map-side-reduces the ×dims fan-out so the
+    * shuffle carries only (vec, label) partials. (At extreme scale the
+    * per-row alternative — a native expression folding each vector
+    * against broadcast centroid arrays — removes the fan-out
+    * entirely; the q41 MinHash lesson.) Determinism: centroid means
+    * and distances round to the 6-dp grid on both engines before the
+    * argmin (the q128/q140 discipline), and centroid-label ties break
+    * ascending — bit-stable assignment everywhere.
+    */
+  def q150CentroidPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("p", "xf")))
+      .select($"vec_id", $"label", ($"p" + 1).as("dim"),
+        $"xf".cast("double").as("x"))
+    val cen = ex.groupBy($"label".as("c_label"), $"dim")
+      .agg(round(sum($"x") / count(lit(1)), 6).as("c"))
+    val dist = ex.join(broadcast(cen), "dim")
+      .groupBy($"vec_id", $"label", $"c_label")
+      .agg(round(sum(($"x" - $"c") * ($"x" - $"c")), 6).as("d2"))
+    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"c_label")
+    val pred = dist
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" === 1)
+      .select($"vec_id", $"label", $"c_label".as("pred_label"))
+    pred.groupBy($"label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when($"pred_label" =!= $"label", 1L).otherwise(0L)).as("n_impure"))
+      .withColumn("purity",
+        lit(1.0) - $"n_impure".cast("double") / $"n_vecs")
+      .orderBy($"label")
+  }
+
+  val q150CentroidPuritySql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |cen AS (
+      |  SELECT label AS c_label, dim, round(SUM(x) / COUNT(*), 6) AS c
+      |  FROM ex GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT vec_id, label, c_label, round(SUM((x - c) * (x - c)), 6) AS d2
+      |  FROM ex JOIN cen USING (dim)
+      |  GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT vec_id, label, c_label AS pred_label
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY d2, c_label) AS rnk FROM dist)
+      |  WHERE rnk = 1)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CASE WHEN pred_label <> label THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_impure,
+      |  1.0 - CAST(SUM(CASE WHEN pred_label <> label THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) AS purity
+      |FROM pred GROUP BY label ORDER BY label""".stripMargin
 }
