@@ -886,11 +886,14 @@ object Dedup {
     val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
       .select($"pid", coalesce(sum($"pn").over(W.orderBy($"pid")
         .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("off"))
-    val ranked = ranged
+    // scratch-cached: lower AND upper probe this frame — uncached, the
+    // key extraction (an interpreted string-shingle lambda) and the
+    // rank assembly would execute once per branch
+    val ranked = cacheScratch(s, "q148_rank", ranged
       .withColumn("rn", row_number().over(
         W.partitionBy($"pid").orderBy($"k", $"doc_id")))
       .join(broadcast(offsets), "pid")
-      .select($"doc_id", ($"rn" + $"off").as("r"))
+      .select($"doc_id", ($"rn" + $"off").as("r")))
     val lower = ranked.select($"doc_id".as("id_a"), $"r".as("ra"),
       explode(array(expr(s"(r - 1) div $w"), expr(s"(r - 1) div $w + 1")))
         .as("bkt"))
@@ -900,7 +903,27 @@ object Dedup {
       .filter($"rb" - $"ra" >= 1 && $"rb" - $"ra" <= w)
       .select(least($"id_a", $"id_b").as("d1"),
         greatest($"id_a", $"id_b").as("d2"))
-    verifyPairs(cands, docs)
+    // window candidates are mostly NON-dups (w per row by construction),
+    // so two cheap pair filters run before the exact-Jaccard verify:
+    // 1. length filter — EXACTLY lossless: jac ≤ min(|A|,|B|)/max(|A|,|B|),
+    //    so τ-pairs need size ratio ≥ τ (prunes ~70% here);
+    // 2. q41's MinHash slot-agreement estimate at the same 0.3 gate —
+    //    P[reject a true τ=0.8 pair] ≈ P[Binom(64, 0.8) < 19] ≈ 1e-22,
+    //    noise next to SNM's own window-miss probability.
+    val sz = docs.select($"doc_id", size($"sh").as("n"))
+    val sig = cacheScratch(s, "q148_sig", docs.select($"doc_id",
+      call_function("minhash_signature", $"sh").as("sig")))
+    val filtered = cands
+      .join(sz.as("za"), $"d1" === $"za.doc_id")
+      .join(sz.as("zb"), $"d2" === $"zb.doc_id")
+      .filter(least($"za.n", $"zb.n").cast("double") >=
+        lit(Tau) * greatest($"za.n", $"zb.n"))
+      .select($"d1", $"d2")
+      .join(sig.as("p"), $"d1" === $"p.doc_id")
+      .join(sig.as("q"), $"d2" === $"q.doc_id")
+      .filter(call_function("slot_agreement", $"p.sig", $"q.sig") / 64.0 >= 0.3)
+      .select($"d1", $"d2")
+    verifyPairs(filtered, docs)
   }
 
   def q148SortedNeighborhoodSql(w: Int = 10): String =

@@ -292,6 +292,105 @@ object Stats {
       .orderBy($"lag")
   }
 
+  /** q151: two-proportion z-test — the experimentation primitive
+    * ("does variant B purchase more?") run directly on the event
+    * stream. Variant assignment is the deterministic `user_id % 2`
+    * split (the q39 stable-split idea without the hash — any stable
+    * bucketing works); the measured proportion is purchase share per
+    * EVENT, which stays in (0,1) at every scale (a per-user
+    * "ever purchased" flag saturates to 1 once users average enough
+    * events — the original formulation divided by zero at sf0.1).
+    * One corpus-sized aggregation; the pooled-variance z statistic is
+    * ONE fixed-shape double expression over four exact integers —
+    * bit-identical cross-engine, stays double — and the all-or-none
+    * degenerate pool (zero variance) yields NULL z via an identical
+    * guard on both engines. |z| > 1.96 is the α=0.05 two-sided line.
+    */
+  def q151AbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "events")
+      .select(($"user_id" % 2).as("variant"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
+      .agg(
+        sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"variant" === 0, $"p").otherwise(0L)).as("conv_a"),
+        sum(when($"variant" === 1, $"p").otherwise(0L)).as("conv_b"))
+    val pool = $"conv_a" + $"conv_b"
+    val z = (($"conv_a".cast("double") / $"n_a" -
+      $"conv_b".cast("double") / $"n_b") /
+      sqrt((pool.cast("double") / ($"n_a" + $"n_b")) *
+        (lit(1.0) - pool.cast("double") / ($"n_a" + $"n_b")) *
+        (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
+    c.select($"n_a", $"n_b", $"conv_a", $"conv_b",
+      ($"conv_a".cast("double") / $"n_a").as("rate_a"),
+      ($"conv_b".cast("double") / $"n_b").as("rate_b"),
+      when(pool > 0 && pool < $"n_a" + $"n_b", z).as("z"))
+      .withColumn("significant",
+        coalesce(abs($"z") > 1.96, lit(false)))
+  }
+
+  val q151AbTestSql: String =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM events)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+      |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+      |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+      |    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+      |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |      (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |      (1.0 / n_a + 1.0 / n_b)) END AS z,
+      |  COALESCE(abs(CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+      |    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+      |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |      (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+      |      (1.0 / n_a + 1.0 / n_b)) END) > 1.96, false) AS significant
+      |FROM c""".stripMargin
+
+  /** q152: Gini concentration of token mass across sources — the
+    * one-number mixture-balance report (0 = perfectly even corpus,
+    * →1 = one source is the corpus). Uses the standard rank formula
+    * G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n over ascending-sorted supplies;
+    * Σ i·cᵢ is an exact integer aggregate (ranks live on the bounded
+    * source frame), so G is one deterministic double expression.
+    */
+  def q152Gini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.load(s, dir, "documents")
+      .select($"source", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("c"))
+    sup
+      .withColumn("i", row_number().over(
+        Window.orderBy($"c", $"source")).cast("long"))
+      .agg(count(lit(1)).as("n_sources"), sum($"c").as("total_tokens"),
+        sum($"i" * $"c").as("ic"))
+      .select($"n_sources", $"total_tokens",
+        ((lit(2.0) * $"ic") / ($"n_sources" * $"total_tokens").cast("double") -
+          ($"n_sources" + 1).cast("double") / $"n_sources").as("gini"))
+  }
+
+  val q152GiniSql: String =
+    """WITH sup AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i
+      |      FROM sup),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |             CAST(SUM(c) AS BIGINT) AS total_tokens,
+      |             CAST(SUM(i * c) AS BIGINT) AS ic FROM r)
+      |SELECT n_sources, total_tokens,
+      |  (2.0 * ic) / CAST(n_sources * total_tokens AS DOUBLE) -
+      |    CAST(n_sources + 1 AS DOUBLE) / n_sources AS gini
+      |FROM a""".stripMargin
+
   val q147XcorrSql: String =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS d,

@@ -388,4 +388,36 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: no cartesian allowed:\n$p")
     }
   }
+
+  test("q144: the ECDF cumsum is distributed — pid-partitioned window, offsets broadcast") {
+    // same contract as q122/q136: the corpus-sized running counts must
+    // ride a pid-partitioned window; only the ≤parts-row offset frame
+    // may use an unpartitioned one
+    val df = graft.SparkEntry.queries("q144_ks_drift")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"offsets must broadcast back:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"expected the pid-partitioned running counts:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q148: the rank-band join is a bucket equijoin — never quadratic") {
+    // SNM's whole point is comparing only window neighbors; a cartesian
+    // or nested-loop means the bucket key stopped reaching the join
+    val p = plan("q148_snm")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"rank-band join must not go quadratic:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the bucket equijoin:\n$p")
+  }
+
+  test("q150: centroids broadcast onto the exploded scan — no quadratic join") {
+    val p = plan("q150_centroid_purity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the (labels x dims) centroid frame broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"no quadratic join allowed:\n$p")
+  }
 }

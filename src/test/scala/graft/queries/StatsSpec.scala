@@ -129,6 +129,37 @@ class StatsSpec extends SparkSpec {
     assert(byLag(0).getAs[Double]("xcorr") < 1.0)
   }
 
+  test("q151: a clean split — even users convert, odd never — is significant") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ab").toString
+    val rows = (0L until 40L).map { u =>
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      (u, t, u, if (u % 2 == 0) "purchase" else "click")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Stats.q151AbTest(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_a") == 20L && r.getAs[Long]("n_b") == 20L)
+    assert(r.getAs[Double]("rate_a") == 1.0 && r.getAs[Double]("rate_b") == 0.0)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("q152: equal supplies score gini exactly 0") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-gini").toString
+    (1 to 4).map(i => (i.toLong, s"s$i", "a b c d e"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Stats.q152Gini(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_sources") == 4L)
+    assert(r.getAs[Double]("gini") == 0.0)
+  }
+
+  test("q152: real data — gini in [0, 1)") {
+    val g = Stats.q152Gini(spark, dir).collect().head.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+  }
+
   test("q147: real data — 8 lags, day frames shrink by one per lag") {
     val rows = Stats.q147Xcorr(spark, dir).collect()
     assert(rows.length == 8)
