@@ -37,6 +37,15 @@ class BlockingAllocationSpec extends SparkSpec {
     assert(snm.forall { case (k, j) => exact.get(k).contains(j) })
   }
 
+  test("q148: pair set is invariant under the range-partition count") {
+    import spark.implicits._
+    val p4 = Dedup.q148SortedNeighborhood(spark, dir, parts = 4)
+      .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect().toSeq
+    val p32 = Dedup.q148SortedNeighborhood(spark, dir, parts = 32)
+      .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect().toSeq
+    assert(p4 == p32 && p4.nonEmpty)
+  }
+
   private implicit class Triples(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map { case (a, b, j) => (a, b) -> j }.toMap
