@@ -391,6 +391,85 @@ object Stats {
       |    CAST(n_sources + 1 AS DOUBLE) / n_sources AS gini
       |FROM a""".stripMargin
 
+  /** q153: quantile normalization — map every source's `n_chars`
+    * distribution onto the GLOBAL distribution (the cross-source
+    * feature-alignment transform, e.g. Bolstad et al. 2003's
+    * microarray recipe): a document at within-source rank fraction f
+    * is assigned the globally interpolated f-quantile. Within-source
+    * ranks are per-source windows (naturally partitioned); the global
+    * sorted axis is the q122/q136 distributed rank (range partition +
+    * broadcast count offsets); the two quantile endpoints come back
+    * by rank-keyed equijoins. Determinism: ranks and values are exact
+    * integers; the fractional position and the interpolation are ONE
+    * fixed-shape double expression each, mirrored textually in the
+    * oracle — floor(pos) lands on identical double bits on both
+    * engines, so the chosen endpoints are identical by construction.
+    */
+  def q153QuantileNorm(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val bySrc = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val ranked = docs
+      .withColumn("r", row_number().over(bySrc).cast("long"))
+      .withColumn("ns", count(lit(1))
+        .over(Window.partitionBy($"source")))
+    val gRanged = docs.repartitionByRange(parts, $"n_chars".asc, $"doc_id".asc)
+      .withColumn("pid", spark_partition_id())
+    val gOff = gRanged.groupBy($"pid").agg(count(lit(1)).as("pn"))
+      .select($"pid", coalesce(sum($"pn").over(Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val global = gRanged
+      .withColumn("grn", row_number().over(
+        Window.partitionBy($"pid").orderBy($"n_chars", $"doc_id")))
+      .join(broadcast(gOff), "pid")
+      .select(($"grn" + $"off").as("g"), $"n_chars".as("v"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val positioned = ranked.crossJoin(broadcast(n))
+      // f in [0,1]: min -> global min, max -> global max; singleton
+      // sources pin to the median fraction
+      .withColumn("f", when($"ns" === 1, lit(0.5))
+        .otherwise(($"r" - 1).cast("double") / ($"ns" - 1)))
+      .withColumn("pos", lit(1.0) + $"f" * ($"n_total" - 1))
+      .withColumn("klo", floor($"pos").cast("long"))
+      .withColumn("khi", least($"klo" + 1, $"n_total"))
+    positioned
+      .join(global.as("lo"), $"klo" === $"lo.g")
+      .join(global.as("hi"), $"khi" === $"hi.g")
+      .select($"doc_id", $"source", $"n_chars",
+        ($"lo.v" + ($"pos" - $"klo") * ($"hi.v" - $"lo.v")).as("qnorm"))
+      .orderBy($"doc_id")
+  }
+
+  val q153QuantileNormSql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+      |  FROM d),
+      |g AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS g,
+      |    n_chars AS v
+      |  FROM d),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d),
+      |p AS (
+      |  SELECT doc_id, source, n_chars,
+      |    1.0 + (CASE WHEN ns = 1 THEN 0.5
+      |      ELSE CAST(r - 1 AS DOUBLE) / (ns - 1) END) * (n_total - 1) AS pos
+      |  FROM r CROSS JOIN n),
+      |k AS (
+      |  SELECT doc_id, source, n_chars, pos,
+      |    CAST(floor(pos) AS BIGINT) AS klo,
+      |    least(CAST(floor(pos) AS BIGINT) + 1,
+      |      (SELECT n_total FROM n)) AS khi
+      |  FROM p)
+      |SELECT doc_id, source, n_chars,
+      |  lo.v + (pos - klo) * (hi.v - lo.v) AS qnorm
+      |FROM k JOIN g lo ON klo = lo.g JOIN g hi ON khi = hi.g
+      |ORDER BY doc_id""".stripMargin
+
   val q147XcorrSql: String =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS d,

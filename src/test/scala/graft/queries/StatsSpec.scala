@@ -160,6 +160,28 @@ class StatsSpec extends SparkSpec {
     assert(g >= 0.0 && g < 1.0)
   }
 
+  test("q153: each source's extremes land on the global extremes") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-qn").toString
+    // source a sits low (10,20,30), source b high (100,200,300): after
+    // normalization both spread across the GLOBAL range [10, 300]
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 100L), (5L, "b", 200L), (6L, "b", 300L))
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Stats.q153QuantileNorm(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("qnorm")).toMap
+    assert(rows(1) == 10.0 && rows(3) == 300.0)   // a's min/max -> global
+    assert(rows(4) == 10.0 && rows(6) == 300.0)   // b's min/max -> global
+    assert(rows(2) == rows(5))                    // same fraction, same value
+  }
+
+  test("q153: result is invariant under the range-partition count") {
+    val p4 = Stats.q153QuantileNorm(spark, dir, parts = 4).collect().toSeq
+    val p32 = Stats.q153QuantileNorm(spark, dir, parts = 32).collect().toSeq
+    assert(p4 == p32 && p4.nonEmpty)
+  }
+
   test("q147: real data — 8 lags, day frames shrink by one per lag") {
     val rows = Stats.q147Xcorr(spark, dir).collect()
     assert(rows.length == 8)
