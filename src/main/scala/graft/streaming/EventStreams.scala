@@ -46,6 +46,77 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
 
+  /** Streaming PSI drift monitor — the population stability index
+    * (the standard model-monitoring drift score; see e.g. the public
+    * credit-scoring literature) computed per event-time window against
+    * a fixed reference distribution: PSI = Σ_bins (p−q)·ln(p/q), with
+    * Laplace smoothing on the observed side and ε-smoothing on the
+    * reference so empty bins stay finite. Declarative all the way:
+    * ONE watermarked stateful aggregation produces per-window bin
+    * counts as fixed columns (no second stateful op, no custom
+    * state), and the score is a closed-form expression over them —
+    * at scale this shuffles once on the window key with map-side
+    * partial counts, state bounded by the watermark. Values outside
+    * [lo, hi) clamp into the edge bins (the monitoring convention:
+    * out-of-range mass IS drift signal, not an error). PSI > 0.2 is
+    * the conventional "investigate" line.
+    *
+    * This is the streaming twin of the batch Stats family (q144's KS
+    * answers "did it move?" offline; this answers it continuously).
+    */
+  def psiDrift(
+      events: DataFrame,
+      refProportions: Seq[Double],
+      lo: Double, hi: Double,
+      watermark: String = "10 minutes",
+      width: String = "1 hour",
+      threshold: Double = 0.2): DataFrame = {
+    require(refProportions.nonEmpty, "need at least one reference bin")
+    val nBins = refProportions.length
+    val eps = 1e-6
+    val refSmoothed = {
+      val z = refProportions.map(_ + eps)
+      val tot = z.sum
+      z.map(_ / tot)
+    }
+    val binW = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col("value") - lit(lo)) / lit(binW)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n"),
+        (0 until nBins).map(i =>
+          sum(when(bin === i, 1L).otherwise(0L)).as(s"c$i")): _*)
+    val psi = (0 until nBins).map { i =>
+      val p = (col(s"c$i") + 1).cast("double") / (col("n") + nBins)
+      val q = lit(refSmoothed(i))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    counts.select(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("n"), psi.as("psi"))
+      .withColumn("drifted", col("psi") > threshold)
+  }
+
+  /** Driver-side helper: bin a static (batch) column into the reference
+    * proportions [[psiDrift]] consumes. The collect is bounded by
+    * nBins — this is a tiny model, not data movement.
+    */
+  def referenceProportions(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int = 10): Seq[Double] = {
+    val binW = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(binW)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val counts = df.groupBy(bin.as("b")).count()
+      .collect().map(r => r.getAs[Int]("b") -> r.getAs[Long]("count")).toMap
+    val total = counts.values.sum.toDouble
+    (0 until nBins).map(i => counts.getOrElse(i, 0L) / total)
+  }
+
   /** Stateful exact dedup on a key with bounded state: duplicates arriving
     * within the watermark horizon are dropped exactly; the watermark lets
     * Spark expire state for old keys (`dropDuplicatesWithinWatermark`

@@ -191,4 +191,37 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("psi drift: a matching window scores low, a shifted window trips the line") {
+    // uniform reference over [0, 10) in 10 bins
+    val ref = Seq.fill(10)(0.1)
+    val in = MemoryStream[Ev](spark)
+    // hour 10: one event per bin — matches the reference
+    val calm = (0 until 10).map(i =>
+      Ev(i.toLong, ts(i), 1, "view", i + 0.5))
+    // hour 11: all mass in the top bin — clear drift (outlier 99.0
+    // must CLAMP into the last bin, not error or vanish)
+    val hot = (0 until 10).map(i =>
+      Ev(100L + i, Timestamp.valueOf(f"2024-01-01 11:$i%02d:00"), 1, "view",
+        if (i == 0) 99.0 else 9.5))
+    in.addData(calm ++ hot: _*)
+    val rows = runToCompletion(
+      EventStreams.psiDrift(in.toDF(), ref, lo = 0.0, hi = 10.0),
+      OutputMode.Update())
+    val byStart = rows.map(r =>
+      r.getAs[Timestamp]("window_start") -> r).toMap
+    val calmRow = byStart(Timestamp.valueOf("2024-01-01 10:00:00"))
+    val hotRow = byStart(Timestamp.valueOf("2024-01-01 11:00:00"))
+    assert(calmRow.getAs[Long]("n") == 10L && hotRow.getAs[Long]("n") == 10L)
+    assert(calmRow.getAs[Double]("psi") < 0.1 && !calmRow.getAs[Boolean]("drifted"))
+    assert(hotRow.getAs[Double]("psi") > 0.2 && hotRow.getAs[Boolean]("drifted"))
+  }
+
+  test("psi drift: reference proportions derive from a batch frame") {
+    import spark.implicits._
+    val refDf = (0 until 100).map(i => i % 10 + 0.5).toDF("value")
+    val props = EventStreams.referenceProportions(refDf, "value", 0.0, 10.0)
+    assert(props == Seq.fill(10)(0.1))
+    assert(math.abs(props.sum - 1.0) < 1e-12)
+  }
 }
