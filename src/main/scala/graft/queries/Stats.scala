@@ -470,6 +470,75 @@ object Stats {
       |FROM k JOIN g lo ON klo = lo.g JOIN g hi ON khi = hi.g
       |ORDER BY doc_id""".stripMargin
 
+  /** q154: daily PSI drift report — the ORACLE-GATED batch twin of
+    * `EventStreams.psiDrift`: score every day's `value` distribution
+    * against the first week's (the reference period a monitor is
+    * calibrated on) with the population stability index. Binning is
+    * clamped floor arithmetic (identical IEEE ops both engines);
+    * both sides are Laplace-smoothed so empty bins stay finite; the
+    * ≤nBins-row reference broadcasts; the only corpus-sized work is
+    * the (day, bin) aggregation. The per-day sum folds nBins
+    * libm-`ln` terms → float presentation (the q134 argument).
+    */
+  def q154PsiDaily(s: SparkSession, dir: String,
+      nBins: Int = 10, lo: Double = 0.0, hi: Double = 500.0): DataFrame = {
+    import s.implicits._
+    val binW = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col("value") - lit(lo)) / lit(binW)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val binned = Tables.load(s, dir, "events")
+      .select(to_date($"ts").as("d"), bin.as("b"))
+    val daily = binned.groupBy($"d", $"b").agg(count(lit(1)).as("c"))
+    val dailyTot = daily.groupBy($"d").agg(sum($"c").as("n"))
+    val ref = binned.filter(dayofmonth($"d") <= 7)
+      .groupBy($"b").agg(count(lit(1)).as("rc"))
+    val refTot = ref.agg(sum($"rc").as("rn"))
+    // full (day x bin) grid so zero observed/reference bins still
+    // contribute their smoothed mass
+    val grid = dailyTot.crossJoin(broadcast(
+        s.range(0, nBins).select($"id".cast("int").as("b"))))
+      .join(daily, Seq("d", "b"), "left")
+      .join(broadcast(ref), Seq("b"), "left")
+      .crossJoin(broadcast(refTot))
+      .select($"d", $"n",
+        ((coalesce($"c", lit(0L)) + 1).cast("double") / ($"n" + nBins)).as("p"),
+        ((coalesce($"rc", lit(0L)) + 1).cast("double") / ($"rn" + nBins)).as("q"))
+    grid.groupBy($"d", $"n")
+      .agg(sum(($"p" - $"q") * log($"p" / $"q")).as("psi_d"))
+      .select($"d".as("day"), $"n", $"psi_d".cast("float").as("psi"))
+      .withColumn("drifted", $"psi" > 0.2f)
+      .orderBy($"day")
+  }
+
+  def q154PsiDailySql(nBins: Int = 10, lo: Double = 0.0, hi: Double = 500.0): String = {
+    val binW = (hi - lo) / nBins
+    s"""WITH binned AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    CAST(least(greatest(floor((value - $lo) / $binW), 0.0),
+      |      ${nBins - 1}.0) AS INTEGER) AS b
+      |  FROM events),
+      |daily AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS c
+      |          FROM binned GROUP BY 1, 2),
+      |dtot AS (SELECT d, CAST(SUM(c) AS BIGINT) AS n FROM daily GROUP BY 1),
+      |ref AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM binned
+      |        WHERE date_part('day', d) <= 7 GROUP BY 1),
+      |rtot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rn FROM ref),
+      |bins AS (SELECT CAST(unnest(range(0, $nBins)) AS INTEGER) AS b),
+      |grid AS (
+      |  SELECT dtot.d, dtot.n,
+      |    CAST(COALESCE(c, 0) + 1 AS DOUBLE) / (n + $nBins) AS p,
+      |    CAST(COALESCE(rc, 0) + 1 AS DOUBLE) / (rn + $nBins) AS q
+      |  FROM dtot CROSS JOIN bins
+      |  LEFT JOIN daily ON daily.d = dtot.d AND daily.b = bins.b
+      |  LEFT JOIN ref ON ref.b = bins.b
+      |  CROSS JOIN rtot)
+      |SELECT d AS day, n,
+      |  CAST(SUM((p - q) * ln(p / q)) AS FLOAT) AS psi,
+      |  CAST(SUM((p - q) * ln(p / q)) AS FLOAT) > CAST(0.2 AS FLOAT) AS drifted
+      |FROM grid GROUP BY d, n ORDER BY day""".stripMargin
+  }
+
   val q147XcorrSql: String =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS d,

@@ -182,6 +182,28 @@ class StatsSpec extends SparkSpec {
     assert(p4 == p32 && p4.nonEmpty)
   }
 
+  test("q154: reference days score calm; a shifted day trips the line") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-psi").toString
+    // days 1-7: one event per bin center (matches the reference, which
+    // IS those days); day 8: all mass in the top bin
+    val calm = for (day <- 1 to 7; i <- 0 until 10) yield
+      (s"2024-01-${"%02d".format(day)} 06:00:00", 25.0 + 50 * i)
+    val hot = (0 until 10).map(_ => ("2024-01-08 06:00:00", 475.0))
+    (calm ++ hot).toDF("ts_s", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = Stats.q154PsiDaily(spark, tmp).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Float]("psi"), r.getAs[Boolean]("drifted"))).toMap
+    (1 to 7).foreach { d =>
+      val (psi, drifted) = rows(s"2024-01-0$d")
+      assert(psi < 0.1f && !drifted)
+    }
+    val (psi8, drifted8) = rows("2024-01-08")
+    assert(psi8 > 0.2f && drifted8)
+  }
+
   test("q147: real data — 8 lags, day frames shrink by one per lag") {
     val rows = Stats.q147Xcorr(spark, dir).collect()
     assert(rows.length == 8)
