@@ -461,4 +461,52 @@ object Relational {
       |  ((yd | (yd << 1)) & 1431655765) AS ye FROM s3)
       |SELECT o_orderkey, xa AS x16, ya AS y16, (xe | (ye << 1)) AS zval
       |FROM s4 ORDER BY o_orderkey""".stripMargin
+
+  /** q155: NEST / document assembly — the inverse of explode, and the
+    * export shape every document store and feature platform asks a
+    * relational engine for: each order reassembled WITH its line items
+    * as one ordered nested collection, plus the parent attributes, in
+    * one pass. In Spark the nested collection is
+    * `sort_array(collect_list(struct))`; for oracle comparability the
+    * sorted items serialize to a canonical string (the q22 convention —
+    * DuckDB's `string_agg(... ORDER BY)` states the same thing). Scale
+    * shape: ONE map-side item render, ONE orderkey shuffle for the
+    * collect, ONE key-equijoin back to the parent — no window, no
+    * second pass; item arrays are bounded by order size, not corpus
+    * size.
+    */
+  def q155Nest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey",
+        concat_ws(":", $"l_linenumber", $"l_partkey",
+          $"l_quantity".cast("long")).as("item"),
+        $"l_quantity")
+      .groupBy($"l_orderkey")
+      .agg(array_join(sort_array(collect_list($"item")), "|").as("items"),
+        count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("long")).as("total_qty"))
+    Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+      .join(items, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
+        $"n_items", $"total_qty", $"items")
+      .orderBy($"o_orderkey")
+  }
+
+  val q155NestSql: String =
+    """WITH items AS (
+      |  SELECT l_orderkey,
+      |    string_agg(CAST(l_linenumber AS VARCHAR) || ':' ||
+      |      CAST(l_partkey AS VARCHAR) || ':' ||
+      |      CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), '|'
+      |      ORDER BY CAST(l_linenumber AS VARCHAR) || ':' ||
+      |        CAST(l_partkey AS VARCHAR) || ':' ||
+      |        CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)) AS items,
+      |    CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o_orderkey, o_custkey, o_orderpriority, n_items, total_qty, items
+      |FROM orders JOIN items ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
 }
