@@ -539,6 +539,57 @@ object Stats {
       |FROM grid GROUP BY d, n ORDER BY day""".stripMargin
   }
 
+  /** q156: exact WEIGHTED percentiles — "the document length at which
+    * the median TOKEN sits" (weight = token count, value = n_chars):
+    * the size profile a packing/budget planner actually needs, where
+    * q102/q128's unweighted percentiles answer a different question
+    * (the median DOCUMENT). Lower-bound convention — smallest value
+    * whose cumulative weight reaches q·W — which makes the whole
+    * query INTEGER-EXACT: the threshold tests are cross-multiplied
+    * (2·cum ≥ W, 10·cum ≥ 9·W), so there is not a single floating-
+    * point operation anywhere. The cumulative weight rides the
+    * q122/q136 distributed prefix pattern.
+    */
+  def q156WeightedPctl(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"n_chars".as("v"),
+        size(split($"text", " ")).cast("long").as("w"))
+    val ranged = d.repartitionByRange(parts, $"v".asc, $"doc_id".asc)
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy($"pid").agg(sum($"w").as("pw"))
+      .select($"pid", coalesce(sum($"pw").over(Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val tot = d.agg(count(lit(1)).as("n_docs"), sum($"w").as("total_w"))
+    ranged
+      .withColumn("run", sum($"w").over(
+        Window.partitionBy($"pid").orderBy($"v", $"doc_id")))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(tot))
+      .select($"n_docs", $"total_w", $"v", ($"run" + $"off").as("cum"))
+      .groupBy($"n_docs", $"total_w")
+      .agg(
+        min(when(lit(2) * $"cum" >= $"total_w", $"v")).as("p50_weighted"),
+        min(when(lit(10) * $"cum" >= lit(9) * $"total_w", $"v"))
+          .as("p90_weighted"))
+  }
+
+  val q156WeightedPctlSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars AS v,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |  FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(w) AS BIGINT) AS total_w FROM d),
+      |c AS (
+      |  SELECT v, CAST(SUM(w) OVER (ORDER BY v, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM d)
+      |SELECT n_docs, total_w,
+      |  MIN(CASE WHEN 2 * cum >= total_w THEN v END) AS p50_weighted,
+      |  MIN(CASE WHEN 10 * cum >= 9 * total_w THEN v END) AS p90_weighted
+      |FROM c CROSS JOIN tot GROUP BY n_docs, total_w""".stripMargin
+
   val q147XcorrSql: String =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS d,

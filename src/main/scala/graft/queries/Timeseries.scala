@@ -278,4 +278,55 @@ object Timeseries {
       |  round(min(d.med), 2) AS med, round(min(ma.mad), 2) AS mad
       |FROM dev d JOIN mad ma USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q157: per-group linear trend — ordinary least squares of daily
+    * event volume over the day index, one fit PER event type ("is the
+    * error rate climbing?"): the grouped twin of q134's global fit.
+    * Day index = days since the global first day (broadcast one-row
+    * min), so x is a small exact integer and all five regression sums
+    * are exact BIGINTs on the bounded (type × day) frame; slope and
+    * intercept are single fixed-shape double expressions over them —
+    * bit-identical cross-engine, they stay double. The corpus-sized
+    * work is ONE (type, day) aggregation with map-side partials.
+    */
+  def q157Trend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min($"d").as("d0"))
+    val xy = daily.crossJoin(broadcast(d0))
+      .select($"event_type", datediff($"d", $"d0").cast("long").as("x"), $"y")
+    xy.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n_days",
+        (($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n_days" * $"sxx" - $"sx" * $"sx")).as("slope"),
+        (($"sy" - (($"n_days" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n_days" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"n_days")
+          .as("intercept"))
+      .orderBy($"event_type")
+  }
+
+  val q157TrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (SELECT MIN(d) AS d0 FROM daily),
+      |xy AS (SELECT event_type, CAST(d - d0 AS BIGINT) AS x, y
+      |       FROM daily CROSS JOIN d0),
+      |sums AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM xy GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  CAST(n_days * sxy - sx * sy AS DOUBLE) / (n_days * sxx - sx * sx)
+      |    AS slope,
+      |  (sy - (CAST(n_days * sxy - sx * sy AS DOUBLE) /
+      |    (n_days * sxx - sx * sx)) * sx) / n_days AS intercept
+      |FROM sums ORDER BY event_type""".stripMargin
 }

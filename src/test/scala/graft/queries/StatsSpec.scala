@@ -204,6 +204,35 @@ class StatsSpec extends SparkSpec {
     assert(psi8 > 0.2f && drifted8)
   }
 
+  test("q156: weighted percentiles sit where the token mass sits") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-wp").toString
+    def doc(id: Long, chars: Long, toks: Int) =
+      (id, Seq.fill(toks)("t").mkString(" "), chars)
+    // token mass: 1 + 1 + 8 — the median and p90 TOKEN live in doc 3
+    Seq(doc(1, 10, 1), doc(2, 20, 1), doc(3, 30, 8))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Stats.q156WeightedPctl(spark, tmp).collect().head
+    assert(r.getAs[Long]("total_w") == 10L)
+    assert(r.getAs[Long]("p50_weighted") == 30L)
+    assert(r.getAs[Long]("p90_weighted") == 30L)
+    // flipped mass: 5 + 4 + 1 — median token in the smallest doc
+    val tmp2 = Files.createTempDirectory("graft-wp2").toString
+    Seq(doc(1, 10, 5), doc(2, 20, 4), doc(3, 30, 1))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val r2 = Stats.q156WeightedPctl(spark, tmp2).collect().head
+    assert(r2.getAs[Long]("p50_weighted") == 10L)
+    assert(r2.getAs[Long]("p90_weighted") == 20L)
+  }
+
+  test("q156: invariant under the range-partition count") {
+    val a = Stats.q156WeightedPctl(spark, dir, parts = 3).collect().toSeq
+    val b = Stats.q156WeightedPctl(spark, dir, parts = 32).collect().toSeq
+    assert(a == b)
+  }
+
   test("q147: real data — 8 lags, day frames shrink by one per lag") {
     val rows = Stats.q147Xcorr(spark, dir).collect()
     assert(rows.length == 8)

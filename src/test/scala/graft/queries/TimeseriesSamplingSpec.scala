@@ -204,4 +204,19 @@ class TimeseriesSamplingSpec extends SparkSpec {
     assert(r.getLong(1) == 10L && r.getLong(2) == 1L)
     assert(r.getDouble(3) == 5.5 && r.getDouble(4) == 2.5)
   }
+
+  test("q157: an exactly linear daily series recovers slope and intercept") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    // day d (0..4) carries exactly 3 + 2d events: perfect fit y = 3 + 2x
+    val rows = for (d <- 0 to 4; i <- 1 to (3 + 2 * d)) yield
+      (Timestamp.valueOf(f"2024-01-0${d + 1} 08:00:00"), "click")
+    rows.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Timeseries.q157Trend(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 3.0)
+  }
 }
