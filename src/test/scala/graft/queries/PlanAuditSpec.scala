@@ -420,4 +420,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       s"no quadratic join allowed:\n$p")
   }
+
+  for (name <- Seq("q153_quantile_norm", "q156_weighted_pctl")) {
+    test(s"$name: corpus windows stay pid/source-partitioned, offsets broadcast") {
+      // the q122/q136/q144 contract: corpus-sized running sums must ride
+      // a partitioned window; only the ≤parts-row offset frame (and, for
+      // q153, nothing else) may be unpartitioned
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+      assert(p.contains("BroadcastExchange"), s"$name: offsets must broadcast:\n$p")
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        s"$name: expected a partitioned corpus window:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
 }
