@@ -494,6 +494,38 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q158: grouped exact MODE — the most frequent value per group with
+    * a deterministic tie-break (highest count, then lexicographically
+    * smallest value): the one classic aggregate the surface had not
+    * yet named. The rank-filter form compiles to WindowGroupLimit, so
+    * each map task pre-prunes to its own best candidate per group
+    * BEFORE the exchange (the q125 lesson) — the shuffle carries
+    * O(groups × values-per-task), never the fact table.
+    */
+  def q158Mode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "customer")
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_nationkey").orderBy($"n".desc, $"c_mktsegment")
+    counts
+      .withColumn("rnk", row_number().over(best))
+      .filter($"rnk" === 1)
+      .select($"c_nationkey", $"c_mktsegment".as("mode_segment"),
+        $"n".as("mode_n"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q158ModeSql: String =
+    """SELECT c_nationkey, c_mktsegment AS mode_segment, n AS mode_n
+      |FROM (
+      |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY COUNT(*) DESC, c_mktsegment) AS rnk
+      |  FROM customer GROUP BY 1, 2)
+      |WHERE rnk = 1 ORDER BY c_nationkey""".stripMargin
+
   val q155NestSql: String =
     """WITH items AS (
       |  SELECT l_orderkey,

@@ -421,6 +421,12 @@ class PlanAuditSpec extends SparkSpec {
       s"no quadratic join allowed:\n$p")
   }
 
+  test("q158: mode pre-prunes map-side via WindowGroupLimit") {
+    val p = plan("q158_mode")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected map-side top-1 pruning before the group exchange:\n$p")
+  }
+
   for (name <- Seq("q153_quantile_norm", "q156_weighted_pctl")) {
     test(s"$name: corpus windows stay pid/source-partitioned, offsets broadcast") {
       // the q122/q136/q144 contract: corpus-sized running sums must ride
