@@ -45,8 +45,7 @@ object Stats {
       .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
     val rowT = obs.groupBy($"lang").agg(sum($"o").as("rl"))
     val colT = obs.groupBy($"source").agg(sum($"o").as("cl"))
-    val tot = obs.agg(sum($"o").as("n_docs"),
-      count(lit(1)).as("n_cells_obs"))
+    val tot = obs.agg(sum($"o").as("n_docs"))
     // full grid: every (lang, source) with both margins, observed or not
     val grid = rowT.crossJoin(colT).join(obs, Seq("lang", "source"), "left")
       .crossJoin(broadcast(tot))
