@@ -248,4 +248,38 @@ object Behavior {
       |  CAST(CAST(n AS DOUBLE) /
       |       CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS FLOAT) AS p
       |FROM c ORDER BY src, dst""".stripMargin
+
+  /** q159: daily new-vs-returning decomposition — the growth-accounting
+    * view every activity dashboard leads with: per day, how many active
+    * users are seen for the FIRST time vs returning. Two user-keyed
+    * aggregations (the active (user, day) frame and the per-user first
+    * day) plus one join on the user key that reuses the same hash
+    * partitioning — no window, all exact integers. At 100 TB the
+    * (user, day) frame is the corpus-sized shuffle; everything after
+    * is per-user/per-day scale.
+    */
+  def q159NewReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val userDays = Tables.load(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val firstDay = userDays.groupBy($"user_id").agg(min($"d").as("d0"))
+    userDays.join(firstDay, "user_id")
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"d" === $"d0", 1L).otherwise(0L)).as("n_new"))
+      .select($"d".as("day"), $"n_active", $"n_new",
+        ($"n_active" - $"n_new").as("n_returning"))
+      .orderBy($"day")
+  }
+
+  val q159NewReturningSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, MIN(d) AS d0 FROM ud GROUP BY 1)
+      |SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(COUNT(*) - SUM(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_returning
+      |FROM ud JOIN f USING (user_id)
+      |GROUP BY d ORDER BY day""".stripMargin
 }

@@ -125,4 +125,20 @@ class EntityBehaviorSpec extends SparkSpec {
     assert(byId(4L) == ((Some(3L), Some(1L)))) // latest click; earliest view
     assert(byId(6L) == ((None, None)))         // frame empty -> nulls
   }
+
+  test("q159: growth accounting conserves users — day 1 is all-new, news sum to the user base") {
+    import spark.implicits._
+    val rows = Behavior.q159NewReturning(spark, "/root/testdata/sf0.001")
+      .collect()
+    val first = rows.head
+    assert(first.getAs[Long]("n_active") == first.getAs[Long]("n_new"))
+    val distinctUsers = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == distinctUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+    }
+  }
 }
