@@ -129,4 +129,73 @@ class PropertiesSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("property: KS of a sample against itself is 0, against a disjoint shift is 1") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val vals = Gen.listOfN(200, Gen.chooseNum(1, 500)).sample.get
+    val tmp = Files.createTempDirectory("graft-ks-prop").toString
+    // A and B are the SAME multiset -> ECDFs coincide everywhere
+    (vals.map(v => (v.toDouble, "1-URGENT")) ++
+      vals.map(v => (v.toDouble, "5-LOW")))
+      .toDF("o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val same = Stats.q144KsDrift(spark, tmp).collect().head
+    assert(same.getAs[Double]("ks_d") == 0.0)
+    val tmp2 = Files.createTempDirectory("graft-ks-prop2").toString
+    (vals.map(v => (v.toDouble, "1-URGENT")) ++
+      vals.map(v => (v.toDouble + 1000.0, "5-LOW")))
+      .toDF("o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp2/orders.parquet")
+    val apart = Stats.q144KsDrift(spark, tmp2).collect().head
+    assert(apart.getAs[Double]("ks_d") == 1.0)
+  }
+
+  test("property: water-fill allocations sum to the budget and cap at supply") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val supplies = Gen.listOfN(8, Gen.chooseNum(1, 200)).sample.get
+    val tmp = Files.createTempDirectory("graft-wf-prop").toString
+    supplies.zipWithIndex.map { case (n, i) =>
+      (i.toLong, s"s$i", Seq.fill(n)("t").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Sampling.q149Waterfill(spark, tmp).collect()
+    val total = supplies.map(_.toLong).sum
+    val budget = total * 2 / 5
+    val allocs = rows.map(r => r.getAs[String]("source") -> r.getAs[Double]("alloc")).toMap
+    assert(math.abs(allocs.values.sum - budget) < 1e-6,
+      s"sum=${allocs.values.sum} budget=$budget")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("alloc") <= r.getAs[Long]("tokens") + 1e-9)
+      assert(r.getAs[Double]("weight") <= 1.0 + 1e-12)
+    }
+  }
+
+  test("property: quantile normalization preserves within-source order and global range") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val rows = Gen.listOfN(60, for {
+      src <- Gen.oneOf("a", "b", "c")
+      v   <- Gen.chooseNum(1L, 10000L)
+    } yield (src, v)).sample.get.zipWithIndex
+      .map { case ((src, v), i) => (i.toLong, src, v) }
+    val tmp = Files.createTempDirectory("graft-qn-prop").toString
+    rows.toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Stats.q153QuantileNorm(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[Double]("qnorm")))
+    val gMin = rows.map(_._3).min.toDouble
+    val gMax = rows.map(_._3).max.toDouble
+    out.foreach { case (_, _, _, q) => assert(q >= gMin && q <= gMax) }
+    // monotone within each source: higher raw value -> >= normalized value
+    out.groupBy(_._2).foreach { case (_, g) =>
+      val sorted = g.sortBy(r => (r._3, r._1))
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo._4 <= hi._4)
+        case _ =>
+      }
+    }
+  }
 }
