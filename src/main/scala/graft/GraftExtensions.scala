@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{CosineSimilarity, Fnv1a32, MapDropKey, MapMaskKeys, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
+import graft.functions.{BloomMightContain, CosineSimilarity, Fnv1a32, MapDropKey, MapMaskKeys, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -93,6 +93,16 @@ object GraftExtensions {
     }),
     ("pq_adc", PqAdc.info,
       arity(2, "pq_adc")(a => PqAdc(a.head, a(1)))),
+    ("bloom_might_contain", BloomMightContain.info, args => {
+      require(args.length == 2,
+        "bloom_might_contain(key, filterBytes) takes 2 arguments")
+      val bytes = args(1) match {
+        case Literal(v: Array[Byte], BinaryType) => v
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain: filter must be a binary literal, got $other")
+      }
+      BloomMightContain(args.head, BloomMightContain.deserialize(bytes))
+    }),
     ("word_shingle_hashes", WordShingleHashes.info, args => {
       require(args.length == 1 || args.length == 2,
         "word_shingle_hashes(text[, n]) takes 1 or 2 arguments")

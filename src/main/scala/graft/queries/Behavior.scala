@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -282,4 +282,113 @@ object Behavior {
       |    AS n_returning
       |FROM ud JOIN f USING (user_id)
       |GROUP BY d ORDER BY day""".stripMargin
+
+  /** Distributed global row_number over `order` (q153's range-partition +
+    * per-partition rank + broadcast offset shape): no single-partition
+    * window at any scale. Appends column `rnCol`.
+    */
+  private def grn(df: DataFrame, rnCol: String, parts: Int,
+      order: Column*): DataFrame = {
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val off = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("pn"))
+      .select(col("_pid"), coalesce(sum(col("pn")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"))
+    ranged.withColumn("_prn", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(order: _*)).cast("long"))
+      .join(broadcast(off), "_pid")
+      .withColumn(rnCol, col("_prn") + col("_off"))
+      .drop("_pid", "_prn", "_off")
+  }
+
+  /** q163: RFM segmentation of purchasers — per user: Recency (days
+    * since last purchase, vs the corpus max day), Frequency (purchase
+    * count), Monetary (exact-decimal spend), each scored into quintiles
+    * (1 = best). The canonical CRM / training-data-curation "rank users
+    * by engagement" operator.
+    *
+    * The quintile is SQL `ntile(5)` semantics — first n%5 buckets get
+    * one extra row — but computed from a GLOBAL row_number via the
+    * explicit integer formula (`DIV`, `%`) on BOTH engines, so no
+    * native-ntile implementation difference can bite, and the
+    * row_number itself is the q153 distributed range-partition rank:
+    * three rank passes over the per-user frame (already aggregated —
+    * tiny vs events), no single-partition window anywhere. Ordering
+    * ties break on user_id, making every rank — hence every score —
+    * deterministic. Monetary ranks compare exact decimals.
+    */
+  def q163Rfm(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val p = Tables.load(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", to_date($"ts").as("d"),
+        Exact.d2($"value").as("v"))
+    val u = p.groupBy($"user_id").agg(
+      max($"d").as("last_d"), count(lit(1)).as("frequency"),
+      sum($"v").as("mon"))
+    val mx = u.agg(max($"last_d").as("maxd"))
+    val base = u.crossJoin(broadcast(mx))
+      .withColumn("recency_days", datediff($"maxd", $"last_d").cast("long"))
+      .drop("maxd")
+    val ranked = grn(grn(grn(base,
+      "rrn", parts, $"recency_days".asc, $"user_id".asc),
+      "frn", parts, $"frequency".desc, $"user_id".asc),
+      "mrn", parts, $"mon".desc, $"user_id".asc)
+    val n = u.agg(count(lit(1)).as("n_users"))
+    def bucket(rn: String): Column = expr(
+      s"CAST(CASE WHEN $rn <= (q + 1) * r THEN ($rn + q) DIV (q + 1) " +
+        s"ELSE r + ($rn - (q + 1) * r + q - 1) DIV q END AS INT)")
+    ranked.crossJoin(broadcast(n))
+      .withColumn("q", expr("n_users DIV 5"))
+      .withColumn("r", expr("n_users % 5"))
+      .select($"user_id", $"recency_days", $"frequency",
+        $"mon".cast("double").as("monetary"),
+        bucket("rrn").as("r_score"), bucket("frn").as("f_score"),
+        bucket("mrn").as("m_score"))
+      .withColumn("segment",
+        concat($"r_score".cast("string"), $"f_score".cast("string"),
+          $"m_score".cast("string")).cast("int"))
+      .orderBy($"user_id")
+  }
+
+  val q163RfmSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, MAX(d) AS last_d,
+      |    CAST(COUNT(*) AS BIGINT) AS frequency, SUM(v) AS mon
+      |  FROM p GROUP BY 1),
+      |mx AS (SELECT MAX(last_d) AS maxd FROM u),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+      |base AS (
+      |  SELECT user_id, CAST(maxd - last_d AS BIGINT) AS recency_days,
+      |    frequency, mon
+      |  FROM u CROSS JOIN mx),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (ORDER BY recency_days, user_id) AS BIGINT) AS rrn,
+      |    CAST(row_number() OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS frn,
+      |    CAST(row_number() OVER (ORDER BY mon DESC, user_id) AS BIGINT) AS mrn
+      |  FROM base),
+      |scored AS (
+      |  SELECT user_id, recency_days, frequency,
+      |    CAST(mon AS DOUBLE) AS monetary,
+      |    CAST(CASE WHEN rrn <= (n_users // 5 + 1) * (n_users % 5)
+      |      THEN (rrn + n_users // 5) // (n_users // 5 + 1)
+      |      ELSE n_users % 5 + (rrn - (n_users // 5 + 1) * (n_users % 5)
+      |        + n_users // 5 - 1) // (n_users // 5) END AS INT) AS r_score,
+      |    CAST(CASE WHEN frn <= (n_users // 5 + 1) * (n_users % 5)
+      |      THEN (frn + n_users // 5) // (n_users // 5 + 1)
+      |      ELSE n_users % 5 + (frn - (n_users // 5 + 1) * (n_users % 5)
+      |        + n_users // 5 - 1) // (n_users // 5) END AS INT) AS f_score,
+      |    CAST(CASE WHEN mrn <= (n_users // 5 + 1) * (n_users % 5)
+      |      THEN (mrn + n_users // 5) // (n_users // 5 + 1)
+      |      ELSE n_users % 5 + (mrn - (n_users // 5 + 1) * (n_users % 5)
+      |        + n_users // 5 - 1) // (n_users // 5) END AS INT) AS m_score
+      |  FROM ranked CROSS JOIN n)
+      |SELECT *, CAST(r_score || f_score || m_score AS INT) AS segment
+      |FROM scored ORDER BY user_id""".stripMargin
 }

@@ -310,6 +310,62 @@ object Timeseries {
       .orderBy($"event_type")
   }
 
+  /** q162: CUSUM change-point detection over daily purchase volume —
+    * "which day did the level shift?". CUSUM_k = Σ_{i≤k}(c_i − mean) =
+    * cum_k − k·mean accumulates drift from the global mean; the day
+    * where |CUSUM| peaks is the maximum-likelihood single change point
+    * (Page's cumulative-sum procedure, stated over exact integers).
+    *
+    * Scale shape: the only corpus-sized work is the daily count
+    * aggregation; the ordered cumsum and the peak flag live on the
+    * BOUNDED day frame (q147's convention — days grow with the
+    * calendar, not the data). mean = S/D is one division of exact
+    * longs; cusum = cum − k·mean is a fixed three-op chain mirrored
+    * textually in the oracle, so every double is bit-identical and the
+    * argmax flag cannot flip cross-engine.
+    */
+  def q162Cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.load(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.agg(sum($"c").as("stot"), count(lit(1)).as("nd"))
+    val byDay = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily
+      .withColumn("k", count(lit(1)).over(byDay))
+      .withColumn("cum_c", sum($"c").over(byDay))
+      .crossJoin(broadcast(tot))
+      .withColumn("cusum",
+        $"cum_c" - $"k" * ($"stot".cast("double") / $"nd"))
+    val peak = cusum.agg(max(abs($"cusum")).as("peak"))
+    cusum.crossJoin(broadcast(peak))
+      .select($"d", $"c", $"cum_c", $"cusum",
+        (abs($"cusum") === $"peak").as("is_peak"))
+      .orderBy($"d")
+  }
+
+  val q162CusumSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS stot,
+      |               CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+      |cs AS (
+      |  SELECT d, c,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS k,
+      |    CAST(SUM(c) OVER w AS BIGINT) AS cum_c,
+      |    CAST(SUM(c) OVER w AS BIGINT)
+      |      - COUNT(*) OVER w * (CAST(stot AS DOUBLE) / nd) AS cusum
+      |  FROM daily CROSS JOIN tot
+      |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)),
+      |pk AS (SELECT MAX(abs(cusum)) AS peak FROM cs)
+      |SELECT d, c, cum_c, cusum, abs(cusum) = peak AS is_peak
+      |FROM cs CROSS JOIN pk
+      |ORDER BY d""".stripMargin
+
   val q157TrendSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,

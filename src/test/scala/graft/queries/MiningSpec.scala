@@ -1,0 +1,142 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.BloomMightContain
+import org.apache.spark.util.sketch.BloomFilter
+
+/** q160-q163 (runtime-filter join, association rules, CUSUM, RFM):
+  * each pinned to a fixture whose exact answer is known, plus the
+  * operator's defining law on real sf0.001 data.
+  */
+class MiningSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bloom_might_contain: no false negatives; serialized round-trip") {
+    val bf = BloomFilter.create(1000, 0.01)
+    (0L until 1000L by 2).foreach(bf.putLong)
+    val bytes = BloomMightContain.serialize(bf)
+    val back = BloomMightContain.deserialize(bytes)
+    (0L until 1000L by 2).foreach(k => assert(back.mightContainLong(k)))
+    // FPR sanity on odd (absent) keys: ~1%, assert well under 10%
+    val fps = (1L until 1000L by 2).count(back.mightContainLong)
+    assert(fps < 50, s"FPR too high: $fps/500")
+  }
+
+  test("q160: bloom-prefiltered semi join equals the plain semi join") {
+    import spark.implicits._
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val plain = li.join(o, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_items"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = RuntimeFilter.q160BloomJoin(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_items"))
+      .toMap
+    assert(got == plain)
+  }
+
+  test("q160: the bloom prunes most non-joining probe rows pre-join") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val n = o.count()
+    val bf = o.stat.bloomFilter("o_orderkey", math.max(n, 1), 0.01)
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val total = li.count()
+    val kept = li.filter(call_function("bloom_might_contain",
+      $"l_orderkey", lit(BloomMightContain.serialize(bf)))).count()
+    val joining = li.join(o, $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    // lossless below, effective above: keeps all joining rows and at
+    // most joining + 2.5% of the rest (1% nominal FPR, with slack)
+    assert(kept >= joining)
+    assert(kept <= joining + ((total - joining) * 0.025).toLong + 5)
+  }
+
+  test("q161: pair counts vs a hand-built two-basket fixture") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-assoc").toString
+    // items 1,2 co-occur in both baskets; item 3 only in basket 1.
+    // minItemCnt=2 prunes nothing for items 1,2; prunes item 3.
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val rows = Association.q161AssocRules(spark, tmp,
+      minItemCnt = 2L, minPairCnt = 2L).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("p1") == 1L && r.getAs[Long]("p2") == 2L)
+    assert(r.getAs[Long]("pair_cnt") == 2L)
+    assert(r.getAs[Double]("support") == 1.0)
+    assert(r.getAs[Double]("conf_1_2") == 1.0)
+    assert(r.getAs[Double]("conf_2_1") == 1.0)
+    // lift = 2*2/(2*2) = 1
+    assert(r.getAs[Double]("lift") == 1.0)
+  }
+
+  test("q161: real-data laws — confidence bounds and symmetry") {
+    val rows = Association.q161AssocRules(spark, dir,
+      minItemCnt = 2L, minPairCnt = 2L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pc, c1, c2) = (r.getAs[Long]("pair_cnt"),
+        r.getAs[Long]("cnt1"), r.getAs[Long]("cnt2"))
+      assert(pc <= c1 && pc <= c2, "a pair cannot outnumber its items")
+      assert(r.getAs[Double]("conf_1_2") <= 1.0 + 1e-12)
+      assert(r.getAs[Double]("conf_2_1") <= 1.0 + 1e-12)
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"), "unordered pairs once")
+    }
+  }
+
+  test("q162: flat series has cusum 0 everywhere; a step change peaks at the step") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cusum").toString
+    // 4 days at 2/day then 4 days at 6/day: |CUSUM| peaks on day 4
+    val rows = for {
+      d <- 1 to 8; i <- 1 to (if (d <= 4) 2 else 6)
+    } yield (java.sql.Timestamp.valueOf(f"2024-01-0$d 10:0$i:00"),
+      "purchase", 1L, i.toDouble, d.toLong * 100 + i)
+    rows.toDF("ts", "event_type", "user_id", "value", "event_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Timeseries.q162Cusum(spark, tmp).collect()
+    assert(out.length == 8)
+    // total drift returns to zero on the last day by construction
+    assert(math.abs(out.last.getAs[Double]("cusum")) < 1e-9)
+    val peak = out.filter(_.getAs[Boolean]("is_peak")).map(
+      _.getAs[java.sql.Date]("d").toString)
+    assert(peak.toSeq == Seq("2024-01-04"))
+  }
+
+  test("q162: real data — cumulative counts are monotone and end at the total") {
+    val out = Timeseries.q162Cusum(spark, dir).collect()
+    assert(out.nonEmpty)
+    val cums = out.map(_.getAs[Long]("cum_c"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(cums.last == out.map(_.getAs[Long]("c")).sum)
+    assert(out.count(_.getAs[Boolean]("is_peak")) >= 1)
+  }
+
+  test("q163: quintile sizes differ by at most one and scores span 1..5") {
+    val out = Behavior.q163Rfm(spark, dir).collect()
+    assert(out.nonEmpty)
+    for (colName <- Seq("r_score", "f_score", "m_score")) {
+      val scores = out.map(_.getAs[Int](colName))
+      assert(scores.forall(v => v >= 1 && v <= 5))
+      val sizes = scores.groupBy(identity).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1,
+        s"$colName ntile buckets must be balanced: $sizes")
+    }
+    // the top spender is in the first monetary quintile
+    val best = out.maxBy(_.getAs[Double]("monetary"))
+    assert(best.getAs[Int]("m_score") == 1)
+    // the most recent purchaser is in the first recency quintile
+    val rec = out.minBy(_.getAs[Long]("recency_days"))
+    assert(rec.getAs[Int]("r_score") == 1)
+  }
+}
