@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BloomMightContain, CosineSimilarity, Fnv1a32, MapDropKey, MapMaskKeys, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
+import graft.functions.{BloomMightContain, CosineSimilarity, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -93,6 +93,8 @@ object GraftExtensions {
     }),
     ("pq_adc", PqAdc.info,
       arity(2, "pq_adc")(a => PqAdc(a.head, a(1)))),
+    ("jaro_winkler", JaroWinkler.info,
+      arity(2, "jaro_winkler")(a => JaroWinkler(a.head, a(1)))),
     ("bloom_might_contain", BloomMightContain.info, args => {
       require(args.length == 2,
         "bloom_might_contain(key, filterBytes) takes 2 arguments")

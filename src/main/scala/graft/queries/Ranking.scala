@@ -162,4 +162,86 @@ object Ranking {
       |         JOIN nrm nb ON nb.doc_id = d2
       |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
       |ORDER BY d1, d2""".stripMargin
+
+  /** q166: reciprocal-rank fusion of the lexical (BM25, q82) and
+    * semantic (embedding-cosine, q50 family) rankings —
+    * RRF(d) = Σ_lists 1/(60+rank_d), the standard zero-tuning hybrid-
+    * retrieval combiner (Cormack et al. 2009; k=60). A document missing
+    * from one list contributes only its present term.
+    *
+    * Scale shape: each list is top-`k` via `TakeOrderedAndProject`
+    * (per-partition heaps — no global sort of the corpus); the rank
+    * assignment and the fusion join live on the two BOUNDED k-row
+    * frames. The fused score is two fixed-shape divisions over exact
+    * integer ranks added in fixed order — bit-identical cross-engine,
+    * so membership AND order both gate exactly.
+    */
+  def q166Rrf(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    graft.GraftExtensions.register(s)
+    import s.implicits._
+    val lex = q82Bm25(s, dir, k)
+      .withColumn("lex_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"score".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"lex_rank")
+    val e = Tables.load(s, dir, "embeddings")
+    val qv = e.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val sem = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qv))
+      .select($"vec_id".as("doc_id"),
+        call_function("cosine_similarity", $"qe", $"embedding").as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"doc_id").limit(k)
+      .withColumn("sem_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"cos_sim".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"sem_rank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0)))
+      .orderBy($"rrf".desc, $"doc_id")
+  }
+
+  val q166RrfSql: String = {
+    def tfCol(t: String) =
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf_$t"
+    def dfCol(t: String) =
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t"
+    def partSql(t: String) =
+      s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
+        s"(tf_$t * 2.2) / " +
+        s"(tf_$t + $K1 * (1.0 - $B + $B * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    ${Terms.map(tfCol).mkString(",\n    ")}
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |c AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+      |    ${Terms.map(dfCol).mkString(",\n    ")}
+      |  FROM d),
+      |lex AS (
+      |  SELECT doc_id, ${Terms.map(partSql).mkString("\n  + ")} AS score
+      |  FROM d, c ORDER BY score DESC, doc_id LIMIT 50),
+      |lexr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+      |    AS BIGINT) AS lex_rank FROM lex),
+      |sem AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    ${dot("qe", "e.embedding")} /
+      |    (sqrt(${dot("qe", "qe")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos_sim
+      |  FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
+      |    embeddings e
+      |  WHERE e.vec_id <> 0
+      |  ORDER BY cos_sim DESC, doc_id LIMIT 50),
+      |semr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+      |    AS BIGINT) AS sem_rank FROM sem)
+      |SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, lex_rank, sem_rank,
+      |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0)
+      |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem_rank), 0.0) AS rrf
+      |FROM lexr l FULL JOIN semr r USING (doc_id)
+      |ORDER BY rrf DESC, doc_id""".stripMargin
+  }
 }

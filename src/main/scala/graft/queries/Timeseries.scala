@@ -366,6 +366,53 @@ object Timeseries {
       |FROM cs CROSS JOIN pk
       |ORDER BY d""".stripMargin
 
+  /** q165: per-user time-weighted average value — each event's value
+    * "holds" until the user's next event, so the mean weights each
+    * value by its holding duration (the sensor/price-feed semantics a
+    * plain AVG silently gets wrong when sampling is irregular). One
+    * per-user window computes the lead timestamp; the last event has
+    * no holding interval and drops out.
+    *
+    * Exactness: duration is exact µs integers (unix_micros ≡ DuckDB
+    * epoch_us on naive-UTC timestamps); value is an exact 2-decimal
+    * source column lifted to integer CENTS (the q115 money-cents
+    * pattern — a wide-decimal Σ(v·dur) would hit the engines'
+    * 1-ulp-divergent decimal→double cast), so Σ(cents·dur) is an
+    * exact BIGINT aggregate and the twa is one fixed two-division
+    * double chain — bit-identical cross-engine. Corpus-sized work:
+    * the user-keyed window shuffle, then the per-user aggregation
+    * rides the same partitioning.
+    */
+  def q165TimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("dur",
+        (unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts")))
+      .filter($"dur".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"dur").as("total_dur_us"),
+        (sum($"cents" * $"dur").cast("double") /
+          lit(100.0) / sum($"dur")).as("twa"))
+      .orderBy($"user_id")
+  }
+
+  val q165TimeWeightedSql: String =
+    """WITH t AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+      |  CAST(SUM(cents * dur) AS DOUBLE) / CAST(100.0 AS DOUBLE)
+      |    / CAST(SUM(dur) AS BIGINT) AS twa
+      |FROM t WHERE dur IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val q157TrendSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,

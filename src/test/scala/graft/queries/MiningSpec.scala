@@ -122,6 +122,66 @@ class MiningSpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_peak")) >= 1)
   }
 
+  test("jaro_winkler: classic published values, boost threshold, degenerate cases") {
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinkler.similarity(a.getBytes, b.getBytes)
+    assert(jw("martha", "marhta") == 0.9611111111111111)   // Winkler's example
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    // prefix boost suppressed when jaro <= 0.7 (the DuckDB convention)
+    assert(jw("abcdefgh", "abzyxwvu") == 0.5)
+    assert(jw("crate", "trace") == 0.7333333333333334)     // no common prefix
+    assert(jw("", "abc") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("ab", "ba") == 0.0)                          // window 0: no matches
+  }
+
+  test("q164: pairs are ordered, above threshold, and include near-identical names") {
+    val rows = Entity.q164JaroWinkler(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("name1") < r.getAs[String]("name2"))
+      val sim = r.getAs[Float]("jw")
+      assert(sim >= 0.75f && sim <= 1.0f)
+    }
+  }
+
+  test("q165: hand-computed time-weighted average on an irregular series") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-twa").toString
+    def ns(sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d").getTime * 1000000L
+    // value 10 held 10s, value 20 held 20s, final value never counted:
+    // twa = (10*10 + 20*20)/30 = 16.666..
+    Seq((1L, ns(0), 10.0, "view", 1L), (1L, ns(10), 20.0, "view", 2L),
+      (1L, ns(30), 99.0, "view", 3L))
+      .toDF("user_id", "ts", "value", "event_type", "event_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Timeseries.q165TimeWeighted(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_intervals") == 2L)
+    assert(r.head.getAs[Long]("total_dur_us") == 30000000L)
+    assert(math.abs(r.head.getAs[Double]("twa") - 500.0 / 30.0) < 1e-12)
+  }
+
+  test("q166: fused scores are bounded and docs in both lists outrank single-list docs with same ranks") {
+    val rows = Ranking.q166Rrf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rrf = r.getAs[Double]("rrf")
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-12)
+      val lex = Option(r.getAs[Any]("lex_rank"))
+      val sem = Option(r.getAs[Any]("sem_rank"))
+      assert(lex.nonEmpty || sem.nonEmpty)
+    }
+    // output sorted by fused score descending
+    val scores = rows.map(_.getAs[Double]("rrf"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // each doc appears exactly once
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("q163: quintile sizes differ by at most one and scores span 1..5") {
     val out = Behavior.q163Rfm(spark, dir).collect()
     assert(out.nonEmpty)
