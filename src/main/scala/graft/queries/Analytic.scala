@@ -331,6 +331,51 @@ object Analytic {
     """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q167: sketch SET ALGEBRA — the property that makes mergeable
+    * sketches a warehouse primitive rather than a one-shot estimator:
+    * audience overlap ("clickers ∩ purchasers") WITHOUT a second scan,
+    * computed by combining already-aggregated per-segment KMV sketches.
+    * Union = merged hash set; intersection = inclusion–exclusion.
+    * Registered at full capacity the sketches are the complete distinct
+    * hash sets (the injective splitmix64 finisher maps distinct users to
+    * distinct hashes), so all four counts are provably exact and the
+    * plain COUNT(DISTINCT) SQL grades the whole path; the bounded-k
+    * estimate lane is the same code, error-graded in BottomKSketchSpec.
+    * At 100 TB: ONE scan builds both sketches (map-side partials); the
+    * set algebra runs on two ≤k-element arrays in a single final row.
+    */
+  def q167SketchSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = udaf(graft.functions.BottomKSketch.aggregator(1 << 20))
+    Tables.load(s, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type")
+      .agg(sketch($"user_id").as("sk"))
+      .agg(
+        first(when($"event_type" === "click", $"sk"), ignoreNulls = true).as("a"),
+        first(when($"event_type" === "purchase", $"sk"), ignoreNulls = true).as("b"))
+      .select(
+        size($"a").cast("long").as("n_click"),
+        size($"b").cast("long").as("n_purchase"),
+        size(array_union($"a", $"b")).cast("long").as("n_union"),
+        (size($"a") + size($"b") - size(array_union($"a", $"b")))
+          .cast("long").as("n_intersect"))
+  }
+
+  val q167SketchSetOpsSql: String =
+    """SELECT
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'click') AS n_click,
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type = 'purchase') AS n_purchase,
+      |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |   WHERE event_type IN ('click', 'purchase')) AS n_union,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |     SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |     INTERSECT
+      |     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |   t) AS n_intersect""".stripMargin
+
   /** Salted JOIN against a skewed fact key (q37's partner for the join
     * case): events carry ~150 distinct user ids over 10k+ rows — a
     * pathological reducer-hotspot shape for a plain shuffle join at

@@ -187,4 +187,70 @@ object Graphs {
        |FROM r3 LEFT JOIN o ON o.src = r3.node
        |ORDER BY r3.node""".stripMargin
   }
+
+  /** q168: bounded-hop single-source shortest paths (Bellman–Ford,
+    * `hops` relaxation rounds) over the weighted part-co-occurrence
+    * graph: nodes = parts, an undirected edge (p1, p2) with integer
+    * weight `1000 − pair_cnt` for pairs co-ordered ≥ 2 times (stronger
+    * association = shorter edge). Source = the smallest node id in the
+    * edge set; output = the exact minimum path weight to every node
+    * reachable in ≤ `hops` edges — all-integer, so cross-engine
+    * equality is exact.
+    *
+    * Scale shape: each round is ONE edge-keyed join (current distances
+    * × adjacency) + one min-aggregation on the node key — the textbook
+    * distributed Bellman–Ford; `hops` bounds the rounds the way a graph
+    * diameter budget does in production. The candidate-pair graph is
+    * sparse by the q161 apriori argument; nothing in any round is
+    * corpus-sized except the first basket aggregation. The oracle is
+    * the ≤`hops`-edge path enumeration (recursive CTE) this operator
+    * exists to avoid.
+    */
+  def q168ShortestPath(s: SparkSession, dir: String, hops: Int = 4): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("k"), $"l_partkey".as("p")).distinct()
+    val pairs = baskets.as("a").join(baskets.as("b"),
+        $"a.k" === $"b.k" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("p1"), $"b.p".as("p2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter($"pair_cnt" >= 2)
+    val edges = pairs
+      .select($"p1".as("u"), $"p2".as("v"), (lit(1000L) - $"pair_cnt").as("w"))
+      .union(pairs.select($"p2".as("u"), $"p1".as("v"),
+        (lit(1000L) - $"pair_cnt").as("w")))
+      .localCheckpoint(true) // read every round; cut the basket lineage
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val src = deg.orderBy($"deg".desc, $"u".asc).limit(1)
+    var dist = src.select($"u".as("node"), lit(0L).as("d"))
+    for (_ <- 1 to hops) {
+      dist = dist.union(
+          dist.join(edges, dist("node") === edges("u"))
+            .select($"v".as("node"), ($"d" + $"w").as("d")))
+        .groupBy($"node").agg(min($"d").as("d"))
+    }
+    dist.select($"node", $"d".as("dist")).orderBy($"node")
+  }
+
+  val q168ShortestPathSql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS p1, b2.p AS p2, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      |  FROM b a JOIN b b2 ON a.k = b2.k AND a.p < b2.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (
+      |  SELECT p1 AS u, p2 AS v, 1000 - pair_cnt AS w FROM pairs
+      |  UNION ALL
+      |  SELECT p2 AS u, p1 AS v, 1000 - pair_cnt AS w FROM pairs),
+      |src AS (SELECT u AS s FROM (
+      |  SELECT u, COUNT(*) AS deg FROM e GROUP BY u
+      |  ORDER BY deg DESC, u LIMIT 1)),
+      |walk AS (
+      |  SELECT s AS node, CAST(0 AS BIGINT) AS d, 0 AS hops FROM src
+      |  UNION ALL
+      |  SELECT e.v, walk.d + e.w, hops + 1
+      |  FROM walk JOIN e ON e.u = walk.node WHERE hops < 4)
+      |SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
 }

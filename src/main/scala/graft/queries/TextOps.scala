@@ -841,4 +841,46 @@ object TextOps {
       |  FROM documents)
       |WHERE rk <= $cap
       |ORDER BY source, rk""".stripMargin
+
+  /** q170: normalization-aware boilerplate detection — exact dedup
+    * AFTER text canonicalization (lowercase → strip non-alphanumerics
+    * to spaces → collapse runs → trim), keyed on the first 8 normalized
+    * words: documents that OPEN identically modulo case/punctuation are
+    * boilerplate families raw exact-dedup (q33) misses entirely (this
+    * corpus has zero raw-identical texts but 23 normalized-prefix
+    * families at sf0.01). Reports each family's canonical keeper
+    * (min doc_id) and size.
+    *
+    * Scale shape: the normalization chain is per-row map-side string
+    * work; the ONE corpus-sized shuffle keys on the md5 of the prefix
+    * (fixed 32-byte key, never the text); family stats live on the
+    * bounded family frame. Regex semantics pinned by the oracle: the
+    * `[^a-z0-9 ]` and `" +"` patterns mean the same thing in Java regex
+    * and RE2.
+    */
+  def q170NormDedup(s: SparkSession, dir: String, words: Int = 8): DataFrame = {
+    import s.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        array_join(slice(split(norm, " "), 1, words), " ").as("pfx"))
+      .groupBy(md5($"pfx").as("family"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_id"))
+      .filter($"n_docs" >= 2)
+      .select($"family", $"canonical_id", $"n_docs")
+      .orderBy($"family")
+  }
+
+  val q170NormDedupSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    array_to_string(string_split(trim(regexp_replace(regexp_replace(
+      |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')[:8],
+      |      ' ') AS pfx
+      |  FROM documents)
+      |SELECT md5(pfx) AS family, MIN(doc_id) AS canonical_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM n GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY family""".stripMargin
 }

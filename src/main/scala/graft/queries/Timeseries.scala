@@ -413,6 +413,48 @@ object Timeseries {
       |FROM t WHERE dur IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q169: OHLC bars — per (event_type, day): open / high / low /
+    * close of `value` plus count and exact-decimal volume, the
+    * canonical time-bucketed downsampling for price/metric feeds.
+    * Open/close are FIRST/LAST by the total (ts, event_id) order —
+    * computed by one full-frame ordered window sharing the same
+    * partition keys as the final aggregation, so the window shuffle is
+    * the only corpus-sized exchange and the aggregate rides it.
+    * High/low/open/close are undisturbed source doubles (no
+    * arithmetic — exact cross-engine); volume is the q1 decimal-sum
+    * convention.
+    */
+  def q169Ohlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = Window.partitionBy($"event_type", $"d").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "events")
+      .select($"event_type", to_date($"ts").as("d"), $"ts", $"event_id", $"value")
+      .withColumn("open_v", first($"value").over(wf))
+      .withColumn("close_v", last($"value").over(wf))
+      .groupBy($"event_type", $"d")
+      .agg(min($"open_v").as("open"), max($"value").as("high"),
+        min($"value").as("low"), min($"close_v").as("close"),
+        count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("volume"))
+      .orderBy($"event_type", $"d")
+  }
+
+  val q169OhlcSql: String =
+    s"""WITH t AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, value,
+      |    first_value(value) OVER w AS open_v,
+      |    last_value(value) OVER w AS close_v
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, d, MIN(open_v) AS open, MAX(value) AS high,
+      |  MIN(value) AS low, MIN(close_v) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  ${Exact.sqlDsum("value")} AS volume
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val q157TrendSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,

@@ -182,6 +182,75 @@ class MiningSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("q167: sketch set algebra satisfies inclusion-exclusion and bounds") {
+    val r = Analytic.q167SketchSetOps(spark, dir).collect().head
+    val (a, b) = (r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"))
+    val (u, i) = (r.getAs[Long]("n_union"), r.getAs[Long]("n_intersect"))
+    assert(u == a + b - i)
+    assert(u >= math.max(a, b) && u <= a + b)
+    assert(i >= 0 && i <= math.min(a, b))
+    assert(a > 0 && b > 0)
+  }
+
+  test("q168: triangle inequality fixture — relaxation finds the cheaper 2-hop path") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sp").toString
+    // baskets engineered so pair counts give: direct edge 1-2 weight
+    // 998 (cnt 2), edges 1-3 and 3-2 weight 997 each (cnt 3):
+    // shortest 1->2 = 2*997 = 1994 < 998?? no: 1994 > 998, so direct
+    // wins; instead make direct cnt 2 (w 998) vs hops 1-3 (cnt 450 ->
+    // w 550) + 3-2 (cnt 450 -> w 550): 1100 > 998 still. Weighted
+    // shortness needs SUM below the direct edge: w = 1000 - cnt, so
+    // two hops beat one iff 2000 - c13 - c32 < 1000 - c12, i.e. the
+    // indirect counts sum must exceed 1000 + c12. Build c13 = c32 =
+    // 600, c12 = 2.
+    def basket(id: Long, parts: Seq[Long]) = parts.map(p => (id, p))
+    val rows =
+      (1L to 600L).flatMap(i => basket(1000 + i, Seq(1L, 3L))) ++
+      (1L to 600L).flatMap(i => basket(3000 + i, Seq(3L, 2L))) ++
+      (1L to 2L).flatMap(i => basket(5000 + i, Seq(1L, 2L)))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Graphs.q168ShortestPath(spark, tmp).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    // every node has degree 2 -> tie -> source is node 1; the direct
+    // 1-2 edge costs 998 but 1-3-2 costs 400+400: relaxation must
+    // prefer the cheaper two-hop path
+    assert(out(1L) == 0L)
+    assert(out(3L) == 400L) // 1000 - 600
+    assert(out(2L) == 800L) // via node 3, beats the 998 direct edge
+  }
+
+  test("q169: OHLC equals the chronological first/last and min/max per bucket") {
+    val rows = Timeseries.q169Ohlc(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h)
+      assert(l <= c && c <= h)
+      assert(r.getAs[Long]("n_events") >= 1L)
+    }
+  }
+
+  test("q170: canonical keeper is the smallest member and families have >= 2 docs") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-norm").toString
+    Seq(
+      (1L, "Hello, World! More text here A"),
+      (2L, "hello  world more TEXT here b"),   // same normalized prefix
+      (3L, "entirely different content paragraph"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fams = TextOps.q170NormDedup(spark, tmp, words = 5).collect()
+    assert(fams.length == 1)
+    assert(fams.head.getAs[Long]("canonical_id") == 1L)
+    assert(fams.head.getAs[Long]("n_docs") == 2L)
+    // real data: every family >= 2, keeper is a real doc id
+    val real = TextOps.q170NormDedup(spark, dir).collect()
+    real.foreach(r => assert(r.getAs[Long]("n_docs") >= 2L))
+  }
+
   test("q163: quintile sizes differ by at most one and scores span 1..5") {
     val out = Behavior.q163Rfm(spark, dir).collect()
     assert(out.nonEmpty)
