@@ -283,6 +283,102 @@ object Behavior {
       |FROM ud JOIN f USING (user_id)
       |GROUP BY d ORDER BY day""".stripMargin
 
+  /** q173: Markov-model backtest — train the q131 next-event transition
+    * model on the first three weeks, predict each held-out transition
+    * as the argmax next state, and report per-state accuracy: the
+    * model-evaluation pattern (temporal split → fit → score) run
+    * entirely as relational operators. Transitions are assigned by the
+    * timestamp of their TARGET event (a transition is "known" only
+    * once its target arrives). Deterministic argmax: count desc, then
+    * lexicographic next state. Accuracy is one division of exact
+    * integers. Scale: one user-keyed window builds all transitions;
+    * train aggregation and test scoring are (prev, next)-keyed
+    * aggregates; the fitted model frame is |states|² — broadcast.
+    */
+  def q173MarkovBacktest(s: SparkSession, dir: String,
+      splitDay: String = "2024-01-22"): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"prev", $"event_type".as("next"), to_date($"ts").as("d"))
+    val cut = lit(java.sql.Date.valueOf(splitDay))
+    val fitted = trans.filter($"d" < cut)
+      .groupBy($"prev", $"next").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"prev").orderBy($"cnt".desc, $"next")))
+      .filter($"rk" === 1)
+      .select($"prev", $"next".as("predicted"))
+    trans.filter($"d" >= cut)
+      .join(broadcast(fitted), Seq("prev"), "left")
+      .groupBy($"prev", $"predicted")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"next" === $"predicted", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", $"n_correct".cast("double") / $"n_test")
+      .orderBy($"prev")
+  }
+
+  def q173MarkovBacktestSql(splitDay: String = "2024-01-22"): String =
+    s"""WITH tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev,
+      |    event_type AS next, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |t AS (SELECT * FROM tr WHERE prev IS NOT NULL),
+      |fit AS (
+      |  SELECT prev, next AS predicted FROM (
+      |    SELECT prev, next, ROW_NUMBER() OVER (PARTITION BY prev
+      |      ORDER BY COUNT(*) DESC, next) AS rk
+      |    FROM t WHERE d < DATE '$splitDay' GROUP BY prev, next)
+      |  WHERE rk = 1)
+      |SELECT t.prev, predicted, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN next = predicted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  CAST(SUM(CASE WHEN next = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS accuracy
+      |FROM t LEFT JOIN fit ON t.prev = fit.prev
+      |WHERE d >= DATE '$splitDay'
+      |GROUP BY t.prev, predicted ORDER BY t.prev""".stripMargin
+
+  /** q174: resurrected-user detection — the growth-accounting
+    * complement of q159: a user "resurrects" on day d when their
+    * previous active day is more than `gapDays` behind (they skipped
+    * at least `gapDays` full days). Per-user activity gaps via one lag
+    * window over the (user, day) distinct frame; the report is the
+    * per-day resurrection count. All exact integers; at 100 TB the
+    * (user, day) frame is the only corpus-sized shuffle and the window
+    * rides its partitioning.
+    */
+  def q174Resurrected(s: SparkSession, dir: String, gapDays: Int = 2): DataFrame = {
+    import s.implicits._
+    val ud = Tables.load(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    ud.withColumn("prev_d", lag($"d", 1).over(w))
+      .filter($"prev_d".isNotNull &&
+        datediff($"d", $"prev_d") > gapDays)
+      .groupBy($"d".as("day"))
+      .agg(count(lit(1)).as("n_resurrected"),
+        min(datediff($"d", $"prev_d")).cast("long").as("min_gap"),
+        max(datediff($"d", $"prev_d")).cast("long").as("max_gap"))
+      .orderBy($"day")
+  }
+
+  def q174ResurrectedSql(gapDays: Int = 2): String =
+    s"""WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |l AS (
+      |  SELECT user_id, d,
+      |    lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      |  FROM ud)
+      |SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS n_resurrected,
+      |  CAST(MIN(d - prev_d) AS BIGINT) AS min_gap,
+      |  CAST(MAX(d - prev_d) AS BIGINT) AS max_gap
+      |FROM l WHERE prev_d IS NOT NULL AND d - prev_d > $gapDays
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Distributed global row_number over `order` (q153's range-partition +
     * per-partition rank + broadcast offset shape): no single-partition
     * window at any scale. Appends column `rnCol`.

@@ -612,4 +612,132 @@ object Stats {
       |  sqrt((n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) *
       |       (n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) AS xcorr
       |FROM sums ORDER BY lag""".stripMargin
+
+  /** q171: Wilson score confidence intervals — per market segment, the
+    * 95% interval for the proportion of URGENT-priority orders. The
+    * Wilson interval (Wilson 1927) is the binomial CI that behaves at
+    * small n and extreme proportions where the naive Wald interval
+    * collapses — the per-segment health-metric banding a dashboard
+    * should ship. Inputs are two exact integers (x, n) per segment from
+    * ONE fact-side aggregation (dimension broadcast); the interval is a
+    * fixed-shape double chain over them, textually mirrored — the q53
+    * convention — so lo/hi are bit-identical cross-engine.
+    */
+  def q171WilsonCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderpriority")
+    val c = Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val agg = o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).as("x"))
+    val z = lit(1.96)
+    val phat = $"x".cast("double") / $"n"
+    val denom = lit(1.0) + z * z / $"n"
+    val center = (phat + z * z / (lit(2.0) * $"n")) / denom
+    val half = z * sqrt(phat * (lit(1.0) - phat) / $"n" +
+      z * z / (lit(4.0) * $"n" * $"n")) / denom
+    agg.select($"c_mktsegment", $"n", $"x",
+        phat.as("p_hat"), (center - half).as("lo"), (center + half).as("hi"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q171WilsonCiSql: String =
+    """WITH a AS (
+      |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1)
+      |SELECT c_mktsegment, n, x,
+      |  CAST(x AS DOUBLE) / n AS p_hat,
+      |  ((CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+      |    / (1.0 + 1.96 * 1.96 / n))
+      |  - (1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n)
+      |      / n + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n))
+      |    AS lo,
+      |  ((CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+      |    / (1.0 + 1.96 * 1.96 / n))
+      |  + (1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n)
+      |      / n + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n))
+      |    AS hi
+      |FROM a ORDER BY c_mktsegment""".stripMargin
+
+  /** q172: Mann–Whitney U rank-sum test — the nonparametric "did this
+    * segment's distribution move?" twin of q144's KS: URGENT orders'
+    * totalprice vs the rest, with exact mid-rank tie handling and the
+    * tie-corrected normal approximation. The entire rank machinery
+    * stays in integers: per distinct value, the tie group's doubled
+    * rank-sum contribution is ca·(2r + t − 1) (mid-ranks are
+    * half-integers, so DOUBLED rank sums are exact BIGINTs), with the
+    * start rank r from the q144 distributed range-partitioned prefix —
+    * no single-partition window at any scale. U, its mean, the
+    * tie-corrected variance, and z are then single fixed-shape double
+    * expressions over five exact integers, bit-identical cross-engine.
+    */
+  def q172MannWhitney(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val tagged = Tables.load(s, dir, "orders")
+      .select($"o_totalprice".as("v"),
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("a"))
+    val perV = tagged.groupBy($"v").agg(
+      sum($"a").as("ca"), (count(lit(1)) - sum($"a")).as("cb"))
+    val ranged = perV.repartitionByRange(parts, $"v".asc)
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy($"pid")
+      .agg(sum($"ca" + $"cb").as("pt"))
+      .select($"pid", coalesce(sum($"pt").over(Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val byV = Window.partitionBy($"pid").orderBy($"v")
+    val withRank = ranged
+      .withColumn("cumt", sum($"ca" + $"cb").over(byV))
+      .join(broadcast(offsets), "pid")
+      // start rank of the tie group at v: everything strictly before + 1
+      .withColumn("r", $"off" + $"cumt" - ($"ca" + $"cb") + 1)
+      .withColumn("t", $"ca" + $"cb")
+    val sums = withRank.agg(
+      sum($"ca").as("na"), sum($"cb").as("nb"),
+      sum($"ca" * (lit(2L) * $"r" + $"t" - 1)).as("two_ra"),
+      sum($"t" * $"t" * $"t" - $"t").as("tsum"))
+    sums.select(
+        $"na", $"nb",
+        (($"two_ra" - $"na" * ($"na" + 1)).cast("double") / 2).as("u"),
+        ((($"two_ra" - $"na" * ($"na" + 1)).cast("double") / 2
+          - $"na".cast("double") * $"nb" / 2)
+          / sqrt(($"na".cast("double") * $"nb" / 12) *
+            (($"na" + $"nb" + 1)
+              - $"tsum".cast("double")
+                / (($"na" + $"nb") * ($"na" + $"nb" - 1))))).as("z"))
+  }
+
+  val q172MannWhitneySql: String =
+    """WITH t AS (
+      |  SELECT o_totalprice AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |pv AS (
+      |  SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+      |    CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+      |  FROM t GROUP BY v),
+      |rk AS (
+      |  SELECT v, ca, cb, ca + cb AS t,
+      |    CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+      |      AS BIGINT) AS r
+      |  FROM pv),
+      |s AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+      |    CAST(SUM(ca * (2 * r + t - 1)) AS BIGINT) AS two_ra,
+      |    CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+      |  FROM rk)
+      |SELECT na, nb,
+      |  CAST(two_ra - na * (na + 1) AS DOUBLE) / 2 AS u,
+      |  (CAST(two_ra - na * (na + 1) AS DOUBLE) / 2
+      |    - CAST(na AS DOUBLE) * nb / 2)
+      |  / sqrt((CAST(na AS DOUBLE) * nb / 12) *
+      |      ((na + nb + 1) - CAST(tsum AS DOUBLE)
+      |        / ((na + nb) * (na + nb - 1)))) AS z
+      |FROM s""".stripMargin
 }

@@ -251,6 +251,67 @@ class MiningSpec extends SparkSpec {
     real.foreach(r => assert(r.getAs[Long]("n_docs") >= 2L))
   }
 
+  test("q171: Wilson intervals contain p_hat, stay in [0,1], and shrink with n") {
+    val rows = Stats.q171WilsonCi(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("p_hat"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(lo >= 0.0 && hi <= 1.0)
+      assert(lo <= p && p <= hi)
+      assert(hi - lo > 0.0)
+    }
+  }
+
+  test("q172: balanced identical samples give U = na*nb/2 and z = 0") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-mwu").toString
+    // both groups hold exactly the values 1..10 -> distributions equal
+    ((1 to 10).map(i => (i.toDouble, "1-URGENT")) ++
+      (1 to 10).map(i => (i.toDouble, "5-LOW")))
+      .toDF("o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Stats.q172MannWhitney(spark, tmp).collect().head
+    assert(r.getAs[Long]("na") == 10L && r.getAs[Long]("nb") == 10L)
+    assert(r.getAs[Double]("u") == 50.0) // na*nb/2
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
+  test("q172: a fully shifted sample saturates U and z is large") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-mwu2").toString
+    ((1 to 10).map(i => (100.0 + i, "1-URGENT")) ++
+      (1 to 10).map(i => (i.toDouble, "5-LOW")))
+      .toDF("o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val r = Stats.q172MannWhitney(spark, tmp).collect().head
+    assert(r.getAs[Double]("u") == 100.0) // every A beats every B
+    assert(r.getAs[Double]("z") > 3.0)
+  }
+
+  test("q173: the backtest scores only held-out transitions and accuracy is consistent") {
+    val rows = Behavior.q173MarkovBacktest(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_test"), r.getAs[Long]("n_correct"))
+      assert(c >= 0 && c <= n)
+      assert(r.getAs[Double]("accuracy") == c.toDouble / n)
+      assert(r.getAs[String]("predicted") != null,
+        "every test prev-state was seen in training on this data")
+    }
+  }
+
+  test("q174: resurrection day gaps exceed the threshold; a tight threshold finds more") {
+    val loose = Behavior.q174Resurrected(spark, dir, gapDays = 2).collect()
+    loose.foreach { r =>
+      assert(r.getAs[Long]("min_gap") > 2L)
+      assert(r.getAs[Long]("max_gap") >= r.getAs[Long]("min_gap"))
+    }
+    val tight = Behavior.q174Resurrected(spark, dir, gapDays = 1).collect()
+    assert(tight.map(_.getAs[Long]("n_resurrected")).sum >=
+      loose.map(_.getAs[Long]("n_resurrected")).sum)
+  }
+
   test("q163: quintile sizes differ by at most one and scores span 1..5") {
     val out = Behavior.q163Rfm(spark, dir).collect()
     assert(out.nonEmpty)
