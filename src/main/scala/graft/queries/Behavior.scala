@@ -379,6 +379,102 @@ object Behavior {
       |FROM l WHERE prev_d IS NOT NULL AND d - prev_d > $gapDays
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** q176: cart-abandonment report — per day: how many clicks were NOT
+    * followed by a purchase from the same user within 24 hours. The
+    * "absence within a window" predicate that naively becomes a
+    * per-click correlated range probe is ONE per-user ordered window:
+    * `min(purchase-ts) over (rows following)` skips nulls by aggregate
+    * semantics on both engines, giving every click its next purchase
+    * timestamp; the 24 h test is an exact integer µs comparison. One
+    * user-keyed window shuffle; the daily report is a bounded-frame
+    * aggregation.
+    */
+  def q176Abandonment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_purchase_us",
+        min(when($"event_type" === "purchase", unix_micros($"ts"))).over(w))
+      .filter($"event_type" === "click")
+      .withColumn("converted",
+        $"next_purchase_us".isNotNull &&
+          $"next_purchase_us" - unix_micros($"ts") <= lit(86400000000L))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum($"converted".cast("long")).as("n_converted"))
+      .select($"day", $"n_clicks", $"n_converted",
+        ($"n_clicks" - $"n_converted").as("n_abandoned"),
+        (($"n_clicks" - $"n_converted").cast("double") / $"n_clicks")
+          .as("abandon_rate"))
+      .orderBy($"day")
+  }
+
+  val q176AbandonmentSql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_type, CAST(ts AS DATE) AS day,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |      AS next_purchase_us
+      |  FROM events),
+      |c AS (
+      |  SELECT day,
+      |    next_purchase_us IS NOT NULL
+      |      AND next_purchase_us - epoch_us(ts) <= 86400000000 AS converted
+      |  FROM t WHERE event_type = 'click')
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+      |  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_converted,
+      |  CAST(COUNT(*) - SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_abandoned,
+      |  CAST(COUNT(*) - SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS abandon_rate
+      |FROM c GROUP BY day ORDER BY day""".stripMargin
+
+  /** q177: weekday seasonality profile — events per weekday, the
+    * per-weekday daily mean, and the seasonality index (that weekday's
+    * daily mean over the all-days daily mean): the day-of-week
+    * decomposition a forecast or anomaly baseline starts from. The
+    * weekday is computed as `(date − Monday-epoch) % 7` on BOTH engines
+    * (0 = Monday) — never from the engines' dayofweek builtins, whose
+    * numbering conventions differ. Exact integers everywhere; the two
+    * divisions are fixed-shape.
+    */
+  def q177Seasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monday = lit(java.sql.Date.valueOf("2024-01-01")) // a Monday
+    val byDay = Tables.load(s, dir, "events")
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("c"))
+      .withColumn("dow", pmod(datediff($"d", monday), lit(7)).cast("int"))
+    val tot = byDay.agg(sum($"c").as("n_total"), count(lit(1)).as("n_days"))
+    byDay.groupBy($"dow")
+      .agg(sum($"c").as("n_events"), count(lit(1)).as("n_days_dow"))
+      .crossJoin(broadcast(tot))
+      .select($"dow", $"n_events", $"n_days_dow",
+        ($"n_events".cast("double") / $"n_days_dow").as("events_per_day"),
+        (($"n_events".cast("double") / $"n_days_dow") /
+          ($"n_total".cast("double") / $"n_days")).as("seasonality_idx"))
+      .orderBy($"dow")
+  }
+
+  val q177SeasonalitySql: String =
+    """WITH byday AS (
+      |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |dw AS (
+      |  SELECT ((d - DATE '2024-01-01') % 7 + 7) % 7 AS dow, c FROM byday),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+      |               CAST(COUNT(*) AS BIGINT) AS n_days FROM byday)
+      |SELECT CAST(dow AS INT) AS dow, CAST(SUM(c) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_days_dow,
+      |  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS events_per_day,
+      |  (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+      |    / (CAST(n_total AS DOUBLE) / n_days) AS seasonality_idx
+      |FROM dw CROSS JOIN tot
+      |GROUP BY dow, n_total, n_days ORDER BY dow""".stripMargin
+
   /** Distributed global row_number over `order` (q153's range-partition +
     * per-partition rank + broadcast offset shape): no single-partition
     * window at any scale. Appends column `rnCol`.

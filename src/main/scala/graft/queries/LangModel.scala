@@ -450,4 +450,67 @@ object LangModel {
       |  CAST((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
       |       / n_terms AS FLOAT) AS intercept
       |FROM sums""".stripMargin
+
+  /** q178: vocabulary coverage at top-K — for each budget K (10, 100,
+    * 1000), what fraction of all token OCCURRENCES the K most frequent
+    * types cover: the curve that sizes a tokenizer vocabulary or a
+    * stopword list. Token counting is the corpus-sized aggregation;
+    * type ranks come from the q153 distributed range-partition
+    * row_number on (count desc, token) — vocabulary-sized, never
+    * single-partition — and each coverage number is one conditional
+    * exact-integer sum and one division.
+    */
+  def q178VocabCoverage(s: SparkSession, dir: String,
+      budgets: Seq[Int] = Seq(10, 100, 1000), parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "documents")
+      .select(explode(ws).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val ranged = counts.repartitionByRange(parts, $"c".desc, $"w".asc)
+      .withColumn("pid", spark_partition_id())
+    val off = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
+      .select($"pid", coalesce(sum($"pn").over(Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val ranked = ranged
+      .withColumn("prn", row_number().over(
+        Window.partitionBy($"pid").orderBy($"c".desc, $"w".asc)).cast("long"))
+      .join(broadcast(off), "pid")
+      .withColumn("rk", $"prn" + $"off")
+    val aggCols = count(lit(1)).as("vocab_size") +:
+      sum($"c").as("total_tokens") +:
+      budgets.map(k =>
+        sum(when($"rk" <= k, $"c").otherwise(0L)).as(s"cov_$k"))
+    val aggs = ranked.agg(aggCols.head, aggCols.tail: _*)
+    aggs.select(
+      explode(array(budgets.map(k => struct(
+        lit(k).as("k"), $"vocab_size", $"total_tokens",
+        col(s"cov_$k").as("covered_tokens"))): _*)).as("r"))
+      .select($"r.k", $"r.vocab_size", $"r.total_tokens", $"r.covered_tokens",
+        ($"r.covered_tokens".cast("double") / $"r.total_tokens").as("coverage"))
+      .orderBy($"k")
+  }
+
+  val q178VocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+      |ranked AS (
+      |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rk
+      |  FROM counts),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      |    CAST(SUM(c) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS BIGINT) AS cov_10,
+      |    CAST(SUM(CASE WHEN rk <= 100 THEN c ELSE 0 END) AS BIGINT) AS cov_100,
+      |    CAST(SUM(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS BIGINT) AS cov_1000
+      |  FROM ranked)
+      |SELECT k, vocab_size, total_tokens, covered_tokens,
+      |  CAST(covered_tokens AS DOUBLE) / total_tokens AS coverage
+      |FROM (
+      |  SELECT 10 AS k, vocab_size, total_tokens, cov_10 AS covered_tokens FROM s
+      |  UNION ALL
+      |  SELECT 100, vocab_size, total_tokens, cov_100 FROM s
+      |  UNION ALL
+      |  SELECT 1000, vocab_size, total_tokens, cov_1000 FROM s)
+      |ORDER BY k""".stripMargin
 }

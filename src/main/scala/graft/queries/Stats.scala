@@ -665,6 +665,156 @@ object Stats {
       |    AS hi
       |FROM a ORDER BY c_mktsegment""".stripMargin
 
+  /** q175: mutual information / entropy decomposition of the
+    * lang × source table — the information-theoretic companion to
+    * q143's chi-square: H(lang), H(source), H(lang, source), the
+    * mutual information I = H(L) + H(S) − H(L,S), and the normalized
+    * NMI = I / max-entropy-side. Every probability is an exact-integer
+    * cell count over the corpus total; each entropy is a sum of
+    * `−p·ln p` terms over the BOUNDED margin/cell frames. The ln-sums
+    * fold dozens of libm terms, so the entropies present as float
+    * (the q134/q143 argument); cell aggregation is the one corpus-
+    * sized shuffle.
+    */
+  def q175MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables.load(s, dir, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val tot = obs.agg(sum($"o").as("n"))
+    def entropy(c: Column): Column =
+      sum(-(c.cast("double") / $"n") * log(c.cast("double") / $"n"))
+    val hl = obs.groupBy($"lang").agg(sum($"o").as("cl"))
+      .crossJoin(broadcast(tot)).agg(entropy($"cl").as("h_lang"))
+    val hs = obs.groupBy($"source").agg(sum($"o").as("cs"))
+      .crossJoin(broadcast(tot)).agg(entropy($"cs").as("h_source"))
+    val hj = obs.crossJoin(broadcast(tot)).agg(entropy($"o").as("h_joint"))
+    hl.crossJoin(broadcast(hs)).crossJoin(broadcast(hj))
+      .select(
+        $"h_lang".cast("float").as("h_lang"),
+        $"h_source".cast("float").as("h_source"),
+        $"h_joint".cast("float").as("h_joint"),
+        ($"h_lang" + $"h_source" - $"h_joint").cast("float").as("mi"),
+        (($"h_lang" + $"h_source" - $"h_joint") /
+          greatest($"h_lang", $"h_source")).cast("float").as("nmi"))
+  }
+
+  val q175MutualInfoSql: String =
+    """WITH obs AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+      |hl AS (
+      |  SELECT SUM(-(CAST(cl AS DOUBLE) / n) * ln(CAST(cl AS DOUBLE) / n))
+      |    AS h_lang
+      |  FROM (SELECT lang, CAST(SUM(o) AS BIGINT) AS cl FROM obs GROUP BY 1)
+      |  CROSS JOIN tot),
+      |hs AS (
+      |  SELECT SUM(-(CAST(cs AS DOUBLE) / n) * ln(CAST(cs AS DOUBLE) / n))
+      |    AS h_source
+      |  FROM (SELECT source, CAST(SUM(o) AS BIGINT) AS cs FROM obs GROUP BY 1)
+      |  CROSS JOIN tot),
+      |hj AS (
+      |  SELECT SUM(-(CAST(o AS DOUBLE) / n) * ln(CAST(o AS DOUBLE) / n))
+      |    AS h_joint
+      |  FROM obs CROSS JOIN tot)
+      |SELECT CAST(h_lang AS FLOAT) AS h_lang,
+      |  CAST(h_source AS FLOAT) AS h_source,
+      |  CAST(h_joint AS FLOAT) AS h_joint,
+      |  CAST(h_lang + h_source - h_joint AS FLOAT) AS mi,
+      |  CAST((h_lang + h_source - h_joint)
+      |    / greatest(h_lang, h_source) AS FLOAT) AS nmi
+      |FROM hl CROSS JOIN hs CROSS JOIN hj""".stripMargin
+
+  /** The 3×3 determinant by cofactor expansion, as ONE text template
+    * evaluated by BOTH engines (Spark parses it via `expr`, DuckDB in
+    * the oracle SQL) — textual identity makes the double arithmetic
+    * bit-identical by construction. Inputs are column names already
+    * cast to double.
+    */
+  private def det3(
+      a: String, b: String, c: String,
+      d: String, e: String, f: String,
+      g: String, h: String, i: String): String =
+    s"($a) * (($e) * ($i) - ($f) * ($h)) - " +
+      s"($b) * (($d) * ($i) - ($f) * ($g)) + " +
+      s"($c) * (($d) * ($h) - ($e) * ($g))"
+
+  /** q179: two-feature linear regression, closed form — fit
+    * purchases ≈ b0 + b1·clicks + b2·views per user by solving the 3×3
+    * normal equations with Cramer's rule: the multi-feature step up
+    * from q134/q157's single-regressor fits, i.e. distributed model
+    * TRAINING as one relational aggregate. Every matrix entry is an
+    * exact BIGINT sum from one corpus aggregation (features and target
+    * are integer event counts); the four determinants are the SAME
+    * cofactor text template evaluated by both engines over
+    * double-cast sums, so b0/b1/b2 are bit-identical. At 100 TB: one
+    * user-keyed aggregation + one 9-sum reduce to a single row —
+    * nothing else.
+    */
+  def q179OlsMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.load(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("x2"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+    val sums = perUser.agg(
+      count(lit(1)).as("n"),
+      sum($"x1").as("sx1"), sum($"x2").as("sx2"), sum($"y").as("sy"),
+      sum($"x1" * $"x1").as("s11"), sum($"x1" * $"x2").as("s12"),
+      sum($"x2" * $"x2").as("s22"),
+      sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"))
+    val (n, sx1, sx2, sy, s11, s12, s22, s1y, s2y) = (
+      "CAST(n AS DOUBLE)", "CAST(sx1 AS DOUBLE)", "CAST(sx2 AS DOUBLE)",
+      "CAST(sy AS DOUBLE)", "CAST(s11 AS DOUBLE)", "CAST(s12 AS DOUBLE)",
+      "CAST(s22 AS DOUBLE)", "CAST(s1y AS DOUBLE)", "CAST(s2y AS DOUBLE)")
+    val dDet = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    val d0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    val d2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    sums.select($"n", $"sx1".as("sum_clicks"), $"sx2".as("sum_views"),
+      $"sy".as("sum_purchases"),
+      expr(s"($d0) / ($dDet)").as("b0"),
+      expr(s"($d1) / ($dDet)").as("b1"),
+      expr(s"($d2) / ($dDet)").as("b2"))
+  }
+
+  val q179OlsMultiSql: String = {
+    val (n, sx1, sx2, sy, s11, s12, s22, s1y, s2y) = (
+      "CAST(n AS DOUBLE)", "CAST(sx1 AS DOUBLE)", "CAST(sx2 AS DOUBLE)",
+      "CAST(sy AS DOUBLE)", "CAST(s11 AS DOUBLE)", "CAST(s12 AS DOUBLE)",
+      "CAST(s22 AS DOUBLE)", "CAST(s1y AS DOUBLE)", "CAST(s2y AS DOUBLE)")
+    val dDet = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    val d0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    val d2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x1,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x2,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+      |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+      |    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+      |  FROM u)
+      |SELECT n, sx1 AS sum_clicks, sx2 AS sum_views, sy AS sum_purchases,
+      |  ($d0) / ($dDet) AS b0,
+      |  ($d1) / ($dDet) AS b1,
+      |  ($d2) / ($dDet) AS b2
+      |FROM s""".stripMargin
+  }
+
   /** q172: Mann–Whitney U rank-sum test — the nonparametric "did this
     * segment's distribution move?" twin of q144's KS: URGENT orders'
     * totalprice vs the rest, with exact mid-rank tie handling and the

@@ -312,6 +312,97 @@ class MiningSpec extends SparkSpec {
       loose.map(_.getAs[Long]("n_resurrected")).sum)
   }
 
+  test("q175: independent table has MI ~ 0; identical margins bound entropies") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-mi").toString
+    val rows = for {
+      lang <- Seq("en", "de"); source <- Seq("s0", "s1"); i <- 1 to 5
+    } yield (lang, source, i.toLong, "t")
+    rows.toDF("lang", "source", "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Stats.q175MutualInfo(spark, tmp).collect().head
+    assert(math.abs(r.getAs[Float]("mi")) < 1e-6f)
+    // uniform 2x2: H = ln 2 each, joint = ln 4
+    assert(math.abs(r.getAs[Float]("h_lang") - math.log(2)) < 1e-6)
+    assert(math.abs(r.getAs[Float]("h_joint") - math.log(4)) < 1e-6)
+    // real data: 0 <= MI <= min entropy side, NMI in [0, 1]
+    val real = Stats.q175MutualInfo(spark, dir).collect().head
+    assert(real.getAs[Float]("mi") >= -1e-6f)
+    assert(real.getAs[Float]("nmi") >= -1e-6f && real.getAs[Float]("nmi") <= 1.0f)
+  }
+
+  test("q176: a click followed by purchase inside vs outside the window") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-aband").toString
+    def ns(day: Int, hour: Int) = java.sql.Timestamp
+      .valueOf(f"2024-01-$day%02d $hour%02d:00:00").getTime * 1000000L
+    Seq(
+      (1L, ns(1, 10), "click", 1.0, 1L),
+      (1L, ns(1, 12), "purchase", 1.0, 2L),  // 2h later: converted
+      (2L, ns(1, 10), "click", 1.0, 3L),
+      (2L, ns(3, 10), "purchase", 1.0, 4L))  // 48h later: abandoned
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Behavior.q176Abandonment(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_clicks") == 2L)
+    assert(r.head.getAs[Long]("n_converted") == 1L)
+    assert(r.head.getAs[Long]("n_abandoned") == 1L)
+    assert(r.head.getAs[Double]("abandon_rate") == 0.5)
+  }
+
+  test("q177: seasonality indices average to 1 weighted by day counts") {
+    val rows = Behavior.q177Seasonality(spark, dir).collect()
+    assert(rows.length <= 7)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") <= 6)
+      assert(r.getAs[Double]("seasonality_idx") > 0.0)
+    }
+    // sum over dows of n_events equals total; weighted idx identity
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val days = rows.map(_.getAs[Long]("n_days_dow")).sum
+    val weighted = rows.map(r => r.getAs[Double]("seasonality_idx") *
+      r.getAs[Long]("n_days_dow")).sum / days
+    assert(math.abs(weighted - 1.0) < 0.2,
+      s"day-weighted mean index should be near 1, got $weighted")
+    assert(total > 0)
+  }
+
+  test("q178: coverage is monotone in K and bounded by 1") {
+    val rows = LangModel.q178VocabCoverage(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(10, 100, 1000))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    cov.foreach(c => assert(c > 0.0 && c <= 1.0))
+    // K >= vocab covers everything
+    val r = rows.last
+    if (r.getAs[Long]("vocab_size") <= 1000)
+      assert(r.getAs[Double]("coverage") == 1.0)
+  }
+
+  test("q179: recovers exact coefficients from noiseless synthetic data") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ols").toString
+    // y = 2 + 3*x1 - 1*x2 exactly, via event counts per user
+    def ns(i: Int) = java.sql.Timestamp
+      .valueOf(f"2024-01-01 00:${i % 60}%02d:00").getTime * 1000000L +
+      i.toLong * 1000L
+    val rows2 = (1 to 8).flatMap { u =>
+      val x1 = u % 4; val x2 = u % 3
+      val y = 12 + 3 * x1 - x2
+      (Seq.fill(x1)("click") ++ Seq.fill(x2)("view") ++
+        Seq.fill(y)("purchase")).zipWithIndex.map { case (t, i) =>
+        (u.toLong, ns(u * 100 + i), t, 1.0, (u * 1000 + i).toLong)
+      }
+    }
+    rows2.toDF("user_id", "ts", "event_type", "value", "event_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Stats.q179OlsMulti(spark, tmp).collect().head
+    assert(math.abs(r.getAs[Double]("b0") - 12.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") + 1.0) < 1e-9)
+  }
+
   test("q163: quintile sizes differ by at most one and scores span 1..5") {
     val out = Behavior.q163Rfm(spark, dir).collect()
     assert(out.nonEmpty)
