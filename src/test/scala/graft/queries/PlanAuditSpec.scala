@@ -427,7 +427,40 @@ class PlanAuditSpec extends SparkSpec {
       s"expected map-side top-1 pruning before the group exchange:\n$p")
   }
 
-  for (name <- Seq("q153_quantile_norm", "q156_weighted_pctl")) {
+  test("q160: the bloom probe filters rows BEFORE the join") {
+    val p = plan("q160_bloom_join")
+    // the native predicate must sit in a Filter on the probe side (it
+    // cannot push into parquet, but it must precede the exchange/join)
+    assert(p.contains("bloom_might_contain"),
+      s"expected the bloom runtime filter in the plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"expected an exact join after the bloom:\n$p")
+  }
+
+  test("q161: apriori prune broadcasts the frequent set; the pair join is an equijoin") {
+    val p = plan("q161_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the frequent-item set broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay a basket-key equijoin:\n$p")
+  }
+
+  test("q166: both fused lists are TakeOrderedAndProject top-k, never a global sort") {
+    val p = plan("q166_rrf")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operators:\n$p")
+  }
+
+  test("q176: the next-purchase window is user-partitioned") {
+    val df = graft.SparkEntry.queries("q176_abandonment")(spark, dir)
+    df.collect()
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"expected only user-partitioned windows:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  for (name <- Seq("q153_quantile_norm", "q156_weighted_pctl",
+      "q163_rfm", "q172_mann_whitney", "q178_vocab_coverage")) {
     test(s"$name: corpus windows stay pid/source-partitioned, offsets broadcast") {
       // the q122/q136/q144 contract: corpus-sized running sums must ride
       // a partitioned window; only the ≤parts-row offset frame (and, for
