@@ -475,6 +475,54 @@ object Behavior {
       |FROM dw CROSS JOIN tot
       |GROUP BY dow, n_total, n_days ORDER BY dow""".stripMargin
 
+  /** q183: activation lag — per user, the time from first `signup` to
+    * first subsequent `purchase`, plus the cohort summary (activation
+    * rate, exact median/p90 lag): the onboarding-funnel metric growth
+    * teams steer by. Two conditional min-aggregates per user (one
+    * shuffle), the lag an exact µs difference; the summary percentiles
+    * run on the BOUNDED per-user frame via Spark's exact `percentile`
+    * ≡ DuckDB's `quantile_cont` (the q132 equivalence). Users who
+    * never sign up are out of scope; signups that never purchase count
+    * in the rate's denominator.
+    */
+  def q183Activation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.load(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", unix_micros($"ts"))).as("su"),
+        min(when($"event_type" === "purchase", unix_micros($"ts"))).as("pu"))
+      .filter($"su".isNotNull)
+      .withColumn("lag_us",
+        when($"pu".isNotNull && $"pu" >= $"su", $"pu" - $"su"))
+    perUser.agg(
+        count(lit(1)).as("n_signed_up"),
+        sum($"lag_us".isNotNull.cast("long")).as("n_activated"),
+        (sum($"lag_us".isNotNull.cast("long")).cast("double") /
+          count(lit(1))).as("activation_rate"),
+        expr("percentile(lag_us, 0.5)").as("median_lag_us"),
+        expr("percentile(lag_us, 0.9)").as("p90_lag_us"))
+  }
+
+  val q183ActivationSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS su,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pu
+      |  FROM events GROUP BY 1),
+      |l AS (
+      |  SELECT user_id, su,
+      |    CASE WHEN pu IS NOT NULL AND pu >= su THEN pu - su END AS lag_us
+      |  FROM u WHERE su IS NOT NULL)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_signed_up,
+      |  CAST(SUM(CASE WHEN lag_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_activated,
+      |  CAST(SUM(CASE WHEN lag_us IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS activation_rate,
+      |  quantile_cont(lag_us, 0.5) AS median_lag_us,
+      |  quantile_cont(lag_us, 0.9) AS p90_lag_us
+      |FROM l""".stripMargin
+
   /** Distributed global row_number over `order` (q153's range-partition +
     * per-partition rank + broadcast offset shape): no single-partition
     * window at any scale. Appends column `rnCol`.

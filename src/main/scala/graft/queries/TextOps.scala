@@ -842,6 +842,51 @@ object TextOps {
       |WHERE rk <= $cap
       |ORDER BY source, rk""".stripMargin
 
+  /** q182: per-document novelty score — the fraction of a document's
+    * distinct skip-bigrams (word pairs (w_i, w_{i+2}) — order-2
+    * features cheaper than trigrams, harder to fake than unigrams)
+    * not seen in any EARLIER document (by
+    * doc_id as corpus order): the quality signal that separates fresh
+    * content from recombined boilerplate, and the per-document view of
+    * what corpus-level dedup removes. One shingle explode + one
+    * min-first-seen aggregation keyed on the shingle (the corpus-sized
+    * shuffle), then a per-doc count ratio; the division is the only
+    * double.
+    */
+  def q182Novelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(zip_with(
+        slice(split($"text", " "), 1, 10000),
+        slice(split($"text", " "), 3, 10000),
+        (a, b) => concat(a, lit(" "), b)))).as("g"))
+      // zip_with pads the shorter slice with null on Spark; drop those
+      .filter($"g".isNotNull)
+    val firstSeen = sh.groupBy($"g").agg(min($"doc_id").as("fd"))
+    sh.join(firstSeen, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(($"fd" === $"doc_id").cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        $"n_novel".cast("double") / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
+  val q182NoveltySql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |      i -> ws[i] || ' ' || ws[i + 2])) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |fs AS (SELECT g, MIN(doc_id) AS fd FROM sh GROUP BY 1)
+      |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(SUM(CASE WHEN fd = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS novelty
+      |FROM sh JOIN fs USING (g)
+      |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+
   /** q170: normalization-aware boilerplate detection — exact dedup
     * AFTER text canonicalization (lowercase → strip non-alphanumerics
     * to spaces → collapse runs → trim), keyed on the first 8 normalized

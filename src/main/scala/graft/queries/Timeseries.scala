@@ -455,6 +455,65 @@ object Timeseries {
       |  ${Exact.sqlDsum("value")} AS volume
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q180: event-time disorder (lateness) profile — for each order, how
+    * far its event time (o_orderdate) lags the maximum event time
+    * already seen in ARRIVAL order (o_orderkey as the ingestion
+    * sequence): the distribution that picks a streaming watermark
+    * delay. The running max over the global arrival order is the
+    * q144/q153 distributed prefix pattern with MAX instead of SUM —
+    * range-partition on the key, per-partition running max, the
+    * ≤`parts`-row per-partition maxima broadcast back as prefix
+    * maxima — so no single-partition window at any scale. Lateness is
+    * exact integer days, bucketed by fixed thresholds; output is the
+    * bounded bucket histogram.
+    */
+  def q180Lateness(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("k"), datediff($"o_orderdate",
+        lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("t"))
+    val ranged = o.repartitionByRange(parts, $"k".asc)
+      .withColumn("pid", spark_partition_id())
+    val pmax = ranged.groupBy($"pid").agg(max($"t").as("pm"))
+      .select($"pid", max($"pm").over(Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)).as("prev_max"))
+    val run = ranged
+      .withColumn("rm_in", max($"t").over(Window.partitionBy($"pid")
+        .orderBy($"k").rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(pmax), "pid")
+      .withColumn("rm", greatest($"rm_in", coalesce($"prev_max", lit(Long.MinValue))))
+      .withColumn("late_days", $"rm" - $"t")
+    val bucket = when($"late_days" === 0, "a_on_time")
+      .when($"late_days" <= 7, "b_within_7d")
+      .when($"late_days" <= 30, "c_within_30d")
+      .when($"late_days" <= 365, "d_within_1y")
+      .otherwise("e_over_1y")
+    run.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), max($"late_days").as("max_late_days"))
+      .orderBy($"bucket")
+  }
+
+  val q180LatenessSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS t
+      |  FROM orders),
+      |r AS (
+      |  SELECT k, t,
+      |    MAX(t) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) - t AS late_days
+      |  FROM o),
+      |b AS (
+      |  SELECT CASE WHEN late_days = 0 THEN 'a_on_time'
+      |    WHEN late_days <= 7 THEN 'b_within_7d'
+      |    WHEN late_days <= 30 THEN 'c_within_30d'
+      |    WHEN late_days <= 365 THEN 'd_within_1y'
+      |    ELSE 'e_over_1y' END AS bucket, late_days
+      |  FROM r)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(late_days) AS BIGINT) AS max_late_days
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val q157TrendSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,

@@ -203,4 +203,47 @@ object Validation {
          |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
          |FROM lineitem""".stripMargin)
     .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
+  /** q181: duplicate-charge detection — purchase pairs by the same user
+    * for the same whole-dollar amount within 24 hours: the classic
+    * payments-integrity rule (retried charge, double submit). The join
+    * keys on (user, dollar) — an EQUIJOIN, so candidates shuffle once
+    * on the composite key and the time-band predicate filters inside
+    * each key group; `a.event_id < b.event_id` emits each unordered
+    * pair once. At 100 TB key groups are per-user-per-amount tiny, so
+    * the quadratic-within-group cost is bounded by charge frequency,
+    * not corpus size. All-integer arithmetic (cents, µs).
+    */
+  def q181DoubleCharge(s: SparkSession, dir: String,
+      windowHours: Int = 24): DataFrame = {
+    import s.implicits._
+    val p = Tables.load(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        (round($"value" * 100).cast("long")).as("cents"),
+        unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("dollars", expr("cents DIV 100"))
+    val winUs = windowHours.toLong * 3600L * 1000000L
+    p.as("a").join(p.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.dollars" === $"b.dollars" &&
+          $"a.event_id" < $"b.event_id" &&
+          abs($"b.us" - $"a.us") <= winUs)
+      .select($"a.user_id".as("user_id"), $"a.dollars".as("dollars"),
+        $"a.event_id".as("first_event"), $"b.event_id".as("second_event"),
+        abs($"b.us" - $"a.us").as("gap_us"))
+      .orderBy($"user_id", $"first_event", $"second_event")
+  }
+
+  def q181DoubleChargeSql(windowHours: Int = 24): String =
+    s"""WITH p AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) // 100 AS dollars,
+      |    epoch_us(ts) AS us, event_id
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT a.user_id, a.dollars, a.event_id AS first_event,
+      |  b.event_id AS second_event, abs(b.us - a.us) AS gap_us
+      |FROM p a JOIN p b
+      |  ON a.user_id = b.user_id AND a.dollars = b.dollars
+      | AND a.event_id < b.event_id
+      | AND abs(b.us - a.us) <= ${windowHours.toLong * 3600L * 1000000L}
+      |ORDER BY a.user_id, first_event, second_event""".stripMargin
 }

@@ -403,6 +403,60 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("b2") + 1.0) < 1e-9)
   }
 
+  test("q180: bucket counts cover every order and lateness is nonnegative") {
+    val rows = Timeseries.q180Lateness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val orders = graft.sources.Tables.load(spark, dir, "orders").count()
+    assert(total == orders)
+    rows.foreach(r => assert(r.getAs[Long]("max_late_days") >= 0L))
+    // random order dates vs sequential keys: disorder must exist
+    assert(rows.exists(r => r.getAs[String]("bucket") != "a_on_time"))
+  }
+
+  test("q181: flags the engineered retry pair and respects the window") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dc").toString
+    def ns(day: Int, hour: Int) = java.sql.Timestamp
+      .valueOf(f"2024-01-$day%02d $hour%02d:00:00").getTime * 1000000L
+    Seq(
+      (1L, ns(1, 10), "purchase", 25.10, 1L),
+      (1L, ns(1, 11), "purchase", 25.40, 2L),  // same dollar 25, 1h apart
+      (1L, ns(5, 10), "purchase", 25.99, 3L),  // same dollar, outside 24h of 1&2
+      (2L, ns(1, 10), "purchase", 25.10, 4L))  // other user: no pair
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Validation.q181DoubleCharge(spark, tmp).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("first_event") == 1L)
+    assert(out.head.getAs[Long]("second_event") == 2L)
+    assert(out.head.getAs[Long]("gap_us") == 3600000000L)
+  }
+
+  test("q182: the first document is fully novel; novelty is a valid fraction") {
+    val rows = TextOps.q182Novelty(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") == 1.0,
+      "the earliest doc can only contain first-seen shingles")
+    rows.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+
+  test("q183: activation counts are consistent and lags nonnegative") {
+    val r = Behavior.q183Activation(spark, dir).collect().head
+    val (n, a) = (r.getAs[Long]("n_signed_up"), r.getAs[Long]("n_activated"))
+    assert(a <= n && n > 0)
+    assert(r.getAs[Double]("activation_rate") == a.toDouble / n)
+    if (a > 0) {
+      assert(r.getAs[Double]("median_lag_us") >= 0.0)
+      assert(r.getAs[Double]("p90_lag_us") >= r.getAs[Double]("median_lag_us"))
+    }
+  }
+
   test("q163: quintile sizes differ by at most one and scores span 1..5") {
     val out = Behavior.q163Rfm(spark, dir).collect()
     assert(out.nonEmpty)
