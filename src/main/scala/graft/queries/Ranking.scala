@@ -163,6 +163,72 @@ object Ranking {
       |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
       |ORDER BY d1, d2""".stripMargin
 
+  /** q184: trending movers — parts whose popularity RANK climbed most
+    * year-over-year (2000 → 2001 ship counts): the "what's trending"
+    * report computed on rank deltas, which are robust to overall volume
+    * shifts in a way raw count deltas are not. Both periods aggregate
+    * in ONE scan (conditional sums); ranks come from the q153
+    * distributed range-partition row_number per period (catalog-sized
+    * frame, still never a single-partition window); the delta join is
+    * rank-frame-sized and the final top-k is `TakeOrderedAndProject`.
+    * Only parts shipped in BOTH periods carry a well-defined rank
+    * delta; entries/exits are a different report.
+    */
+  def q184Trending(s: SparkSession, dir: String,
+      k: Int = 20, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "lineitem")
+      .filter(year($"l_shipdate").isin(2000, 2001))
+      .groupBy($"l_partkey")
+      .agg(
+        sum(when(year($"l_shipdate") === 2000, 1L).otherwise(0L)).as("ca"),
+        sum(when(year($"l_shipdate") === 2001, 1L).otherwise(0L)).as("cb"))
+      .filter($"ca" > 0 && $"cb" > 0)
+    def ranked(cnt: String, rk: String): DataFrame = {
+      val ranged = counts.select($"l_partkey", col(cnt))
+        .repartitionByRange(parts, col(cnt).desc, $"l_partkey".asc)
+        .withColumn("pid", spark_partition_id())
+      val off = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
+        .select($"pid", coalesce(sum($"pn").over(
+          org.apache.spark.sql.expressions.Window.orderBy($"pid")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)).as("off"))
+      ranged.withColumn("prn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"pid")
+            .orderBy(col(cnt).desc, $"l_partkey".asc)).cast("long"))
+        .join(broadcast(off), "pid")
+        .select($"l_partkey", col(cnt), ($"prn" + $"off").as(rk))
+    }
+    ranked("ca", "rank_2000").join(ranked("cb", "rank_2001"), "l_partkey")
+      .select($"l_partkey", $"ca".as("n_2000"), $"cb".as("n_2001"),
+        $"rank_2000", $"rank_2001",
+        ($"rank_2000" - $"rank_2001").as("rank_climb"))
+      .orderBy($"rank_climb".desc, $"l_partkey")
+      .limit(k)
+  }
+
+  val q184TrendingSql: String =
+    """WITH c AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 2000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 2001 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM lineitem WHERE year(l_shipdate) IN (2000, 2001)
+      |  GROUP BY 1 HAVING SUM(CASE WHEN year(l_shipdate) = 2000 THEN 1
+      |    ELSE 0 END) > 0 AND SUM(CASE WHEN year(l_shipdate) = 2001
+      |    THEN 1 ELSE 0 END) > 0),
+      |r AS (
+      |  SELECT l_partkey, ca, cb,
+      |    CAST(row_number() OVER (ORDER BY ca DESC, l_partkey) AS BIGINT)
+      |      AS rank_2000,
+      |    CAST(row_number() OVER (ORDER BY cb DESC, l_partkey) AS BIGINT)
+      |      AS rank_2001
+      |  FROM c)
+      |SELECT l_partkey, ca AS n_2000, cb AS n_2001, rank_2000, rank_2001,
+      |  rank_2000 - rank_2001 AS rank_climb
+      |FROM r ORDER BY rank_climb DESC, l_partkey LIMIT 20""".stripMargin
+
   /** q166: reciprocal-rank fusion of the lexical (BM25, q82) and
     * semantic (embedding-cosine, q50 family) rankings —
     * RRF(d) = Σ_lists 1/(60+rank_d), the standard zero-tuning hybrid-

@@ -425,6 +425,66 @@ object Relational {
       |  MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** q185: hierarchical share-of-parent — revenue by nation with each
+    * nation's share of its region and each region's share of the
+    * corporate total: the drill-down ratio tree every OLAP cube renders.
+    * ONE fact-side aggregation (orders joined through the broadcast
+    * customer→nation→region dimension spine) produces the nation frame;
+    * region and grand totals reduce the BOUNDED nation frame, broadcast
+    * back. Revenue is the q1 exact-decimal convention; each share is a
+    * single double division.
+    */
+  def q185ShareOfParent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val n = Tables.load(s, dir, "nation")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    val r = Tables.load(s, dir, "region").select($"r_regionkey", $"r_name")
+    val dim = c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"n_name".as("nation"), $"r_name".as("region"))
+    // decimal end-to-end: region/total reductions stay associative-exact,
+    // ONE cast to double per output column at presentation
+    val byNation = Tables.load(s, dir, "orders")
+      .join(broadcast(dim), $"o_custkey" === $"c_custkey")
+      .groupBy($"region", $"nation")
+      .agg(sum(d2($"o_totalprice")).as("revd"))
+    val byRegion = byNation.groupBy($"region").agg(sum($"revd").as("region_revd"))
+    val total = byNation.agg(sum($"revd").as("total_revd"))
+    byNation.join(broadcast(byRegion), "region")
+      .crossJoin(broadcast(total))
+      .select($"region", $"nation",
+        $"revd".cast("double").as("rev"),
+        $"region_revd".cast("double").as("region_rev"),
+        $"total_revd".cast("double").as("total_rev"),
+        ($"revd".cast("double") / $"region_revd".cast("double"))
+          .as("share_of_region"),
+        ($"region_revd".cast("double") / $"total_revd".cast("double"))
+          .as("region_share_of_total"))
+      .orderBy($"region", $"nation")
+  }
+
+  val q185ShareOfParentSql: String =
+    s"""WITH nat AS (
+      |  SELECT r_name AS region, n_name AS nation,
+      |    SUM(${sqlD2("o_totalprice")}) AS revd
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |reg AS (SELECT region, SUM(revd) AS region_revd FROM nat GROUP BY 1),
+      |tot AS (SELECT SUM(revd) AS total_revd FROM nat)
+      |SELECT region, nation, CAST(revd AS DOUBLE) AS rev,
+      |  CAST(region_revd AS DOUBLE) AS region_rev,
+      |  CAST(total_revd AS DOUBLE) AS total_rev,
+      |  CAST(revd AS DOUBLE) / CAST(region_revd AS DOUBLE)
+      |    AS share_of_region,
+      |  CAST(region_revd AS DOUBLE) / CAST(total_revd AS DOUBLE)
+      |    AS region_share_of_total
+      |FROM nat JOIN reg USING (region) CROSS JOIN tot
+      |ORDER BY region, nation""".stripMargin
+
   /** q84 — the z-order clustering key (`functions/ZOrder`,
     * `sources/Layout`) under the oracle: Morton codes over
     * (customer key, days-since-epoch of the order date), the two

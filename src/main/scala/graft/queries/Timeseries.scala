@@ -514,6 +514,57 @@ object Timeseries {
       |  CAST(MAX(late_days) AS BIGINT) AS max_late_days
       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** q187: daily volume anomalies per event type — days whose count
+    * z-scores beyond ±2 against that type's own daily history: the
+    * "did Tuesday's error volume spike?" alert, computed batch-side.
+    * The variance comes from exact integer sufficient statistics
+    * (D, Σc, Σc²) per type — the q53 discipline, never a float
+    * accumulation — and mean/var/z are fixed-shape double expressions
+    * broadcast back onto the bounded (type, day) frame. The only
+    * corpus-sized work is the daily count aggregation. The flag
+    * compares identically-shaped doubles, so it cannot flip
+    * cross-engine.
+    */
+  def q187DailyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("nd"), sum($"c").as("sc"),
+        sum($"c" * $"c").as("sqc"))
+    val mean = $"sc".cast("double") / $"nd"
+    val varr = ($"sqc".cast("double") - $"sc".cast("double") * $"sc" / $"nd") /
+      ($"nd" - 1)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z", ($"c" - mean) / sqrt(varr))
+      .filter(abs($"z") > 2.0)
+      .select($"event_type", $"d", $"c",
+        mean.as("mean_daily"), $"z")
+      .orderBy($"event_type", $"d")
+  }
+
+  val q187DailyAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    CAST(SUM(c * c) AS BIGINT) AS sqc
+      |  FROM daily GROUP BY 1),
+      |z AS (
+      |  SELECT daily.event_type, d, c,
+      |    CAST(sc AS DOUBLE) / nd AS mean_daily,
+      |    (c - CAST(sc AS DOUBLE) / nd) /
+      |      sqrt((CAST(sqc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / nd)
+      |        / (nd - 1)) AS z
+      |  FROM daily JOIN st USING (event_type))
+      |SELECT event_type, d, c, mean_daily, z
+      |FROM z WHERE abs(z) > 2.0
+      |ORDER BY event_type, d""".stripMargin
+
   val q157TrendSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,

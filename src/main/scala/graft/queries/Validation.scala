@@ -246,4 +246,38 @@ object Validation {
       | AND a.event_id < b.event_id
       | AND abs(b.us - a.us) <= ${windowHours.toLong * 3600L * 1000000L}
       |ORDER BY a.user_id, first_event, second_event""".stripMargin
+
+  /** q186: burst (rate-limit) audit — users whose event rate exceeded
+    * `threshold` events within one clock hour, with their peak hourly
+    * rate and the hours involved: the bot/abuse screen run before
+    * behavioral data feeds training. One (user, hour) aggregation
+    * (map-side partials), then a per-user reduce — both shuffles key
+    * on the user axis; nothing else is corpus-sized. `date_trunc` hour
+    * semantics agree across engines on naive-UTC timestamps.
+    */
+  def q186Burst(s: SparkSession, dir: String, threshold: Long = 3L): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy($"user_id")
+      .agg(max($"c").as("peak_hourly"),
+        sum(($"c" >= threshold).cast("long")).as("n_burst_hours"),
+        min(when($"c" >= threshold, $"h")).as("first_burst_hour"))
+      .filter($"n_burst_hours" >= 1)
+      .orderBy($"user_id")
+  }
+
+  def q186BurstSql(threshold: Long = 3L): String =
+    s"""WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak_hourly,
+      |  CAST(SUM(CASE WHEN c >= $threshold THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_burst_hours,
+      |  MIN(CASE WHEN c >= $threshold THEN h END) AS first_burst_hour
+      |FROM hourly GROUP BY user_id
+      |HAVING SUM(CASE WHEN c >= $threshold THEN 1 ELSE 0 END) >= 1
+      |ORDER BY user_id""".stripMargin
 }

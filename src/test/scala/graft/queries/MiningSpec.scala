@@ -457,6 +457,62 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q184: rank climbs are consistent with the per-period counts") {
+    val rows = Ranking.q184Trending(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rank_climb") ==
+        r.getAs[Long]("rank_2000") - r.getAs[Long]("rank_2001"))
+      assert(r.getAs[Long]("n_2000") > 0 && r.getAs[Long]("n_2001") > 0)
+    }
+    val climbs = rows.map(_.getAs[Long]("rank_climb"))
+    assert(climbs.zip(climbs.tail).forall { case (a, b) => a >= b },
+      "output must be sorted by climb descending")
+  }
+
+  test("q185: shares sum to 1 within each region and across regions") {
+    val rows = Relational.q185ShareOfParent(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("region")).foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"region shares must sum to 1: $s")
+    }
+    val regionShares = rows.groupBy(_.getAs[String]("region"))
+      .map(_._2.head.getAs[Double]("region_share_of_total")).sum
+    assert(math.abs(regionShares - 1.0) < 1e-9)
+  }
+
+  test("q186: flagged users truly exceeded the hourly threshold") {
+    val rows = Validation.q186Burst(spark, dir, threshold = 2L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("peak_hourly") >= 2L)
+      assert(r.getAs[Long]("n_burst_hours") >= 1L)
+      assert(r.getAs[java.sql.Timestamp]("first_burst_hour") != null)
+    }
+    // a looser threshold can only flag fewer (or equal) users
+    val strict = Validation.q186Burst(spark, dir, threshold = 3L).collect()
+    assert(strict.length <= rows.length)
+  }
+
+  test("q187: a constructed spike day is flagged; flat history is not") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-anom").toString
+    def ns(day: Int, i: Int) = java.sql.Timestamp
+      .valueOf(f"2024-01-$day%02d 10:00:${i % 60}%02d").getTime * 1000000L + i
+    // 9 days at 5/day, one day at 50: that day must flag
+    val rows = (1 to 10).flatMap { d =>
+      val n = if (d == 7) 50 else 5
+      (1 to n).map(i => (1L, ns(d, i), "click", 1.0, d.toLong * 1000 + i))
+    }
+    rows.toDF("user_id", "ts", "event_type", "value", "event_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Timeseries.q187DailyAnomaly(spark, tmp).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[java.sql.Date]("d").toString == "2024-01-07")
+    assert(out.head.getAs[Double]("z") > 2.0)
+  }
+
   test("q163: quintile sizes differ by at most one and scores span 1..5") {
     val out = Behavior.q163Rfm(spark, dir).collect()
     assert(out.nonEmpty)
