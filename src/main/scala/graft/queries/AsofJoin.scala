@@ -53,6 +53,33 @@ object AsofJoin {
       |        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** q188: the SAME as-of semantics as q17, executed by the native
+    * whole-operator plan node (`plans/NativeAsof`: logical plan +
+    * planner strategy + physical sort-merge as-of exec) instead of the
+    * union-window composition — and graded by the IDENTICAL oracle, so
+    * the gate proves the custom operator end-to-end: distribution/
+    * ordering contracts, the per-partition merge, tie resolution
+    * (equal-date orders → largest o_orderkey, via the tie-break
+    * ordering), and null-side handling.
+    */
+  def q188AsofNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+    val events = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id")
+    graft.plans.NativeAsof.asofJoin(
+        events, orders,
+        leftKey = $"user_id", rightKey = $"o_custkey",
+        leftTime = $"ts", rightTime = $"o_orderdate",
+        rightTieBreak = Seq($"o_orderkey"))
+      .filter($"o_orderkey".isNotNull)
+      .select($"event_id", $"user_id",
+        $"o_orderkey".as("asof_orderkey"),
+        $"o_orderdate".as("asof_orderdate"))
+      .orderBy($"event_id")
+  }
+
   /** Range join: per (user, day-of-activity) pairings — events joined to
     * orders of the same user within ±N days of the event. The small side
     * is broadcast so the inequality condition evaluates as a broadcast

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+
+/** The one sanctioned crossing into Spark's `private[sql]` surface:
+  * materializing a DataFrame from a custom [[LogicalPlan]] node
+  * (`Dataset.ofRows` has no public equivalent). Every third-party
+  * Spark operator library ships exactly this shim; keeping it in a
+  * single two-line object makes the private-API dependency auditable.
+  */
+object PlanShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+}
