@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   * is a single forward pass per partition holding ONE buffered right
   * row: no union-row widening, no window-function machinery, no
   * carried null columns. At 100 TB both shapes shuffle the same bytes;
-  * the operator halves the post-shuffle work and is reusable from any
-  * plan, which is the point of owning the node.
+  * the operator cuts the post-shuffle work (measured ~20% on the q17
+  * lane at sf0.1 warm — 0.70 s vs 0.87 s — with only 3 narrow right
+  * columns; the union composition's cost grows with the width of BOTH
+  * sides, the operator's only with the matched output) and is reusable
+  * from any plan, which is the point of owning the node.
   *
   * Semantics (PUBLIC as-of convention — pandas merge_asof backward /
   * QuestDB ASOF JOIN): for each left row, the right row with equal key
