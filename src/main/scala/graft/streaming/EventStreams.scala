@@ -356,4 +356,46 @@ object EventStreams {
       }
       .toDF("user_id", "event_id", "seq_no")
   }
+
+  /** Streaming OHLC bars — the q169 batch twin as one watermarked
+    * tumbling-window aggregation: per (event_type, window) the
+    * chronological open/close (min/max_by on the (ts, event_id) order
+    * key, deterministic under ties) plus high/low/count. State is one
+    * row per open window per type, watermark-bounded; the only shuffle
+    * keys on (type, window).
+    */
+  def ohlcBars(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+
+  /** Streaming burst flags — the q186 batch twin: users whose event
+    * count inside one tumbling window reaches `threshold`, emitted as
+    * they close. The (user, window) aggregation is the single stateful
+    * shuffle; the filter is stateless on its output. The batch audit
+    * answers "who EVER burst"; this lane answers "who is bursting NOW"
+    * for rate limiting at ingest time.
+    */
+  def burstFlags(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      width: String = "1 hour",
+      threshold: Long = 3L): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= threshold)
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("n_events"))
 }

@@ -224,4 +224,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(props == Seq.fill(10)(0.1))
     assert(math.abs(props.sum - 1.0) < 1e-12)
   }
+
+  test("ohlc bars: open/close follow event time, not arrival order") {
+    val in = MemoryStream[Ev](spark)
+    // arrival order deliberately scrambled vs event time
+    in.addData(
+      Ev(3, ts(40), 1, "click", 30.0),  // chronologically last -> close
+      Ev(1, ts(5), 1, "click", 10.0),   // chronologically first -> open
+      Ev(2, ts(20), 1, "click", 99.0))  // the high
+    val rows = runToCompletion(
+      EventStreams.ohlcBars(in.toDF(), width = "1 hour"), OutputMode.Update())
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Double]("open") == 10.0)
+    assert(r.getAs[Double]("high") == 99.0)
+    assert(r.getAs[Double]("low") == 10.0)
+    assert(r.getAs[Double]("close") == 30.0)
+    assert(r.getAs[Long]("n_events") == 3L)
+  }
+
+  test("burst flags: only the window where the user crossed the threshold emits") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts(1), 7, "a", 0), Ev(2, ts(2), 7, "a", 0),
+      Ev(3, ts(3), 7, "a", 0),                           // user 7: 3 in hour
+      Ev(4, ts(10), 8, "a", 0))                          // user 8: only 1
+    val rows = runToCompletion(
+      EventStreams.burstFlags(in.toDF(), width = "1 hour", threshold = 3L),
+      OutputMode.Update())
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("user_id") == 7L)
+    assert(rows.head.getAs[Long]("n_events") == 3L)
+  }
 }
