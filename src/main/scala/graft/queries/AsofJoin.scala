@@ -80,6 +80,44 @@ object AsofJoin {
       .orderBy($"event_id")
   }
 
+  /** q189: FORWARD as-of — each event's next order at-or-after its
+    * timestamp ("what did the user buy next?"). Exercises operator
+    * REUSE: forward(t) = backward(−t), so the same native plan node
+    * runs on negated µs time columns — no second operator, no second
+    * code path; the tie rule flips to smallest o_orderkey (negated key
+    * tie-break ascending). The oracle is the naive inequality join with
+    * ASC ordering.
+    */
+  def q189AsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey",
+        (-unix_micros($"o_orderdate".cast("timestamp"))).as("neg_t"))
+    val events = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        (-unix_micros($"ts")).as("neg_ts"),
+        (-$"event_id").as("neg_eid"))
+    graft.plans.NativeAsof.asofJoin(
+        orders, events,
+        leftKey = $"o_custkey", rightKey = $"user_id",
+        leftTime = $"neg_t", rightTime = $"neg_ts",
+        rightTieBreak = Seq($"neg_eid"))
+      .filter($"event_id".isNotNull)
+      .select($"o_orderkey", $"o_custkey",
+        $"event_id".as("next_event_id"), $"ts".as("next_event_ts"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q189AsofForwardSql: String =
+    """SELECT o_orderkey, o_custkey, event_id AS next_event_id,
+      |  ts AS next_event_ts
+      |FROM (SELECT o.o_orderkey, o.o_custkey, e.event_id, e.ts,
+      |        ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+      |                           ORDER BY e.ts ASC, e.event_id ASC) AS rn
+      |      FROM orders o JOIN events e
+      |        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+      |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
   /** Range join: per (user, day-of-activity) pairings — events joined to
     * orders of the same user within ±N days of the event. The small side
     * is broadcast so the inequality condition evaluates as a broadcast

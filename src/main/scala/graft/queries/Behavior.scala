@@ -523,6 +523,126 @@ object Behavior {
       |  quantile_cont(lag_us, 0.9) AS p90_lag_us
       |FROM l""".stripMargin
 
+  /** q190: activity heatmap grid — event counts per (weekday × hour)
+    * cell with the FULL 7×24 grid materialized (zero cells included:
+    * a heatmap with holes misreads as missing data, and downstream
+    * renderers expect a dense grid). One corpus aggregation; the grid
+    * is a bounded cross join of two tiny literal axes. Weekday is the
+    * q177 engine-neutral Monday-epoch arithmetic.
+    */
+  def q190Heatmap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monday = lit(java.sql.Date.valueOf("2024-01-01"))
+    val obs = Tables.load(s, dir, "events")
+      .groupBy(
+        pmod(datediff(to_date($"ts"), monday), lit(7)).cast("int").as("dow"),
+        hour($"ts").cast("int").as("hod"))
+      .agg(count(lit(1)).as("c"))
+    val dows = s.range(0, 7).select($"id".cast("int").as("dow"))
+    val hods = s.range(0, 24).select($"id".cast("int").as("hod"))
+    dows.crossJoin(hods)
+      .join(obs, Seq("dow", "hod"), "left")
+      .select($"dow", $"hod", coalesce($"c", lit(0L)).as("n_events"))
+      .orderBy($"dow", $"hod")
+  }
+
+  val q190HeatmapSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(((CAST(ts AS DATE) - DATE '2024-01-01') % 7 + 7) % 7
+      |      AS INT) AS dow,
+      |    CAST(hour(ts) AS INT) AS hod, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.dow, h.hod
+      |  FROM (SELECT CAST(unnest(range(0, 7)) AS INT) AS dow) d
+      |  CROSS JOIN (SELECT CAST(unnest(range(0, 24)) AS INT) AS hod) h)
+      |SELECT dow, hod, COALESCE(c, 0) AS n_events
+      |FROM grid LEFT JOIN obs USING (dow, hod)
+      |ORDER BY dow, hod""".stripMargin
+
+  /** q191: market-concentration index — the Herfindahl–Hirschman index
+    * of customer revenue concentration per region: Σ over customers of
+    * (customer share of region revenue)², the antitrust/risk metric
+    * ("does one buyer dominate this market?"). Exact decimal revenue
+    * sums at both levels (q185 discipline); the share-squared sum folds
+    * per-customer doubles, so HHI presents as float (the q134 ln-sum
+    * argument applied to a square-sum). One fact aggregation; the
+    * square-sum reduces the customer frame on the same region keys.
+    */
+  def q191Hhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val n = Tables.load(s, dir, "nation")
+      .select($"n_nationkey", $"n_regionkey")
+    val r = Tables.load(s, dir, "region").select($"r_regionkey", $"r_name")
+    val dim = c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"r_name".as("region"))
+    val byCust = Tables.load(s, dir, "orders")
+      .join(broadcast(dim), $"o_custkey" === $"c_custkey")
+      .groupBy($"region", $"o_custkey")
+      .agg(sum(Exact.d2($"o_totalprice")).as("revd"))
+    val byRegion = byCust.groupBy($"region").agg(sum($"revd").as("region_revd"))
+    byCust.join(broadcast(byRegion), "region")
+      .withColumn("share", $"revd".cast("double") / $"region_revd".cast("double"))
+      .groupBy($"region")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"share" * $"share").cast("float").as("hhi"))
+      .orderBy($"region")
+  }
+
+  val q191HhiSql: String =
+    """WITH cust AS (
+      |  SELECT r_name AS region, o_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revd
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |reg AS (SELECT region, SUM(revd) AS region_revd FROM cust GROUP BY 1)
+      |SELECT region, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM((CAST(revd AS DOUBLE) / CAST(region_revd AS DOUBLE))
+      |    * (CAST(revd AS DOUBLE) / CAST(region_revd AS DOUBLE))) AS FLOAT)
+      |    AS hhi
+      |FROM cust JOIN reg USING (region)
+      |GROUP BY region ORDER BY region""".stripMargin
+
+  /** q192: repeat-purchase cadence — per user the gaps between
+    * consecutive purchases (one lag window), summarized as the cohort
+    * distribution: repeat-purchaser count, exact median / p90 gap in
+    * hours. The gap percentiles run on the bounded per-gap frame (one
+    * row per repeat purchase) via exact `percentile` ≡ `quantile_cont`.
+    */
+  def q192RepeatCadence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = Tables.load(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .filter($"prev_us".isNotNull)
+      .withColumn("gap_hours",
+        (unix_micros($"ts") - $"prev_us").cast("double") / lit(3600000000.0))
+    gaps.agg(
+      count(lit(1)).as("n_repeat_purchases"),
+      count_distinct($"user_id").as("n_repeat_buyers"),
+      expr("percentile(gap_hours, 0.5)").as("median_gap_hours"),
+      expr("percentile(gap_hours, 0.9)").as("p90_gap_hours"))
+  }
+
+  val q192RepeatCadenceSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS DOUBLE) / 3600000000.0 AS gap_hours
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_purchases,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_repeat_buyers,
+      |  quantile_cont(gap_hours, 0.5) AS median_gap_hours,
+      |  quantile_cont(gap_hours, 0.9) AS p90_gap_hours
+      |FROM g WHERE gap_hours IS NOT NULL""".stripMargin
+
   /** Distributed global row_number over `order` (q153's range-partition +
     * per-partition rank + broadcast offset shape): no single-partition
     * window at any scale. Appends column `rnCol`.

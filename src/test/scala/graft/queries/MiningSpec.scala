@@ -513,6 +513,49 @@ class MiningSpec extends SparkSpec {
     assert(out.head.getAs[Double]("z") > 2.0)
   }
 
+  test("q189: forward matches are at-or-after and are the user's earliest such event") {
+    val rows = AsofJoin.q189AsofForward(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = graft.sources.Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderkey", "o_custkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS us").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.take(200).foreach { r =>
+      val (ok, eid) = (r.getAs[Long]("o_orderkey"), r.getAs[Long]("next_event_id"))
+      val (cust, odate) = orders(ok)
+      val candidates = events.filter(e => e._1 == cust && e._3 >= odate)
+      val best = candidates.minBy(e => (e._3, e._2))
+      assert(best._2 == eid, s"order $ok expected event ${best._2}, got $eid")
+    }
+  }
+
+  test("q190: the grid is dense 7x24 and counts cover every event") {
+    val rows = Behavior.q190Heatmap(spark, dir).collect()
+    assert(rows.length == 168)
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == graft.sources.Tables.load(spark, dir, "events").count())
+  }
+
+  test("q191: HHI lies in (1/n, 1] and a monopoly region scores 1") {
+    val rows = Behavior.q191Hhi(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi) = (r.getAs[Long]("n_customers"), r.getAs[Float]("hhi"))
+      assert(hhi > 1.0f / n - 1e-6f && hhi <= 1.0f + 1e-6f)
+    }
+  }
+
+  test("q192: cadence summary is internally consistent") {
+    val r = Behavior.q192RepeatCadence(spark, dir).collect().head
+    assert(r.getAs[Long]("n_repeat_purchases") >= r.getAs[Long]("n_repeat_buyers"))
+    assert(r.getAs[Double]("median_gap_hours") > 0.0)
+    assert(r.getAs[Double]("p90_gap_hours") >= r.getAs[Double]("median_gap_hours"))
+  }
+
   test("q163: quintile sizes differ by at most one and scores span 1..5") {
     val out = Behavior.q163Rfm(spark, dir).collect()
     assert(out.nonEmpty)
