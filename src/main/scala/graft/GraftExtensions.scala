@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BloomMightContain, CosineSimilarity, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, SrpBucket, WordShingleHashes}
+import graft.functions.{BloomMightContain, CosineSimilarity, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, Sq8Cos, Sq8Encode, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -93,6 +93,16 @@ object GraftExtensions {
     }),
     ("pq_adc", PqAdc.info,
       arity(2, "pq_adc")(a => PqAdc(a.head, a(1)))),
+    ("sq8_encode", Sq8Encode.info, args => {
+      require(args.length == 3, "sq8_encode(vec, mins, scales) takes 3 arguments")
+      Sq8Encode(args.head, floatArrayLit(args(1), "sq8_encode", "mins"),
+        floatArrayLit(args(2), "sq8_encode", "scales"))
+    }),
+    ("sq8_cos", Sq8Cos.info, args => {
+      require(args.length == 4, "sq8_cos(query, codes, mins, scales) takes 4 arguments")
+      Sq8Cos(args.head, args(1), floatArrayLit(args(2), "sq8_cos", "mins"),
+        floatArrayLit(args(3), "sq8_cos", "scales"))
+    }),
     ("jaro_winkler", JaroWinkler.info,
       arity(2, "jaro_winkler")(a => JaroWinkler(a.head, a(1)))),
     ("bloom_might_contain", BloomMightContain.info, args => {

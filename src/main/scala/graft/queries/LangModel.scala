@@ -32,12 +32,12 @@ import graft.sources.Tables
   */
 object LangModel {
 
-  private def ws: Column = split(col("text"), " ")
+  private[queries] def ws: Column = split(col("text"), " ")
 
   /** Ordered fold of per-position double terms: sum in position order so
     * the result is bit-identical across engines and partitionings.
     */
-  private def orderedSum(pos: Column, term: Column): Column =
+  private[queries] def orderedSum(pos: Column, term: Column): Column =
     aggregate(
       transform(array_sort(collect_list(struct(pos.as("pos"), term.as("t")))),
         x => x.getField("t")),
@@ -272,6 +272,57 @@ object LangModel {
         $"score_d".cast("float").as("quality_score"),
         ($"score_d" >= 0.5).as("keep"))
       .orderBy($"doc_id")
+  }
+
+  /** Shared scored frame for the model-evaluation family (q194/q195):
+    * the q112 logistic quality score per document together with its
+    * language — the score is the model's prediction, `lang = 'en'` the
+    * label those queries grade it against (the lexicon feature is an
+    * English-word ratio, so the score IS an English-ness classifier).
+    * Same feature aggregate and fixed-shape sigmoid as q112,
+    * float-presented so both engines see bit-identical score values.
+    */
+  private[queries] def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = QLexicon
+    val feats = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(ws).as("w"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct($"w").as("n_distinct"),
+        sum(when($"w".isin(lex: _*), 1L).otherwise(0L)).as("n_lexicon"),
+        sum(length($"w")).as("n_chars"))
+    val z = lit(-2.0) +
+      lit(0.35) * log($"n_tokens") +
+      lit(2.0) * ($"n_distinct" / $"n_tokens") +
+      lit(1.5) * ($"n_lexicon" / $"n_tokens") +
+      lit(0.05) * ($"n_chars" / $"n_tokens")
+    feats
+      .withColumn("score_d", lit(1.0) / (lit(1.0) + exp(-z)))
+      .select($"doc_id", $"lang", $"score_d".cast("float").as("quality_score"))
+  }
+
+  /** CTE twin of [[qualityScores]]: defines
+    * `qscore(doc_id, lang, quality_score)` — splice as
+    * `WITH $qualityScoresCte, ...`.
+    */
+  private[queries] val qualityScoresCte: String = {
+    val lexList = QLexicon.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""qf AS (
+      |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(CASE WHEN list_contains($lexList, w) THEN 1 ELSE 0 END) AS BIGINT) AS n_lexicon,
+      |    CAST(SUM(length(w)) AS BIGINT) AS n_chars
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY doc_id, lang),
+      |qscore AS (
+      |  SELECT doc_id, lang, CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+      |    CAST(-2.0 AS DOUBLE) +
+      |    CAST(0.35 AS DOUBLE) * ln(n_tokens) +
+      |    CAST(2.0 AS DOUBLE) * (n_distinct / n_tokens) +
+      |    CAST(1.5 AS DOUBLE) * (n_lexicon / n_tokens) +
+      |    CAST(0.05 AS DOUBLE) * (n_chars / n_tokens)))) AS FLOAT) AS quality_score
+      |  FROM qf)""".stripMargin
   }
 
   val q112QualityModelSql: String = {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -310,4 +311,55 @@ object Ranking {
       |FROM lexr l FULL JOIN semr r USING (doc_id)
       |ORDER BY rrf DESC, doc_id""".stripMargin
   }
+
+  /** q200: per-document keyword extraction — the top-5 TF-IDF terms of
+    * every document, the light-weight tagging/labeling pass a corpus
+    * browser or mixture debugger runs (q140 scores whole-document
+    * pairs; this surfaces WHICH words carry each document). tf and df
+    * are exact integer aggregates (df over distinct (doc, word) — one
+    * aggregate, no distinct shuffle on top); `ln((N+1)/(df+1))` is one
+    * fixed-shape double (bit-verified ln, integer-ratio input),
+    * float-presented; and the per-document top-5 is a doc-partitioned
+    * `row_number` that Spark executes as a map-side WindowGroupLimit
+    * pre-prune — no document's candidate list survives past rank 5
+    * into the sort. At 100 TB: one (doc, word) shuffle + one broadcast
+    * scalar; the window repartitions by doc_id only.
+    */
+  def q200TopkKeywords(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val tf = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val n = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy($"doc_id")
+      .orderBy($"score_d".desc, $"w")
+    tf.join(df, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score_d", $"tf" * log(($"n" + 1).cast("double") / ($"df" + 1)))
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter($"rnk" <= k)
+      .select($"doc_id", $"rnk".cast("long").as("rnk"), $"w".as("keyword"),
+        $"tf", $"score_d".cast("float").as("score"))
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val q200TopkKeywordsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, w, tf.tf,
+      |    tf.tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)) AS score_d
+      |  FROM tf JOIN df USING (w) CROSS JOIN n),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score_d DESC, w) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w AS keyword, tf,
+      |  CAST(score_d AS FLOAT) AS score
+      |FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
 }

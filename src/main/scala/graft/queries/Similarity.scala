@@ -572,6 +572,73 @@ object Similarity {
   def q76AnnIvfPqFull(s: SparkSession, dir: String): DataFrame =
     q76AnnIvfPq(s, dir, nProbe = 8, rerank = Int.MaxValue)
 
+  /** Per-dimension SQ8 train stats from the bounded hash-ordered
+    * driver sample (the codebook-training discipline — at 100 TB the
+    * sample stays ≤ `sampleCap` rows regardless of corpus size).
+    */
+  def trainSq8(e: DataFrame,
+      sampleCap: Int = 65536): (Array[Float], Array[Float]) = {
+    val s = e.sparkSession
+    import s.implicits._
+    val sample = e.orderBy(xxhash64($"vec_id"), $"vec_id")
+      .select($"embedding").limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    graft.functions.ScalarQuantizer.train(sample, Dim)
+  }
+
+  /** q197: SQ8 scalar-quantized ANN — the fourth quantizer rung
+    * (FAISS `IndexScalarQuantizer`): every dimension maps onto its own
+    * 256-level uniform [min, max] grid, so the corpus rides the scan
+    * as dim one-byte codes (4× smaller than floats, no codebook in the
+    * scoring loop — cheaper decode than PQ at milder compression).
+    * Scoring is asymmetric like ADC: full-precision query against the
+    * dequantized candidate via the native `sq8_cos` hot loop; the top
+    * `rerank` approximate candidates fetch their real vectors
+    * (survivors-only join) for exact-cosine ordering. Encode and
+    * scoring are map-side native codegen; the (min, scale) stats train
+    * on the bounded driver sample and travel as codegen reference
+    * objects.
+    */
+  def q197AnnSq8(s: SparkSession, dir: String, rerank: Int = 32): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+    val (mins, scales) = trainSq8(e)
+    val minsL = typedLit(mins)
+    val scalesL = typedLit(scales)
+    val corpus = e.select($"vec_id".as("nid"),
+      call_function("sq8_encode", $"embedding", minsL, scalesL).as("codes"))
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val wApprox = Window.partitionBy($"qid").orderBy($"approx".desc, $"nid")
+    val cands = corpus.crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid")
+      .withColumn("approx",
+        call_function("sq8_cos", $"qe", $"codes", minsL, scalesL))
+      .withColumn("crnk", row_number().over(wApprox))
+      .filter($"crnk" <= rerank)
+      .select($"qid", $"qe", $"nid")
+    val fetch = e.select($"vec_id".as("nid"), $"embedding".as("ne"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    cands.join(fetch, "nid")
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= K)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"cos_sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Gate-registered SQ8 form: full re-rank (every candidate
+    * exact-scored) ⇒ provably ≡ q50 brute force, so the exact oracle
+    * grades the whole machinery — stats training, corpus encoding,
+    * asymmetric `sq8_cos` scoring, candidate window, survivors-only
+    * fetch. The approximate small-rerank path is the same code,
+    * recall-graded in AnnRecallSpec.
+    */
+  def q197AnnSq8Full(s: SparkSession, dir: String): DataFrame =
+    q197AnnSq8(s, dir, rerank = Int.MaxValue)
+
   def q51AnnIvf(s: SparkSession, dir: String, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")

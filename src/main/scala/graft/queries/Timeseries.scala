@@ -584,4 +584,140 @@ object Timeseries {
       |  (sy - (CAST(n_days * sxy - sx * sy AS DOUBLE) /
       |    (n_days * sxx - sx * sx)) * sx) / n_days AS intercept
       |FROM sums ORDER BY event_type""".stripMargin
+
+  /** q198: interval-overlap join — which pairs of users were active
+    * at the same time, and for how long? Sessions (q16's 30-minute-gap
+    * rule) become [start, end] µs intervals; the overlap JOIN is the
+    * operator Spark lacks natively: a naive theta-join
+    * (`a.st ≤ b.en AND b.st ≤ a.en`) is a broadcast-nested-loop
+    * cross product. Instead each interval explodes to the HOUR buckets
+    * it spans (fan-out bounded by session length, sessions are
+    * minutes-scale), the join is a plain bucket EQUIJOIN, and the
+    * classic double-count across shared buckets is eliminated WITHOUT
+    * a distinct shuffle by the q108 first-shared-bucket gate: a pair
+    * overlapping in many buckets is emitted only in the hour of
+    * `greatest(a.st, b.st)` — the first bucket both occupy, unique per
+    * pair of intervals. Overlap durations are exact µs integers. At
+    * 100 TB everything shuffles once on the hour bucket; per-bucket
+    * population is the concurrency level, not the corpus.
+    */
+  def q198IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val HourUs = 3600L * 1000000L
+    val sess = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_us".isNull || $"ts_us" - $"prev_us" > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts_us").as("st"), max($"ts_us").as("en"))
+    val bucketed = sess.select($"user_id", $"session_id", $"st", $"en",
+      explode(sequence(floor($"st" / HourUs), floor($"en" / HourUs)))
+        .as("bucket"))
+    val a = bucketed.select($"bucket", $"user_id".as("ua"),
+      $"session_id".as("sa"), $"st".as("sta"), $"en".as("ena"))
+    val b = bucketed.select($"bucket", $"user_id".as("ub"),
+      $"session_id".as("sb"), $"st".as("stb"), $"en".as("enb"))
+    a.join(b, Seq("bucket"))
+      .filter($"ua" < $"ub")
+      .filter($"sta" <= $"enb" && $"stb" <= $"ena")
+      // first-shared-bucket gate: dedup without a distinct
+      .filter($"bucket" === floor(greatest($"sta", $"stb") / HourUs))
+      .select($"ua".as("user_a"), $"ub".as("user_b"),
+        (least($"ena", $"enb") - greatest($"sta", $"stb")).as("ov_us"))
+      .groupBy($"user_a", $"user_b")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum($"ov_us").as("total_overlap_us"))
+      .orderBy($"user_a", $"user_b")
+  }
+
+  /** Oracle: the same sessionization, then the DIRECT inequality
+    * overlap join (DuckDB's IEJoin executes it without the bucket
+    * trick) — the bucket-equijoin plan must reproduce the plain
+    * theta-join's answer exactly.
+    */
+  val q198IntervalJoinSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+      |    ts_us
+      |  FROM marked),
+      |iv AS (
+      |  SELECT user_id, session_id, MIN(ts_us) AS st, MAX(ts_us) AS en
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+      |  CAST(SUM(LEAST(a.en, b.en) - GREATEST(a.st, b.st)) AS BIGINT) AS total_overlap_us
+      |FROM iv a JOIN iv b
+      |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+      |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin
+
+  /** q199: clamped running balance — a cumulative sum with a floor and
+    * a cap (`bal ← clamp(bal + Δ, 0, cap)`), the credit/inventory/
+    * rate-limiter ledger no window frame can express: the clamp makes
+    * each step depend on the FULL folded history, not on any
+    * subtractable aggregate. Purchases deposit their exact cents;
+    * every other event draws 100. The Spark answer is the per-key
+    * sequential fold (q123's discipline): one user-keyed shuffle
+    * collects each user's deltas in (ts, event_id) order and a linear
+    * fold emits every intermediate balance — per-user state is the
+    * user's own event count, never corpus-scale, and all arithmetic is
+    * exact integers. The oracle refolds prefixes per user (quadratic
+    * on the tiny per-user lists, oracle-side only).
+    */
+  def q199ClampedBalance(s: SparkSession, dir: String,
+      capCents: Long = 20000L): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        when($"event_type" === "purchase",
+          round($"value" * 100).cast("long")).otherwise(lit(-100L)).as("delta"))
+    val ser = ev.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"us", $"event_id", $"delta")))
+        .as("xs"))
+    def clamp(c: Column): Column = least(greatest(c, lit(0L)), lit(capCents))
+    val folded = aggregate(
+      slice($"xs", lit(2), size($"xs") - 1),
+      array(struct(
+        element_at($"xs", 1).getField("event_id").as("event_id"),
+        clamp(element_at($"xs", 1).getField("delta")).as("bal"))),
+      (acc, x) => concat(acc, array(struct(
+        x.getField("event_id").as("event_id"),
+        clamp(element_at(acc, size(acc)).getField("bal") + x.getField("delta"))
+          .as("bal")))))
+    ser.select($"user_id", explode(folded).as("e"))
+      .select($"user_id", $"e.event_id".as("event_id"),
+        $"e.bal".as("balance_cents"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q199ClampedBalanceSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(round(value * 100) AS BIGINT) ELSE -100 END AS delta
+      |  FROM events),
+      |ser AS (
+      |  SELECT user_id, list(event_id ORDER BY us, event_id) AS eids,
+      |    list(delta ORDER BY us, event_id) AS ds
+      |  FROM ev GROUP BY 1),
+      |ex AS (
+      |  SELECT user_id, unnest(eids) AS event_id,
+      |    unnest(list_transform(range(1, len(ds) + 1),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), ds[1:i]),
+      |             (a, x) -> LEAST(GREATEST(a + x, 0), 20000)))) AS balance_cents
+      |  FROM ser)
+      |SELECT user_id, event_id, balance_cents
+      |FROM ex ORDER BY user_id, event_id""".stripMargin
 }

@@ -97,6 +97,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
+  test("SQ8 with full re-rank is exactly brute force") {
+    val truth = pairSet(Similarity.q50AnnBrute(spark, dir))
+    assert(truth.nonEmpty)
+    assert(pairSet(Similarity.q197AnnSq8Full(spark, dir)) == truth)
+  }
+
+  test("SQ8 recall@3 vs brute force at rerank=32 (16x candidate cut)") {
+    val truth = pairSet(Similarity.q50AnnBrute(spark, dir))
+    val got   = pairSet(Similarity.q197AnnSq8(spark, dir))
+    val recall = (truth & got).size.toDouble / truth.size
+    // 8-bit uniform quantization distorts cosines by <0.02 (spec-pinned),
+    // far below true-neighbor gaps — near-perfect recall is expected even
+    // at the 16x cut; 0.9 leaves slack for adversarial near-ties only
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("near-dup detectors agree: q40 (exact) == q41 (MinHash LSH) == q42 (SimHash)") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

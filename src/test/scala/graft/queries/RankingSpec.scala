@@ -45,4 +45,26 @@ class RankingSpec extends SparkSpec {
       assert(tf > 0)
     }
   }
+
+  test("q200: at most 5 keywords per doc, scores non-increasing, every keyword occurs") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Ranking.q200TopkKeywords(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      assert(rs.length <= 5)
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to rs.length).toSeq)
+      val scores = sorted.map(_.getAs[Float]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(rs.forall(_.getAs[Long]("tf") > 0))
+    }
+    // spot-check membership: each keyword really occurs in its document
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.take(50).foreach { r =>
+      val words = texts(r.getLong(0)).split(" ")
+      assert(words.contains(r.getAs[String]("keyword")))
+    }
+  }
 }

@@ -219,4 +219,53 @@ class TimeseriesSamplingSpec extends SparkSpec {
     assert(r.getAs[Double]("slope") == 2.0)
     assert(r.getAs[Double]("intercept") == 3.0)
   }
+
+  test("q198: bucketed interval join equals the direct theta join, each pair once") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Timeseries.q198IntervalJoin(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("total_overlap_us")))).toMap
+    // reference: sessionize identically, then the plain quadratic overlap
+    // join on the collected intervals
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val iv = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("prev", lag($"ts_us", 1).over(byUser))
+      .withColumn("ns", when($"prev".isNull || $"ts_us" - $"prev" > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"ns").over(byUser.rowsBetween(Long.MinValue, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts_us").as("st"), max($"ts_us").as("en"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("st"), r.getAs[Long]("en")))
+    val expect = (for {
+      a <- iv; b <- iv
+      if a._1 < b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield ((a._1, b._1), math.min(a._3, b._3) - math.max(a._2, b._2)))
+      .groupBy(_._1).map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._2).sum) }
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q199: clamped balance matches a direct per-user fold and respects bounds") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Timeseries.q199ClampedBalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(b => b >= 0L && b <= 20000L))
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        when($"event_type" === "purchase", round($"value" * 100).cast("long"))
+          .otherwise(-100L).as("delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      var bal = 0L
+      rows.sortBy(r => (r._3, r._2)).toSeq.map { r =>
+        bal = math.min(math.max(bal + r._4, 0L), 20000L)
+        (u, r._2) -> bal
+      }
+    }.toMap
+    assert(got == expect)
+  }
 }
