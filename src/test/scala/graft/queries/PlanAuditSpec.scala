@@ -475,4 +475,56 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: expected a partitioned corpus window:\n${df.queryExecution.optimizedPlan}")
     }
   }
+
+  test("q194: mid-ranks ride the distributed pid prefix — offsets broadcast") {
+    // same contract as q172 (whose machinery q194's AUC reuses): the
+    // per-score rank window is pid-partitioned; only the ≤parts offset
+    // frame is global
+    val df = graft.SparkEntry.queries("q194_auc")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"offsets must broadcast:\n$p")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"expected the pid-partitioned rank window:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q197: SQ8 codes come from the native expression; the query frame broadcasts") {
+    val df = graft.SparkEntry.queries("q197_ann_sq8_fullrerank")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan.toString()
+    assert(logical.contains("sq8_encode") && logical.contains("sq8_cos"),
+      s"expected the native SQ8 expressions:\n$logical")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the tiny query frame must broadcast:\n$p")
+  }
+
+  test("q198: the interval join is a bucket equijoin — never a theta nested loop") {
+    val p = plan("q198_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"overlap join must collide through hour buckets:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the bucket equijoin:\n$p")
+  }
+
+  test("q199: the balance fold shuffles once on user_id — per-user windows only") {
+    val df = graft.SparkEntry.queries("q199_clamped_balance")(spark, dir)
+    df.collect()
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // the fold is an aggregate, not a window: any window that does appear
+    // must be keyed (none expected at all)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"no global window may appear in the balance fold:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q200: per-doc top-5 pre-prunes map-side via WindowGroupLimit") {
+    val p = plan("q200_topk_keywords")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected map-side rank pruning before the doc exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row corpus count must broadcast:\n$p")
+  }
 }
