@@ -890,4 +890,69 @@ object Stats {
       |      ((na + nb + 1) - CAST(tsum AS DOUBLE)
       |        / ((na + nb) * (na + nb - 1)))) AS z
       |FROM s""".stripMargin
+
+  /** q202: the Lorenz curve behind q152's Gini scalar — 20 ventile
+    * points of (population share, cumulative revenue share) over
+    * per-customer revenue, the curve an allocation/fairness report
+    * actually plots. Revenue lifts to exact integer cents (the q165
+    * discipline); the rank and the cumulative-revenue prefix ride ONE
+    * range-partitioned pid window with broadcast offsets (the
+    * q122/q144/q156 contract — no global window); the 20 boundary
+    * ranks come from a 20-row broadcast frame joined back by equality.
+    * Shares are single final double divisions of exact BIGINTs.
+    */
+  def q202Lorenz(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val rev = Tables.load(s, dir, "orders")
+      .select($"o_custkey", round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"o_custkey").agg(sum($"cents").as("rev"))
+    val ranged = rev.repartitionByRange(parts, $"rev".asc, $"o_custkey".asc)
+      .withColumn("pid", spark_partition_id())
+    val off = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy($"pid")
+      .agg(count(lit(1)).as("pn"), sum($"rev").as("pr"))
+      .select($"pid",
+        coalesce(sum($"pn").over(off), lit(0L)).as("offn"),
+        coalesce(sum($"pr").over(off), lit(0L)).as("offr"))
+    val tot = rev.agg(count(lit(1)).as("n_cust"), sum($"rev").as("total_rev"))
+    val byV = Window.partitionBy($"pid").orderBy($"rev", $"o_custkey")
+    val ranked = ranged
+      .withColumn("rn", count(lit(1)).over(byV))
+      .withColumn("cr", sum($"rev").over(byV))
+      .join(broadcast(offsets), "pid")
+      .select(($"rn" + $"offn").as("rk"), ($"cr" + $"offr").as("cumrev"))
+    val bounds = tot
+      .select(explode(sequence(lit(1), lit(20))).as("ventile"),
+        $"n_cust", $"total_rev")
+      .select($"ventile", floor($"ventile" * $"n_cust" / lit(20)).as("rk"),
+        $"n_cust", $"total_rev")
+    ranked.join(broadcast(bounds), "rk")
+      // long ventile: DuckDB's range() yields BIGINT and the gate
+      // compares dtypes
+      .select($"ventile".cast("long").as("ventile"),
+        ($"rk".cast("double") / $"n_cust").as("pop_share"),
+        ($"cumrev".cast("double") / $"total_rev").as("rev_share"))
+      .orderBy($"ventile")
+  }
+
+  val q202LorenzSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |               CAST(SUM(rev) AS BIGINT) AS total_rev FROM rev),
+      |c AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS rk,
+      |    CAST(SUM(rev) OVER (ORDER BY rev, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumrev
+      |  FROM rev),
+      |b AS (
+      |  SELECT q AS ventile, CAST(FLOOR(q * n_cust / 20) AS BIGINT) AS rk,
+      |    n_cust, total_rev
+      |  FROM range(1, 21) t(q) CROSS JOIN tot)
+      |SELECT ventile, CAST(c.rk AS DOUBLE) / n_cust AS pop_share,
+      |  CAST(cumrev AS DOUBLE) / total_rev AS rev_share
+      |FROM c JOIN b USING (rk)
+      |ORDER BY ventile""".stripMargin
 }

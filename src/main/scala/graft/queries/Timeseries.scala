@@ -720,4 +720,85 @@ object Timeseries {
       |  FROM ser)
       |SELECT user_id, event_id, balance_cents
       |FROM ex ORDER BY user_id, event_id""".stripMargin
+
+  /** q201: Holt double-exponential smoothing (level + trend) of the
+    * per-type daily counts, with the one-step-ahead forecast — the
+    * trend-aware upgrade of q123's EWMA: a simple EWMA lags any ramp,
+    * Holt's paired recurrences (`l ← α·x + (1−α)(l+b)`,
+    * `b ← β·(l−l_prev) + (1−β)·b`, α=0.5 β=0.3, seeded l₁=x₁ b₁=0)
+    * track it. The two mutually-recursive state variables are exactly
+    * what no window frame expresses — the fold carries a (level,
+    * trend) struct through the day axis in order (q123's discipline;
+    * `l_i` is spelled twice with the identical textual shape inside
+    * the trend update so both engines execute the same IEEE sequence).
+    * Per-type state is the bounded day axis; the only corpus shuffle
+    * is the daily count aggregate.
+    */
+  def q201Holt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = lit(0.5)
+    val ia = lit(0.5)
+    val b = lit(0.3)
+    val ib = lit(0.7)
+    def lNext(x: Column, acc: Column): Column =
+      a * x + ia * (acc.getField("l") + acc.getField("b"))
+    val folded = aggregate(
+      slice($"xs", lit(2), size($"xs") - 1),
+      array(struct(
+        element_at($"xs", 1).getField("day").as("day"),
+        element_at($"xs", 1).getField("n").as("n"),
+        element_at($"xs", 1).getField("n").cast("double").as("l"),
+        lit(0.0).as("b"))),
+      (acc, x) => {
+        val prev = element_at(acc, size(acc))
+        concat(acc, array(struct(
+          x.getField("day").as("day"),
+          x.getField("n").as("n"),
+          lNext(x.getField("n"), prev).as("l"),
+          (b * (lNext(x.getField("n"), prev) - prev.getField("l")) +
+            ib * prev.getField("b")).as("b"))))
+      })
+    Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"n"))).as("xs"))
+      .select($"event_type", explode(folded).as("e"))
+      .select($"event_type", $"e.day".as("day"), $"e.n".as("n"),
+        $"e.l".as("level"), $"e.b".as("trend"),
+        ($"e.l" + $"e.b").as("forecast_next"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Oracle: a recursive CTE stepping the identical recurrences day by
+    * day (NOT the q123 `list_reduce` refold idiom: DuckDB's lambda
+    * executor updates a struct accumulator's fields IN PLACE, so a
+    * later field's `a.l` reads the freshly-written new level — a
+    * measured wrong-answer; the recursive CTE evaluates the row
+    * atomically). The level expression is repeated inside the trend
+    * update with the same textual shape as the Spark fold, and every
+    * constant is an explicit DOUBLE so no decimal arithmetic sneaks in.
+    */
+  val q201HoltSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, day, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+      |  FROM daily),
+      |holt AS (
+      |  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT x.event_type, x.day, x.n, x.i,
+      |    CAST(0.5 AS DOUBLE) * x.n + CAST(0.5 AS DOUBLE) * (h.l + h.b) AS l,
+      |    CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * x.n
+      |        + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+      |      + CAST(0.7 AS DOUBLE) * h.b AS b
+      |  FROM holt h JOIN idx x
+      |    ON x.event_type = h.event_type AND x.i = h.i + 1)
+      |SELECT event_type, day, n, l AS level, b AS trend,
+      |  l + b AS forecast_next
+      |FROM holt ORDER BY event_type, day""".stripMargin
 }

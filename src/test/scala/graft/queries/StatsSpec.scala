@@ -233,6 +233,31 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q202: Lorenz curve is monotone, convex, below the diagonal, ends at (1,1)") {
+    val rows = Stats.q202Lorenz(spark, dir).collect().sortBy(_.getAs[Long]("ventile"))
+    assert(rows.length == 20)
+    assert(rows.last.getAs[Double]("pop_share") == 1.0)
+    assert(rows.last.getAs[Double]("rev_share") == 1.0)
+    rows.foreach { r =>
+      // sorted ascending by revenue: cumulative revenue share can never
+      // exceed cumulative population share
+      assert(r.getAs[Double]("rev_share") <= r.getAs[Double]("pop_share") + 1e-12)
+    }
+    val pop = rows.map(_.getAs[Double]("pop_share"))
+    val rev = rows.map(_.getAs[Double]("rev_share"))
+    assert(pop.zip(pop.tail).forall { case (a, b) => b > a })
+    assert(rev.zip(rev.tail).forall { case (a, b) => b >= a })
+    // NOTE: per-ventile increments are NOT asserted convex — floor
+    // boundaries make bin sizes alternate (e.g. 7 vs 8 customers), so a
+    // smaller later bin can legitimately add less than a larger earlier one
+  }
+
+  test("q202: invariant under the range-partition count") {
+    val a = Stats.q202Lorenz(spark, dir, parts = 3).collect().toSeq
+    val b = Stats.q202Lorenz(spark, dir, parts = 32).collect().toSeq
+    assert(a == b)
+  }
+
   test("q147: real data — 8 lags, day frames shrink by one per lag") {
     val rows = Stats.q147Xcorr(spark, dir).collect()
     assert(rows.length == 8)

@@ -247,6 +247,26 @@ class TimeseriesSamplingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q201: Holt fold matches the direct recurrence computed on the driver") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Timeseries.q201Holt(spark, dir).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getDate(1).toString))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      var l = rs.head.getAs[Long]("n").toDouble
+      var b = 0.0
+      assert(rs.head.getAs[Double]("level") == l && rs.head.getAs[Double]("trend") == 0.0)
+      rs.tail.foreach { r =>
+        val x = r.getAs[Long]("n").toDouble
+        val ln = 0.5 * x + 0.5 * (l + b)
+        val bn = 0.3 * (ln - l) + 0.7 * b
+        l = ln; b = bn
+        assert(r.getAs[Double]("level") == l && r.getAs[Double]("trend") == b)
+        assert(r.getAs[Double]("forecast_next") == l + b)
+      }
+    }
+  }
+
   test("q199: clamped balance matches a direct per-user fold and respects bounds") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
