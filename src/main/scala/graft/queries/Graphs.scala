@@ -253,4 +253,82 @@ object Graphs {
       |  FROM walk JOIN e ON e.u = walk.node WHERE hops < 4)
       |SELECT node, CAST(MIN(d) AS BIGINT) AS dist
       |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
+  /** q203: degree assortativity of the co-presence graph — do
+    * highly-connected users overlap with other hubs (assortative,
+    * r > 0) or with loners (disassortative, r < 0)? Newman's r is the
+    * Pearson correlation of endpoint degrees over the DOUBLED edge
+    * list (each edge counted in both orientations), which collapses to
+    * one fixed-shape double expression over four exact integer sums —
+    * every candidate value is a closed-form function of exact
+    * integers, so the double stays double (the q143/q19 rule). Edges
+    * are q198's interval-overlap pairs (already deduplicated, one row
+    * per user pair); degrees are one symmetrized aggregate; the two
+    * degree joins key on the edge endpoints. The denominator
+    * degenerates only on exactly-regular graphs — guarded with a CASE
+    * on both engines (the q151 rule).
+    */
+  def q203Assortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Timeseries.q198IntervalJoin(s, dir)
+      .select($"user_a".as("ua"), $"user_b".as("ub"))
+    val deg = edges.select($"ua".as("u"))
+      .unionAll(edges.select($"ub".as("u")))
+      .groupBy($"u").agg(count(lit(1)).as("deg"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val ed = edges
+      .join(deg.select($"u".as("ua"), $"deg".as("da")), "ua")
+      .join(deg.select($"u".as("ub"), $"deg".as("db")), "ub")
+    val sums = ed.agg(
+      count(lit(1)).as("n_edges"),
+      sum($"da" + $"db").as("sx"),
+      sum($"da" * $"da" + $"db" * $"db").as("sxx"),
+      sum(lit(2L) * $"da" * $"db").as("sxy"))
+    sums.crossJoin(broadcast(nNodes))
+      .select($"n_nodes", $"n_edges",
+        when(lit(2L) * $"n_edges" * $"sxx" - $"sx" * $"sx" =!= 0L,
+          (lit(2L) * $"n_edges" * $"sxy" - $"sx" * $"sx").cast("double")
+            / (lit(2L) * $"n_edges" * $"sxx" - $"sx" * $"sx"))
+          .as("assortativity"))
+  }
+
+  val q203AssortativitySql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+      |    ts_us
+      |  FROM marked),
+      |iv AS (
+      |  SELECT user_id, session_id, MIN(ts_us) AS st, MAX(ts_us) AS en
+      |  FROM sess GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub
+      |  FROM iv a JOIN iv b
+      |    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+      |  GROUP BY 1, 2),
+      |deg AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT ua AS u FROM edges UNION ALL SELECT ub AS u FROM edges)
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |    CAST(SUM(da.deg + db.deg) AS BIGINT) AS sx,
+      |    CAST(SUM(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS sxx,
+      |    CAST(SUM(2 * da.deg * db.deg) AS BIGINT) AS sxy
+      |  FROM edges
+      |    JOIN deg da ON da.u = edges.ua
+      |    JOIN deg db ON db.u = edges.ub)
+      |SELECT n_nodes, n_edges,
+      |  CASE WHEN 2 * n_edges * sxx - sx * sx <> 0
+      |       THEN CAST(2 * n_edges * sxy - sx * sx AS DOUBLE)
+      |            / (2 * n_edges * sxx - sx * sx) END AS assortativity
+      |FROM s CROSS JOIN nn""".stripMargin
 }

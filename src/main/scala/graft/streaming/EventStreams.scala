@@ -398,4 +398,57 @@ object EventStreams {
       .filter(col("n_events") >= threshold)
       .select(col("window.start").as("window_start"), col("user_id"),
         col("n_events"))
+
+  /** Per-user clamped ledger processor for [[clampedBalance]] — the
+    * streaming twin of q199's batch fold: one ValueState long per user
+    * carries the balance across micro-batches, each batch's events
+    * apply `bal ← clamp(bal + Δ, 0, cap)` in (us, event_id) order, and
+    * every event's post-update balance is emitted. State is ONE long
+    * per key (RocksDB-backed), so an unbounded user space stays
+    * off-heap.
+    */
+  private class BalanceProcessor(capCents: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, Long), (Long, Long, Long)] {
+
+    @transient private var bal: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bal = getHandle.getValueState[Long]("bal", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var b = if (bal.exists()) bal.get() else 0L
+      // (user, us, event_id, delta) sorted like the batch fold's sort_array
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, _, eid, delta) =>
+        b = math.min(math.max(b + delta, 0L), capCents)
+        (user, eid, b)
+      }
+      bal.update(b)
+      out.iterator
+    }
+  }
+
+  /** Streaming clamped running balance (q199's twin): per-user ledger
+    * state via `transformWithState`, emitting (user_id, event_id,
+    * balance_cents) per event with the same clamp law as the batch
+    * fold — a batch replay and the incremental stream agree exactly
+    * (pinned in EventStreamsSpec). Requires the RocksDB state store
+    * provider, like [[userActivity]].
+    */
+  def clampedBalance(events: DataFrame, capCents: Long = 20000L): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(lit(-100L)).as("delta"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new BalanceProcessor(capCents),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "balance_cents")
+  }
 }

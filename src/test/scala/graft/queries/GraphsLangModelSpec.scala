@@ -175,4 +175,27 @@ class GraphsLangModelSpec extends SparkSpec {
     assert(math.abs(r.getFloat(2) - intercept) < 1e-6)
     assert(math.abs(slope + 1.0) < 1e-12 && math.abs(intercept - math.log(12.0)) < 1e-12)
   }
+
+  test("q203: assortativity is a valid correlation and matches a driver recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Graphs.q203Assortativity(spark, dir).collect().head
+    val nNodes = r.getAs[Long]("n_nodes")
+    val nEdges = r.getAs[Long]("n_edges")
+    assert(nNodes > 0 && nEdges > 0)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12)
+    // recompute Newman's r from the raw edge list on the driver
+    val edges = Timeseries.q198IntervalJoin(spark, dir)
+      .select("user_a", "user_b").collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(nNodes == deg.size && nEdges == edges.length)
+    val n = 2L * edges.length
+    val sx = edges.map { case (u, v) => deg(u) + deg(v) }.sum
+    val sxx = edges.map { case (u, v) => deg(u) * deg(u) + deg(v) * deg(v) }.sum
+    val sxy = edges.map { case (u, v) => 2L * deg(u) * deg(v) }.sum
+    val expect = (n * sxy - sx * sx).toDouble / (n * sxx - sx * sx)
+    assert(a == expect, s"got $a expected $expect")
+  }
 }

@@ -192,6 +192,36 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("clamped balance: streaming ledger state carries and clamps across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val name = s"bal_${System.nanoTime()}"
+      val q = EventStreams.clampedBalance(in.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // user 1: deposit 5.00 then draw; user 2: draw first (floor clamps at 0)
+      in.addData(Ev(10, ts(0), 1, "purchase", 5.0), Ev(11, ts(1), 1, "click", 0.0),
+        Ev(20, ts(0), 2, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: state carried; a huge deposit hits the 20000-cent cap
+      in.addData(Ev(12, ts(2), 1, "purchase", 300.0))
+      q.processAllAvailable(); q.stop()
+      val got = spark.sql(s"SELECT * FROM $name").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got((1L, 10L)) == 500L)
+      assert(got((1L, 11L)) == 400L)
+      assert(got((2L, 20L)) == 0L)   // floor clamp
+      assert(got((1L, 12L)) == 20000L) // cap clamp, state carried across batches
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("psi drift: a matching window scores low, a shifted window trips the line") {
     // uniform reference over [0, 10) in 10 bins
     val ref = Seq.fill(10)(0.1)
