@@ -200,4 +200,69 @@ object Sampling {
       |  CASE WHEN rn <= kstar THEN CAST(c AS DOUBLE)
       |       ELSE CAST(b - funded_sum AS DOUBLE) / (n - kstar) END / c AS weight
       |FROM ff CROSS JOIN cut ORDER BY source""".stripMargin
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Consistent-hash ring: `vnodes` virtual points per shard at
+    * `md5("s<shard>:<vnode>")`, returned as (sorted positions, aligned
+    * shard ids). A pure function of the shard count — both the Spark
+    * plan and the oracle SQL embed the identical literal ring.
+    */
+  private def ring(shards: Int, vnodes: Int): (Array[String], Array[Int]) = {
+    val pts = for (sh <- 0 until shards; v <- 0 until vnodes)
+      yield (md5hex(s"s$sh:$v"), sh)
+    val sorted = pts.sortBy(_._1)
+    (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+  }
+
+  /** q204: consistent-hash resharding plan — the movement matrix of
+    * growing a hash ring from 8 to 9 shards (16 vnodes each), i.e.
+    * exactly what a partition/shard expansion (a Kafka topic repartition,
+    * a replica re-bucketing) must budget before it runs. Classic
+    * consistent hashing (Karger et al., public recipe): a key moves
+    * only when the new shard's vnodes land between the key and its old
+    * successor, so ~1/9 of keys move and never between two OLD shards.
+    * Both rings are tiny sorted literal arrays riding the plan as
+    * constants; each doc's successor lookup is a per-row count of
+    * ring positions ≤ its own md5 position (bounded 128/144-element
+    * array scan, map-side; a native expression would fuse it at true
+    * scale, the `sq8_encode` pattern); the movement matrix is one
+    * ≤72-cell aggregate. All values are exact (md5 hex strings,
+    * integer counts).
+    */
+  def q204Reshard(s: SparkSession, dir: String, vnodes: Int = 16): DataFrame = {
+    import s.implicits._
+    val (pa8, sa8) = ring(8, vnodes)
+    val (pa9, sa9) = ring(9, vnodes)
+    def assign(pa: Array[String], sa: Array[Int], dpos: Column): Column = {
+      val cnt = size(filter(typedLit(pa), p => p <= dpos))
+      get(typedLit(sa), pmod(cnt, lit(pa.length)))
+    }
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", md5($"doc_id".cast("string")).as("dpos"))
+      .select(
+        assign(pa8, sa8, $"dpos").cast("long").as("from_shard"),
+        assign(pa9, sa9, $"dpos").cast("long").as("to_shard"))
+      .groupBy($"from_shard", $"to_shard")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"from_shard", $"to_shard")
+  }
+
+  def q204ReshardSql(vnodes: Int = 16): String = {
+    val (pa8, sa8) = ring(8, vnodes)
+    val (pa9, sa9) = ring(9, vnodes)
+    def lit8(a: Array[String]) = a.map(p => s"'$p'").mkString("[", ", ", "]")
+    def litI(a: Array[Int]) = a.mkString("[", ", ", "]")
+    s"""WITH d AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS dpos FROM documents),
+      |a AS (
+      |  SELECT
+      |    CAST(${litI(sa8)}[1 + (len(list_filter(${lit8(pa8)}, p -> p <= dpos)) % ${pa8.length})] AS BIGINT) AS from_shard,
+      |    CAST(${litI(sa9)}[1 + (len(list_filter(${lit8(pa9)}, p -> p <= dpos)) % ${pa9.length})] AS BIGINT) AS to_shard
+      |  FROM d)
+      |SELECT from_shard, to_shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM a GROUP BY 1, 2 ORDER BY from_shard, to_shard""".stripMargin
+  }
 }

@@ -247,6 +247,24 @@ class TimeseriesSamplingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q204: consistent-hash growth moves keys ONLY to the new shard, ~1/9 of them") {
+    val dir = "/root/testdata/sf0.001"
+    val m = Sampling.q204Reshard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = m.values.sum
+    assert(total == graft.sources.Tables.load(spark, dir, "documents").count())
+    // the consistent-hashing contract: a key either stays put or moves
+    // to the NEW shard (8) — never between two old shards
+    m.keys.foreach { case (from, to) =>
+      assert(from == to || to == 8L, s"illegal move $from -> $to")
+      assert(from >= 0 && from <= 7 && to >= 0 && to <= 8)
+    }
+    val moved = m.collect { case ((f, t), n) if f != t => n }.sum
+    val frac = moved.toDouble / total
+    // expectation 1/9 ≈ 0.111; wide band for the small corpus
+    assert(frac > 0.02 && frac < 0.30, s"moved fraction $frac")
+  }
+
   test("q201: Holt fold matches the direct recurrence computed on the driver") {
     val dir = "/root/testdata/sf0.001"
     val rows = Timeseries.q201Holt(spark, dir).collect()
