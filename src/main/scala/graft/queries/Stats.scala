@@ -935,6 +935,79 @@ object Stats {
       .orderBy($"ventile")
   }
 
+  /** q205: Welch's unequal-variance t-test — the parametric partner of
+    * q172's Mann–Whitney (rank test): do urgent orders carry a
+    * different mean value than the rest? Everything reduces to six
+    * exact integers (n, Σx, Σx² per group, in integer cents), then
+    * mean/variance/t/df are ONE fixed-shape double expression each
+    * (the q53 discipline: never a built-in variance-of-double whose
+    * accumulation order floats). Σx² of cents stays under 2^62 at any
+    * realistic sf; the Σx² − (Σx)²/n form evaluates (Σx)² in DOUBLE
+    * because the integer square would overflow first. One map-side
+    * aggregate; the statistic lives on a 1-row frame.
+    */
+  def q205WelchT(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vd = Exact.d2($"o_totalprice")
+    val t = Tables.load(s, dir, "orders")
+      .select(vd.as("v"),
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("a"))
+    // DECIMAL sums (exact, associative — the q85 recipe: BIGINT cents
+    // squared would overflow Σx²), one double cast per statistic
+    val sums = t.agg(
+      sum($"a").as("na"), (count(lit(1)) - sum($"a")).as("nb"),
+      sum(when($"a" === 1L, $"v")).as("sa"),
+      sum(when($"a" === 0L, $"v")).as("sb"),
+      sum(when($"a" === 1L, $"v" * $"v")).as("qa"),
+      sum(when($"a" === 0L, $"v" * $"v")).as("qb"))
+    val ma = $"sa".cast("double") / $"na"
+    val mb = $"sb".cast("double") / $"nb"
+    val va = ($"qa".cast("double")
+      - $"sa".cast("double") * $"sa".cast("double") / $"na") / ($"na" - 1)
+    val vb = ($"qb".cast("double")
+      - $"sb".cast("double") * $"sb".cast("double") / $"nb") / ($"nb" - 1)
+    sums.select($"na", $"nb",
+        ma.as("mean_a"), mb.as("mean_b"), va.as("var_a"), vb.as("var_b"))
+      // t/df present in single precision: the wide-decimal Σx² → double
+      // casts diverge in the last ulp across engines (the q165 rule);
+      // the means are exact doubles (Σx stays under 2^53 cents)
+      .select($"na", $"nb", $"mean_a", $"mean_b",
+        (($"mean_a" - $"mean_b")
+          / sqrt($"var_a" / $"na" + $"var_b" / $"nb")).cast("float").as("t"),
+        ((($"var_a" / $"na" + $"var_b" / $"nb")
+            * ($"var_a" / $"na" + $"var_b" / $"nb"))
+          / (($"var_a" / $"na") * ($"var_a" / $"na") / ($"na" - 1)
+            + ($"var_b" / $"nb") * ($"var_b" / $"nb") / ($"nb" - 1)))
+          .cast("float").as("df"))
+  }
+
+  val q205WelchTSql: String =
+    s"""WITH t AS (
+      |  SELECT ${Exact.sqlD2("o_totalprice")} AS v,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |s AS (
+      |  SELECT CAST(SUM(a) AS BIGINT) AS na,
+      |    CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb,
+      |    SUM(CASE WHEN a = 1 THEN v END) AS sa,
+      |    SUM(CASE WHEN a = 0 THEN v END) AS sb,
+      |    SUM(CASE WHEN a = 1 THEN v * v END) AS qa,
+      |    SUM(CASE WHEN a = 0 THEN v * v END) AS qb
+      |  FROM t),
+      |m AS (
+      |  SELECT na, nb,
+      |    CAST(sa AS DOUBLE) / na AS mean_a,
+      |    CAST(sb AS DOUBLE) / nb AS mean_b,
+      |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS var_a,
+      |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS var_b
+      |  FROM s)
+      |SELECT na, nb, mean_a, mean_b,
+      |  CAST((mean_a - mean_b) / sqrt(var_a / na + var_b / nb) AS FLOAT) AS t,
+      |  CAST(((var_a / na + var_b / nb) * (var_a / na + var_b / nb))
+      |    / ((var_a / na) * (var_a / na) / (na - 1)
+      |      + (var_b / nb) * (var_b / nb) / (nb - 1)) AS FLOAT) AS df
+      |FROM m""".stripMargin
+
   val q202LorenzSql: String =
     """WITH rev AS (
       |  SELECT o_custkey,

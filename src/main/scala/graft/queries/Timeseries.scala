@@ -770,6 +770,51 @@ object Timeseries {
       .orderBy($"event_type", $"day")
   }
 
+  /** q206: seasonality-adjusted spike detection — q187's raw daily
+    * z-score flags every weekend as an anomaly when traffic has a
+    * weekly rhythm; this one deseasonalizes first: each (type, day)
+    * count compares against the mean of ITS OWN WEEKDAY's history
+    * (the q177 Monday-epoch weekday), and a day flags when it exceeds
+    * 1.5× that weekday mean. The comparison stays in exact integers by
+    * cross-multiplying (`2·n·d_w > 3·s_w` instead of dividing), so the
+    * flag is exact; the reported ratio is one fixed-shape double. Two
+    * bounded aggregates over the daily frame — corpus touches one
+    * (type, day) shuffle.
+    */
+  def q206SeasonalSpike(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wd", pmod(datediff($"day", lit(java.sql.Date.valueOf("1970-01-05"))), lit(7)))
+    val prof = daily.groupBy($"event_type", $"wd")
+      .agg(count(lit(1)).as("d_w"), sum($"n").as("s_w"))
+    daily.join(prof, Seq("event_type", "wd"))
+      .select($"event_type", $"day", $"n",
+        ($"s_w".cast("double") / $"d_w").as("weekday_mean"),
+        ($"n".cast("double") * $"d_w" / $"s_w").as("ratio"),
+        (lit(2L) * $"n" * $"d_w" > lit(3L) * $"s_w").as("flagged"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q206SeasonalSpikeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |wdd AS (
+      |  SELECT *, CAST(((day - DATE '1970-01-05') % 7 + 7) % 7 AS BIGINT) AS wd
+      |  FROM daily),
+      |prof AS (
+      |  SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS d_w,
+      |    CAST(SUM(n) AS BIGINT) AS s_w
+      |  FROM wdd GROUP BY 1, 2)
+      |SELECT wdd.event_type, day, n,
+      |  CAST(s_w AS DOUBLE) / d_w AS weekday_mean,
+      |  CAST(n AS DOUBLE) * d_w / s_w AS ratio,
+      |  2 * n * d_w > 3 * s_w AS flagged
+      |FROM wdd JOIN prof ON wdd.event_type = prof.event_type AND wdd.wd = prof.wd
+      |ORDER BY wdd.event_type, day""".stripMargin
+
   /** Oracle: a recursive CTE stepping the identical recurrences day by
     * day (NOT the q123 `list_reduce` refold idiom: DuckDB's lambda
     * executor updates a struct accumulator's fields IN PLACE, so a

@@ -258,6 +258,29 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q205: Welch t matches a driver recompute; groups partition the table") {
+    val r = Stats.q205WelchT(spark, dir).collect().head
+    val rows = graft.sources.Tables.load(spark, dir, "orders")
+      .select("o_totalprice", "o_orderpriority").collect()
+      .map(x => (BigDecimal(x.getDouble(0)).setScale(2), x.getString(1) == "1-URGENT"))
+    val (ga, gb) = rows.partition(_._2)
+    assert(r.getAs[Long]("na") == ga.length && r.getAs[Long]("nb") == gb.length)
+    def stats(xs: Array[BigDecimal]) = {
+      val n = xs.length
+      val s = xs.sum
+      val q = xs.map(x => x * x).sum
+      val m = s.toDouble / n
+      (n, m, (q.toDouble - s.toDouble * s.toDouble / n) / (n - 1))
+    }
+    val (na, ma, va) = stats(ga.map(_._1))
+    val (nb, mb, vb) = stats(gb.map(_._1))
+    assert(r.getAs[Double]("mean_a") == ma && r.getAs[Double]("mean_b") == mb)
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(r.getAs[Float]("t") - t) < 1e-4, s"t=${r.getAs[Float]("t")} vs $t")
+    assert(r.getAs[Float]("df") > math.min(na, nb) - 1 - 1e-3)
+    assert(r.getAs[Float]("df") <= na + nb - 2 + 1e-3)
+  }
+
   test("q147: real data — 8 lags, day frames shrink by one per lag") {
     val rows = Stats.q147Xcorr(spark, dir).collect()
     assert(rows.length == 8)

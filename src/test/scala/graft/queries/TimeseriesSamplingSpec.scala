@@ -265,6 +265,23 @@ class TimeseriesSamplingSpec extends SparkSpec {
     assert(frac > 0.02 && frac < 0.30, s"moved fraction $frac")
   }
 
+  test("q206: flag law is exact — flagged iff the day exceeds 1.5x its weekday mean") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Timeseries.q206SeasonalSpike(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val wm = r.getAs[Double]("weekday_mean")
+      val ratio = r.getAs[Double]("ratio")
+      val flagged = r.getAs[Boolean]("flagged")
+      assert(wm > 0 && math.abs(ratio - n / wm) < 1e-12)
+      // the query's gate is the exact integer cross-multiplication; the
+      // double reconstruction agrees except possibly AT the boundary
+      if (math.abs(n - 1.5 * wm) > 1e-9) assert(flagged == (n > 1.5 * wm))
+      else assert(!flagged) // exact equality is not an exceedance
+    }
+  }
+
   test("q201: Holt fold matches the direct recurrence computed on the driver") {
     val dir = "/root/testdata/sf0.001"
     val rows = Timeseries.q201Holt(spark, dir).collect()
