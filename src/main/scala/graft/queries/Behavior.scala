@@ -751,4 +751,58 @@ object Behavior {
       |  FROM ranked CROSS JOIN n)
       |SELECT *, CAST(r_score || f_score || m_score AS INT) AS segment
       |FROM scored ORDER BY user_id""".stripMargin
+
+  /** q209: cohort LTV curve — cumulative revenue per user by cohort
+    * age, the money-sided completion of q109's retention matrix (who
+    * is still here) and q163's RFM snapshot (where they are now): for
+    * each first-purchase-month cohort, how much has the average member
+    * spent by month 0, 1, 2, …? Months are exact integer indices
+    * (`year·12 + month` — no engine interval arithmetic); revenue
+    * lifts to integer cents; the cumulative sum rides a cohort-keyed
+    * window over the bounded month axis; and the per-user division is
+    * the single double op. At 100 TB: one purchase scan, a user-keyed
+    * first-purchase aggregate, a (cohort, age) aggregate, and the
+    * bounded-frame window.
+    */
+  def q209LtvCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.load(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        (year($"ts") * 12 + month($"ts")).cast("long").as("mi"),
+        round($"value" * 100).cast("long").as("cents"))
+    val first = p.groupBy($"user_id").agg(min($"mi").as("cm"))
+    val size = first.groupBy($"cm").agg(count(lit(1)).as("n_users"))
+    val rev = p.join(first, "user_id")
+      .groupBy($"cm", ($"mi" - $"cm").as("age_mo"))
+      .agg(sum($"cents").as("rev_cents"))
+    val byCohort = Window.partitionBy($"cm").orderBy($"age_mo")
+    rev.join(size, "cm")
+      .withColumn("cum_rev_cents", sum($"rev_cents").over(byCohort))
+      .select($"cm".as("cohort_month_idx"), $"age_mo", $"n_users",
+        $"rev_cents", $"cum_rev_cents",
+        ($"cum_rev_cents".cast("double") / $"n_users").as("cum_rev_per_user"))
+      .orderBy($"cohort_month_idx", $"age_mo")
+  }
+
+  val q209LtvCurveSql: String =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    CAST(year(ts) * 12 + month(ts) AS BIGINT) AS mi,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, CAST(MIN(mi) AS BIGINT) AS cm FROM p GROUP BY 1),
+      |sz AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_users FROM f GROUP BY 1),
+      |rev AS (
+      |  SELECT f.cm, p.mi - f.cm AS age_mo, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      |  FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cm, age_mo, rev_cents,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY cm ORDER BY age_mo
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+      |  FROM rev)
+      |SELECT cm AS cohort_month_idx, age_mo, n_users, rev_cents, cum_rev_cents,
+      |  CAST(cum_rev_cents AS DOUBLE) / n_users AS cum_rev_per_user
+      |FROM cum JOIN sz USING (cm)
+      |ORDER BY cohort_month_idx, age_mo""".stripMargin
 }

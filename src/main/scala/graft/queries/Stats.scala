@@ -1008,6 +1008,108 @@ object Stats {
       |      + (var_b / nb) * (var_b / nb) / (nb - 1)) AS FLOAT) AS df
       |FROM m""".stripMargin
 
+  /** q207: two-sided 5% trimmed mean of order value — the robust
+    * location estimate q128's winsorization (clamp) sits next to: here
+    * the tails are DROPPED, not clamped. Ranks are unique (value,
+    * orderkey) row ranks from the established range-partitioned pid
+    * prefix (no global window); the trim cut `rank > floor(0.05·N) AND
+    * rank ≤ N − floor(0.05·N)` is exact integer arithmetic; kept
+    * values sum in exact decimal and divide once.
+    */
+  def q207TrimmedMean(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", Exact.d2($"o_totalprice").as("v"))
+    val ranged = d.repartitionByRange(parts, $"v".asc, $"o_orderkey".asc)
+      .withColumn("pid", spark_partition_id())
+    val off = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
+      .select($"pid", coalesce(sum($"pn").over(off), lit(0L)).as("offn"))
+    val tot = d.agg(count(lit(1)).as("n_total"), sum($"v").as("sv"))
+    val byV = Window.partitionBy($"pid").orderBy($"v", $"o_orderkey")
+    ranged
+      .withColumn("rk", count(lit(1)).over(byV))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(tot))
+      .withColumn("r", $"rk" + $"offn")
+      .withColumn("cut", floor($"n_total" * lit(5) / lit(100)))
+      .filter($"r" > $"cut" && $"r" <= $"n_total" - $"cut")
+      .groupBy($"n_total", $"sv")
+      .agg(count(lit(1)).as("n_kept"), sum($"v").as("skept"))
+      .select($"n_total", $"n_kept",
+        ($"sv".cast("double") / $"n_total").as("raw_mean"),
+        ($"skept".cast("double") / $"n_kept").as("trimmed_mean"))
+  }
+
+  val q207TrimmedMeanSql: String =
+    s"""WITH d AS (
+      |  SELECT o_orderkey, ${Exact.sqlD2("o_totalprice")} AS v FROM orders),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total, SUM(v) AS sv FROM d),
+      |rk AS (
+      |  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS BIGINT) AS r
+      |  FROM d),
+      |kept AS (
+      |  SELECT n_total, sv, CAST(COUNT(*) AS BIGINT) AS n_kept, SUM(v) AS skept
+      |  FROM rk CROSS JOIN tot
+      |  WHERE r > CAST(FLOOR(n_total * 5 / 100) AS BIGINT)
+      |    AND r <= n_total - CAST(FLOOR(n_total * 5 / 100) AS BIGINT)
+      |  GROUP BY 1, 2)
+      |SELECT n_total, n_kept,
+      |  CAST(sv AS DOUBLE) / n_total AS raw_mean,
+      |  CAST(skept AS DOUBLE) / n_kept AS trimmed_mean
+      |FROM kept""".stripMargin
+
+  /** q208: correlation matrix of the per-type daily activity series —
+    * "which event streams move together day to day?" (q147 computes
+    * one LAGGED pair; this is the full simultaneous matrix). Daily
+    * counts are exact integers; each pair's five sums are exact
+    * BIGINTs off a day-keyed self-join (t1 < t2 halves the matrix);
+    * Pearson r is one fixed-shape double per pair on the bounded
+    * pair frame. Degenerate (constant) series CASE-guard the zero
+    * denominator.
+    */
+  def q208CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select($"event_type".as("t1"), $"day", $"n".as("x"))
+    val b = daily.select($"event_type".as("t2"), $"day", $"n".as("y"))
+    val den = (($"nd" * $"sxx" - $"sx" * $"sx").cast("double")
+      * ($"nd" * $"syy" - $"sy" * $"sy"))
+    a.join(b, Seq("day")).filter($"t1" < $"t2")
+      .groupBy($"t1", $"t2")
+      .agg(count(lit(1)).as("nd"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"t1", $"t2", $"nd",
+        when(den =!= 0.0,
+          ($"nd" * $"sxy" - $"sx" * $"sy").cast("double") / sqrt(den))
+          .as("corr"))
+      .orderBy($"t1", $"t2")
+  }
+
+  val q208CorrMatrixSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type AS t1, b.event_type AS t2,
+      |    CAST(COUNT(*) AS BIGINT) AS nd,
+      |    CAST(SUM(a.n) AS BIGINT) AS sx, CAST(SUM(b.n) AS BIGINT) AS sy,
+      |    CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+      |    CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+      |    CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+      |  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT t1, t2, nd,
+      |  CASE WHEN CAST(nd * sxx - sx * sx AS DOUBLE) * (nd * syy - sy * sy) <> 0.0
+      |       THEN CAST(nd * sxy - sx * sy AS DOUBLE)
+      |            / sqrt(CAST(nd * sxx - sx * sx AS DOUBLE) * (nd * syy - sy * sy))
+      |  END AS corr
+      |FROM p ORDER BY t1, t2""".stripMargin
+
   val q202LorenzSql: String =
     """WITH rev AS (
       |  SELECT o_custkey,

@@ -45,6 +45,31 @@ class EntityBehaviorSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1), (4L, 5L, 0)))
   }
 
+  test("q209: LTV curve accumulates per cohort age on a multi-month timeline") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-ltv").toString
+    def ts(s: String) = Timestamp.valueOf(s).getTime * 1000000L
+    // cohort Jan (users 1, 2): Jan revenue 10.00 + 20.00, Feb revenue 5.00
+    // cohort Feb (user 3): Feb revenue 8.00; a click must not count
+    Seq(
+      (1L, ts("2024-01-05 10:00:00"), 1L, "purchase", 10.0, "{}"),
+      (2L, ts("2024-01-20 10:00:00"), 2L, "purchase", 20.0, "{}"),
+      (3L, ts("2024-02-10 10:00:00"), 1L, "purchase", 5.0, "{}"),
+      (4L, ts("2024-02-12 10:00:00"), 3L, "purchase", 8.0, "{}"),
+      (5L, ts("2024-02-13 10:00:00"), 3L, "click", 99.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Behavior.q209LtvCurve(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("rev_cents"),
+         r.getAs[Long]("cum_rev_cents"), r.getAs[Double]("cum_rev_per_user"))).toMap
+    val jan = 2024L * 12 + 1
+    assert(got((jan, 0L)) == ((2L, 3000L, 3000L, 1500.0)))
+    assert(got((jan, 1L)) == ((2L, 500L, 3500L, 1750.0)))
+    assert(got((jan + 1, 0L)) == ((1L, 800L, 800L, 800.0)))
+    assert(got.size == 3)
+  }
+
   test("q109: two-cohort micro timeline produces the hand-computed matrix") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cohort").toString

@@ -258,6 +258,55 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q207: trimmed mean drops exactly the 5% tails and matches a driver recompute") {
+    val r = Stats.q207TrimmedMean(spark, dir).collect().head
+    val vs = graft.sources.Tables.load(spark, dir, "orders")
+      .select("o_totalprice", "o_orderkey").collect()
+      .map(x => (BigDecimal(x.getDouble(0)).setScale(2), x.getLong(1))).sorted
+    val n = vs.length
+    val cut = n * 5 / 100
+    val kept = vs.slice(cut, n - cut).map(_._1)
+    assert(r.getAs[Long]("n_total") == n && r.getAs[Long]("n_kept") == n - 2 * cut)
+    assert(r.getAs[Double]("trimmed_mean") == kept.sum.toDouble / kept.length)
+    assert(r.getAs[Double]("raw_mean") == vs.map(_._1).sum.toDouble / n)
+  }
+
+  test("q207: invariant under the range-partition count") {
+    val a = Stats.q207TrimmedMean(spark, dir, parts = 3).collect().toSeq
+    val b = Stats.q207TrimmedMean(spark, dir, parts = 32).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q208: every pair appears once with a valid correlation; one pair recomputes") {
+    val rows = Stats.q208CorrMatrix(spark, dir).collect()
+    assert(rows.length == 10) // C(5,2) event types
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+    // driver recompute for one pair
+    val daily = graft.sources.Tables.load(spark, dir, "events")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val ca = daily.filter(_._1 == "click").map(d => d._2 -> d._3).toMap
+    val cb = daily.filter(_._1 == "error").map(d => d._2 -> d._3).toMap
+    val days = ca.keySet & cb.keySet
+    val xs = days.toSeq.map(ca); val ys = days.toSeq.map(cb)
+    val nd = days.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = days.toSeq.map(d => ca(d) * cb(d)).sum
+    val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+    val expect = (nd * sxy - sx * sy).toDouble /
+      math.sqrt((nd * sxx - sx * sx).toDouble * (nd * syy - sy * sy))
+    val gotPair = rows.find(r => r.getString(0) == "click" && r.getString(1) == "error").get
+    assert(gotPair.getAs[Long]("nd") == nd)
+    assert(math.abs(gotPair.getAs[Double]("corr") - expect) < 1e-12)
+  }
+
   test("q205: Welch t matches a driver recompute; groups partition the table") {
     val r = Stats.q205WelchT(spark, dir).collect().head
     val rows = graft.sources.Tables.load(spark, dir, "orders")
