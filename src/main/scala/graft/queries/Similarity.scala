@@ -639,6 +639,76 @@ object Similarity {
   def q197AnnSq8Full(s: SparkSession, dir: String): DataFrame =
     q197AnnSq8(s, dir, rerank = Int.MaxValue)
 
+  /** q212: leave-one-out kNN classification report — does the
+    * embedding space actually separate the labels? Every vector is
+    * classified by the majority label of its 3 nearest neighbors
+    * (itself excluded; ties break to the smallest label), and the
+    * report is per-label accuracy — the evaluation that decides
+    * whether q43/q111-style embedding gates can be trusted, next to
+    * q150's cheaper centroid-purity proxy. This is the deliberate
+    * EXACT all-pairs baseline (the q40/q50 discipline): at corpus
+    * scale the same vote runs over any ANN family member's top-k
+    * instead. Cosines are the bit-identical native expression; votes
+    * and accuracies are exact integers + one division.
+    */
+  def q212KnnEval(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.select($"vec_id".as("qid"), $"embedding".as("qe"),
+      $"label".as("true_label"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    val top = e.select($"vec_id".as("nid"), $"embedding".as("ne"),
+        $"label".as("nlabel"))
+      .crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+    val pred = top.groupBy($"qid", $"true_label", $"nlabel")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy($"qid", $"true_label")
+      // argmax by (votes desc, label asc): negate the label inside the
+      // max-struct so the smaller label wins vote ties
+      .agg(max(struct($"votes", (-$"nlabel").as("neg"))).as("win"))
+      .select($"qid", $"true_label", (-$"win.neg").as("pred_label"))
+    pred.groupBy($"true_label".as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"pred_label" === $"true_label", 1L).otherwise(0L))
+          .as("n_correct"))
+      .select($"label", $"n_vecs", $"n_correct",
+        ($"n_correct".cast("double") / $"n_vecs").as("accuracy"))
+      .orderBy($"label")
+  }
+
+  val q212KnnEvalSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH scored AS (
+      |  SELECT q.vec_id AS qid, q.label AS true_label,
+      |    e.vec_id AS nid, e.label AS nlabel,
+      |    ${dot("q.embedding", "e.embedding")} /
+      |    (sqrt(${dot("q.embedding", "q.embedding")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos_sim
+      |  FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+      |top AS (
+      |  SELECT qid, true_label, nlabel
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |          ORDER BY cos_sim DESC, nid) AS rnk FROM scored)
+      |  WHERE rnk <= 3),
+      |votes AS (
+      |  SELECT qid, true_label, nlabel, CAST(COUNT(*) AS BIGINT) AS votes
+      |  FROM top GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT qid, true_label, nlabel AS pred_label
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |          ORDER BY votes DESC, nlabel) AS vr FROM votes)
+      |  WHERE vr = 1)
+      |SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS accuracy
+      |FROM pred GROUP BY 1 ORDER BY label""".stripMargin
+  }
+
   def q51AnnIvf(s: SparkSession, dir: String, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")

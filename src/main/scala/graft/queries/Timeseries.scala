@@ -770,6 +770,67 @@ object Timeseries {
       .orderBy($"event_type", $"day")
   }
 
+  /** q211: Bollinger control bands — per-type daily counts against a
+    * TRAILING 7-day mean ± 2σ (q187 compares to the series' WHOLE
+    * history; a control chart must adapt to drift, so the reference
+    * window slides). The rolling n/Σx/Σx² ride one type-keyed ROWS
+    * frame as exact integers; mean, the population σ, both bands, and
+    * the breach flags are fixed-shape doubles computed ONCE per row
+    * from those integers (the q53 discipline — never a rolling
+    * stddev-of-double whose accumulation order floats). Warm-up rows
+    * (fewer than 7 trailing days) report with their shorter window, n
+    * tells the reader which. One (type, day) aggregate + one bounded
+    * window.
+    */
+  def q211Bollinger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-7, -1)
+    val daily = Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mean = $"sx".cast("double") / $"nw"
+    val sd = sqrt($"sxx".cast("double") / $"nw"
+      - ($"sx".cast("double") / $"nw") * ($"sx".cast("double") / $"nw"))
+    daily
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum($"n").over(w))
+      .withColumn("sxx", sum($"n" * $"n").over(w))
+      .filter($"nw" > 0)
+      .select($"event_type", $"day", $"n", $"nw",
+        mean.as("trail_mean"),
+        (mean - lit(2.0) * sd).as("lower"),
+        (mean + lit(2.0) * sd).as("upper"),
+        ($"n" > mean + lit(2.0) * sd).as("above"),
+        ($"n" < mean - lit(2.0) * sd).as("below"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q211BollingerSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |roll AS (
+      |  SELECT *,
+      |    CAST(COUNT(*) OVER tw AS BIGINT) AS nw,
+      |    CAST(SUM(n) OVER tw AS BIGINT) AS sx,
+      |    CAST(SUM(n * n) OVER tw AS BIGINT) AS sxx
+      |  FROM daily
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, n, nw,
+      |  CAST(sx AS DOUBLE) / nw AS trail_mean,
+      |  CAST(sx AS DOUBLE) / nw - 2.0 * sqrt(CAST(sxx AS DOUBLE) / nw
+      |    - (CAST(sx AS DOUBLE) / nw) * (CAST(sx AS DOUBLE) / nw)) AS lower,
+      |  CAST(sx AS DOUBLE) / nw + 2.0 * sqrt(CAST(sxx AS DOUBLE) / nw
+      |    - (CAST(sx AS DOUBLE) / nw) * (CAST(sx AS DOUBLE) / nw)) AS upper,
+      |  n > CAST(sx AS DOUBLE) / nw + 2.0 * sqrt(CAST(sxx AS DOUBLE) / nw
+      |    - (CAST(sx AS DOUBLE) / nw) * (CAST(sx AS DOUBLE) / nw)) AS above,
+      |  n < CAST(sx AS DOUBLE) / nw - 2.0 * sqrt(CAST(sxx AS DOUBLE) / nw
+      |    - (CAST(sx AS DOUBLE) / nw) * (CAST(sx AS DOUBLE) / nw)) AS below
+      |FROM roll WHERE nw > 0
+      |ORDER BY event_type, day""".stripMargin
+
   /** q206: seasonality-adjusted spike detection — q187's raw daily
     * z-score flags every weekend as an anomaly when traffic has a
     * weekly rhythm; this one deseasonalizes first: each (type, day)

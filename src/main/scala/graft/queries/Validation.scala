@@ -280,4 +280,49 @@ object Validation {
       |FROM hourly GROUP BY user_id
       |HAVING SUM(CASE WHEN c >= $threshold THEN 1 ELSE 0 END) >= 1
       |ORDER BY user_id""".stripMargin
+
+  /** q210: fact-to-detail reconciliation — does each order header's
+    * `o_totalprice` equal its lines' `Σ price·(1−disc)·(1+tax)`? The
+    * classic warehouse closing audit (and exactly what a replica
+    * consumer runs to validate a CDC-materialized pair of tables
+    * against each other). All money arithmetic stays in exact decimal
+    * (the Exact.d2 discipline) so a drift is REAL, never a float
+    * artifact; the per-status report carries mismatch counts (tolerance
+    * one cent) and total absolute drift with one final double cast. At
+    * 100 TB: one orderkey-shuffle join + two aggregates; AQE shares the
+    * key partitioning.
+    */
+  def q210Reconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.load(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum(Exact.d2($"l_extendedprice") * Exact.oneMinus($"l_discount")
+        * Exact.onePlus($"l_tax")).as("line_total"))
+    Tables.load(s, dir, "orders")
+      .join(lines, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderstatus",
+        (coalesce($"line_total", lit(0).cast("decimal(18,6)"))
+          - Exact.d2($"o_totalprice")).as("drift"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(abs($"drift") > lit(BigDecimal("0.01")), 1L).otherwise(0L)).as("n_mismatched"),
+        sum(abs($"drift")).cast("double").as("total_abs_drift"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q210ReconcileSql: String = {
+    s"""WITH lines AS (
+      |  SELECT l_orderkey,
+      |    SUM(${Exact.sqlD2("l_extendedprice")} * ${Exact.sqlOneMinus("l_discount")}
+      |      * ${Exact.sqlOnePlus("l_tax")}) AS line_total
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT o_orderstatus,
+      |    COALESCE(line_total, CAST(0 AS DECIMAL(18,6))) - ${Exact.sqlD2("o_totalprice")} AS drift
+      |  FROM orders LEFT JOIN lines ON o_orderkey = l_orderkey)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN abs(drift) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+      |  CAST(SUM(abs(drift)) AS DOUBLE) AS total_abs_drift
+      |FROM d GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+  }
 }

@@ -113,6 +113,43 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("q212: kNN vote is the true 3-NN majority; accuracies are valid fractions") {
+    val rows = Similarity.q212KnnEval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_vecs"))
+    }
+    // total vectors accounted for exactly once
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == graft.sources.Tables.load(spark, dir, "embeddings").count())
+    // full driver recompute: every vector's 3-NN vote from brute force
+    val e = graft.sources.Tables.load(spark, dir, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = e.map { case (qid, qe, tl) =>
+      val top3 = e.filter(_._1 != qid)
+        .map { case (nid, ne, nl) => (cos(qe, ne), nid, nl) }
+        .sortBy(t => (-t._1, t._2)).take(3).map(_._3)
+      val pred = top3.groupBy(identity).toSeq
+        .sortBy { case (l, vs) => (-vs.length, l) }.head._1
+      (tl, pred == tl)
+    }.groupBy(_._1).map { case (l, vs) =>
+      l -> (vs.length.toLong, vs.count(_._2).toLong) }
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      assert(expect(l) == ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_correct"))),
+        s"label $l: got (${r.getAs[Long]("n_vecs")}, ${r.getAs[Long]("n_correct")}) " +
+          s"expected ${expect(l)}")
+    }
+  }
+
   test("near-dup detectors agree: q40 (exact) == q41 (MinHash LSH) == q42 (SimHash)") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -265,6 +265,38 @@ class TimeseriesSamplingSpec extends SparkSpec {
     assert(frac > 0.02 && frac < 0.30, s"moved fraction $frac")
   }
 
+  test("q211: trailing bands match a driver recompute of the 7-day window") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Timeseries.q211Bollinger(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r).toMap
+    assert(got.nonEmpty)
+    // recompute from the RAW daily series (the query filters out each
+    // type's first day, which has no trailing window)
+    val daily = graft.sources.Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2))
+    daily.foreach { case (et, series) =>
+      val ns = series.map(_._3)
+      series.zipWithIndex.foreach { case ((_, day, n), i) =>
+        val trail = ns.slice(math.max(0, i - 7), i)
+        if (trail.isEmpty) assert(!got.contains((et, day)))
+        else {
+          val r = got((et, day))
+          val nw = trail.length
+          assert(r.getAs[Long]("nw") == nw)
+          val mean = trail.sum.toDouble / nw
+          val sd = math.sqrt(trail.map(x => x.toDouble * x).sum / nw -
+            (trail.sum.toDouble / nw) * (trail.sum.toDouble / nw))
+          assert(r.getAs[Double]("trail_mean") == mean)
+          assert(math.abs(r.getAs[Double]("upper") - (mean + 2 * sd)) < 1e-9)
+          assert(r.getAs[Boolean]("above") == (n > mean + 2 * sd))
+        }
+      }
+    }
+  }
+
   test("q206: flag law is exact — flagged iff the day exceeds 1.5x its weekday mean") {
     val dir = "/root/testdata/sf0.001"
     val rows = Timeseries.q206SeasonalSpike(spark, dir).collect()

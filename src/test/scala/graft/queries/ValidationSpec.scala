@@ -93,4 +93,26 @@ class ValidationSpec extends SparkSpec {
       "s" -> ((4L, 1L, 2L)),
       "v" -> ((4L, 1L, 2L))))
   }
+
+  test("q210: reconciliation counts exactly the drifting and childless orders") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-recon").toString
+    // order 1 reconciles exactly; order 2 drifts by +1.00; order 3 has no lines
+    Seq(
+      (1L, 1L, "O", 110.00),
+      (2L, 1L, "O", 100.00),
+      (3L, 1L, "F", 50.00)
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq(
+      (1L, 1, 100.00, 0.00, 0.10), // 100 * 1.0 * 1.1 = 110.00
+      (2L, 1, 101.00, 0.00, 0.00)  // 101.00 vs header 100.00
+    ).toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Validation.q210Reconcile(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got("O") == ((2L, 1L, 1.0)))   // one clean, one 1.00 drift
+    assert(got("F")._1 == 1L && got("F")._2 == 1L && got("F")._3 == 50.0)
+  }
 }
