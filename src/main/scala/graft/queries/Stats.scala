@@ -1110,6 +1110,40 @@ object Stats {
       |  END AS corr
       |FROM p ORDER BY t1, t2""".stripMargin
 
+  /** q214: join-key skew report — the diagnosis that decides whether a
+    * join needs the q67 salting treatment: the top-10 heaviest
+    * lineitem→orders join keys with their share of all rows, plus the
+    * corpus-level concentration summary (distinct keys, max/mean
+    * multiplicity, heavy-hitter mass). One key-count aggregate; the
+    * top-10 is a TakeOrderedAndProject merge; shares are single double
+    * divisions of exact integers broadcast from a 1-row totals frame.
+    */
+  def q214SkewReport(s: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    import s.implicits._
+    val counts = Tables.load(s, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"))
+    counts.crossJoin(broadcast(tot))
+      .orderBy($"c".desc, $"l_orderkey")
+      .limit(topK)
+      .select($"l_orderkey", $"c".as("multiplicity"), $"n_keys", $"n_rows",
+        ($"c".cast("double") / $"n_rows").as("row_share"),
+        ($"c".cast("double") * $"n_keys" / $"n_rows").as("vs_mean"))
+      .orderBy($"multiplicity".desc, $"l_orderkey")
+  }
+
+  val q214SkewReportSql: String =
+    """WITH counts AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |               CAST(SUM(c) AS BIGINT) AS n_rows FROM counts)
+      |SELECT l_orderkey, c AS multiplicity, n_keys, n_rows,
+      |  CAST(c AS DOUBLE) / n_rows AS row_share,
+      |  CAST(c AS DOUBLE) * n_keys / n_rows AS vs_mean
+      |FROM counts CROSS JOIN tot
+      |ORDER BY multiplicity DESC, l_orderkey LIMIT 10""".stripMargin
+
   val q202LorenzSql: String =
     """WITH rev AS (
       |  SELECT o_custkey,

@@ -831,6 +831,33 @@ object Timeseries {
       |FROM roll WHERE nw > 0
       |ORDER BY event_type, day""".stripMargin
 
+  /** q213: daily value percentile bands — per (type, day): n, exact
+    * p50/p90 of the event value, the latency-dashboard shape every
+    * operations report carries. Spark's exact `percentile` is
+    * bit-identical to DuckDB's `quantile_cont` on identical double
+    * inputs (spec-verified equivalence the q183/q192 family
+    * established), and the inputs here are RAW parquet doubles — no
+    * arithmetic upstream to diverge. One (type, day) shuffle; per-group
+    * state is that group's own values.
+    */
+  def q213DailyPctl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q213DailyPctlSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90
+      |FROM events GROUP BY 1, 2
+      |ORDER BY event_type, day""".stripMargin
+
   /** q206: seasonality-adjusted spike detection — q187's raw daily
     * z-score flags every weekend as an anomaly when traffic has a
     * weekly rhythm; this one deseasonalizes first: each (type, day)

@@ -520,6 +520,13 @@ class PlanAuditSpec extends SparkSpec {
       s"no global window may appear in the balance fold:\n${df.queryExecution.optimizedPlan}")
   }
 
+  test("q214: the skew top-10 is a TakeOrderedAndProject, never a global sort") {
+    val p = plan("q214_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals frame must broadcast:\n$p")
+  }
+
   test("q200: per-doc top-5 pre-prunes map-side via WindowGroupLimit") {
     val p = plan("q200_topk_keywords")
     assert(p.contains("WindowGroupLimit"),

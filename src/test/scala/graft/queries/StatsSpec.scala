@@ -307,6 +307,27 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(gotPair.getAs[Double]("corr") - expect) < 1e-12)
   }
 
+  test("q214: the reported keys are truly the heaviest; shares are consistent") {
+    val rows = Stats.q214SkewReport(spark, dir).collect()
+    assert(rows.length == 10)
+    val counts = graft.sources.Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nRows = counts.values.sum
+    val ms = rows.map(_.getAs[Long]("multiplicity"))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a >= b })
+    // nothing outside the report is heavier than its minimum
+    val floor10 = ms.min
+    val reported = rows.map(_.getLong(0)).toSet
+    assert(counts.filterNot(kv => reported(kv._1)).values.forall(_ <= floor10))
+    rows.foreach { r =>
+      assert(counts(r.getLong(0)) == r.getAs[Long]("multiplicity"))
+      assert(r.getAs[Double]("row_share") ==
+        r.getAs[Long]("multiplicity").toDouble / nRows)
+      assert(r.getAs[Long]("n_keys") == counts.size)
+    }
+  }
+
   test("q205: Welch t matches a driver recompute; groups partition the table") {
     val r = Stats.q205WelchT(spark, dir).collect().head
     val rows = graft.sources.Tables.load(spark, dir, "orders")

@@ -297,6 +297,27 @@ class TimeseriesSamplingSpec extends SparkSpec {
     }
   }
 
+  test("q213: percentile bands are ordered and match a driver recompute for one group") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Timeseries.q213DailyPctl(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90")))
+    val r0 = rows.head
+    val vs = graft.sources.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === r0.getString(0) &&
+        to_date(col("ts")) === r0.getDate(1))
+      .select("value").collect().map(_.getDouble(0)).sorted
+    assert(r0.getAs[Long]("n") == vs.length)
+    def pctl(p: Double): Double = {
+      val pos = p * (vs.length - 1)
+      val lo = pos.toInt
+      if (lo == vs.length - 1) vs(lo)
+      else vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo))
+    }
+    assert(math.abs(r0.getAs[Double]("p50") - pctl(0.5)) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("p90") - pctl(0.9)) < 1e-9)
+  }
+
   test("q206: flag law is exact — flagged iff the day exceeds 1.5x its weekday mean") {
     val dir = "/root/testdata/sf0.001"
     val rows = Timeseries.q206SeasonalSpike(spark, dir).collect()
