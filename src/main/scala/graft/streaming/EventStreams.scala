@@ -399,6 +399,61 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("user_id"),
         col("n_events"))
 
+  /** Streaming control band — q211's Bollinger twin at ingest time:
+    * per event type, each closed time bucket's count compares against
+    * the trailing `trail` closed buckets' mean ± 2σ (exact integer
+    * sufficient statistics in state, the band math one double per
+    * emission). State per key = the open bucket's running count + the
+    * trailing deque of closed counts (bounded by `trail`); a bucket
+    * CLOSES when a later bucket's first event arrives — the
+    * ingest-time discipline `burstFlags` documents (an event-time
+    * version would hang emission on the watermark instead). Emits one
+    * row per closed bucket: (event_type, bucket_start, n, nw,
+    * trail_mean, above, below).
+    */
+  def controlBand(events: DataFrame, widthUs: Long = 3600L * 1000000L,
+      trail: Int = 7): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, List[Long]), (String, Long, Long, Long, Double, Boolean, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, List[Long])]) =>
+          // state: (open bucket id, open count, trailing closed counts)
+          var (openB, openN, closed) =
+            state.getOption.getOrElse((Long.MinValue, 0L, List.empty[Long]))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Double, Boolean, Boolean)]
+          def close(): Unit = if (openB != Long.MinValue) {
+            val nw = closed.length.toLong
+            if (nw > 0) {
+              val mean = closed.sum.toDouble / nw
+              val sd = math.sqrt(
+                closed.map(x => x.toDouble * x).sum / nw - mean * mean)
+              out += ((typ, openB * widthUs, openN, nw, mean,
+                openN > mean + 2 * sd, openN < mean - 2 * sd))
+            }
+            closed = (closed :+ openN).takeRight(trail)
+          }
+          rows.toSeq.map(_._2).sorted.foreach { us =>
+            val b = us / widthUs
+            if (b != openB) {
+              if (b < openB) () // late event for a closed bucket: dropped
+              else { close(); openB = b; openN = 0L }
+            }
+            if (us / widthUs == openB) openN += 1
+          }
+          state.update((openB, openN, closed))
+          out.iterator
+      }
+      .toDF("event_type", "bucket_start_us", "n", "nw", "trail_mean",
+        "above", "below")
+  }
+
   /** Per-user clamped ledger processor for [[clampedBalance]] — the
     * streaming twin of q199's batch fold: one ValueState long per user
     * carries the balance across micro-batches, each batch's events

@@ -192,6 +192,36 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("control band: calm buckets pass, the spike bucket flags above the band") {
+    val in = MemoryStream[Ev](spark)
+    val name = s"cb_${System.nanoTime()}"
+    val q = EventStreams.controlBand(in.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // hourly buckets 10:00..19:00 carry one event each; 20:00 carries five
+    val calm = (0 until 10).map(i =>
+      Ev(i.toLong, Timestamp.valueOf(f"2024-01-01 ${10 + i}%02d:00:00"), 1, "view", 0.0))
+    val spike = (0 until 5).map(i =>
+      Ev(100L + i, Timestamp.valueOf(f"2024-01-01 20:0$i:00"), 1, "view", 0.0))
+    val flush = Ev(200L, Timestamp.valueOf("2024-01-01 21:00:00"), 1, "view", 0.0)
+    in.addData(calm: _*)
+    q.processAllAvailable()
+    in.addData(spike: _*)
+    q.processAllAvailable()
+    in.addData(flush) // closes the spike bucket
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(s"SELECT * FROM $name ORDER BY bucket_start_us").collect()
+    // bucket 10:00 closed with an empty trail (no emission); 11:00..20:00 emit
+    assert(rows.length == 10)
+    val spikeRow = rows.last
+    assert(spikeRow.getAs[Long]("n") == 5L && spikeRow.getAs[Long]("nw") == 7L)
+    assert(spikeRow.getAs[Double]("trail_mean") == 1.0)
+    assert(spikeRow.getAs[Boolean]("above") && !spikeRow.getAs[Boolean]("below"))
+    rows.init.foreach { r =>
+      assert(!r.getAs[Boolean]("above") && !r.getAs[Boolean]("below"))
+      assert(r.getAs[Long]("n") == 1L)
+    }
+  }
+
   test("clamped balance: streaming ledger state carries and clamps across batches") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
