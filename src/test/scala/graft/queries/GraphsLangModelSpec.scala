@@ -176,6 +176,38 @@ class GraphsLangModelSpec extends SparkSpec {
     assert(math.abs(slope + 1.0) < 1e-12 && math.abs(intercept - math.log(12.0)) < 1e-12)
   }
 
+  test("q215: bounded-round peel reaches the fixpoint and equals a driver k-core") {
+    // sf0.001's repeat-co-presence graph is empty; the gate scale is
+    // where the peel carves (33 of 97 candidates survive)
+    val dir = "/root/testdata/sf0.01"
+    val got = Graphs.q215Kcore(spark, dir, k = 2, rounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(_ >= 2L))
+    // fixpoint inside the budget: one more round changes nothing
+    val more = Graphs.q215Kcore(spark, dir, k = 2, rounds = 11).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == more)
+    // driver recompute: peel to convergence on the collected edge list
+    val pairs = Timeseries.q198IntervalJoin(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("n_overlaps") >= 2)
+      .select("user_a", "user_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    var nodes = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val drop = nodes.filter(u => (adj(u) & nodes).size < 2)
+      changed = drop.nonEmpty
+      nodes = nodes -- drop
+    }
+    val expect = nodes.map(u => u -> (adj(u) & nodes).size.toLong).toMap
+    assert(got == expect)
+  }
+
   test("q203: assortativity is a valid correlation and matches a driver recompute") {
     val dir = "/root/testdata/sf0.001"
     val r = Graphs.q203Assortativity(spark, dir).collect().head
