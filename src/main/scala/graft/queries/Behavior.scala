@@ -752,6 +752,68 @@ object Behavior {
       |SELECT *, CAST(r_score || f_score || m_score AS INT) AS segment
       |FROM scored ORDER BY user_id""".stripMargin
 
+  /** q217: time-decay attribution — q110's last/first-touch rules give
+    * the whole conversion to ONE event; the industry's time-decay model
+    * splits each purchase across every click/view in its 24-hour
+    * lookback, weighted `e^(−age_hours/10)` and normalized per
+    * conversion so shares sum to 1. Weights are fixed-shape doubles of
+    * exact integer µs ages; the per-conversion normalizer and the
+    * per-channel totals both fold in explicit key order (the q104
+    * discipline), and the final credit presents as float (the `exp`
+    * ULP rule). At 100 TB: one user-keyed interval join (lookback
+    * bounded), one conversion-keyed fold, one channel aggregate.
+    */
+  def q217TimeDecayAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+    val conv = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("pid"), $"us".as("pus"))
+    val touch = ev.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"event_id".as("tid"), $"event_type".as("channel"),
+        $"us".as("tus"))
+    val pairs = conv.join(touch, "user_id")
+      .filter($"tus" < $"pus" && $"pus" - $"tus" <= 24L * 3600L * 1000000L)
+      .withColumn("w",
+        exp(($"tus" - $"pus").cast("double") / lit(36000000000.0)))
+    val norm = pairs.groupBy($"pid")
+      .agg(LangModel.orderedSum($"tid", $"w").as("sw"))
+    pairs.join(norm, "pid")
+      .withColumn("share", $"w" / $"sw")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct($"pid").as("n_conversions"),
+        LangModel.orderedSum(struct($"pid", $"tid"), $"share").as("cr"))
+      .select($"channel", $"n_touches", $"n_conversions",
+        $"cr".cast("float").as("credit"))
+      .orderBy($"channel")
+  }
+
+  val q217TimeDecayAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |conv AS (
+      |  SELECT user_id, event_id AS pid, us AS pus
+      |  FROM ev WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, event_id AS tid, event_type AS channel, us AS tus
+      |  FROM ev WHERE event_type IN ('click', 'view')),
+      |pairs AS (
+      |  SELECT pid, tid, channel,
+      |    exp(CAST(tus - pus AS DOUBLE) / 36000000000.0) AS w
+      |  FROM conv JOIN touch USING (user_id)
+      |  WHERE tus < pus AND pus - tus <= 86400000000),
+      |norm AS (
+      |  SELECT pid, list_sum(list(w ORDER BY tid)) AS sw
+      |  FROM pairs GROUP BY 1),
+      |sh AS (
+      |  SELECT pairs.pid, tid, channel, w / sw AS share
+      |  FROM pairs JOIN norm ON pairs.pid = norm.pid)
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_conversions,
+      |  CAST(list_sum(list(share ORDER BY pid, tid)) AS FLOAT) AS credit
+      |FROM sh GROUP BY channel ORDER BY channel""".stripMargin
+
   /** q209: cohort LTV curve — cumulative revenue per user by cohort
     * age, the money-sided completion of q109's retention matrix (who
     * is still here) and q163's RFM snapshot (where they are now): for

@@ -312,6 +312,50 @@ object Ranking {
       |ORDER BY rrf DESC, doc_id""".stripMargin
   }
 
+  /** q216: exponentially-decayed activity score — the "what's hot NOW"
+    * ranking a feed or monitoring page runs (q184 compares two fixed
+    * periods; decay weights ALL history, recent days exponentially
+    * more): per event type, `Σ_days n_d · e^(−0.1·age_d)` against the
+    * corpus's newest day. Daily counts and ages are exact integers;
+    * the decayed terms sum in age order (the q104 ordered-fold
+    * discipline) and the score presents as float (libm `exp` 1-ulp
+    * rule). The half-life (~7 days at λ=0.1) rides both engines as
+    * the same literal. One (type, day) aggregate; the fold runs on
+    * the bounded day axis.
+    */
+  def q216DecayedTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.load(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val h = daily.agg(max($"day").as("h"))
+    daily.crossJoin(broadcast(h))
+      .withColumn("age", datediff($"h", $"day").cast("long"))
+      .withColumn("term", $"n" * exp(lit(-0.1) * $"age"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"n").as("total"),
+        graft.queries.LangModel.orderedSum($"age", $"term").as("sc"))
+      .select($"event_type", $"n_days", $"total",
+        $"sc".cast("float").as("decayed_score"))
+      .orderBy($"decayed_score".desc, $"event_type")
+  }
+
+  val q216DecayedTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h AS (SELECT MAX(day) AS h FROM daily),
+      |t AS (
+      |  SELECT event_type, n,
+      |    CAST(date_diff('day', day, h) AS BIGINT) AS age,
+      |    n * exp(-0.1 * CAST(date_diff('day', day, h) AS BIGINT)) AS term
+      |  FROM daily CROSS JOIN h)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(n) AS BIGINT) AS total,
+      |  CAST(list_sum(list(term ORDER BY age)) AS FLOAT) AS decayed_score
+      |FROM t GROUP BY event_type
+      |ORDER BY decayed_score DESC, event_type""".stripMargin
+
   /** q200: per-document keyword extraction — the top-5 TF-IDF terms of
     * every document, the light-weight tagging/labeling pass a corpus
     * browser or mixture debugger runs (q140 scores whole-document

@@ -45,6 +45,28 @@ class EntityBehaviorSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1), (4L, 5L, 0)))
   }
 
+  test("q217: credits conserve — channel credits sum to the attributed conversions") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Behavior.q217TimeDecayAttribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalCredit = rows.map(_.getAs[Float]("credit").toDouble).sum
+    // per-conversion shares sum to 1, so total credit == #conversions
+    // that had at least one in-window touch
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val attributed = (for {
+      (u, pid, t, pus) <- ev if t == "purchase"
+      if ev.exists { case (u2, _, t2, tus) =>
+        u2 == u && (t2 == "click" || t2 == "view") &&
+          tus < pus && pus - tus <= 86400000000L }
+    } yield pid).distinct.size
+    assert(math.abs(totalCredit - attributed) < 1e-3,
+      s"credit $totalCredit vs attributed $attributed")
+    assert(rows.map(_.getAs[Long]("n_conversions")).max <= attributed)
+  }
+
   test("q209: LTV curve accumulates per cohort age on a multi-month timeline") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-ltv").toString

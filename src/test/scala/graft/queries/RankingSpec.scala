@@ -46,6 +46,29 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("q216: decayed score is bounded by the total and exact when all mass is newest-day") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    Ranking.q216DecayedTrend(spark, dir).collect().foreach { r =>
+      val sc = r.getAs[Float]("decayed_score").toDouble
+      assert(sc > 0 && sc <= r.getAs[Long]("total").toDouble + 1e-6)
+    }
+    // fixture: 'now' has all its events on the newest day (score == total);
+    // 'old' has the same count 10 days earlier (score == total * e^-1)
+    val tmp = Files.createTempDirectory("graft-decay").toString
+    def ts(s: String) = Timestamp.valueOf(s).getTime * 1000000L
+    (Seq.tabulate(4)(i => (i.toLong, ts("2024-01-11 10:00:00"), 1L, "now", 0.0, "{}")) ++
+     Seq.tabulate(4)(i => (10L + i, ts("2024-01-01 10:00:00"), 1L, "old", 0.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Ranking.q216DecayedTrend(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getAs[Float]("decayed_score").toDouble).toMap
+    assert(got("now") == 4.0)
+    assert(math.abs(got("old") - 4.0 * math.exp(-1.0)) < 1e-5)
+  }
+
   test("q200: at most 5 keywords per doc, scores non-increasing, every keyword occurs") {
     val dir = "/root/testdata/sf0.001"
     val rows = Ranking.q200TopkKeywords(spark, dir).collect()
