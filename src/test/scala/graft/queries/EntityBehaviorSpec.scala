@@ -45,6 +45,37 @@ class EntityBehaviorSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1), (4L, 5L, 0)))
   }
 
+  test("q218: survivorship merges exactly the paired customers, richest member wins") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Entity.q218Survivorship(spark, dir).collect()
+    val pairs = Entity.q108EntityPairs(spark, dir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver union-find over the pair graph
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val clusters = (pairs.flatMap(p => Seq(p._1, p._2)).distinct)
+      .groupBy(find).filter(_._2.length >= 2)
+    assert(rows.length == clusters.size)
+    val bal = graft.sources.Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_acctbal").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2)).toMap
+    val byMembers = rows.map(r =>
+      r.getAs[String]("member_keys") -> r).toMap
+    clusters.values.foreach { ms =>
+      val key = ms.sorted.mkString(",")
+      val r = byMembers(key)
+      assert(r.getAs[Long]("n_members") == ms.length)
+      val best = ms.map(m => (bal(m), -m)).max
+      assert(r.getAs[Long]("canonical_custkey") == -best._2)
+      assert(r.getAs[Double]("canonical_acctbal") == best._1.toDouble)
+    }
+  }
+
   test("q217: credits conserve — channel credits sum to the attributed conversions") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
