@@ -76,6 +76,12 @@ object Components {
     * job's map — no second count() pass over the labels. Task retries can
     * only inflate the counter, never zero it, and the loop only tests
     * zero/non-zero, so at-least-once accumulator semantics are sound here.
+    *
+    * The symmetrized edge frame is checkpointed HERE, inside the loop's
+    * setup, because `sym` is re-joined once per round: an expensive
+    * un-materialized edge lineage (e.g. a blocking self-join) would
+    * otherwise be re-executed O(diameter) times — callers must not have
+    * to remember to pre-checkpoint (q218 round-7 regression).
     */
   def ccPropagate(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
     val s = edges0.sparkSession
@@ -83,7 +89,13 @@ object Components {
     val directed = edges0.toDF("u", "v")
       .select($"u".cast("long").as("u"), $"v".cast("long").as("v"))
       .filter($"u" =!= $"v")
+    // checkpoint AFTER a repartition on the round-join key: LogicalRDD
+    // preserves the child's output partitioning, so every round's
+    // sym-side exchange is elided — only the (vertex-sized) label frame
+    // moves per round, the edge mass stays where it landed
     val sym = directed.unionAll(directed.select($"v".as("u"), $"u".as("v")))
+      .repartition($"v")
+      .localCheckpoint(true)
     var labels = sym.select($"u".as("doc_id")).distinct()
       .withColumn("rep", $"doc_id").localCheckpoint(true)
     var changed = 1L

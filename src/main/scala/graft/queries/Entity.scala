@@ -32,20 +32,30 @@ import graft.sources.Tables
   */
 object Entity {
 
-  /** q108: customer-name entity pairs at edit distance <= 1 (same
-    * length), via wildcard-signature blocking + levenshtein verify.
-    * Emits one row per unordered pair with both names and the distance.
+  /** The unordered q108 pair set — the blocking join WITHOUT the
+    * presentation sort. Split out because `orderBy` range-partitioning
+    * SAMPLES its child, i.e. executes the whole blocking join a second
+    * time just to pick split points: consumers that feed the pairs into
+    * further computation (q218's components, q164b's verify) must not
+    * pay that, only the registered q108 presentation does.
     */
-  def q108EntityPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The wildcard-signature frame shared by the pair join (q108) and
+    * the star-edge generator (q218): signature i = name with position i
+    * wildcarded; length rides along so cross-length signature collisions
+    * (impossible here, cheap anyway) never reach the verify.
+    */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_name")
-    // signature i = name with position i wildcarded; length rides along
-    // so cross-length signature collisions (impossible here, cheap
-    // anyway) never reach the verify
-    val sigs = c.select($"c_custkey", $"c_name",
+    c.select($"c_custkey", $"c_name",
       posexplode(transform(sequence(lit(1), length($"c_name")),
         i => concat(length($"c_name").cast("string"), lit(":"),
           overlay($"c_name", lit("\u0000"), i)))).as(Seq("pos", "sig")))
+  }
+
+  private[queries] def entityPairsUnordered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = signatures(s, dir)
     // duplicate suppression WITHOUT a distinct shuffle: names differing
     // at exactly position p share ONLY signature p (one emission
     // already); identical names share every signature, so keep just
@@ -66,7 +76,15 @@ object Entity {
     // computed dist column (always 0 or 1) still rides the output.
     pairs
       .withColumn("dist", levenshtein($"name1", $"name2"))
-      .orderBy($"id1", $"id2")
+  }
+
+  /** q108: customer-name entity pairs at edit distance <= 1 (same
+    * length), via wildcard-signature blocking + levenshtein verify.
+    * Emits one row per unordered pair with both names and the distance.
+    */
+  def q108EntityPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    entityPairsUnordered(s, dir).orderBy($"id1", $"id2")
   }
 
   /** Oracle: the all-pairs self-join the blocked plan provably equals
@@ -125,6 +143,71 @@ object Entity {
       |  >= CAST(0.75 AS FLOAT)
       |ORDER BY name1, name2""".stripMargin
 
+  /** q164b: the q164 metric composed BEHIND sorted-neighborhood
+    * blocking — the registered form of q164's own scale path ("at a
+    * vocabulary too large for pairs², compose behind q148"). The
+    * vocabulary sorts lexicographically (Jaro–Winkler weights prefix
+    * agreement, so near-dups under the metric collide in sort order —
+    * the same key/metric alignment argument as q148's min-shingle key)
+    * and only rank-band neighbors within window w are verified. The
+    * global rank is the q148/q163 distributed prefix pattern (range
+    * partition + per-partition row_number + broadcast count offsets),
+    * and the band join is the pigeonhole bucket EQUIJOIN: the lower
+    * rank probes its own width-w bucket and the next one — candidate
+    * count is linear in the vocabulary, never vocabulary². Like q148,
+    * the oracle states the SAME windowed semantics: SNM is approximate
+    * by design, the gate grades the operator's contract (window misses
+    * included), and q164 remains the exact-pairs baseline beside it.
+    */
+  def q164bSnmJaroWinkler(s: SparkSession, dir: String,
+      threshold: Double = 0.75, w: Int = 10, parts: Int = 32): DataFrame = {
+    graft.GraftExtensions.register(s)
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val names = Tables.load(s, dir, "part").select($"p_name").distinct()
+    val ranged = names.repartitionByRange(parts, $"p_name".asc)
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
+      .select($"pid", coalesce(sum($"pn").over(W.orderBy($"pid")
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("off"))
+    // checkpointed: both band-join branches probe the rank frame; the
+    // cut also stops the offsets sub-job re-running per branch
+    val ranked = ranged
+      .withColumn("rn", row_number().over(
+        W.partitionBy($"pid").orderBy($"p_name")))
+      .join(broadcast(offsets), "pid")
+      .select($"p_name", ($"rn" + $"off").as("r"))
+      .localCheckpoint(true)
+    val lower = ranked.select($"p_name".as("name1"), $"r".as("ra"),
+      explode(array(expr(s"(r - 1) div $w"), expr(s"(r - 1) div $w + 1")))
+        .as("bkt"))
+    val upper = ranked.select($"p_name".as("name2"), $"r".as("rb"),
+      expr(s"(r - 1) div $w").as("bkt"))
+    // ra < rb implies name1 < name2 (the rank IS the name order), so
+    // the band filter doubles as the unordered-pair canonicalizer
+    lower.join(upper, "bkt")
+      .filter($"rb" - $"ra" >= 1 && $"rb" - $"ra" <= w)
+      .select($"name1", $"name2",
+        call_function("jaro_winkler", $"name1", $"name2")
+          .cast("float").as("jw"))
+      .filter($"jw" >= threshold.toFloat)
+      .orderBy($"name1", $"name2")
+  }
+
+  def q164bSnmJaroWinklerSql(threshold: Double = 0.75, w: Int = 10): String =
+    s"""WITH n AS (SELECT DISTINCT p_name FROM part),
+      |r AS (SELECT p_name,
+      |        CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS r
+      |      FROM n),
+      |cand AS (SELECT a.p_name AS name1, b.p_name AS name2
+      |         FROM r a JOIN r b ON b.r - a.r BETWEEN 1 AND $w)
+      |SELECT name1, name2,
+      |  CAST(jaro_winkler_similarity(name1, name2) AS FLOAT) AS jw
+      |FROM cand
+      |WHERE CAST(jaro_winkler_similarity(name1, name2) AS FLOAT)
+      |  >= CAST($threshold AS FLOAT)
+      |ORDER BY name1, name2""".stripMargin
+
   /** q218: survivorship / golden-record merge — the step after q108's
     * match and q45's clustering that actually FIXES the data: each
     * near-duplicate customer cluster (edit-distance-1 name matches,
@@ -134,13 +217,29 @@ object Entity {
     * (one job per round, symmetrized internally); the canonical pick is
     * one argmax via max(struct) over exact decimal balances; member
     * counts and the absorbed-key list make the merge auditable. Only
-    * real merges (≥2 members) emit. At 100 TB: the q108 blocking join
+    * real merges (≥2 members) emit. At 100 TB: the q108 blocking
     * bounds candidates, components are the q45 machinery, and the
     * merge is one cluster-keyed aggregate.
+    *
+    * Edge reduction: components only need CONNECTIVITY, not the pair
+    * list, and every pair inside one signature block is mutually at
+    * distance ≤ 1 (both members agree everywhere except the shared
+    * wildcard position) — so the per-block STAR (each member → the
+    * block's min key) is connectivity-equivalent to q108's C(k,2)
+    * pairs. That replaces the signature self-join with one
+    * signature-keyed min aggregate + one join back (Σ(k−1) edges
+    * instead of Σ C(k,2) — strictly fewer, and never quadratic in the
+    * block size), which is the 100 TB-correct edge generator for any
+    * clustering consumer of a blocking scheme.
     */
   def q218Survivorship(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = q108EntityPairs(s, dir).select($"id1", $"id2")
+    val sigs = signatures(s, dir).select($"c_custkey", $"sig")
+    val bmin = sigs.groupBy($"sig").agg(min($"c_custkey").as("mk"))
+    val pairs = sigs.join(bmin, "sig")
+      .filter($"c_custkey" =!= $"mk")
+      .select($"c_custkey".as("id1"), $"mk".as("id2"))
+      .distinct()
     val comp = Components.ccPropagate(pairs)   // (doc_id, rep)
     val c = Tables.load(s, dir, "customer")
       .select($"c_custkey", $"c_name", Exact.d2($"c_acctbal").as("bal"))

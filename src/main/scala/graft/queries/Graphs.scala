@@ -307,7 +307,8 @@ object Graphs {
     * q168 discipline — a recursive-with-aggregation oracle does not
     * exist in SQL): both engines run exactly `rounds` peel rounds; the
     * spec separately proves the fixpoint is reached well inside that
-    * budget on this data, so the output IS the true 3-core. Per round:
+    * budget on this data, so the output IS the true k-core (k = 2 as
+    * registered). Per round:
     * one degree aggregate + the induced-subgraph double equijoin, each
     * round checkpointed (one job per round, the Components
     * discipline); at 100 TB rounds are O(diameter-ish) and each is a

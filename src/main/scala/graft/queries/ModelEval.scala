@@ -76,8 +76,12 @@ object ModelEval {
     val ser = lifeTable.groupBy().agg(
       sort_array(collect_list(struct($"t", $"d", $"c", $"at_risk", $"factor")))
         .as("xs"))
+    // the global collect_list aggregate always emits one row, so on a
+    // corpus with zero signup users xs is [] — clamp the slice length
+    // (size-1 would be -1, a runtime error) and drop the empty row so
+    // the query returns zero rows instead of crashing
     val folded = aggregate(
-      slice($"xs", lit(2), size($"xs") - 1),
+      slice($"xs", lit(2), greatest(size($"xs") - 1, lit(0))),
       array(struct(
         element_at($"xs", 1).getField("t").as("t"),
         element_at($"xs", 1).getField("d").as("d"),
@@ -91,7 +95,7 @@ object ModelEval {
         x.getField("at_risk").as("at_risk"),
         (element_at(acc, size(acc)).getField("surv") * x.getField("factor"))
           .as("surv")))))
-    ser.select(explode(folded).as("e"))
+    ser.filter(size($"xs") >= 1).select(explode(folded).as("e"))
       .select($"e.t".as("t_hours"), $"e.at_risk".as("at_risk"),
         $"e.d".as("converted"), $"e.c".as("censored"),
         $"e.surv".as("survival"))

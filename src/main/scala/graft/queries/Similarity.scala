@@ -680,7 +680,7 @@ object Similarity {
       .orderBy($"label")
   }
 
-  val q212KnnEvalSql: String = {
+  def q212KnnEvalSql(k: Int = 3): String = {
     def dot(a: String, b: String) =
       s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
     s"""WITH scored AS (
@@ -693,7 +693,7 @@ object Similarity {
       |  SELECT qid, true_label, nlabel
       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
       |          ORDER BY cos_sim DESC, nid) AS rnk FROM scored)
-      |  WHERE rnk <= 3),
+      |  WHERE rnk <= $k),
       |votes AS (
       |  SELECT qid, true_label, nlabel, CAST(COUNT(*) AS BIGINT) AS votes
       |  FROM top GROUP BY 1, 2, 3),

@@ -702,8 +702,8 @@ object Timeseries {
       .orderBy($"user_id", $"event_id")
   }
 
-  val q199ClampedBalanceSql: String =
-    """WITH ev AS (
+  def q199ClampedBalanceSql(capCents: Long = 20000L): String =
+    s"""WITH ev AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CASE WHEN event_type = 'purchase'
       |         THEN CAST(round(value * 100) AS BIGINT) ELSE -100 END AS delta
@@ -716,7 +716,7 @@ object Timeseries {
       |  SELECT user_id, unnest(eids) AS event_id,
       |    unnest(list_transform(range(1, len(ds) + 1),
       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), ds[1:i]),
-      |             (a, x) -> LEAST(GREATEST(a + x, 0), 20000)))) AS balance_cents
+      |             (a, x) -> LEAST(GREATEST(a + x, 0), $capCents)))) AS balance_cents
       |  FROM ser)
       |SELECT user_id, event_id, balance_cents
       |FROM ex ORDER BY user_id, event_id""".stripMargin

@@ -413,6 +413,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the bucket equijoin:\n$p")
   }
 
+  test("q164b: the SNM-blocked jaro-winkler band join is a bucket equijoin") {
+    // the composition exists to REPLACE q164's all-pairs theta join;
+    // a nested-loop here would mean the bucket key fell out of the join
+    val p = plan("q164b_snm_jw")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"band join must not go quadratic:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the bucket equijoin:\n$p")
+  }
+
   test("q150: centroids broadcast onto the exploded scan — no quadratic join") {
     val p = plan("q150_centroid_purity")
     assert(p.contains("BroadcastHashJoin"),
