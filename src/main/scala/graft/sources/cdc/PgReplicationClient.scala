@@ -87,12 +87,20 @@ final class PgReplicationClient(host: String, port: Int, user: String,
               writeMessage(out, 'p', msg.array())
             case 11 => // AuthenticationSASLContinue: server-first-message
               val serverFirst = new String(body, 4, body.length - 4, StandardCharsets.UTF_8)
+              // RFC 5802 §7: a server MAY abort mid-exchange with an
+              // e= attribute instead of the expected payload — surface
+              // its text rather than failing on a missing r/s/i attr
+              ScramSha256.attrs(serverFirst).get('e').foreach(e =>
+                throw new java.io.IOException(s"SCRAM exchange failed: $e"))
               val (clientFinal, sig) = scram.respond(serverFirst)
               expectedServerSig = sig
               writeMessage(out, 'p', clientFinal.getBytes(StandardCharsets.UTF_8))
             case 12 => // AuthenticationSASLFinal: verify the SERVER too
               val serverFinal = new String(body, 4, body.length - 4, StandardCharsets.UTF_8)
-              val v = ScramSha256.attrs(serverFinal).getOrElse('v', "")
+              val fa = ScramSha256.attrs(serverFinal)
+              fa.get('e').foreach(e =>
+                throw new java.io.IOException(s"SCRAM exchange failed: $e"))
+              val v = fa.getOrElse('v', "")
               if (v != expectedServerSig) throw new java.io.IOException(
                 "SCRAM server signature mismatch — refusing to trust the server")
             case other => throw new java.io.IOException(

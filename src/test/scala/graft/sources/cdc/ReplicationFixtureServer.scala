@@ -33,7 +33,12 @@ final case class FixtureTxn(commitLsn: Long, payloads: Seq[Array[Byte]])
   */
 final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
     transactions: Seq[FixtureTxn], password: Option[String] = None,
-    scram: Boolean = false) {
+    scram: Boolean = false,
+    // error-path knobs: advertise a custom SASL mechanism list (e.g.
+    // SCRAM-SHA-256-PLUS only, a channel-binding-required server), or
+    // abort the exchange with an RFC 5802 e= attribute mid-flight
+    saslMechanisms: Option[Seq[String]] = None,
+    scramAbort: Option[String] = None) {
   import PgWire._
 
   private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
@@ -88,7 +93,9 @@ final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
       case Some(expected) if scram =>
         import ScramSha256._
         // AuthenticationSASL with the mechanism list (null-terminated)
-        authCode(10, (Mechanism + "\u0000\u0000").getBytes(StandardCharsets.UTF_8))
+        val mechList = saslMechanisms.getOrElse(Seq(Mechanism))
+        authCode(10, (mechList.mkString("\u0000") + "\u0000\u0000")
+          .getBytes(StandardCharsets.UTF_8))
         val (t1, ibody) = readMessage(in)
         require(t1 == 'p', s"expected SASLInitialResponse, got '$t1'")
         val ib = java.nio.ByteBuffer.wrap(ibody)
@@ -119,6 +126,10 @@ final class ReplicationFixtureServer(schemaPayloads: Seq[Array[Byte]],
             !java.util.Arrays.equals(sha256(recoveredKey), storedKey)) {
           writeMessage(out, 'E',
             fieldsBody("FATAL", "28P01", "password authentication failed"))
+          return
+        }
+        if (scramAbort.isDefined) {
+          authCode(12, s"e=${scramAbort.get}".getBytes(StandardCharsets.UTF_8))
           return
         }
         val serverSig = b64(hmac(hmac(salted, "Server Key"), authMessage))

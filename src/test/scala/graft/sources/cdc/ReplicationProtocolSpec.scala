@@ -191,6 +191,49 @@ class ReplicationProtocolSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("SCRAM: a channel-binding-only server (SCRAM-SHA-256-PLUS) is rejected loudly") {
+    // a non-TLS replication connection cannot do channel binding; the
+    // client must fail with the advertised list, not hang or NPE
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures.take(1),
+      password = Some("s3cret"), scram = true,
+      saslMechanisms = Some(Seq("SCRAM-SHA-256-PLUS")))
+    try {
+      val bad = intercept[java.io.IOException] {
+        tail(server.port, Files.createTempDirectory("repl").resolve("lsn"),
+          _ => (), password = Some("s3cret")).run(maxTransactions = 1)
+      }
+      assert(bad.getMessage.contains("SCRAM-SHA-256-PLUS") &&
+        bad.getMessage.contains("only"))
+    } finally server.stop()
+  }
+
+  test("SCRAM: a PLUS+plain mechanism list negotiates the plain mechanism") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures.take(1),
+      password = Some("s3cret"), scram = true,
+      saslMechanisms = Some(Seq("SCRAM-SHA-256-PLUS", "SCRAM-SHA-256")))
+    try {
+      val ckpt = Files.createTempDirectory("repl").resolve("lsn")
+      val events = mutable.ArrayBuffer.empty[ChangeEvent]
+      tail(server.port, ckpt, events ++= _.events, password = Some("s3cret"))
+        .run(maxTransactions = 1)
+      assert(events.length == 1)
+    } finally server.stop()
+  }
+
+  test("SCRAM: a server e= abort mid-exchange surfaces the server's error text") {
+    val server = new ReplicationFixtureServer(Seq(rel), fixtures.take(1),
+      password = Some("s3cret"), scram = true,
+      scramAbort = Some("other-error"))
+    try {
+      val bad = intercept[java.io.IOException] {
+        tail(server.port, Files.createTempDirectory("repl").resolve("lsn"),
+          _ => (), password = Some("s3cret")).run(maxTransactions = 1)
+      }
+      assert(bad.getMessage.contains("SCRAM exchange failed") &&
+        bad.getMessage.contains("other-error"))
+    } finally server.stop()
+  }
+
   test("the reference YAML cdc block drives the live lane via fromConfig") {
     val server = new ReplicationFixtureServer(Seq(rel), fixtures.take(1))
     try {

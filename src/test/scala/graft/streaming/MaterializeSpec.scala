@@ -100,6 +100,41 @@ class MaterializeSpec extends SparkSpec {
     assert(left.isEmpty, s"expected no bucket dirs, got $left")
   }
 
+  test("a reader across a vacuum: stale handle fails cleanly or stays consistent; a fresh read is exact") {
+    // vacuum only reclaims tombstones — which replica() filters at read
+    // — so the LIVE state visible through any successful read is
+    // identical before and after. The only hazard is file-level: a
+    // DataFrame whose file listing was resolved pre-vacuum may point at
+    // rewritten (deleted) files. Pinned contract: such a stale handle
+    // either still returns the exact consistent state or fails cleanly
+    // (never partial/garbage rows), and a re-resolved read is exact.
+    val tablePath = Files.createTempDirectory("graft-replica-vac").toString + "/t"
+    Materialize.applyBatch(
+      Seq(ev(Op.Insert, 1, 0, "a"), ev(Op.Insert, 2, 1, "b"),
+        ev(Op.Insert, 3, 2, "c"), ev(Op.Insert, 4, 3, "d")).toDF(),
+      "id", tablePath, nBuckets = 4)
+    Materialize.applyBatch(
+      Seq(ev(Op.Delete, 2, 5, ""), ev(Op.Update, 1, 6, "a2")).toDF(),
+      "id", tablePath, nBuckets = 4)
+    val expected = state(tablePath)
+    assert(expected.keySet == Set("1", "3", "4"))
+    // resolve the stale handle's file listing BEFORE the vacuum
+    val stale = Materialize.replica(spark, tablePath)
+    stale.count()
+    Materialize.vacuum(spark, tablePath, ts(30)) // reclaims key 2's tombstone
+    scala.util.Try(stale.collect()) match {
+      case scala.util.Success(rows) =>
+        val got = rows.map(r => r.getString(0) ->
+          (r.getMap[String, String](1)("v"), r.getTimestamp(2))).toMap
+        assert(got == expected, "a surviving stale read must be consistent")
+      case scala.util.Failure(_) => () // clean failure is acceptable
+    }
+    // a fresh read (re-resolved listing) is exact, and lookup() agrees
+    assert(state(tablePath) == expected)
+    val l = Materialize.lookup(spark, tablePath, "1", nBuckets = 4).collect()
+    assert(l.length == 1 && l(0).getMap[String, String](1)("v") == "a2")
+  }
+
   test("change feed + aggregate deltas: updates move groups, deletes retract, redelivery cancels") {
     val base = Files.createTempDirectory("graft-replica6").toString
     val tablePath = s"$base/t"; val aggPath = s"$base/agg"
