@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BloomMightContain, CosineSimilarity, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, Sq8Cos, Sq8Encode, SrpBucket, WordShingleHashes}
+import graft.functions.{BloomMightContain, CosineSimilarity, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MapSetKey, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, Sq8Cos, Sq8Encode, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -60,6 +60,8 @@ object GraftExtensions {
       arity(1, "fnv1a32")(a => Fnv1a32(a.head))),
     ("map_drop_key", MapDropKey.info,
       arity(2, "map_drop_key")(a => MapDropKey(a.head, a(1)))),
+    ("map_set_key", MapSetKey.info,
+      arity(3, "map_set_key")(a => MapSetKey(a.head, a(1), a(2)))),
     ("map_mask_keys", MapMaskKeys.info,
       arity(3, "map_mask_keys")(a => MapMaskKeys(a.head, a(1), a(2)))),
     ("min_shingle_md5", MinShingleMd5.info, args => {
