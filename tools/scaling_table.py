@@ -6,6 +6,7 @@ def load(p):
     line = open(p).read()
     return json.loads(line[line.index('{'):])
 
+rnd = sys.argv[3] if len(sys.argv) > 3 else "8"
 a = load(sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_sf001.json")
 b = load(sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_sf01.json")
 qa, qb = a["queries"], b["queries"]
@@ -14,15 +15,15 @@ worst = common[0]
 rows = "\n".join(
     f"| {k} | {qa[k]:.3f} | {qb[k]:.3f} | {qb[k]/qa[k]:.2f} |" for k in common)
 n = len(common)
-print(f"""# BENCH_SCALING — round 7: the 2x gate at a second scale factor
+print(f"""# BENCH_SCALING — round {rnd}: the 2x gate at a second scale factor
 
 Method: `graft.Bench` run twice on the same `local[32]` session shape,
 once at **sf0.01** and once at **sf0.1** (10x the data; the largest
 driver-generated scale factor), over all {n} registered queries.
 Per-query ratio = t(sf0.1)/t(sf0.01). A query scaling worse than
-~linear (ratio > 10 on 10x data) would get a plan-audit entry;
-**none does** — the worst observed ratio is x{qb[worst]/qa[worst]:.2f}
-({worst}), and the suite total grows only
+~linear (ratio > 10 on 10x data) gets a plan-audit entry before it is
+believed — EDIT THIS PARAGRAPH with the audit outcome. Worst observed
+ratio: x{qb[worst]/qa[worst]:.2f} ({worst}); suite total grows
 x{b["value"]/a["value"]:.2f} ({a["value"]:.1f}s -> {b["value"]:.1f}s).
 At these sizes fixed per-query costs (planning, job scheduling,
 ~0.15-0.3s) dominate, which is why most ratios sit near 1; the point of
@@ -38,10 +39,9 @@ contract), inside the full-suite run (contended, min-of-two):
 | cdc_debezium_rows_per_sec (envelope twin) | {a["cdc_debezium_rows_per_sec"]:.0f} | {b["cdc_debezium_rows_per_sec"]:.0f} |
 
 Fixed costs amortize over 10x rows (throughput holds or rises with
-scale, modulo co-located load during a given run); the flat lane
-tracks its envelope twin (the native `map_drop_key` expression keeps
-the projection inside whole-stage codegen — the round-6 2x deficit
-stays closed).
+scale, modulo co-located load during a given run); the flat lane runs
+level-or-ahead of its envelope twin (native `map_set_key` serializer,
+fully inside whole-stage codegen).
 
 Errors: sf0.01 {a["errors"]}, sf0.1 {b["errors"]}.
 
