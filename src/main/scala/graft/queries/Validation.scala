@@ -325,4 +325,82 @@ object Validation {
       |  CAST(SUM(abs(drift)) AS DOUBLE) AS total_abs_drift
       |FROM d GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
   }
+
+  /** q219: k-anonymity audit — the privacy gate a training-data
+    * pipeline runs before releasing records with quasi-identifiers
+    * (Sweeney's k-anonymity, public formulation): every combination of
+    * QI values must be shared by at least k records, or the class's
+    * members are re-identifiable by linkage. QI here = (nation,
+    * market segment, $1000 account-balance band) — the classic
+    * demographic-plus-banded-numeric shape; the audit emits every
+    * equivalence class below the k threshold with its size, i.e. the
+    * records a release would have to suppress or generalize. The
+    * balance band is FLOOR of the identical double division on both
+    * engines (the q193 floor rule).
+    *
+    * At 100 TB: one QI-keyed aggregate with map-side partials; the
+    * output is bounded by the class count, never the corpus.
+    */
+  def q219KAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "customer")
+      .groupBy($"c_nationkey".as("nation"), $"c_mktsegment".as("segment"),
+        floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("class_k"),
+        concat_ws(",", sort_array(collect_list($"c_custkey"))).as("member_keys"))
+      .filter($"class_k" < k)
+      .orderBy($"nation", $"segment", $"bal_band")
+  }
+
+  def q219KAnonymitySql(k: Int = 5): String =
+    s"""SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |  CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |  CAST(COUNT(*) AS BIGINT) AS class_k,
+      |  string_agg(c_custkey, ',' ORDER BY c_custkey) AS member_keys
+      |FROM customer
+      |GROUP BY 1, 2, 3 HAVING COUNT(*) < $k
+      |ORDER BY nation, segment, bal_band""".stripMargin
+
+  /** q220: generalization-ladder selection — the k-anonymity FIX:
+    * given a ladder of coarser balance bands ($1000 → $2000 → $4000 →
+    * $8000 → no band), report per level how many equivalence classes
+    * exist, how many violate k, the worst class size, and the number
+    * of records living in violating classes (the suppression cost of
+    * releasing at that level). The release picks the finest level
+    * whose violation count is acceptable — the standard
+    * generalization-vs-utility trade made queryable. One pass: the
+    * ladder explodes 4 band levels per record (plus the bandless
+    * level), then ONE (level, QI) aggregate and ONE level rollup.
+    */
+  def q220GeneralizationLadder(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val leveled = Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment", $"c_acctbal",
+        explode(array(lit(1000), lit(2000), lit(4000), lit(8000))).as("level"))
+    val classes = leveled
+      .groupBy($"level", $"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / $"level".cast("double")).cast("long").as("band"))
+      .agg(count(lit(1)).as("ck"))
+    classes.groupBy($"level")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"ck" < k, 1L).otherwise(0L)).as("n_risky"),
+        min($"ck").as("min_k"),
+        sum(when($"ck" < k, $"ck").otherwise(0L)).as("n_exposed_records"))
+      .orderBy($"level")
+  }
+
+  def q220GeneralizationLadderSql(k: Int = 5): String =
+    s"""WITH leveled AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal, level
+      |  FROM customer CROSS JOIN (SELECT unnest([1000, 2000, 4000, 8000]) AS level) l),
+      |classes AS (
+      |  SELECT level, c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / CAST(level AS DOUBLE)) AS BIGINT) AS band,
+      |    CAST(COUNT(*) AS BIGINT) AS ck
+      |  FROM leveled GROUP BY 1, 2, 3, 4)
+      |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(CASE WHEN ck < $k THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
+      |  MIN(ck) AS min_k,
+      |  CAST(SUM(CASE WHEN ck < $k THEN ck ELSE 0 END) AS BIGINT) AS n_exposed_records
+      |FROM classes GROUP BY 1 ORDER BY level""".stripMargin
 }
