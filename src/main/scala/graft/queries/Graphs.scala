@@ -327,13 +327,26 @@ object Graphs {
     var e = pairs.select($"user_a".as("u"), $"user_b".as("v"))
       .unionAll(pairs.select($"user_b".as("u"), $"user_a".as("v")))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // peeling is MONOTONE (e_{r+1} ⊆ e_r), so an unchanged edge COUNT
+    // means an unchanged edge set and every remaining round is a no-op:
+    // skipping them computes the identical result as running all
+    // `rounds` (which is what the oracle does), for free when the
+    // fixpoint lands early. The count is over an already-checkpointed
+    // frame — one cheap job per round.
+    var prevCount = e.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
       val surv = e.groupBy($"u").agg(count(lit(1)).as("d"))
         .filter($"d" >= k).select($"u")
       e = e.join(surv, "u")
         .join(surv.withColumnRenamed("u", "v"), "v")
         .select($"u", $"v")
         .localCheckpoint(true)
+      val c = e.count()
+      stable = c == prevCount
+      prevCount = c
+      r += 1
     }
     e.groupBy($"u".as("node")).agg(count(lit(1)).as("core_degree"))
       .orderBy($"node")
