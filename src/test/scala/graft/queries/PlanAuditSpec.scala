@@ -423,6 +423,18 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the bucket equijoin:\n$p")
   }
 
+  test("q221: the phash band join is an equijoin — payload bytes stay out of the shuffle") {
+    val p = plan("q221_media_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"band join must not go quadratic:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the (band, bkey) equijoin:\n$p")
+    // the checkpointed hash frame carries (media_id, phash) only — a
+    // payload column reaching the join would shuffle the media bytes
+    assert(!p.contains("payload"),
+      s"payload must not appear downstream of the codec lane:\n$p")
+  }
+
   test("q150: centroids broadcast onto the exploded scan — no quadratic join") {
     val p = plan("q150_centroid_purity")
     assert(p.contains("BroadcastHashJoin"),
