@@ -389,6 +389,83 @@ object Validation {
       .orderBy($"level")
   }
 
+  /** q222: declarative data-expectations suite (the Deequ/
+    * Great-Expectations operator class): a fixed set of named
+    * constraints — completeness, key uniqueness, value ranges,
+    * referential integrity, cross-table temporal sanity — evaluated in
+    * bulk, emitting per-constraint checked/violation counts and a
+    * pass flag. Two of the range gates are deliberately tighter than
+    * the data (quantity ≤ 40, discount ≤ 0.05) so the violation path
+    * is exercised, not just the all-green path.
+    *
+    * Scale shape: the four single-table constraints ride ONE aggregate
+    * pass over lineitem (count-distinct via Expand beside plain sums —
+    * the q137 one-scan-profile shape); referential integrity is one
+    * anti-join; the temporal check one equijoin. Report assembly is a
+    * union of one-row frames — nothing collects.
+    */
+  def q222Expectations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val base = l.agg(
+      count(lit(1)).as("n"),
+      sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("null_ok"),
+      sum(when($"l_quantity" < 1 || $"l_quantity" > 40, 1L).otherwise(0L)).as("qty_viol"),
+      sum(when($"l_discount" < 0 || $"l_discount" > 0.05, 1L).otherwise(0L)).as("disc_viol"),
+      countDistinct($"l_orderkey", $"l_linenumber").as("n_keys"))
+      .localCheckpoint(true) // one row; five report rows read it
+    def row(name: String, checked: org.apache.spark.sql.Column,
+        viol: org.apache.spark.sql.Column) =
+      base.select(lit(name).as("constraint"), checked.cast("long").as("n_checked"),
+        viol.cast("long").as("n_violations"))
+    val orphans = l.select($"l_orderkey")
+      .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val late = l.select($"l_orderkey", $"l_shipdate")
+      .join(o.select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_shipdate" < $"o_orderdate", 1L).otherwise(0L)).as("v"))
+      .localCheckpoint(true)
+    row("complete_l_orderkey", $"n", $"null_ok")
+      .unionByName(row("unique_l_orderkey_linenumber", $"n", $"n" - $"n_keys"))
+      .unionByName(row("range_l_quantity_1_40", $"n", $"qty_viol"))
+      .unionByName(row("range_l_discount_0_0.05", $"n", $"disc_viol"))
+      .unionByName(base.crossJoin(broadcast(orphans))
+        .select(lit("ref_l_orderkey_in_orders").as("constraint"),
+          $"n".cast("long").as("n_checked"), $"v".cast("long").as("n_violations")))
+      .unionByName(late.select(lit("ship_after_order_date").as("constraint"),
+        $"n".cast("long").as("n_checked"), $"v".cast("long").as("n_violations")))
+      .withColumn("passed", $"n_violations" === 0L)
+      .orderBy($"constraint")
+  }
+
+  val q222ExpectationsSql: String =
+    """WITH base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ok,
+      |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS qty_viol,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS disc_viol,
+      |    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_keys
+      |  FROM lineitem),
+      |orph AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |late AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |rep AS (
+      |  SELECT 'complete_l_orderkey' AS constraint, n AS n_checked, null_ok AS n_violations FROM base
+      |  UNION ALL SELECT 'unique_l_orderkey_linenumber', n, n - n_keys FROM base
+      |  UNION ALL SELECT 'range_l_quantity_1_40', n, qty_viol FROM base
+      |  UNION ALL SELECT 'range_l_discount_0_0.05', n, disc_viol FROM base
+      |  UNION ALL SELECT 'ref_l_orderkey_in_orders', base.n, orph.v FROM base, orph
+      |  UNION ALL SELECT 'ship_after_order_date', n, v FROM late)
+      |SELECT "constraint", n_checked, n_violations,
+      |  n_violations = 0 AS passed
+      |FROM rep ORDER BY "constraint"""".stripMargin
+
   def q220GeneralizationLadderSql(k: Int = 5): String =
     s"""WITH leveled AS (
       |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal, level
