@@ -965,4 +965,54 @@ object Dedup {
       |FROM inter JOIN sz sa ON sa.doc_id = da
       |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
       |ORDER BY da, db""".stripMargin
+
+  /** q223: blocking-quality evaluation — the ER-ops report that grades
+    * an approximate blocking scheme against ground truth (Christen's
+    * standard pair-completeness / reduction-ratio measures, public
+    * formulation): how many true τ-duplicate pairs does q148's
+    * sorted-neighborhood window actually surface (completeness), and
+    * what fraction of the quadratic comparison space does it avoid
+    * (reduction)? q40's exact pair set is the truth; q148's verified
+    * output is the found set (found ⊆ true because q148 ends in the
+    * same exact-Jaccard verify); the candidate count for a width-w
+    * rank band is the CLOSED FORM n·w − w(w+1)/2 — no extra join runs
+    * just to count candidates. One row; every count is an aggregate,
+    * nothing collects; the shingle/signature scratch caches are shared
+    * with the family, so in-suite the marginal cost is two counts.
+    */
+  def q223BlockingEval(s: SparkSession, dir: String, w: Int = 10): DataFrame = {
+    import s.implicits._
+    val cW = w * (w + 1) / 2
+    val nd = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val tr = nearDupPairs(s, dir).agg(count(lit(1)).as("n_true"))
+    val fo = q148SortedNeighborhood(s, dir, w).agg(count(lit(1)).as("n_found"))
+    nd.crossJoin(broadcast(tr)).crossJoin(broadcast(fo))
+      .select($"n".as("n_docs"),
+        (($"n" * ($"n" - 1)) / 2).cast("long").as("n_possible"),
+        ($"n" * w - cW).cast("long").as("n_candidates"),
+        $"n_true", $"n_found",
+        when($"n_true" === 0, lit(null).cast("double"))
+          .otherwise($"n_found".cast("double") / $"n_true").as("completeness"),
+        (lit(1.0) - ($"n" * w - cW).cast("double") /
+          (($"n" * ($"n" - 1)) / 2).cast("long")).as("reduction_ratio"))
+      .orderBy($"n_docs")
+  }
+
+  def q223BlockingEvalSql(w: Int = 10): String = {
+    val cW = w * (w + 1) / 2
+    s"""WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+      |       FROM ($nearDupPairsSql) x),
+      |fo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+      |       FROM (${q148SortedNeighborhoodSql(w)}) y)
+      |SELECT n AS n_docs,
+      |  CAST((n * (n - 1)) / 2 AS BIGINT) AS n_possible,
+      |  CAST(n * $w - $cW AS BIGINT) AS n_candidates,
+      |  n_true, n_found,
+      |  CASE WHEN n_true = 0 THEN NULL
+      |       ELSE CAST(n_found AS DOUBLE) / n_true END AS completeness,
+      |  1.0 - CAST(n * $w - $cW AS DOUBLE)
+      |      / CAST((n * (n - 1)) / 2 AS BIGINT) AS reduction_ratio
+      |FROM nd, tr, fo ORDER BY n_docs""".stripMargin
+  }
 }

@@ -466,6 +466,79 @@ object Validation {
       |  n_violations = 0 AS passed
       |FROM rep ORDER BY "constraint"""".stripMargin
 
+  /** q224: foreign-key discovery profiling — the schema-inference pass
+    * a pipeline runs over undocumented data (inclusion-dependency
+    * mining, public formulation): for each candidate (child column →
+    * parent column) pair, measure value containment (fraction of
+    * distinct child values present in the parent) and parent-key
+    * uniqueness; a pair is an FK candidate iff containment is total
+    * AND the parent side is unique. The candidate list covers the
+    * schema's four real FKs plus a deliberately REVERSED pair
+    * (orders.o_orderkey → lineitem.l_orderkey) that containment
+    * accepts but parent-uniqueness rejects — the report must
+    * discriminate, not rubber-stamp. Per candidate: two distinct
+    * aggregates + one anti-join on the distinct sets (never row-level
+    * joins); the report unions one-row frames.
+    */
+  def q224FkDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def audit(childTable: String, childCol: String,
+        parentTable: String, parentCol: String): DataFrame = {
+      val child = Tables.load(s, dir, childTable).select(col(childCol).as("v"))
+        .filter($"v".isNotNull).distinct().localCheckpoint(true)
+      val parent = Tables.load(s, dir, parentTable).select(col(parentCol).as("v"))
+      val pStats = parent.agg(count(lit(1)).as("n_parent_rows"),
+        countDistinct($"v").as("n_parent_distinct"))
+      val missing = child.join(parent.distinct(), Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      child.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(broadcast(pStats)).crossJoin(broadcast(missing))
+        .select(
+          lit(s"$childTable.$childCol").as("child"),
+          lit(s"$parentTable.$parentCol").as("parent"),
+          $"n_child_distinct", $"n_parent_rows", $"n_parent_distinct",
+          ($"n_child_distinct" - $"n_missing").as("n_contained"),
+          (($"n_child_distinct" - $"n_missing").cast("double") /
+            $"n_child_distinct").as("containment"),
+          ($"n_missing" === 0 && $"n_parent_rows" === $"n_parent_distinct")
+            .as("is_fk"))
+    }
+    Seq(
+      audit("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      audit("lineitem", "l_partkey", "part", "p_partkey"),
+      audit("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      audit("orders", "o_custkey", "customer", "c_custkey"),
+      audit("orders", "o_orderkey", "lineitem", "l_orderkey"))
+      .reduce(_ unionByName _)
+      .orderBy($"child", $"parent")
+  }
+
+  val q224FkDiscoverySql: String = {
+    def one(ct: String, cc: String, pt: String, pc: String) =
+      s"""SELECT '$ct.$cc' AS child, '$pt.$pc' AS parent,
+        |  (SELECT CAST(COUNT(DISTINCT $cc) AS BIGINT) FROM $ct
+        |   WHERE $cc IS NOT NULL) AS n_child_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $pt) AS n_parent_rows,
+        |  (SELECT CAST(COUNT(DISTINCT $pc) AS BIGINT) FROM $pt) AS n_parent_distinct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT $cc AS v FROM $ct WHERE $cc IS NOT NULL) c
+        |   WHERE c.v IN (SELECT $pc FROM $pt)) AS n_contained""".stripMargin
+    val parts = Seq(
+      one("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      one("orders", "o_custkey", "customer", "c_custkey"),
+      one("orders", "o_orderkey", "lineitem", "l_orderkey"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH rep AS (
+      |$parts)
+      |SELECT child, parent, n_child_distinct, n_parent_rows,
+      |  n_parent_distinct, n_contained,
+      |  CAST(n_contained AS DOUBLE) / n_child_distinct AS containment,
+      |  n_contained = n_child_distinct AND n_parent_rows = n_parent_distinct AS is_fk
+      |FROM rep ORDER BY child, parent""".stripMargin
+  }
+
   def q220GeneralizationLadderSql(k: Int = 5): String =
     s"""WITH leveled AS (
       |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal, level
