@@ -104,16 +104,20 @@ object CdcPipeline {
     */
   def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame = {
     val router = TopicRouter(cfg.kafka.tableTopicMapping)
+    // quality observation sits BEFORE the handler's filters so silently
+    // dropped records (unknown op, unroutable table) surface as counters
+    val watched = Metrics.observedQuality(
+      Metrics.observed(events), router, cfg.keyField)
     val records = cfg.serializer match {
       case graft.app.ConnectorConfig.SerializerDebezium =>
         // envelope lane emits string key/value; the sink contract (and
         // the client-side balancers hashing `key`) expect binary
-        Handlers.debeziumEnvelope(Metrics.observed(events), router, cfg.keyField)
+        Handlers.debeziumEnvelope(watched, router, cfg.keyField)
           .select(col("topic"),
             col("key").cast("binary").as("key"),
             col("value").cast("binary").as("value"))
       case _ =>
-        Handlers.declarative(Metrics.observed(events), router, cfg.keyField)
+        Handlers.declarative(watched, router, cfg.keyField)
     }
     Metrics.observedSink(withPlacement(records, cfg),
       cfg.kafka.tableTopicMapping.values.toSeq)

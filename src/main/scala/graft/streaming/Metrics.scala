@@ -39,6 +39,33 @@ object Metrics {
       approx_count_distinct(concat_ws(".", col("tableNamespace"), col("tableName")))
         .as("approx_tables"))
 
+  val QualityObservationName = "graft_quality"
+  private val QualityMetricPrefix = "quality:"
+
+  /** Inline data-quality observation on the raw ChangeEvent stream —
+    * the streaming twin of the q222 expectations suite, attached BEFORE
+    * the handler's filters so records those filters silently DROP
+    * (unknown ops, unroutable tables) become visible counters instead
+    * of invisible data loss. Also counts records whose key field is
+    * absent from the row image (they serialize with a null Kafka key,
+    * which silently breaks per-key ordering downstream). Rides the
+    * existing plan via `observe` — zero extra passes.
+    */
+  def observedQuality(events: DataFrame, router: graft.route.TopicRouter,
+      keyField: String): DataFrame = {
+    val img = graft.transform.Handlers.payloadImage(
+      col("op"), col("oldData"), col("newData"))
+    events.observe(
+      QualityObservationName,
+      sum(when(!col("op").isin(graft.model.Op.all: _*), 1L).otherwise(0L))
+        .as(s"${QualityMetricPrefix}unknown_op"),
+      sum(when(router.resolveColumn(col("tableNamespace"), col("tableName")).isNull,
+        1L).otherwise(0L)).as(s"${QualityMetricPrefix}unroutable_table"),
+      sum(when(col("op").isin(graft.model.Op.all: _*) &&
+        element_at(img, keyField).isNull, 1L).otherwise(0L))
+        .as(s"${QualityMetricPrefix}null_key"))
+  }
+
   /** Attach per-topic record counts to the handled (sink-contract) stream.
     * The topic set is the finite routing codomain from config, so the
     * counts are plain conditional aggregates riding the existing plan —
@@ -88,6 +115,13 @@ object Metrics {
       } m.schema.fieldNames.filter(_.startsWith(TopicMetricPrefix)).foreach { f =>
         Option(m.getAs[Any](f)).map(_.asInstanceOf[Long]).filter(_ > 0)
           .foreach(n => r.incrementSuccess(f.stripPrefix(TopicMetricPrefix), n))
+      }
+      for {
+        r <- registry
+        m <- Option(p.observedMetrics.get(QualityObservationName))
+      } m.schema.fieldNames.filter(_.startsWith(QualityMetricPrefix)).foreach { f =>
+        Option(m.getAs[Any](f)).map(_.asInstanceOf[Long]).filter(_ > 0)
+          .foreach(n => r.incrementQualityViolation(f.stripPrefix(QualityMetricPrefix), n))
       }
     }
 

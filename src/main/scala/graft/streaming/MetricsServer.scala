@@ -54,7 +54,13 @@ final class MetricsRegistry(val slotName: String) {
   private val slotLagBytes = new AtomicLong(0L)
   private val slotDropped = new AtomicLong(0L)
 
+  // inline data-quality counters fed by the graft_quality observation
+  // (unknown_op / unroutable_table / null_key per constraint name)
+  private val qualityTotal = TrieMap.empty[String, LongAdder]
+
   def setProcessLatency(ms: Long): Unit = processLatencyMs.set(ms)
+  def incrementQualityViolation(constraint: String, n: Long = 1L): Unit =
+    qualityTotal.getOrElseUpdate(constraint, new LongAdder).add(n)
   def setBulkRequestLatency(ms: Long): Unit = bulkLatencyMs.set(ms)
   def incrementSuccess(topic: String, n: Long = 1L): Unit =
     writeTotal.getOrElseUpdate(topic, new LongAdder).add(n)
@@ -125,6 +131,11 @@ final class MetricsRegistry(val slotName: String) {
       "total number of successful write operations to the sink", writeTotal)
     counter("graft_cdc_err_total",
       "total number of failed write operations to the sink", errTotal)
+    sb ++= "# HELP graft_cdc_quality_violations_total records failing an inline data-quality constraint\n"
+    sb ++= "# TYPE graft_cdc_quality_violations_total counter\n"
+    qualityTotal.toSeq.sortBy(_._1).foreach { case (c, n) =>
+      sb ++= s"graft_cdc_quality_violations_total${labels("constraint" -> c)} ${n.sum.toDouble}\n"
+    }
     gauge("graft_cdc_snapshot_in_progress",
       "whether a snapshot is currently in progress (1 active, 0 inactive)",
       snapInProgress.get)

@@ -43,4 +43,46 @@ class MetricsSpec extends SparkSpec {
     assert(withData.forall(_.maxProcessLatencyMs > 0))
     assert(withData.forall(_.batchDurationMs >= 0))
   }
+
+  test("inline quality counters: dropped and null-key records surface, good ones don't") {
+    val src = Files.createTempDirectory("graft-qsrc")
+    val chk = Files.createTempDirectory("graft-qchk")
+    val out = Files.createTempDirectory("graft-qout")
+    def line(op: String, table: String, data: String) =
+      s"""{"eventTime":"2024-01-01T00:00:00.000Z","tableNamespace":"public","tableName":"$table","oldData":null,"newData":$data,"op":"$op"}"""
+    val lines = Seq(
+      line("INSERT", "users", """{"id":"1"}"""),      // clean
+      line("INSERT", "users", """{"id":"2"}"""),      // clean
+      line("TRUNCATE", "users", """{"id":"3"}"""),    // unknown op → dropped
+      line("INSERT", "ghosts", """{"id":"4"}"""),     // unroutable table → dropped
+      line("INSERT", "users", """{"name":"x"}"""))    // key field absent → null key
+    Files.write(src.resolve("b.json"), String.join("\n", lines: _*).getBytes)
+
+    val registry = new MetricsRegistry("quality-spec")
+    val collector = new Metrics.Collector(Some(registry))
+    spark.streams.addListener(collector)
+    val conn = new Connector(spark,
+      ConnectorConfig(
+        sourceDir = src.toString, checkpointDir = chk.toString,
+        kafka = KafkaSinkConfig(Seq("unused:9092"),
+          tableTopicMapping = Map("public.users" -> "t"),
+          producerBatchTickerDuration = 250.millis)),
+      sink = "parquet", parquetOutDir = out.toString)
+    conn.start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (collector.totalEvents < 5 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    conn.close()
+    spark.streams.removeListener(collector)
+
+    val text = registry.render
+    def metric(c: String): Double =
+      text.linesIterator
+        .find(l => l.startsWith("graft_cdc_quality_violations_total") &&
+          l.contains(s"""constraint="$c""""))
+        .map(_.split(' ').last.toDouble).getOrElse(0.0)
+    assert(metric("unknown_op") == 1.0, s"unknown_op missing:\n$text")
+    assert(metric("unroutable_table") == 1.0, s"unroutable_table missing:\n$text")
+    assert(metric("null_key") == 1.0, s"null_key missing:\n$text")
+  }
 }
