@@ -46,7 +46,10 @@ object Components {
     val s = edges0.sparkSession
     import s.implicits._
     val e = edges0.toDF("u", "v").filter($"u" =!= $"v")
-    val edges = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+    val edges = e
+      .select(explode(array(struct($"u", $"v"),
+        struct($"v".as("u"), $"u".as("v")))).as("x"))
+      .select($"x.u".as("u"), $"x.v".as("v"))
       .distinct().localCheckpoint(true)
     var visited = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
     var frontier = visited
@@ -92,8 +95,14 @@ object Components {
     // checkpoint AFTER a repartition on the round-join key: LogicalRDD
     // preserves the child's output partitioning, so every round's
     // sym-side exchange is elided — only the (vertex-sized) label frame
-    // moves per round, the edge mass stays where it landed
-    val sym = directed.unionAll(directed.select($"v".as("u"), $"u".as("v")))
+    // moves per round, the edge mass stays where it landed. Symmetrize
+    // via a per-row explode, NOT unionAll of two selects: a union
+    // evaluates the (possibly expensive) input lineage once per branch,
+    // the explode exactly once (ComponentsSpec pins the 1x).
+    val sym = directed
+      .select(explode(array(struct($"u", $"v"),
+        struct($"v".as("u"), $"u".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
       .repartition($"v")
       .localCheckpoint(true)
     var labels = sym.select($"u".as("doc_id")).distinct()

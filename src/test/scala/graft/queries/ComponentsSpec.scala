@@ -78,4 +78,25 @@ class ComponentsSpec extends SparkSpec {
     val pairs = Dedup.q40NgramJaccard(s, dir).select($"d1", $"d2")
     assert(labelsOf(Components.ccStar(pairs)) == labelsOf(Components.ccPropagate(pairs)))
   }
+
+  test("ccPropagate executes its input lineage exactly once, however many rounds run") {
+    // the round-7 q218 regression class: an EXPENSIVE un-materialized
+    // edge pipeline fed to ccPropagate was re-executed once per
+    // propagation round. The fix checkpoints the symmetrized edges
+    // inside ccPropagate — pinned here by counting input evaluations
+    // with an accumulator on a deep chain (many rounds)
+    val s = spark
+    import s.implicits._
+    val n = 12L
+    val acc = s.sparkContext.longAccumulator("cc_input_evals")
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("u", "v")
+      .as[(Long, Long)]
+      .map { e => acc.add(1L); e }
+      .toDF("u", "v")
+    val labels = labelsOf(Components.ccPropagate(edges))
+    assert(labels == (0L to n).map(_ -> 0L).toMap) // correctness unchanged
+    // every input row evaluated exactly once — a per-round re-execution
+    // would make this a multiple of the row count
+    assert(acc.value == n, s"input lineage ran ${acc.value / n.toDouble}x")
+  }
 }
