@@ -251,7 +251,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q108: blocking join is a signature equijoin — never a cartesian product") {
-    val p = plan("q108_entity_pairs")
+    // q108's registered form checkpoints the pair set before its
+    // presentation sort (so the sort's range sampling can't re-execute
+    // the join) — the join therefore lives in the UNORDERED builder's
+    // plan, not the registered query's post-checkpoint tail
+    val df = Entity.entityPairsUnordered(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"entity blocking must not degrade to all-pairs:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
