@@ -867,4 +867,273 @@ object Behavior {
       |  CAST(cum_rev_cents AS DOUBLE) / n_users AS cum_rev_per_user
       |FROM cum JOIN sz USING (cm)
       |ORDER BY cohort_month_idx, age_mo""".stripMargin
+
+  /** q225: Markov removal-effect attribution — the data-driven
+    * multi-touch attribution model (Anderl et al.'s public removal
+    * -effect formulation, the one "Markov attribution" means in every
+    * marketing stack): build the first-order journey chain over event
+    * types (START at a user's first event and after each absorbing
+    * purchase; END after a final non-purchase event; purchase absorbs),
+    * estimate transition probabilities from corpus counts, compute the
+    * chain's conversion (absorption-at-purchase) probability, then
+    * re-compute it with each channel REMOVED (its transitions redirect
+    * to the null sink, mass not renormalized — the standard form);
+    * removal_effect(c) = 1 − P_removed/P_full, the share of conversions
+    * that needed the channel. The absorption probabilities iterate
+    * exactly `rounds` rounds on BOTH engines (the q215 bounded-round
+    * discipline — absorption is a fixpoint SQL cannot state directly),
+    * and every per-state accumulation is an ORDERED fold over dst (the
+    * ordered-list reduce on the oracle side), so the double sequences
+    * are bit-identical; results present as FLOAT per the house rule.
+    *
+    * Scale shape: the corpus-sized work is one user-keyed window + one
+    * (src, dst) count aggregate; the transition matrix is bounded by
+    * (|event types| + 2)² — the driver-side solve is O(rounds · states
+    * · channels) on a ≤36-row matrix, never corpus-scale.
+    */
+  def q225MarkovRemoval(s: SparkSession, dir: String, rounds: Int = 20): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ord = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+    val incoming = ord.select(
+      when($"prev".isNull || $"prev" === "purchase", lit("__start__"))
+        .otherwise($"prev").as("src"),
+      $"event_type".as("dst"))
+    val terminal = ord.filter($"nxt".isNull && $"event_type" =!= "purchase")
+      .select($"event_type".as("src"), lit("__end__").as("dst"))
+    val cnt = incoming.unionByName(terminal)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    // bounded by construction: ≤ (|event types| + 1) × (|event types| + 2)
+    val rows = cnt.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._3).sum }
+    val probs = rows.map { case (src, dst, n) => (src, dst, n.toDouble / totals(src)) }
+    val channels = probs.map(_._1).distinct
+      .filter(c => c != "__start__" && c != "purchase").sorted.toSeq
+
+    def absorbStart(removed: Option[String]): Double = {
+      val tr = probs.filter { case (src, dst, _) =>
+        !removed.contains(src) && !removed.contains(dst) }
+      val pconv = tr.filter(_._2 == "purchase").map(t => t._1 -> t._3).toMap
+      val ttrans = tr.filter(t => t._2 != "purchase" && t._2 != "__end__")
+        .groupBy(_._1).map { case (src, ts0) => src -> ts0.sortBy(_._2).toSeq }
+      val states = tr.map(_._1).distinct.toSeq
+      var prob = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to rounds) {
+        prob = states.map { st =>
+          // ordered left fold over ascending dst — the identical IEEE
+          // sequence as the oracle's list(... ORDER BY dst) reduce;
+          // a dst with no state row contributes an exact +0.0 no-op
+          val acc = ttrans.getOrElse(st, Seq.empty)
+            .foldLeft(0.0) { case (a, (_, dst, pr)) =>
+              a + pr * prob.getOrElse(dst, 0.0) }
+          st -> (pconv.getOrElse(st, 0.0) + acc)
+        }.toMap
+      }
+      prob.getOrElse("__start__", 0.0)
+    }
+
+    val pFull = absorbStart(None)
+    val out = channels.map { c =>
+      val pr = absorbStart(Some(c))
+      val eff: Option[Float] =
+        if (pFull == 0.0) None else Some((1.0 - pr / pFull).toFloat)
+      (c, pFull.toFloat, pr.toFloat, eff)
+    }
+    out.toDF("channel", "p_full", "p_removed", "removal_effect")
+      .orderBy($"channel")
+  }
+
+  def q225MarkovRemovalSql(rounds: Int = 20): String = {
+    def roundCte(k: Int) =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s.removed, s.state,
+         |    COALESCE(pc.p, CAST(0 AS DOUBLE)) +
+         |    COALESCE(agg.acc, CAST(0 AS DOUBLE)) AS prob
+         |  FROM states s
+         |  LEFT JOIN pconv pc ON pc.removed = s.removed AND pc.src = s.state
+         |  LEFT JOIN (
+         |    SELECT tt.removed, tt.src,
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(tt.p * pv.prob ORDER BY tt.dst)),
+         |        (a, x) -> a + x) AS acc
+         |    FROM ttrans tt JOIN p${k - 1} pv
+         |      ON pv.removed = tt.removed AND pv.state = tt.dst
+         |    GROUP BY 1, 2) agg
+         |    ON agg.removed = s.removed AND agg.src = s.state)""".stripMargin
+    val roundCtes = (1 to rounds).map(roundCte).mkString(",\n")
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |ord0 AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+      |  FROM ev),
+      |seq AS (
+      |  SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+      |              THEN '__start__' ELSE prev END AS src,
+      |    event_type AS dst
+      |  FROM ord0
+      |  UNION ALL
+      |  SELECT event_type, '__end__' FROM ord0
+      |  WHERE nxt IS NULL AND event_type <> 'purchase'),
+      |cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM seq GROUP BY 1, 2),
+      |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tn FROM cnt GROUP BY 1),
+      |tr AS (SELECT cnt.src, cnt.dst, CAST(n AS DOUBLE) / tn AS p
+      |       FROM cnt JOIN tot ON tot.src = cnt.src),
+      |scen AS (
+      |  SELECT '__full__' AS removed
+      |  UNION ALL
+      |  SELECT DISTINCT src FROM tr
+      |  WHERE src NOT IN ('__start__', 'purchase')),
+      |strans AS (
+      |  SELECT sc.removed, t.src, t.dst, t.p
+      |  FROM scen sc JOIN tr t
+      |    ON t.src <> sc.removed AND t.dst <> sc.removed),
+      |pconv AS (SELECT removed, src, p FROM strans WHERE dst = 'purchase'),
+      |ttrans AS (SELECT removed, src, dst, p FROM strans
+      |           WHERE dst NOT IN ('purchase', '__end__')),
+      |states AS (SELECT DISTINCT removed, src AS state FROM strans),
+      |p0 AS MATERIALIZED (
+      |  SELECT removed, state, CAST(0 AS DOUBLE) AS prob FROM states),
+      |$roundCtes,
+      |res AS (SELECT removed, prob FROM p$rounds WHERE state = '__start__'),
+      |pf AS (SELECT prob AS pfull FROM res WHERE removed = '__full__')
+      |SELECT r.removed AS channel,
+      |  CAST(pf.pfull AS FLOAT) AS p_full,
+      |  CAST(r.prob AS FLOAT) AS p_removed,
+      |  CAST(CASE WHEN pf.pfull = 0 THEN NULL
+      |            ELSE 1.0 - r.prob / pf.pfull END AS FLOAT) AS removal_effect
+      |FROM res r, pf WHERE r.removed <> '__full__'
+      |ORDER BY channel""".stripMargin
+  }
+
+  /** q226: CUPED variance-reduced A/B readout (Deng et al.'s public
+    * "Controlled-experiment Using Pre-Experiment Data" formulation —
+    * the standard modern experimentation estimator): users split into
+    * two arms by the q39 portable md5 hash, the experiment window is
+    * the second half of the event-time range, and each user's
+    * pre-period purchase spend is the covariate. θ = cov(x,y)/var(x)
+    * from the POOLED population, adjusted metric y − θ·(x − x̄), and
+    * per arm the plain mean, the CUPED mean, and the variance-reduction
+    * factor 1 − var(y_adj)/var(y) (expanded exactly as
+    * var(y) − 2θcov(x,y) + θ²var(x), never a second data pass).
+    *
+    * Cross-engine exactness: spend lifts to integer CENTS, every
+    * per-user and per-arm aggregate is a BIGINT sum, and every
+    * statistic is ONE fixed-shape double expression over those sums
+    * (the q85/q205 recipe), presented FLOAT. The corpus-sized work is
+    * one scan + one user aggregate + one arm aggregate; θ and the
+    * global x̄ ride a broadcast one-row frame.
+    */
+  def q226Cuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"),
+        when($"event_type" === "purchase",
+          round($"value" * 100).cast("long")).otherwise(0L).as("cents"))
+    val bounds = ev.agg(min($"us").as("mn"), max($"us").as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy($"user_id")
+      .agg(sum(when($"us" < $"mid", $"cents").otherwise(0L)).as("x"),
+        sum(when($"us" >= $"mid", $"cents").otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when((conv(substring(md5(concat(lit("arm:"), $"user_id".cast("string"))), 1, 8),
+          16, 10).cast("long") % 100) < 50, "A").otherwise("B"))
+    def stats(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = grouped
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+    val g = stats(perUser.groupBy())
+      .select(
+        ($"sx".cast("double") / $"n").as("gxbar"),
+        (($"sxy".cast("double") / $"n" -
+          ($"sx".cast("double") / $"n") * ($"sy".cast("double") / $"n")) /
+          ($"sxx".cast("double") / $"n" -
+            ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n")))
+          .as("theta"))
+    stats(perUser.groupBy($"arm"))
+      .crossJoin(broadcast(g))
+      .select($"arm", $"n".as("n_users"),
+        ($"sy".cast("double") / $"n").as("mean_y"),
+        ($"sx".cast("double") / $"n").as("mean_x"),
+        ($"syy".cast("double") / $"n" -
+          ($"sy".cast("double") / $"n") * ($"sy".cast("double") / $"n")).as("var_y"),
+        ($"sxx".cast("double") / $"n" -
+          ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n")).as("var_x"),
+        ($"sxy".cast("double") / $"n" -
+          ($"sx".cast("double") / $"n") * ($"sy".cast("double") / $"n")).as("cov_xy"),
+        $"gxbar", $"theta")
+      .select($"arm", $"n_users",
+        $"mean_y".cast("float").as("mean_y"),
+        ($"mean_y" - $"theta" * ($"mean_x" - $"gxbar")).cast("float")
+          .as("mean_y_cuped"),
+        when($"var_y" === 0.0, lit(null).cast("float"))
+          .otherwise((lit(1.0) -
+            ($"var_y" - lit(2.0) * $"theta" * $"cov_xy" +
+              $"theta" * $"theta" * $"var_x") / $"var_y").cast("float"))
+          .as("var_reduction"))
+      .orderBy($"arm")
+  }
+
+  val q226CupedSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+      |  FROM events),
+      |b AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev, b GROUP BY 1),
+      |armed AS (
+      |  SELECT x, y,
+      |    CASE WHEN CAST(('0x' || substring(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+      |         THEN 'A' ELSE 'B' END AS arm
+      |  FROM pu),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM armed),
+      |gg AS (
+      |  SELECT CAST(sx AS DOUBLE) / n AS gxbar,
+      |    (CAST(sxy AS DOUBLE) / n -
+      |      (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) /
+      |    (CAST(sxx AS DOUBLE) / n -
+      |      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS theta
+      |  FROM g),
+      |a AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM armed GROUP BY 1),
+      |m AS (
+      |  SELECT arm, n AS n_users,
+      |    CAST(sy AS DOUBLE) / n AS mean_y,
+      |    CAST(sx AS DOUBLE) / n AS mean_x,
+      |    CAST(syy AS DOUBLE) / n -
+      |      (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS var_y,
+      |    CAST(sxx AS DOUBLE) / n -
+      |      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS var_x,
+      |    CAST(sxy AS DOUBLE) / n -
+      |      (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cov_xy,
+      |    gg.gxbar, gg.theta
+      |  FROM a, gg)
+      |SELECT arm, n_users,
+      |  CAST(mean_y AS FLOAT) AS mean_y,
+      |  CAST(mean_y - theta * (mean_x - gxbar) AS FLOAT) AS mean_y_cuped,
+      |  CAST(CASE WHEN var_y = 0 THEN NULL
+      |            ELSE 1.0 - (var_y - 2.0 * theta * cov_xy +
+      |                        theta * theta * var_x) / var_y END AS FLOAT)
+      |    AS var_reduction
+      |FROM m ORDER BY arm""".stripMargin
 }
