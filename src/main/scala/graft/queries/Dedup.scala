@@ -486,7 +486,11 @@ object Dedup {
       |FROM bfs WHERE node IS NOT NULL
       |GROUP BY node ORDER BY doc_id""".stripMargin
 
-  val q45DupClustersSql: String =
+  /** The q45 component machinery as a reusable CTE prefix (ends with
+    * the `comp` CTE, no trailing comma) — shared by the q45 oracle and
+    * the q228 cluster-aware split oracle.
+    */
+  private val dupComponentCtes: String =
     s"""WITH RECURSIVE
       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -507,7 +511,10 @@ object Dedup {
       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
       |  UNION
       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
-      |comp AS (SELECT u AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY u)
+      |comp AS (SELECT u AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY u)""".stripMargin
+
+  val q45DupClustersSql: String =
+    s"""$dupComponentCtes
       |SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
       |       (COALESCE(c.cluster_rep, d.doc_id) = d.doc_id) AS keep
       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
@@ -1015,4 +1022,86 @@ object Dedup {
       |      / CAST((n * (n - 1)) / 2 AS BIGINT) AS reduction_ratio
       |FROM nd, tr, fo ORDER BY n_docs""".stripMargin
   }
+
+  /** q227: split-leakage audit — the eval-integrity gate every
+    * training pipeline needs after splitting: near-duplicate pairs
+    * (q40's exact τ-Jaccard truth) whose endpoints landed in DIFFERENT
+    * q39 splits are train→eval leakage (the eval member is effectively
+    * memorized). Reports every (split, split) cell of the pair matrix
+    * with its count and a leakage flag — the within-split diagonal
+    * rides along as the base-rate context. Composes the two existing
+    * operators; corpus-sized work is the near-dup machinery (family
+    * caches shared in-suite) + two doc_id equijoins against the
+    * split frame.
+    */
+  def q227SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val splits = TextOps.q39StableSplit(s, dir).select($"doc_id", $"split")
+    val pairs = nearDupPairs(s, dir).select($"d1", $"d2")
+    pairs
+      .join(splits.as("sa"), $"d1" === $"sa.doc_id")
+      .join(splits.as("sb"), $"d2" === $"sb.doc_id")
+      .select(least($"sa.split", $"sb.split").as("split_a"),
+        greatest($"sa.split", $"sb.split").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leakage", $"split_a" =!= $"split_b")
+      .orderBy($"split_a", $"split_b")
+  }
+
+  val q227SplitLeakageSql: String =
+    s"""WITH sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |          CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+      |        FROM documents)),
+      |nd AS (SELECT d1, d2 FROM ($nearDupPairsSql) x)
+      |SELECT least(sa.split, sb.split) AS split_a,
+      |  greatest(sa.split, sb.split) AS split_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS is_leakage
+      |FROM nd JOIN sp sa ON sa.doc_id = nd.d1
+      |        JOIN sp sb ON sb.doc_id = nd.d2
+      |GROUP BY 1, 2, 4
+      |ORDER BY split_a, split_b""".stripMargin
+
+  /** q228: cluster-aware (leakage-safe) split — the FIX for what q227
+    * measures: hashing each DOCUMENT into a split leaks near-duplicate
+    * pairs across the train/eval boundary (q227 counts them), so the
+    * split key must be the q45 CLUSTER representative — every member of
+    * a near-dup cluster lands in the same split by construction, and
+    * cross-split near-dup leakage is structurally zero (law-tested in
+    * DedupSpec alongside the q227 audit). Same md5 bucket mechanism and
+    * 80/10/10 ratios as q39, applied to the rep; singletons hash by
+    * their own id, so the assignment is stable under corpus growth
+    * exactly like q39's.
+    */
+  def q228ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = q45DupClusters(s, dir).select($"doc_id", $"cluster_rep")
+    val bucket = (conv(substring(md5(concat(lit("split:"),
+      $"cluster_rep".cast("string"))), 1, 8), 16, 10).cast("long") % 100)
+      .as("bucket")
+    clusters.select($"doc_id", $"cluster_rep", bucket)
+      .select($"doc_id", $"cluster_rep", $"bucket",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val q228ClusterSplitSql: String =
+    s"""$dupComponentCtes,
+      |cl AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      |bk AS (
+      |  SELECT doc_id, cluster_rep,
+      |    CAST(('0x' || substring(md5('split:' || CAST(cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM cl)
+      |SELECT doc_id, cluster_rep, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM bk ORDER BY doc_id""".stripMargin
 }
