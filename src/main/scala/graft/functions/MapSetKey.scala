@@ -25,9 +25,6 @@ case class MapSetKey(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = first.dataType
   override def prettyName: String = "map_set_key"
 
-  private lazy val valueType: DataType =
-    first.dataType.asInstanceOf[MapType].valueType
-
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (MapType(StringType, StringType, _), StringType, StringType) =>

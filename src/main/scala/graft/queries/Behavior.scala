@@ -1049,13 +1049,17 @@ object Behavior {
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
         sum($"x" * $"y").as("sxy"))
+    // θ = cov/var_x is undefined on a corpus with constant pre-period
+    // spend (var_x = 0); guard to NULL so both engines agree instead of
+    // Spark-NULL vs DuckDB-Inf divergence.
+    val gVarX = $"sxx".cast("double") / $"n" -
+      ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n")
     val g = stats(perUser.groupBy())
       .select(
         ($"sx".cast("double") / $"n").as("gxbar"),
-        (($"sxy".cast("double") / $"n" -
-          ($"sx".cast("double") / $"n") * ($"sy".cast("double") / $"n")) /
-          ($"sxx".cast("double") / $"n" -
-            ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n")))
+        when(gVarX === 0.0, lit(null).cast("double"))
+          .otherwise(($"sxy".cast("double") / $"n" -
+            ($"sx".cast("double") / $"n") * ($"sy".cast("double") / $"n")) / gVarX)
           .as("theta"))
     stats(perUser.groupBy($"arm"))
       .crossJoin(broadcast(g))
@@ -1105,10 +1109,13 @@ object Behavior {
       |  FROM armed),
       |gg AS (
       |  SELECT CAST(sx AS DOUBLE) / n AS gxbar,
-      |    (CAST(sxy AS DOUBLE) / n -
-      |      (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) /
-      |    (CAST(sxx AS DOUBLE) / n -
-      |      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS theta
+      |    CASE WHEN CAST(sxx AS DOUBLE) / n -
+      |              (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) = 0
+      |         THEN NULL
+      |         ELSE (CAST(sxy AS DOUBLE) / n -
+      |           (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) /
+      |         (CAST(sxx AS DOUBLE) / n -
+      |           (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) END AS theta
       |  FROM g),
       |a AS (
       |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,

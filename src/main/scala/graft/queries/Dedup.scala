@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -653,6 +654,130 @@ object Dedup {
       |    ORDER BY span_idx), '') AS text_clean
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Default minimum duplicated-substring length (tokens) for q230. */
+  val SubstrL = 8
+
+  /** q230 — variable-length substring dedup, the TRUE form q81
+    * approximates: the ExactSubstr pass of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" (2022) — remove every
+    * token that lies inside SOME substring of ≥ L tokens occurring ≥ 2
+    * times in the corpus (all occurrences removed, the published
+    * ExactSubstr behavior; occurrences within one document count).
+    *
+    * Why q81 is not enough: q81 segments each document into aligned
+    * non-overlapping 16-word spans, so a passage duplicated at
+    * DIFFERENT word offsets in two documents lands in different span
+    * strings and is never detected (SubstrDedupSpec pins exactly that
+    * straddle case). The exact criterion needs every offset.
+    *
+    * The suffix-array-free identity that makes it distributed: a token
+    * position is inside a duplicated substring of length ≥ L **iff**
+    * it is covered by a duplicated L-gram (stride-1 window). ⇒ direction:
+    * any duplicated run of length m ≥ L contains an L-sub-window over
+    * each of its positions, and each such window is itself duplicated.
+    * ⇐ direction: a duplicated L-gram IS a duplicated substring of
+    * length L. So the removal mask is the union of the extents
+    * [p, p+L) of duplicated L-grams — no suffix array, no cross-doc
+    * match bookkeeping, and maximal removal regions fall out of a
+    * per-document interval merge (gaps-and-islands).
+    *
+    * At 100 TB: gram generation fans out ×n_tokens (the same O(n)
+    * blow-up suffix-array construction pays, here as rows) and
+    * shuffles ONCE, keyed by md5(gram) — 16-byte keys, never the gram
+    * text; the duplicate test is a partition-local window count; all
+    * later steps are keyed by doc_id over the SEED rows only (rare —
+    * the duplicated fraction), except the reassembly anti-join which is
+    * (doc_id, tidx)-keyed and linear. Nothing is quadratic, nothing
+    * collects. Reports per document: token count, merged removal
+    * regions, removed-token count, and the cleaned text.
+    */
+  def q230SubstrDedup(s: SparkSession, dir: String, L: Int = SubstrL): DataFrame = {
+    import s.implicits._
+    val ws = Tables.load(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .cache() // feeds the gram lane and the token-reassembly lane
+    val grams = ws.filter(size($"ws") >= L)
+      .select($"doc_id", explode(transform(
+        sequence(lit(0L), (size($"ws") - L).cast("long")),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice($"ws", (i + 1).cast("int"), lit(L)))).as("h"))))
+        .as("g"))
+      .select($"doc_id", $"g.pos", $"g.h")
+    val cw = Window.partitionBy($"h")
+    val seeds = grams
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .filter($"cnt" >= 2)
+      .select($"doc_id", $"pos")
+      .cache() // rare rows; feed the interval merge and the cover explode
+    val dw = Window.partitionBy($"doc_id").orderBy($"pos")
+    val regions = seeds
+      .withColumn("b",
+        when($"pos" - lag($"pos", 1).over(dw) <= L, 0L).otherwise(1L))
+      .withColumn("island", sum($"b").over(dw))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("start_tok"), (max($"pos") + L).as("end_tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_regions"),
+        sum($"end_tok" - $"start_tok").cast("long").as("n_removed"))
+    val covered = seeds
+      .select($"doc_id", explode(sequence($"pos", $"pos" + L - 1)).as("tidx"))
+      .distinct()
+    val clean = ws
+      .select($"doc_id", posexplode($"ws").as(Seq("tidx", "tok")))
+      .join(covered, Seq("doc_id", "tidx"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"tidx", $"tok"))),
+        x => x.getField("tok")), " ").as("text_clean"))
+    ws.select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+      .join(regions, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_regions", lit(0L)).as("n_regions"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        coalesce($"text_clean", lit("")).as("text_clean"))
+      .orderBy($"doc_id")
+  }
+
+  def q230SubstrDedupSql(L: Int = SubstrL): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    array_to_string(ws[i+1 : i+$L], ' ') AS gram
+      |  FROM w, UNNEST(range(0, greatest(len(ws) - $L + 1, 0))) AS t(i)),
+      |dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      |seed AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)),
+      |brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |           <= $L THEN 0 ELSE 1 END AS b
+      |  FROM seed),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk),
+      |iv AS (SELECT doc_id, island, MIN(pos) AS start_tok,
+      |         MAX(pos) + $L AS end_tok
+      |       FROM isl GROUP BY 1, 2),
+      |reg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_regions,
+      |          CAST(SUM(end_tok - start_tok) AS BIGINT) AS n_removed
+      |        FROM iv GROUP BY 1),
+      |cov AS (SELECT DISTINCT s.doc_id, s.pos + j AS tidx
+      |        FROM seed s, UNNEST(range(0, $L)) AS u(j)),
+      |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS tidx, ws[i+1] AS tok
+      |         FROM w, UNNEST(range(0, len(ws))) AS t(i)),
+      |cl AS (
+      |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.tidx) AS text_clean
+      |  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tidx = t.tidx
+      |  WHERE c.tidx IS NULL GROUP BY 1)
+      |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+      |  COALESCE(reg.n_regions, 0) AS n_regions,
+      |  COALESCE(reg.n_removed, 0) AS n_removed,
+      |  COALESCE(cl.text_clean, '') AS text_clean
+      |FROM w LEFT JOIN reg ON reg.doc_id = w.doc_id
+      |LEFT JOIN cl ON cl.doc_id = w.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
   /** q101 — INCREMENTAL exact dedup against a PERSISTED fingerprint
     * index: the shape a 100 TB ingest actually runs — the corpus is
     * deduped ONCE at bootstrap (one corpus-sized shuffle building the
@@ -993,15 +1118,23 @@ object Dedup {
     val nd = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n"))
     val tr = nearDupPairs(s, dir).agg(count(lit(1)).as("n_true"))
     val fo = q148SortedNeighborhood(s, dir, w).agg(count(lit(1)).as("n_found"))
+    // Closed-form candidate count n·w − w(w+1)/2 only holds for n > w;
+    // a corpus with n ≤ w compares all pairs, so clamp to n(n−1)/2
+    // (and guard the n_possible = 0 division on n ≤ 1 corpora).
+    val nPossible = (($"n" * ($"n" - 1)) / 2).cast("long")
+    val nCandidates =
+      when(lit(w) < $"n", $"n" * w - cW).otherwise(($"n" * ($"n" - 1)) / 2)
+        .cast("long")
     nd.crossJoin(broadcast(tr)).crossJoin(broadcast(fo))
       .select($"n".as("n_docs"),
-        (($"n" * ($"n" - 1)) / 2).cast("long").as("n_possible"),
-        ($"n" * w - cW).cast("long").as("n_candidates"),
+        nPossible.as("n_possible"),
+        nCandidates.as("n_candidates"),
         $"n_true", $"n_found",
         when($"n_true" === 0, lit(null).cast("double"))
           .otherwise($"n_found".cast("double") / $"n_true").as("completeness"),
-        (lit(1.0) - ($"n" * w - cW).cast("double") /
-          (($"n" * ($"n" - 1)) / 2).cast("long")).as("reduction_ratio"))
+        when(nPossible === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - nCandidates.cast("double") / nPossible)
+          .as("reduction_ratio"))
       .orderBy($"n_docs")
   }
 
@@ -1014,12 +1147,15 @@ object Dedup {
       |       FROM (${q148SortedNeighborhoodSql(w)}) y)
       |SELECT n AS n_docs,
       |  CAST((n * (n - 1)) / 2 AS BIGINT) AS n_possible,
-      |  CAST(n * $w - $cW AS BIGINT) AS n_candidates,
+      |  CAST(CASE WHEN $w < n THEN n * $w - $cW
+      |            ELSE (n * (n - 1)) / 2 END AS BIGINT) AS n_candidates,
       |  n_true, n_found,
       |  CASE WHEN n_true = 0 THEN NULL
       |       ELSE CAST(n_found AS DOUBLE) / n_true END AS completeness,
-      |  1.0 - CAST(n * $w - $cW AS DOUBLE)
-      |      / CAST((n * (n - 1)) / 2 AS BIGINT) AS reduction_ratio
+      |  CASE WHEN (n * (n - 1)) / 2 = 0 THEN NULL
+      |       ELSE 1.0 - CAST(CASE WHEN $w < n THEN n * $w - $cW
+      |                            ELSE (n * (n - 1)) / 2 END AS DOUBLE)
+      |           / CAST((n * (n - 1)) / 2 AS BIGINT) END AS reduction_ratio
       |FROM nd, tr, fo ORDER BY n_docs""".stripMargin
   }
 
