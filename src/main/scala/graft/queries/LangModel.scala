@@ -564,4 +564,100 @@ object LangModel {
       |  UNION ALL
       |  SELECT 1000, vocab_size, total_tokens, cov_1000 FROM s)
       |ORDER BY k""".stripMargin
+
+  /** Default merge-round budget for q231. */
+  val BpeRounds = 10
+
+  /** q231 — BPE vocabulary TRAINING (q79 only counts pre-tokens): the
+    * iterative merge loop of Sennrich et al. 2016, run for exactly
+    * `rounds` rounds under the q215/q225 bounded-round discipline.
+    * Per round: count adjacent symbol pairs over the weighted
+    * vocabulary, pick the most frequent (deterministic tie-break:
+    * count DESC, then lexicographic (lhs, rhs)), apply the merge
+    * greedily left-to-right in every word. Output = the merge table
+    * (round, lhs, rhs, merged symbol, pair count) — the artifact a
+    * tokenizer ships.
+    *
+    * The trick that makes BOTH engines exact with zero per-row loops:
+    * a word's symbol sequence is ONE string with a trailing delimiter
+    * per symbol ("hello" → "h|e|l|l|o|"), so greedy left-to-right merge
+    * application is precisely non-overlapping string
+    * `replace(s, "l|r|", "lr|")` — the same primitive, with the same
+    * left-to-right non-overlap semantics, in Spark and DuckDB. The
+    * delimiter cannot collide: pre-tokens are filtered to ^[a-z]+$
+    * (the q79 letter-run convention).
+    *
+    * At 100 TB: the corpus is scanned ONCE into the weighted
+    * vocabulary (the only corpus-sized shuffle); every round then
+    * touches vocabulary-sized frames only — one pair-explode aggregate
+    * (map-side combined), a 1-row argmax that rides a broadcast, and a
+    * codegen'd replace projection. Per-round lineage is cut with eager
+    * localCheckpoint (the q215 discipline). A round with no pairs
+    * left produces no merge row and an empty vocabulary thereafter —
+    * identical on both engines, spec-pinned.
+    */
+  def q231BpeTrain(s: SparkSession, dir: String, rounds: Int = BpeRounds): DataFrame = {
+    import s.implicits._
+    var vocab = Tables.load(s, dir, "documents")
+      .select(explode(ws).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace($"word", "(.)", "$1|").as("s"), $"freq")
+      .localCheckpoint(true) // vocabulary-sized; cuts the corpus lineage
+    val merges = (1 to rounds).map { r =>
+      val syms = split($"s", "[|]") // k symbols → k+1 slots (trailing "")
+      val pairs = vocab
+        .select($"freq", explode(
+          when(size(syms) >= 3, transform(sequence(lit(0), size(syms) - 3),
+            i => struct(get(syms, i).as("lhs"), get(syms, i + 1).as("rhs"))))
+            .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+          .as("p"))
+      val best = pairs
+        .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+        .agg(sum($"freq").as("pair_count"))
+        .orderBy($"pair_count".desc, $"lhs", $"rhs").limit(1)
+        .select($"lhs", $"rhs", concat($"lhs", $"rhs").as("merged"),
+          $"pair_count")
+        .localCheckpoint(true) // ≤1 row; feeds the apply AND the output
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(replace($"s",
+          concat($"lhs", lit("|"), $"rhs", lit("|")),
+          concat($"merged", lit("|"))).as("s"), $"freq")
+        .localCheckpoint(true)
+      best.select(lit(r).cast("long").as("round"),
+        $"lhs", $"rhs", $"merged", $"pair_count")
+    }
+    merges.reduce(_ unionByName _).orderBy($"round")
+  }
+
+  def q231BpeTrainSql(rounds: Int = BpeRounds): String = {
+    def roundCtes(r: Int) =
+      s"""p$r AS (
+         |  SELECT ws[i+1] AS lhs, ws[i+2] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq, string_split(s, '|') AS ws FROM v${r - 1}),
+         |    UNNEST(range(0, greatest(len(ws) - 2, 0))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+         |  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(s, lhs || '|' || rhs || '|', merged || '|') AS s,
+         |    freq
+         |  FROM v${r - 1}, b$r)""".stripMargin
+    val body = (1 to rounds).map(roundCtes).mkString(",\n")
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, merged, pair_count FROM b$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH v0 AS MATERIALIZED (
+      |  SELECT regexp_replace(word, '(.)', '\\1|', 'g') AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$')
+      |  GROUP BY 1),
+      |$body
+      |SELECT * FROM (
+      |  $union)
+      |ORDER BY round""".stripMargin
+  }
 }

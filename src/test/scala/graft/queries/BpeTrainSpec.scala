@@ -1,0 +1,61 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** q231 BPE vocabulary training: hand-computed merge sequences on
+  * micro-corpora — greedy left-to-right application, weighted counts,
+  * deterministic tie-break, and the exhausted-vocabulary round.
+  */
+class BpeTrainSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-bpe").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private def run(tmp: String, rounds: Int): Seq[(Long, String, String, String, Long)] =
+    LangModel.q231BpeTrain(spark, tmp, rounds).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  test("hand-computed sequence: weighted counts, greedy overlap, and the exhausted third round") {
+    // corpus: "abab" ×2, "ab" ×3.
+    // round 1: pairs (a,b) = 2·2 + 3·1 = 7, (b,a) = 2 → merge (a,b)→ab (7)
+    //   "a|b|a|b|" → "ab|ab|",  "a|b|" → "ab|"
+    // round 2: (ab,ab) = 2 → merge → abab (2); vocab: "abab|", "ab|"
+    // round 3: no adjacent pairs remain → NO row, both engines
+    val tmp = writeDocs(Seq(
+      (0L, "abab abab ab"), (1L, "ab ab")))
+    assert(run(tmp, 3) == Seq(
+      (1L, "a", "b", "ab", 7L),
+      (2L, "ab", "ab", "abab", 2L)))
+  }
+
+  test("greedy left-to-right on an odd run: aaa merges to (aa)(a), counting non-overlapping pairs") {
+    // "aaa": symbol string a|a|a| has pairs (a,a) at pos 0 and 1 — the
+    // COUNT is positional (2), but the APPLY is non-overlapping greedy:
+    // a|a|a| → aa|a|
+    val tmp = writeDocs(Seq((0L, "aaa")))
+    val got = run(tmp, 2)
+    assert(got(0) == ((1L, "a", "a", "aa", 2L)))
+    // round 2 merges the remainder (aa,a)
+    assert(got(1) == ((2L, "aa", "a", "aaa", 1L)))
+  }
+
+  test("tie-break is (count DESC, lhs, rhs) — lexicographic smallest pair wins a tie") {
+    // "ba" and "cb": pairs (b,a)=1 and (c,b)=1 — tie broken to (b,a)
+    val tmp = writeDocs(Seq((0L, "ba cb")))
+    assert(run(tmp, 1) == Seq((1L, "b", "a", "ba", 1L)))
+  }
+
+  test("non-[a-z] pre-tokens are excluded by the q79 letter-run convention") {
+    val tmp = writeDocs(Seq((0L, "x9y x9y zz zz zz")))
+    // "x9y" is filtered out; only "zz" trains
+    assert(run(tmp, 1) == Seq((1L, "z", "z", "zz", 3L)))
+  }
+}
