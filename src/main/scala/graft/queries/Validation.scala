@@ -553,4 +553,51 @@ object Validation {
       |  MIN(ck) AS min_k,
       |  CAST(SUM(CASE WHEN ck < $k THEN ck ELSE 0 END) AS BIGINT) AS n_exposed_records
       |FROM classes GROUP BY 1 ORDER BY level""".stripMargin
+
+  /** q232: l-diversity ladder — the second half of the standard privacy
+    * audit pair (Machanavajjhala et al.'s distinct l-diversity, public
+    * formulation): k-anonymity (q219/q220) bounds how FEW records share
+    * a QI class, but a class whose members all carry the SAME sensitive
+    * value still leaks it (the homogeneity attack). Here the sensitive
+    * attribute is the market segment, the QI is (nation, balance band),
+    * and the report rides q220's generalization ladder: per band level,
+    * how many classes exist, how many carry fewer than l distinct
+    * sensitive values, the worst diversity, and how many records sit in
+    * violating classes. One (level, QI) aggregate with a distinct-count
+    * beside the plain count, then one level rollup — q220's exact
+    * shape, map-side partials throughout.
+    */
+  def q232LDiversity(s: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    import s.implicits._
+    val leveled = Tables.load(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment", $"c_acctbal",
+        explode(array(lit(1000), lit(2000), lit(4000), lit(8000))).as("level"))
+    val classes = leveled
+      .groupBy($"level", $"c_nationkey",
+        floor($"c_acctbal" / $"level".cast("double")).cast("long").as("band"))
+      .agg(count(lit(1)).as("ck"),
+        countDistinct($"c_mktsegment").as("lk"))
+    classes.groupBy($"level")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"lk" < l, 1L).otherwise(0L)).as("n_l_violations"),
+        min($"lk").as("min_l"),
+        sum(when($"lk" < l, $"ck").otherwise(0L)).as("n_exposed_records"))
+      .orderBy($"level")
+  }
+
+  def q232LDiversitySql(l: Int = 3): String =
+    s"""WITH leveled AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal, level
+      |  FROM customer CROSS JOIN (SELECT unnest([1000, 2000, 4000, 8000]) AS level) x),
+      |classes AS (
+      |  SELECT level, c_nationkey,
+      |    CAST(FLOOR(c_acctbal / CAST(level AS DOUBLE)) AS BIGINT) AS band,
+      |    CAST(COUNT(*) AS BIGINT) AS ck,
+      |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS lk
+      |  FROM leveled GROUP BY 1, 2, 3)
+      |SELECT level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(CASE WHEN lk < $l THEN 1 ELSE 0 END) AS BIGINT) AS n_l_violations,
+      |  MIN(lk) AS min_l,
+      |  CAST(SUM(CASE WHEN lk < $l THEN ck ELSE 0 END) AS BIGINT) AS n_exposed_records
+      |FROM classes GROUP BY 1 ORDER BY level""".stripMargin
 }

@@ -34,4 +34,29 @@ class PrivacySpec extends SparkSpec {
     assert(classCounts.zip(classCounts.tail).forall { case (fine, coarse) => coarse <= fine })
     assert(ladder.forall(_.getAs[Long]("n_exposed_records") <= nCustomers))
   }
+
+  test("q232 l-diversity: homogeneous classes are flagged even when k-anonymous") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // one class of 10 members all sharing ONE segment (k-safe at k=5,
+    // l-violating at l=3) and one class of 3 members with 3 segments
+    // (l-safe despite being small)
+    val rows =
+      (1 to 10).map(i => (i.toLong, 1, "AUTOMOBILE", 500.0)) ++
+      Seq((11L, 2, "BUILDING", 500.0), (12L, 2, "MACHINERY", 500.0),
+        (13L, 2, "FURNITURE", 500.0))
+    val tmp = Files.createTempDirectory("graft-ldiv").toString
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = Validation.q232LDiversity(spark, tmp).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_l_violations"), r.getAs[Long]("min_l"),
+        r.getAs[Long]("n_exposed_records"))).toMap
+    // every ladder level: 2 classes, only the homogeneous one violates,
+    // min_l = 1, 10 exposed records — the k-anonymity audit (q219, k=5)
+    // sees the same class as SAFE, which is the attack l-diversity closes
+    assert(got.values.forall(_ == ((2L, 1L, 1L, 10L))))
+    val k5 = Validation.q219KAnonymity(spark, tmp).collect()
+    assert(!k5.exists(r => r.getAs[Int]("nation") == 1))
+  }
 }
