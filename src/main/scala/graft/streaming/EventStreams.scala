@@ -506,4 +506,62 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
       .toDF("user_id", "event_id", "balance_cents")
   }
+
+  /** Per-fingerprint index processor for [[streamingDedup]] — the
+    * ingest-shaped twin of q101's batch merge: the fp→(owner, count)
+    * index lives as PER-KEY state (two longs in RocksDB) instead of a
+    * persisted parquet table, and each micro-batch is checked against
+    * it with no corpus-sized work at all. A key emits one row per
+    * batch it appears in: the running count plus `is_new` marking the
+    * batch that created it (the survivor emission).
+    */
+  private class DedupIndexProcessor
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long, Boolean)] {
+
+    @transient private var owner: ValueState[Long] = _
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      owner = getHandle.getValueState[Long]("owner", Encoders.scalaLong, TTLConfig.NONE)
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        fp: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Boolean)] = {
+      val ids = rows.map(_._2).toSeq.sorted // deterministic intra-batch order
+      val isNew = !owner.exists()
+      val own = if (isNew) ids.head else owner.get()
+      val n = (if (count.exists()) count.get() else 0L) + ids.size
+      if (isNew) owner.update(own)
+      count.update(n)
+      Iterator.single((fp, own, n, isNew))
+    }
+  }
+
+  /** Streaming incremental exact dedup (q101's ingest twin): documents
+    * arrive as an unbounded stream, each micro-batch is fingerprinted
+    * and checked against the PERSISTED index — here per-key
+    * `transformWithState` state rather than q101's parquet index
+    * table — and survivors (first corpus-wide occurrence) are exactly
+    * the `is_new` rows. Per-batch cost is O(batch + touched keys):
+    * the exact shape a 100 TB continuous ingest runs, with the index
+    * sharded across executors in RocksDB and restored from the
+    * checkpoint on restart (restart safety pinned in
+    * EventStreamsSpec: a re-crawled text after a kill/restart is NOT
+    * re-emitted as a survivor). Batch ≡ stream law: replaying any
+    * batch partition of a corpus in doc_id order yields q101's
+    * one-shot answer — same survivors, same final counts.
+    */
+  def streamingDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(md5(col("text")).as("fp"), col("doc_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DedupIndexProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("fp", "owner_doc", "n_copies", "is_new")
+  }
 }

@@ -17,6 +17,8 @@ import graft.SparkSpec
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+case class Doc(doc_id: Long, text: String)
+
 class EventStreamsSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp =
@@ -315,5 +317,80 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.length == 1)
     assert(rows.head.getAs[Long]("user_id") == 7L)
     assert(rows.head.getAs[Long]("n_events") == 3L)
+  }
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming dedup: batch-partitioned replay of the corpus equals the one-shot dedup (batch ≡ stream)") {
+    withRocksDb {
+      import org.apache.spark.sql.functions.{col, max, md5, min, count => cnt, lit}
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).as[Doc].collect().toSeq
+      // arrival: the corpus, then a re-crawl of the even half, then a
+      // full re-crawl — doc_id strictly increasing across batches, so
+      // the one-shot min-doc_id dedup is the stream's ground truth
+      val b1 = docs
+      val b2 = docs.filter(_.doc_id % 2 == 0).map(d => Doc(d.doc_id + 1000000L, d.text))
+      val b3 = docs.map(d => Doc(d.doc_id + 2000000L, d.text))
+      val union = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+      val truth = union.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("owner"), cnt(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      val in = MemoryStream[Doc](spark)
+      val name = s"sdedup_${System.nanoTime()}"
+      val q = EventStreams.streamingDedup(in.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      Seq(b1, b2, b3).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+
+      val out = spark.sql(s"SELECT * FROM $name")
+      val survivors = out.filter(col("is_new"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(survivors == truth.map { case (fp, (own, _)) => fp -> own })
+      val finalCounts = out.groupBy(col("fp")).agg(max(col("n_copies")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(finalCounts == truth.map { case (fp, (_, n)) => fp -> n })
+    }
+  }
+
+  test("streaming dedup: state survives a kill/restart — a re-crawled text is not re-emitted as survivor") {
+    withRocksDb {
+      import java.nio.file.Files
+      import org.apache.spark.sql.functions.col
+      val in = MemoryStream[Doc](spark)
+      val ckpt = Files.createTempDirectory("graft-sdedup-ckpt").toString
+      val out = Files.createTempDirectory("graft-sdedup-out").toString
+      def start() = EventStreams.streamingDedup(in.toDF())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      in.addData(Doc(1, "alpha"), Doc(2, "beta"))
+      q1.processAllAvailable(); q1.stop()
+      val q2 = start() // state + sink log restored from the checkpoint
+      in.addData(Doc(3, "alpha"), Doc(4, "gamma"))
+      q2.processAllAvailable(); q2.stop()
+
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      val byFp = rows.groupBy(_._1)
+      // exactly one survivor emission per distinct text, none duplicated
+      assert(rows.count(_._4) == 3)
+      // alpha: owner 1 carried across the restart, count 2, second
+      // emission NOT flagged new
+      val alpha = byFp.values.find(_.exists(r => r._2 == 1L)).get.sortBy(_._3)
+      assert(alpha.map(r => (r._2, r._3, r._4)).toSeq ==
+        Seq((1L, 1L, true), (1L, 2L, false)))
+    }
   }
 }
