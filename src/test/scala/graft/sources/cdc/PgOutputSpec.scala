@@ -437,4 +437,151 @@ class PgOutputSpec extends SparkSpec {
       assert(rows.map(_.getString(0)).toSeq == Seq("1", "2"))
     } finally q.stop()
   }
+
+  // -- adversarial-interleaving properties -------------------------------
+
+  private def truncateMsg(relIds: Seq[Int]): Array[Byte] = {
+    val b = buf(); b.put('T'.toByte); b.putInt(relIds.length); b.put(0.toByte)
+    relIds.foreach(b.putInt); fin(b)
+  }
+  private def originMsg(lsn: Long, name: String): Array[Byte] = {
+    val b = buf(); b.put('O'.toByte); b.putLong(lsn); cstr(b, name); fin(b)
+  }
+
+  test("property: random Relation-change/Truncate/noise interleavings render each row against the schema in force at its position") {
+    val layouts = Vector(
+      Seq(true -> "id", false -> "a"),
+      Seq(true -> "id", false -> "a", false -> "b"),
+      Seq(true -> "id"))
+    (1 to 30).foreach { trial =>
+      val rnd = new scala.util.Random(trial)
+      val s = new PgOutputSession
+      var cur = 0
+      var msgs = Vector[Array[Byte]](relationMsg(1, "public", "t", 'd', layouts(cur)))
+      var expected = Vector.empty[(Long, Map[String, String])]
+      var nextId = 0
+      (1 to 1 + rnd.nextInt(4)).foreach { tx =>
+        val micros = pg2024 + tx * 1000000L
+        msgs :+= beginMsg(tx * 100L, micros, tx)
+        (1 to rnd.nextInt(7)).foreach { _ =>
+          rnd.nextInt(4) match {
+            case 0 => // mid-transaction schema change
+              cur = rnd.nextInt(layouts.length)
+              msgs :+= relationMsg(1, "public", "t", 'd', layouts(cur))
+            case 1 => // Truncate: decoded, releases nothing (≙ reference)
+              msgs :+= truncateMsg(Seq(1))
+            case 2 => // replication-origin noise
+              msgs :+= originMsg(rnd.nextLong(1 << 20), s"o$trial")
+            case 3 =>
+              nextId += 1
+              val cells = layouts(cur).indices.map(i => Some(s"v$nextId-$i"))
+              msgs :+= insertMsg(1, cells)
+              expected :+= ((micros + PgOutput.PgEpochMicros,
+                layouts(cur).zipWithIndex
+                  .map { case ((_, n), i) => n -> s"v$nextId-$i" }.toMap))
+          }
+        }
+        msgs :+= commitMsg(tx * 100L, micros)
+      }
+      val events = msgs.flatMap(m => s.feed(m))
+      assert(events.length == expected.length)
+      events.zip(expected).foreach { case (ev, (micros, data)) =>
+        assert(ev.eventTimeMicros == micros)
+        assert(ev.newData.toMap == data)
+      }
+    }
+  }
+
+  test("property: interleaved streamed segments with random aborts release exactly the surviving rows at commit, never earlier") {
+    val xids = Seq(900, 901)
+    (1 to 30).foreach { trial =>
+      val rnd = new scala.util.Random(1000 + trial)
+      val s = new PgOutputSession
+      assert(s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id"))).isEmpty)
+      val pendingExp = scala.collection.mutable.Map(
+        900 -> Vector.empty[(Int, String)], 901 -> Vector.empty[(Int, String)])
+      val first = scala.collection.mutable.Set(900, 901)
+      var n = 0
+      (1 to 2 + rnd.nextInt(5)).foreach { _ =>
+        val xid = xids(rnd.nextInt(2))
+        assert(s.feed(streamStartMsg(xid, first.remove(xid))).isEmpty)
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          n += 1
+          val sub = xid + rnd.nextInt(2) * 1000 // top xid or a subtransaction
+          assert(s.feed(streamed(sub, insertMsg(1, Seq(Some(n.toString))))).isEmpty)
+          pendingExp(xid) :+= ((sub, n.toString))
+        }
+        assert(s.feed(streamStopMsg()).isEmpty)
+        if (rnd.nextInt(3) == 0) { // random abort between segments
+          val sub = xid + rnd.nextInt(2) * 1000
+          assert(s.feed(streamAbortMsg(xid, sub)).isEmpty)
+          pendingExp(xid) =
+            if (sub == xid) Vector.empty // whole-transaction abort
+            else pendingExp(xid).filter(_._1 != sub)
+        }
+      }
+      xids.foreach { xid =>
+        val got = s.feed(streamCommitMsg(xid, 0x9000L, pg2024))
+        assert(got.map(_.newData.toMap.apply("id")) == pendingExp(xid).map(_._2))
+        assert(got.forall(_.eventTimeMicros == pg2024 + PgOutput.PgEpochMicros))
+      }
+    }
+  }
+
+  test("property: torn/coalesced CopyData byte boundaries never corrupt the wire reader") {
+    import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, InputStream}
+    // a realistic tail: keepalives interleaved with XLogData frames
+    // wrapping pgoutput payloads
+    val payloads = Seq(
+      relationMsg(1, "public", "t", 'd', Seq(true -> "id", false -> "a")),
+      beginMsg(100L, pg2024, 1),
+      insertMsg(1, Seq(Some("1"), Some("x"))),
+      updateMsg(1, Some('K'), Seq(Some("1"), None), Seq(Some("1"), Some("y"))),
+      deleteMsg(1, 'K', Seq(Some("1"), None)),
+      commitMsg(100L, pg2024))
+    def copyData(inner: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(inner.length + 25)
+      b.put('w'.toByte).putLong(1L).putLong(2L).putLong(3L).put(inner); fin(b)
+    }
+    def keepalive(): Array[Byte] = {
+      val b = ByteBuffer.allocate(18)
+      b.put('k'.toByte).putLong(9L).putLong(9L).put(0.toByte); fin(b)
+    }
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    payloads.foreach { p =>
+      PgWire.writeMessage(out, 'd', keepalive())
+      PgWire.writeMessage(out, 'd', copyData(p))
+    }
+    val wire = bos.toByteArray
+    (1 to 20).foreach { trial =>
+      val rnd = new scala.util.Random(trial)
+      // dribble 1–4 bytes per read: every frame boundary gets torn
+      val torn: InputStream = new InputStream {
+        private var pos = 0
+        override def read(): Int =
+          if (pos >= wire.length) -1 else { val v = wire(pos) & 0xff; pos += 1; v }
+        override def read(b: Array[Byte], off: Int, len: Int): Int = {
+          if (pos >= wire.length) return -1
+          val k = math.min(len, math.min(1 + rnd.nextInt(4), wire.length - pos))
+          System.arraycopy(wire, pos, b, off, k); pos += k; k
+        }
+      }
+      val in = new DataInputStream(torn)
+      val s = new PgOutputSession
+      val events = (1 to payloads.length * 2).flatMap { _ =>
+        val (typ, body) = PgWire.readMessage(in)
+        assert(typ == 'd')
+        PgWire.decodeCopyPayload(body) match {
+          case PgWire.XLogData(_, _, _, p) => s.feed(p)
+          case _: PgWire.Keepalive         => Nil
+          case other => fail(s"unexpected payload $other")
+        }
+      }
+      assert(in.read() == -1) // stream fully consumed, nothing left over
+      assert(events.map(_.op) == Seq(Op.Insert, Op.Update, Op.Delete))
+      assert(events(1).oldData.toMap == Map("id" -> "1")) // 'K' PK-only
+      assert(events.forall(_.eventTimeMicros == pg2024 + PgOutput.PgEpochMicros))
+    }
+  }
 }
