@@ -104,10 +104,13 @@ object CdcPipeline {
     */
   def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame = {
     val router = TopicRouter(cfg.kafka.tableTopicMapping)
-    // quality observation sits BEFORE the handler's filters so silently
-    // dropped records (unknown op, unroutable table) surface as counters
-    val watched = Metrics.observedQuality(
-      Metrics.observed(events), router, cfg.keyField)
+    // ONE pre-handler observation carrying pipeline metrics AND quality
+    // counters (before the handler's filters, so silently dropped
+    // records surface). One CollectMetrics node, not two: each node
+    // costs ~2µs/row of stage-break overhead regardless of its
+    // expressions (SerBench isolate, sf0.1) — stacking observed ∘
+    // observedQuality doubled the serializer lane.
+    val watched = Metrics.observedAll(events, router, cfg.keyField)
     val records = cfg.serializer match {
       case graft.app.ConnectorConfig.SerializerDebezium =>
         // envelope lane emits string key/value; the sink contract (and

@@ -9,11 +9,18 @@ import graft.transform.Handlers
 
 /** Ablation microbench for the two CDC serializer lanes: attributes the
   * flat-vs-envelope throughput delta to its component expressions.
-  * Usage: runMain graft.tools.SerBench [sfDir]
+  * Usage: runMain graft.tools.SerBench [sfDir] [isolate]
+  *
+  * `isolate` mode runs the round-9 regression experiment instead: the
+  * flat lane, the envelope lane, and the envelope lane with the round-8
+  * quality-counter observe attached, INTERLEAVED round-robin across
+  * attempts so co-located load drift hits every lane equally — the
+  * isolation run VERDICT r8 asked for on the 321k→272k envelope drop.
   */
 object SerBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val isolate = args.lift(1).contains("isolate")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -30,6 +37,49 @@ object SerBench {
         val t0 = System.nanoTime(); run(df); (System.nanoTime() - t0) / 1e9
       }
       println(f"$tag: ${ts.min}%.3f s  (attempts ${ts.map(t => f"$t%.2f").mkString(", ")})")
+    }
+
+    if (isolate) {
+      val lanes: Seq[(String, () => DataFrame)] = Seq(
+        "flat" -> (() => Handlers.declarative(events, router, "l_orderkey")),
+        "envelope" -> (() => Handlers.debeziumEnvelope(events, router, "l_orderkey")),
+        "envelope+observe" -> (() => Handlers.debeziumEnvelope(
+          graft.streaming.Metrics.observedQuality(
+            graft.streaming.Metrics.observed(events), router, "l_orderkey"),
+          router, "l_orderkey")),
+        "env+obs-no-quality" -> (() => Handlers.debeziumEnvelope(
+          graft.streaming.Metrics.observed(events), router, "l_orderkey")),
+        "env+quality-no-img" -> (() => Handlers.debeziumEnvelope(
+          events.observe("q_noimg",
+            org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.when(
+              !col("op").isin(graft.model.Op.all: _*), 1L).otherwise(0L)).as("quality:unknown_op"),
+            org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.when(
+              router.resolveColumn(col("tableNamespace"), col("tableName")).isNull,
+              1L).otherwise(0L)).as("quality:unroutable_table")),
+          router, "l_orderkey")),
+        "env+count-observe" -> (() => Handlers.debeziumEnvelope(
+          events.observe("bare",
+            org.apache.spark.sql.functions.count(lit(1)).as("n")),
+          router, "l_orderkey")),
+        "env+merged-observe" -> (() => Handlers.debeziumEnvelope(
+          graft.streaming.Metrics.observedAll(events, router, "l_orderkey"),
+          router, "l_orderkey")))
+      lanes.foreach { case (_, mk) => run(mk()) } // warm all lanes first
+      val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+      (1 to 7).foreach { _ =>
+        lanes.foreach { case (tag, mk) =>
+          val df = mk()
+          val t0 = System.nanoTime(); run(df)
+          samples(tag) = samples(tag) :+ (System.nanoTime() - t0) / 1e9
+        }
+      }
+      lanes.foreach { case (tag, _) =>
+        val ts = samples(tag).sorted
+        println(f"$tag%-18s min ${ts.min}%.3f s  median ${ts(ts.length / 2)}%.3f s" +
+          s"  (attempts ${ts.map(t => f"$t%.2f").mkString(", ")})")
+      }
+      spark.stop(); return
     }
     val img = Handlers.payloadImage(col("op"), col("oldData"), col("newData"))
     def base = events
