@@ -596,13 +596,18 @@ object LangModel {
     * left produces no merge row and an empty vocabulary thereafter —
     * identical on both engines, spec-pinned.
     */
-  def q231BpeTrain(s: SparkSession, dir: String, rounds: Int = BpeRounds): DataFrame = {
+  /** The q231 training loop, exposed for [[q233BpeEncode]]: returns the
+    * per-round merge frames AND the trained vocabulary (word → final
+    * symbol string) after `rounds` merges.
+    */
+  private[queries] def bpeTrainFrames(s: SparkSession, dir: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
     import s.implicits._
     var vocab = Tables.load(s, dir, "documents")
       .select(explode(ws).as("word"))
       .filter($"word".rlike("^[a-z]+$"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .select(regexp_replace($"word", "(.)", "$1|").as("s"), $"freq")
+      .select($"word", regexp_replace($"word", "(.)", "$1|").as("s"), $"freq")
       .localCheckpoint(true) // vocabulary-sized; cuts the corpus lineage
     val merges = (1 to rounds).map { r =>
       val syms = split($"s", "[|]") // k symbols → k+1 slots (trailing "")
@@ -620,17 +625,27 @@ object LangModel {
           $"pair_count")
         .localCheckpoint(true) // ≤1 row; feeds the apply AND the output
       vocab = vocab.crossJoin(broadcast(best))
-        .select(replace($"s",
+        .select($"word", replace($"s",
           concat($"lhs", lit("|"), $"rhs", lit("|")),
           concat($"merged", lit("|"))).as("s"), $"freq")
         .localCheckpoint(true)
       best.select(lit(r).cast("long").as("round"),
         $"lhs", $"rhs", $"merged", $"pair_count")
     }
+    (merges, vocab)
+  }
+
+  def q231BpeTrain(s: SparkSession, dir: String, rounds: Int = BpeRounds): DataFrame = {
+    import s.implicits._
+    val (merges, _) = bpeTrainFrames(s, dir, rounds)
     merges.reduce(_ unionByName _).orderBy($"round")
   }
 
-  def q231BpeTrainSql(rounds: Int = BpeRounds): String = {
+  /** The unrolled training CTE chain shared by the q231 and q233
+    * oracles: v0..v`rounds` carry (word, s, freq); b1..b`rounds` are the
+    * per-round winning merges.
+    */
+  private def bpeCtes(rounds: Int): String = {
     def roundCtes(r: Int) =
       s"""p$r AS (
          |  SELECT ws[i+1] AS lhs, ws[i+2] AS rhs,
@@ -642,22 +657,71 @@ object LangModel {
          |  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
          |  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
          |v$r AS MATERIALIZED (
-         |  SELECT replace(s, lhs || '|' || rhs || '|', merged || '|') AS s,
+         |  SELECT word,
+         |    replace(s, lhs || '|' || rhs || '|', merged || '|') AS s,
          |    freq
          |  FROM v${r - 1}, b$r)""".stripMargin
-    val body = (1 to rounds).map(roundCtes).mkString(",\n")
-    val union = (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, merged, pair_count FROM b$r")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH v0 AS MATERIALIZED (
-      |  SELECT regexp_replace(word, '(.)', '\\1|', 'g') AS s,
+    s"""v0 AS MATERIALIZED (
+      |  SELECT word, regexp_replace(word, '(.)', '\\1|', 'g') AS s,
       |    CAST(COUNT(*) AS BIGINT) AS freq
       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
       |  WHERE regexp_matches(word, '^[a-z]+$$')
-      |  GROUP BY 1),
-      |$body
+      |  GROUP BY word),
+      |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  def q231BpeTrainSql(rounds: Int = BpeRounds): String = {
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, merged, pair_count FROM b$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bpeCtes(rounds)}
       |SELECT * FROM (
       |  $union)
       |ORDER BY round""".stripMargin
   }
+
+  /** q233 — BPE tokenizer APPLICATION (the other half of q231: a
+    * trained vocabulary is only useful if encoding with it is an
+    * operator too): encode the corpus with the `rounds` trained merges
+    * and report, per source, the exact word/char/BPE-token totals and
+    * the chars-per-token compression the tokenizer achieves. The
+    * per-word token count is read straight off the trained vocabulary's
+    * final symbol string (symbols = delimiter count), so encoding is a
+    * broadcast join corpus-words → vocabulary — at 100 TB the merges
+    * and vocabulary are tiny; the corpus pays one scan + one broadcast
+    * probe + one per-source aggregate, no shuffle keyed on anything
+    * corpus-sized. chars_per_token is ONE double division of two exact
+    * BIGINT sums (engine-identical bits).
+    */
+  def q233BpeEncode(s: SparkSession, dir: String, rounds: Int = BpeRounds): DataFrame = {
+    import s.implicits._
+    val (_, vocab) = bpeTrainFrames(s, dir, rounds)
+    val words = Tables.load(s, dir, "documents")
+      .select($"source", explode(ws).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+    words.join(broadcast(vocab.select($"word", $"s")), Seq("word"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"word")).cast("long").as("n_chars"),
+        sum(size(split($"s", "[|]")) - 1).cast("long").as("n_bpe_tokens"))
+      .select($"source", $"n_words", $"n_chars", $"n_bpe_tokens",
+        ($"n_chars".cast("double") / $"n_bpe_tokens").as("chars_per_token"))
+      .orderBy($"source")
+  }
+
+  def q233BpeEncodeSql(rounds: Int = BpeRounds): String =
+    s"""WITH ${bpeCtes(rounds)},
+      |wrds AS (
+      |  SELECT source, word
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$')),
+      |enc AS (SELECT w.source, w.word, v.s
+      |        FROM wrds w JOIN v$rounds v USING (word))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(len(string_split(s, '|')) - 1) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(SUM(length(word)) AS DOUBLE)
+      |    / SUM(len(string_split(s, '|')) - 1) AS chars_per_token
+      |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
 }

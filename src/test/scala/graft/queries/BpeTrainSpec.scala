@@ -58,4 +58,21 @@ class BpeTrainSpec extends SparkSpec {
     // "x9y" is filtered out; only "zz" trains
     assert(run(tmp, 1) == Seq((1L, "z", "z", "zz", 3L)))
   }
+
+  test("q233 encode: per-source token counts follow the trained merges exactly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-bpe-enc").toString
+    Seq((0L, "abab abab ab", "s1"), (1L, "ab ab", "s2"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    // after ONE merge (a,b)→ab: "abab" encodes as [ab, ab], "ab" as [ab]
+    val r1 = LangModel.q233BpeEncode(spark, tmp, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(r1 == Seq(("s1", 3L, 10L, 5L, 2.0), ("s2", 2L, 4L, 2L, 2.0)))
+    // after the second merge (ab,ab)→abab every word is one token
+    val r2 = LangModel.q233BpeEncode(spark, tmp, rounds = 2).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(r2 == Seq(("s1", 3L), ("s2", 2L)))
+  }
 }

@@ -562,4 +562,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"the 1-row corpus count must broadcast:\n$p")
   }
+
+  test("q230: every window is keyed (gram-hash / doc_id) and no join is a nested loop") {
+    val df = graft.SparkEntry.queries("q230_substr_dedup")(spark, dir)
+    df.collect()
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "expected the dup-count and island windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"q230 must never run a global window:\n${df.queryExecution.optimizedPlan}")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q230 joins must all be equijoins:\n$p")
+  }
+
+  test("q233: the trained vocabulary broadcasts onto the corpus words") {
+    val p = plan("q233_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the vocab side to broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the word join must not shuffle the corpus:\n$p")
+  }
 }
