@@ -265,8 +265,8 @@ object Multimodal {
           $"a.media_id" < $"b.media_id")
       .select($"a.media_id".as("id1"), $"b.media_id".as("id2"),
         bit_count($"a.phash".bitwiseXOR($"b.phash")).cast("int").as("hamming"))
+      .filter($"hamming" <= maxHamming) // before the distinct: shrink its input
       .distinct() // a pair may agree on several bands
-      .filter($"hamming" <= maxHamming)
       .orderBy($"id1", $"id2")
   }
 
