@@ -327,4 +327,96 @@ object ModelEval {
       |  CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT) AS avg_logprob,
       |  CAST(exp(-(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT))) AS FLOAT) AS perplexity
       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q234: group-fairness audit of the q112 quality filter — the
+    * pre-deployment check a corpus-curation model owes its sources
+    * (the public Fairlearn/Aequitas report card): per source group,
+    * the selection rate (share of documents the filter keeps — whose
+    * gap across groups is demographic parity), the true-positive and
+    * false-positive rates against the `lang = 'en'` label (whose gaps
+    * are equalized odds, Hardt et al. 2016), and each group's gap vs
+    * the pooled overall rate. A filter with high AUC (q194) can still
+    * starve one source of its good documents — this is the query that
+    * shows it.
+    *
+    * Cross-engine exactness: the confusion cells are exact BIGINT sums
+    * over {0,1} products; every rate is ONE fixed-shape double
+    * division (guarded to NULL on an empty label class, the q226
+    * degenerate-denominator rule) and gaps subtract the identically
+    * shaped pooled rate before a single float presentation.
+    *
+    * Scale shape: the q112 feature aggregate is map-side partial on
+    * doc_id, the source join is a doc_id-keyed equijoin, then ONE
+    * source-keyed aggregate whose output is bounded by |sources|; the
+    * pooled row re-aggregates that bounded frame and rides a broadcast
+    * one-row crossJoin — no second corpus pass.
+    */
+  def q234FairnessAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = LangModel.qualityScores(s, dir)
+      .join(Tables.load(s, dir, "documents").select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .select($"source",
+        when($"lang" === "en", 1L).otherwise(0L).as("y"),
+        when($"quality_score" >= 0.5, 1L).otherwise(0L).as("pred"))
+    val grp = scored.groupBy($"source").agg(
+      count(lit(1)).as("n"),
+      sum($"pred").as("n_kept"),
+      sum($"pred" * $"y").as("tp"),
+      sum($"pred" * (lit(1L) - $"y")).as("fp"),
+      sum((lit(1L) - $"pred") * $"y").as("fn"),
+      sum((lit(1L) - $"pred") * (lit(1L) - $"y")).as("tn"))
+    val overall = grp.agg(
+      sum($"n").as("o_n"), sum($"n_kept").as("o_kept"),
+      sum($"tp").as("o_tp"), sum($"fp").as("o_fp"),
+      sum($"fn").as("o_fn"), sum($"tn").as("o_tn"))
+    def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    grp.crossJoin(broadcast(overall))
+      .select($"source", $"n", $"n_kept", $"tp", $"fp", $"fn", $"tn",
+        rate($"n_kept", $"n").cast("float").as("selection_rate"),
+        rate($"tp", $"tp" + $"fn").cast("float").as("tpr"),
+        rate($"fp", $"fp" + $"tn").cast("float").as("fpr"),
+        (rate($"n_kept", $"n") - rate($"o_kept", $"o_n"))
+          .cast("float").as("parity_gap"),
+        (rate($"tp", $"tp" + $"fn") - rate($"o_tp", $"o_tp" + $"o_fn"))
+          .cast("float").as("tpr_gap"),
+        (rate($"fp", $"fp" + $"tn") - rate($"o_fp", $"o_fp" + $"o_tn"))
+          .cast("float").as("fpr_gap"))
+      .orderBy($"source")
+  }
+
+  val q234FairnessAuditSql: String =
+    s"""WITH ${LangModel.qualityScoresCte},
+      |sc AS (
+      |  SELECT d.source,
+      |    CASE WHEN q.lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END AS pred
+      |  FROM qscore q JOIN documents d ON d.doc_id = q.doc_id),
+      |g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pred) AS BIGINT) AS n_kept,
+      |    CAST(SUM(pred * y) AS BIGINT) AS tp,
+      |    CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+      |    CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+      |    CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+      |  FROM sc GROUP BY source),
+      |o AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS o_n, CAST(SUM(n_kept) AS BIGINT) AS o_kept,
+      |    CAST(SUM(tp) AS BIGINT) AS o_tp, CAST(SUM(fp) AS BIGINT) AS o_fp,
+      |    CAST(SUM(fn) AS BIGINT) AS o_fn, CAST(SUM(tn) AS BIGINT) AS o_tn
+      |  FROM g)
+      |SELECT g.source, g.n, g.n_kept, g.tp, g.fp, g.fn, g.tn,
+      |  CAST(CASE WHEN g.n <> 0 THEN CAST(g.n_kept AS DOUBLE) / CAST(g.n AS DOUBLE) END AS FLOAT) AS selection_rate,
+      |  CAST(CASE WHEN g.tp + g.fn <> 0 THEN CAST(g.tp AS DOUBLE) / CAST(g.tp + g.fn AS DOUBLE) END AS FLOAT) AS tpr,
+      |  CAST(CASE WHEN g.fp + g.tn <> 0 THEN CAST(g.fp AS DOUBLE) / CAST(g.fp + g.tn AS DOUBLE) END AS FLOAT) AS fpr,
+      |  CAST((CASE WHEN g.n <> 0 THEN CAST(g.n_kept AS DOUBLE) / CAST(g.n AS DOUBLE) END)
+      |     - (CASE WHEN o.o_n <> 0 THEN CAST(o.o_kept AS DOUBLE) / CAST(o.o_n AS DOUBLE) END) AS FLOAT) AS parity_gap,
+      |  CAST((CASE WHEN g.tp + g.fn <> 0 THEN CAST(g.tp AS DOUBLE) / CAST(g.tp + g.fn AS DOUBLE) END)
+      |     - (CASE WHEN o.o_tp + o.o_fn <> 0 THEN CAST(o.o_tp AS DOUBLE) / CAST(o.o_tp + o.o_fn AS DOUBLE) END) AS FLOAT) AS tpr_gap,
+      |  CAST((CASE WHEN g.fp + g.tn <> 0 THEN CAST(g.fp AS DOUBLE) / CAST(g.fp + g.tn AS DOUBLE) END)
+      |     - (CASE WHEN o.o_fp + o.o_tn <> 0 THEN CAST(o.o_fp AS DOUBLE) / CAST(o.o_fp + o.o_tn AS DOUBLE) END) AS FLOAT) AS fpr_gap
+      |FROM g CROSS JOIN o
+      |ORDER BY source""".stripMargin
 }

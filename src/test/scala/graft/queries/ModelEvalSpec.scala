@@ -88,4 +88,31 @@ class ModelEvalSpec extends SparkSpec {
       .map(_.getAs[Float]("perplexity").toDouble)
     assert(ppl.forall(p => p > 1.0 && !p.isInfinite))
   }
+
+  test("q234: confusion cells partition each group; rates match the cells; " +
+    "gaps are vs the pooled rate and count-weighted-average to zero") {
+    val rows = ModelEval.q234FairnessAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    val totKept = rows.map(_.getAs[Long]("n_kept")).sum
+    val totN = rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n"), r.getAs[Long]("n_kept"))
+      val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      assert(tp + fp + fn + tn == n)
+      assert(tp + fp == kept)
+      assert(math.abs(r.getAs[Float]("selection_rate") - kept.toDouble / n) < 1e-6)
+      if (tp + fn > 0)
+        assert(math.abs(r.getAs[Float]("tpr") - tp.toDouble / (tp + fn)) < 1e-6)
+      assert(math.abs(r.getAs[Float]("parity_gap") -
+        (kept.toDouble / n - totKept.toDouble / totN)) < 1e-6)
+    }
+    // selection-rate gaps weighted by group size sum to zero (they are
+    // deviations from the pooled mean)
+    val wsum = rows.map(r =>
+      r.getAs[Float]("parity_gap").toDouble * r.getAs[Long]("n")).sum
+    assert(math.abs(wsum) < 1e-3)
+  }
 }
