@@ -1143,4 +1143,124 @@ object Behavior {
       |                        theta * theta * var_x) / var_y END AS FLOAT)
       |    AS var_reduction
       |FROM m ORDER BY arm""".stripMargin
+
+  /** q235: Bradley–Terry preference-strength fitting — the estimator
+    * behind RLHF reward modeling and LLM-arena leaderboards (public
+    * Bradley–Terry 1952 model, Hunter 2004 MM algorithm; the Chatbot
+    * Arena Elo is this model): items acquire latent strengths π from
+    * pairwise win counts, P(i beats j) = π_i/(π_i+π_j). Duels derive
+    * deterministically from the corpus: for each user and each pair of
+    * event types both present in that user's history, the type with the
+    * strictly larger event count wins one duel (ties carry no signal
+    * and are dropped). The MM update
+    * π_i ← W_i / Σ_j n_ij/(π_i+π_j), followed by a sum-normalization,
+    * iterates exactly `rounds` rounds on BOTH engines — the q225
+    * bounded-round discipline, with every accumulation an ORDERED fold
+    * (opponents ascending, then items ascending) so the double
+    * sequences are bit-identical; strengths present as FLOAT, the rank
+    * orders on the pre-rounding double.
+    *
+    * Scale shape: the corpus-sized work is one (user, event_type)
+    * aggregate and one user-keyed self-equijoin whose fan-out is
+    * bounded by |event types|² per user; the duel matrix is ≤ T(T−1)
+    * rows, so the driver-side solve is O(rounds·T²) on a bounded
+    * frame — never corpus-scale (the q225 contract). An item whose
+    * win count is zero pins at strength 0 (Hunter's condition: its
+    * MLE diverges to 0; documented rather than smoothed).
+    */
+  def q235BradleyTerry(s: SparkSession, dir: String, rounds: Int = 20): DataFrame = {
+    import s.implicits._
+    val u = Tables.load(s, dir, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // referenced by both self-join branches
+    val d = u.as("a").join(u.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .filter($"a.n" =!= $"b.n")
+      .select(
+        when($"a.n" > $"b.n", $"a.event_type").otherwise($"b.event_type").as("winner"),
+        when($"a.n" > $"b.n", $"b.event_type").otherwise($"a.event_type").as("loser"))
+      .groupBy($"winner", $"loser").agg(count(lit(1)).as("w"))
+    // bounded by construction: ≤ |event types| · (|event types| − 1) rows
+    val duelRows = d.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val nij = scala.collection.mutable.Map.empty[(String, String), Long]
+    duelRows.foreach { case (w, l, c) =>
+      nij((w, l)) = nij.getOrElse((w, l), 0L) + c
+      nij((l, w)) = nij.getOrElse((l, w), 0L) + c
+    }
+    val items = nij.keys.map(_._1).toSeq.distinct.sorted
+    val wins = items.map(i =>
+      i -> duelRows.filter(_._1 == i).map(_._3).sum).toMap
+    val opp = items.map(i => i -> items.filter(j => nij.contains((i, j)))
+      .sorted.map(j => (j, nij((i, j))))).toMap
+    var pi = items.map(_ -> 1.0).toMap
+    for (_ <- 1 to rounds) {
+      // ordered folds: opponents ascending inside each item, items
+      // ascending for the normalizer — the oracle's list(... ORDER BY)
+      // reduces execute the identical IEEE sequence
+      val raw = items.map { i =>
+        val den = opp(i).foldLeft(0.0) { case (a, (j, c)) =>
+          a + c / (pi(i) + pi(j)) }
+        i -> (if (wins(i) == 0L || den == 0.0) 0.0 else wins(i) / den)
+      }
+      val sum = raw.foldLeft(0.0)(_ + _._2)
+      pi = raw.map { case (i, v) => i -> v / sum }.toMap
+    }
+    val ranked = items.map { i =>
+      (i, wins(i), opp(i).map(_._2).sum, pi(i))
+    }.sortBy { case (i, _, _, p) => (-p, i) }.zipWithIndex.map {
+      case ((i, w, dl, p), idx) => (i, w, dl, p.toFloat, (idx + 1).toLong)
+    }
+    ranked.toDF("item", "wins", "duels", "strength", "rank")
+      .orderBy($"item")
+  }
+
+  def q235BradleyTerrySql(rounds: Int = 20): String = {
+    def roundCte(k: Int) =
+      s"""raw$k AS MATERIALIZED (
+         |  SELECT w.i,
+         |    CASE WHEN w.wins = 0 OR COALESCE(acc.den, CAST(0 AS DOUBLE)) = 0
+         |         THEN CAST(0 AS DOUBLE) ELSE w.wins / acc.den END AS pi_raw
+         |  FROM wins w LEFT JOIN (
+         |    SELECT np.i, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list(np.nij / (pa.pi + pb.pi) ORDER BY np.j)),
+         |      (a, x) -> a + x) AS den
+         |    FROM np JOIN p${k - 1} pa ON pa.i = np.i
+         |      JOIN p${k - 1} pb ON pb.i = np.j
+         |    GROUP BY np.i) acc ON acc.i = w.i),
+         |p$k AS MATERIALIZED (
+         |  SELECT r.i, r.pi_raw / s.s AS pi
+         |  FROM raw$k r CROSS JOIN (
+         |    SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list(pi_raw ORDER BY i)), (a, x) -> a + x) AS s
+         |    FROM raw$k) s)""".stripMargin
+    val roundCtes = (1 to rounds).map(roundCte).mkString(",\n")
+    s"""WITH u AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT CASE WHEN a.n > b.n THEN a.event_type ELSE b.event_type END AS winner,
+      |    CASE WHEN a.n > b.n THEN b.event_type ELSE a.event_type END AS loser,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM u a JOIN u b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  WHERE a.n <> b.n GROUP BY 1, 2),
+      |np AS (
+      |  SELECT i, j, CAST(SUM(w) AS BIGINT) AS nij FROM (
+      |    SELECT winner AS i, loser AS j, w FROM d
+      |    UNION ALL SELECT loser, winner, w FROM d)
+      |  GROUP BY 1, 2),
+      |items AS (SELECT DISTINCT i FROM np),
+      |wins AS (
+      |  SELECT it.i, CAST(COALESCE(SUM(d.w), 0) AS BIGINT) AS wins
+      |  FROM items it LEFT JOIN d ON d.winner = it.i GROUP BY it.i),
+      |p0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS pi FROM items),
+      |$roundCtes,
+      |dd AS (SELECT i, CAST(SUM(nij) AS BIGINT) AS duels FROM np GROUP BY i)
+      |SELECT w.i AS item, w.wins, dd.duels,
+      |  CAST(p.pi AS FLOAT) AS strength,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY p.pi DESC, w.i) AS BIGINT) AS rank
+      |FROM wins w JOIN p$rounds p ON p.i = w.i JOIN dd ON dd.i = w.i
+      |ORDER BY item""".stripMargin
+  }
 }

@@ -219,4 +219,51 @@ class EntityBehaviorSpec extends SparkSpec {
         r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
     }
   }
+
+  test("q235: Bradley–Terry strengths satisfy the MLE fixpoint — expected wins " +
+    "match actual wins; ranks are the strength permutation; masses conserve") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Behavior.q235BradleyTerry(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val strength = rows.map(r =>
+      r.getAs[String]("item") -> r.getAs[Float]("strength").toDouble).toMap
+    // strengths are a normalized positive mass
+    assert(strength.values.forall(_ > 0.0))
+    assert(math.abs(strength.values.sum - 1.0) < 1e-5)
+    // ranks are exactly the descending-strength permutation (ties by item)
+    val expected = rows.sortBy(r =>
+      (-r.getAs[Float]("strength").toDouble, r.getAs[String]("item")))
+      .zipWithIndex.map { case (r, i) => r.getAs[String]("item") -> (i + 1L) }.toMap
+    rows.foreach(r => assert(r.getAs[Long]("rank") ==
+      expected(r.getAs[String]("item"))))
+    // independent duel recount in plain Scala collections
+    val perUser = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (u, es) =>
+        u -> es.groupBy(_._2).view.mapValues(_.size.toLong).toMap }
+    val nij = scala.collection.mutable.Map.empty[(String, String), Long]
+    val winsRef = scala.collection.mutable.Map.empty[String, Long]
+    perUser.values.foreach { counts =>
+      val ts = counts.keys.toSeq.sorted
+      for (a <- ts; b <- ts if a < b && counts(a) != counts(b)) {
+        val w = if (counts(a) > counts(b)) a else b
+        winsRef(w) = winsRef.getOrElse(w, 0L) + 1
+        nij((a, b)) = nij.getOrElse((a, b), 0L) + 1
+        nij((b, a)) = nij.getOrElse((b, a), 0L) + 1
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wins") == winsRef.getOrElse(r.getAs[String]("item"), 0L))
+    }
+    // at the MLE, E[wins_i] = Σ_j n_ij · π_i/(π_i+π_j) equals the actual
+    // win count — 20 MM rounds must land within a relative percent
+    strength.keys.foreach { i =>
+      val ew = strength.keys.filter(j => j != i && nij.contains((i, j))).toSeq.sorted
+        .map(j => nij((i, j)) * strength(i) / (strength(i) + strength(j))).sum
+      val w = winsRef.getOrElse(i, 0L).toDouble
+      assert(math.abs(ew - w) / math.max(w, 1.0) < 0.01,
+        s"item $i expected-wins $ew vs actual $w")
+    }
+  }
 }
