@@ -901,4 +901,105 @@ object Similarity {
       |  1.0 - CAST(SUM(CASE WHEN pred_label <> label THEN 1 ELSE 0 END)
       |    AS DOUBLE) / COUNT(*) AS purity
       |FROM pred GROUP BY label ORDER BY label""".stripMargin
+
+  /** q236: dominant principal direction of the embedding corpus via
+    * QUANTIZED power iteration — the "common component removal"
+    * primitive of Arora et al. 2017 (subtracting the top singular
+    * direction from sentence/doc embeddings) and the first step of any
+    * PCA-whitening pass over an embedding store. v₀ is the uniform unit
+    * vector (1/√64 = 0.125 exactly, dyadic); each of the exactly
+    * `rounds` rounds computes per row the ordered-fold dot ⟨x, v⟩
+    * (native codegen'd [[graft.functions.DotProduct]] ≡ DuckDB's
+    * `list_sum(list_transform(...))`, proven bit-identical on the
+    * cosine lane), QUANTIZES each per-row contribution
+    * `floor((dot·x_k)·10⁶)` to an exact BIGINT, and sums — so the
+    * inter-round state is integer-exact and ORDER-FREE across
+    * partitionings, the one place a distributed float sum could
+    * diverge; normalization folds the 64 squares in ascending-k order
+    * (bounded frame, q225 discipline). Output: the unit direction per
+    * dimension plus the share of the corpus second moment the
+    * direction captures (quantized Rayleigh / quantized total, two
+    * exact BIGINTs into one double division).
+    *
+    * Scale shape: per round ONE embeddings scan with a 64-column
+    * map-side-partial aggregate (no shuffle beyond the 1-row combine;
+    * the direction rides to executors as a 64-double literal) —
+    * `rounds` linear passes is the honest cost of power iteration; the
+    * driver only ever holds 64 longs. The 10⁶ quantum bounds per-row
+    * contributions ≤ ~10⁷, so corpus sums stay inside BIGINT up to
+    * ~10¹¹ rows — shrink the quantum with corpus growth beyond that
+    * (parameterized).
+    */
+  def q236PcaPower(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"embedding").localCheckpoint(true) // scanned once, reused per round
+    val q = lit(1000000.0)
+    var v = Array.fill(Dim)(0.125)
+    for (_ <- 1 to rounds) {
+      val dots = emb.withColumn("dot",
+        call_function("dot_product", $"embedding", typedLit(v)))
+      val aggs = (0 until Dim).map(k =>
+        sum(floor(($"dot" * get($"embedding", lit(k))) * q).cast("long")).as(s"s$k"))
+      val row = dots.agg(aggs.head, aggs.tail: _*).collect().head
+      val sArr = Array.tabulate(Dim)(k => row.getLong(k))
+      var acc = 0.0 // ascending-k fold — the oracle's list(... ORDER BY kk) reduce
+      sArr.foreach { sv => val d = sv.toDouble; acc += d * d }
+      val norm = math.sqrt(acc)
+      v = sArr.map(_.toDouble / norm)
+    }
+    val withDot = emb.withColumn("dot",
+      call_function("dot_product", $"embedding", typedLit(v)))
+    val mom = withDot.agg(
+      sum(floor(($"dot" * $"dot") * q).cast("long")).as("r"),
+      sum(floor(call_function("dot_product", $"embedding", $"embedding") * q)
+        .cast("long")).as("t")).collect().head
+    val explained = (mom.getLong(0).toDouble / mom.getLong(1).toDouble).toFloat
+    (0 until Dim).map(k => ((k + 1).toLong, v(k).toFloat, explained))
+      .toDF("k", "component", "explained_pct")
+      .orderBy($"k")
+  }
+
+  def q236PcaPowerSql(rounds: Int = 8): String = {
+    val v0 = Seq.fill(Dim)("CAST(0.125 AS DOUBLE)").mkString("[", ", ", "]")
+    def roundCte(k: Int) =
+      s"""d$k AS (
+         |  SELECT e.embedding, list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> CAST(e.embedding[i] AS DOUBLE) * v.vec[i])) AS dot
+         |  FROM emb e CROSS JOIN p${k - 1} v),
+         |s$k AS MATERIALIZED (
+         |  SELECT u.k AS kk,
+         |    CAST(SUM(CAST(FLOOR((u.dot * u.x) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+         |  FROM (SELECT dot, unnest(embedding) AS x,
+         |          generate_subscripts(embedding, 1) AS k FROM d$k) u
+         |  GROUP BY u.k),
+         |n$k AS MATERIALIZED (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) ORDER BY kk)),
+         |    (a, x) -> a + x) AS acc
+         |  FROM s$k),
+         |p$k AS MATERIALIZED (
+         |  SELECT list(CAST(s AS DOUBLE) / sqrt(n.acc) ORDER BY kk) AS vec
+         |  FROM s$k, n$k n)""".stripMargin
+    val roundCtes = (1 to rounds).map(roundCte).mkString(",\n")
+    s"""WITH emb AS (SELECT embedding FROM embeddings),
+      |p0 AS (SELECT $v0::DOUBLE[] AS vec),
+      |$roundCtes,
+      |df AS (
+      |  SELECT e.embedding, list_sum(list_transform(range(1, ${Dim + 1}),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * v.vec[i])) AS dot
+      |  FROM emb e CROSS JOIN p$rounds v),
+      |rq AS (SELECT CAST(SUM(CAST(FLOOR((dot * dot) * 1000000.0) AS BIGINT)) AS BIGINT) AS r
+      |       FROM df),
+      |tq AS (SELECT CAST(SUM(CAST(FLOOR(list_sum(list_transform(range(1, ${Dim + 1}),
+      |         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+      |         * 1000000.0) AS BIGINT)) AS BIGINT) AS t
+      |       FROM emb)
+      |SELECT CAST(s.kk AS BIGINT) AS k,
+      |  CAST(CAST(s.s AS DOUBLE) / sqrt(n.acc) AS FLOAT) AS component,
+      |  CAST(CAST(rq.r AS DOUBLE) / CAST(tq.t AS DOUBLE) AS FLOAT) AS explained_pct
+      |FROM s$rounds s, n$rounds n, rq, tq
+      |ORDER BY k""".stripMargin
+  }
 }
