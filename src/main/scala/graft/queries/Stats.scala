@@ -1164,4 +1164,164 @@ object Stats {
       |  CAST(cumrev AS DOUBLE) / total_rev AS rev_share
       |FROM c JOIN b USING (rk)
       |ORDER BY ventile""".stripMargin
+
+  /** q237: split-conformal prediction intervals (Vovk et al.; the
+    * Lei et al. 2018 split-conformal recipe) around the q179 linear
+    * model — the distribution-free guarantee a point-predicting
+    * regression owes its consumers: train on one fold, take the
+    * ⌈(1−α)(n+1)⌉-th smallest absolute calibration residual as the
+    * interval half-width q̂, and report the realized coverage of
+    * ŷ ± q̂ on a held-out test fold (finite-sample ≥ 1−α under
+    * exchangeability, no normality assumption — what q179's plain fit
+    * cannot promise). Users split 6/2/2 by the q39 portable md5
+    * bucket.
+    *
+    * Cross-engine exactness: features/targets are integer counts, the
+    * normal-equation sums are exact BIGINTs over the train fold only,
+    * the coefficients are the SAME det3 cofactor text template both
+    * engines evaluate, residuals are one fixed-shape double chain, and
+    * q̂ is an ORDER STATISTIC — selected by exact (resid, user_id)
+    * rank, never an interpolating quantile — so the coverage compare
+    * `resid ≤ q̂` sees identical bits on both engines. k comes from
+    * FLOOR arithmetic on BIGINTs (identical IEEE ops).
+    *
+    * Scale shape: one user-keyed aggregate over events, a 9-sum
+    * one-row reduce on the train fold, and the q172/q194
+    * range-partitioned distributed prefix for the calibration rank —
+    * no global single-partition window; q̂ and the coefficients ride
+    * broadcast one-row frames onto the test fold.
+    */
+  def q237Conformal(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import s.implicits._
+    val bucket = (conv(substring(md5(concat(lit("conf:"), $"user_id".cast("string"))), 1, 8),
+      16, 10).cast("long") % 10).as("bucket")
+    val perUser = Tables.load(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("x2"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+      .select($"*", bucket)
+      .localCheckpoint(true) // three folds read this frame
+    val train = perUser.filter($"bucket" < 6)
+    val fitSums = train.agg(
+      count(lit(1)).as("n"),
+      sum($"x1").as("sx1"), sum($"x2").as("sx2"), sum($"y").as("sy"),
+      sum($"x1" * $"x1").as("s11"), sum($"x1" * $"x2").as("s12"),
+      sum($"x2" * $"x2").as("s22"),
+      sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"))
+    val (n, sx1, sx2, sy, s11, s12, s22, s1y, s2y) = (
+      "CAST(n AS DOUBLE)", "CAST(sx1 AS DOUBLE)", "CAST(sx2 AS DOUBLE)",
+      "CAST(sy AS DOUBLE)", "CAST(s11 AS DOUBLE)", "CAST(s12 AS DOUBLE)",
+      "CAST(s22 AS DOUBLE)", "CAST(s1y AS DOUBLE)", "CAST(s2y AS DOUBLE)")
+    val dDet = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    val d0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    val d2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    val fit = fitSums.select($"n".as("n_train"),
+      expr(s"($d0) / ($dDet)").as("b0"),
+      expr(s"($d1) / ($dDet)").as("b1"),
+      expr(s"($d2) / ($dDet)").as("b2"))
+    def resid(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(fit))
+      .withColumn("resid", abs($"y".cast("double") -
+        ($"b0" + $"b1" * $"x1".cast("double") + $"b2" * $"x2".cast("double"))))
+    val cal = resid(perUser.filter($"bucket" >= 6 && $"bucket" < 8))
+      .select($"user_id", $"resid")
+    // exact k-th order statistic via the distributed range-partitioned prefix
+    val ranged = cal.repartitionByRange(parts, $"resid".asc, $"user_id".asc)
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pt"))
+      .select($"pid", coalesce(sum($"pt").over(Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val wIn = Window.partitionBy($"pid").orderBy($"resid", $"user_id")
+    val rankedCal = ranged.join(broadcast(offsets), "pid")
+      .withColumn("rk", $"off" + row_number().over(wIn))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // ⌈(1−α)(n+1)⌉ exceeds n when n_cal < ⌈(1−α)/α⌉ — the guarantee
+    // then needs an infinite interval; report the conventional finite
+    // clamp (q̂ = max residual) instead, documented, both engines
+    val kSel = nCal.select($"n_cal",
+      least(floor((lit(9L) * ($"n_cal" + 1) + 9L) / lit(10.0)), $"n_cal").as("k"))
+    val qhat = rankedCal.crossJoin(broadcast(kSel))
+      .filter($"rk" === $"k")
+      .select($"n_cal", $"k", $"resid".as("qhat"))
+    val test = resid(perUser.filter($"bucket" >= 8))
+    // grouped (not global) aggregate: an empty calibration fold yields
+    // ZERO rows on both engines, not a Spark-only all-null row
+    test.crossJoin(broadcast(qhat))
+      .groupBy($"n_train", $"n_cal", $"k", $"b0", $"b1", $"b2", $"qhat")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"resid" <= $"qhat", 1L).otherwise(0L)).as("n_covered"))
+      .select($"n_train", $"n_cal", $"k", $"n_test", $"n_covered",
+        $"b0".cast("float").as("b0"), $"b1".cast("float").as("b1"),
+        $"b2".cast("float").as("b2"),
+        $"qhat".cast("float").as("qhat"),
+        ($"n_covered".cast("double") / $"n_test".cast("double"))
+          .cast("float").as("coverage"))
+  }
+
+  val q237ConformalSql: String = {
+    val (n, sx1, sx2, sy, s11, s12, s22, s1y, s2y) = (
+      "CAST(n AS DOUBLE)", "CAST(sx1 AS DOUBLE)", "CAST(sx2 AS DOUBLE)",
+      "CAST(sy AS DOUBLE)", "CAST(s11 AS DOUBLE)", "CAST(s12 AS DOUBLE)",
+      "CAST(s22 AS DOUBLE)", "CAST(s1y AS DOUBLE)", "CAST(s2y AS DOUBLE)")
+    val dDet = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    val d0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    val d2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(('0x' || substring(md5('conf:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10
+      |      AS bucket
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+      |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+      |    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+      |  FROM u WHERE bucket < 6),
+      |fit AS (
+      |  SELECT n AS n_train,
+      |    ($d0) / ($dDet) AS b0,
+      |    ($d1) / ($dDet) AS b1,
+      |    ($d2) / ($dDet) AS b2
+      |  FROM s),
+      |cal AS (
+      |  SELECT u.user_id,
+      |    abs(CAST(u.y AS DOUBLE) - (f.b0 + f.b1 * CAST(u.x1 AS DOUBLE)
+      |      + f.b2 * CAST(u.x2 AS DOUBLE))) AS resid
+      |  FROM u CROSS JOIN fit f WHERE u.bucket >= 6 AND u.bucket < 8),
+      |ksel AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+      |    LEAST(CAST(FLOOR((9 * (COUNT(*) + 1) + 9) / 10.0) AS BIGINT),
+      |          CAST(COUNT(*) AS BIGINT)) AS k
+      |  FROM cal),
+      |qh AS (
+      |  SELECT k1.n_cal, k1.k, r.resid AS qhat
+      |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY resid, user_id) AS rk FROM cal) r
+      |  JOIN ksel k1 ON r.rk = k1.k),
+      |te AS (
+      |  SELECT u.user_id,
+      |    abs(CAST(u.y AS DOUBLE) - (f.b0 + f.b1 * CAST(u.x1 AS DOUBLE)
+      |      + f.b2 * CAST(u.x2 AS DOUBLE))) AS resid
+      |  FROM u CROSS JOIN fit f WHERE u.bucket >= 8)
+      |SELECT f.n_train, q.n_cal, q.k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN te.resid <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  CAST(f.b0 AS FLOAT) AS b0, CAST(f.b1 AS FLOAT) AS b1,
+      |  CAST(f.b2 AS FLOAT) AS b2, CAST(q.qhat AS FLOAT) AS qhat,
+      |  CAST(CAST(SUM(CASE WHEN te.resid <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS FLOAT) AS coverage
+      |FROM te CROSS JOIN qh q CROSS JOIN fit f
+      |GROUP BY f.n_train, q.n_cal, q.k, f.b0, f.b1, f.b2, q.qhat""".stripMargin
+  }
 }

@@ -360,4 +360,36 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("xcorr")) <= 1.0)
     }
   }
+
+  test("q237: folds partition the users, k is the conformal order index, " +
+    "coverage bookkeeping holds and lands near the 90% target") {
+    import spark.implicits._
+    // sf0.01: sf0.001 has only ~15 users, which exercises the k-clamp
+    // corner rather than the estimator — checked separately below
+    val d01 = "/root/testdata/sf0.01"
+    val r = Stats.q237Conformal(spark, d01).collect().head
+    val nUsers = graft.sources.Tables.load(spark, d01, "events")
+      .select($"user_id").distinct().count()
+    val (nTr, nCal, nTe) = (r.getAs[Long]("n_train"),
+      r.getAs[Long]("n_cal"), r.getAs[Long]("n_test"))
+    assert(nTr + nCal + nTe == nUsers)
+    assert(nTr > 0 && nCal > 0 && nTe > 0)
+    // k = min(ceil(0.9 * (n_cal + 1)), n_cal) — the split-conformal order index
+    assert(r.getAs[Long]("k") ==
+      math.min(math.ceil(0.9 * (nCal + 1)).toLong, nCal))
+    assert(r.getAs[Long]("k") >= 1 && r.getAs[Long]("k") <= nCal)
+    val covered = r.getAs[Long]("n_covered")
+    assert(math.abs(r.getAs[Float]("coverage") - covered.toDouble / nTe) < 1e-6)
+    assert(r.getAs[Float]("qhat") >= 0.0f)
+    // marginal validity: realized coverage must sit near the 1-α target
+    // (small-fold noise band — the guarantee is ≥ 0.9 in expectation)
+    val cov = r.getAs[Float]("coverage")
+    assert(cov >= 0.75f && cov <= 1.0f, s"coverage=$cov")
+  }
+
+  test("q237: tiny calibration fold clamps k to n_cal instead of emitting nothing") {
+    val r = Stats.q237Conformal(spark, dir).collect()
+    assert(r.length == 1) // sf0.001: 15 users — the clamp corner is live
+    assert(r.head.getAs[Long]("k") == r.head.getAs[Long]("n_cal"))
+  }
 }
