@@ -90,7 +90,11 @@ object Graphs {
     * construction. Per round: one label-mass shuffle + one per-node
     * window — the same one-shuffle-per-iteration scale shape as q103.
     */
-  def q113LabelProp(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+  /** Symmetrized, weight-summed undirected event-transition multigraph
+    * — the q113/q238 edge frame (src, dst, wt), with both directions
+    * present and self-loop weights doubled by the symmetrization.
+    */
+  private def symmetrizedEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.load(s, dir, "events")
       .select($"user_id", $"ts", $"event_id", $"event_type")
@@ -102,10 +106,17 @@ object Graphs {
       .agg(count(lit(1)).as("wt"))
     // symmetrize INTERNALLY (the ComponentsSpec lesson): an undirected
     // neighbourhood, with parallel edge weights summed
-    val edges = directed
+    directed
       .unionByName(directed.select($"dst".as("src"), $"src".as("dst"), $"wt"))
       .groupBy($"src", $"dst").agg(sum($"wt").as("wt"))
-    val nodes = ev.select($"event_type".as("node")).distinct()
+  }
+
+  /** The q113 synchronous rounds over a prebuilt edge frame: returns
+    * the final (node, lbl) assignment.
+    */
+  private def labelPropOn(s: SparkSession, edges: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    import s.implicits._
     var labels = nodes.select($"node", $"node".as("lbl"))
     val byMass = Window.partitionBy($"node").orderBy($"w".desc, $"lbl")
     for (_ <- 1 to rounds) {
@@ -116,10 +127,23 @@ object Graphs {
       labels = labels.join(winner, Seq("node"), "left")
         .select($"node", coalesce($"new_lbl", $"lbl").as("lbl"))
     }
-    labels.select($"node", $"lbl".as("community")).orderBy($"node")
+    labels
   }
 
-  val q113LabelPropSql: String = {
+  def q113LabelProp(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val edges = symmetrizedEdges(s, dir)
+    val nodes = Tables.load(s, dir, "events")
+      .select($"event_type".as("node")).distinct()
+    labelPropOn(s, edges, nodes, rounds)
+      .select($"node", $"lbl".as("community")).orderBy($"node")
+  }
+
+  /** The label-propagation CTE chain (graph build + 3 unrolled rounds,
+    * final labels in `l3`, edges in `e`) — shared by the q113 and q238
+    * oracles.
+    */
+  private val labelPropCtes: String = {
     def round(i: Int, prev: String) =
       s"""m$i AS (
          |  SELECT e.dst AS node, r.lbl, CAST(SUM(e.wt) AS BIGINT) AS w
@@ -132,7 +156,7 @@ object Graphs {
          |l$i AS (
          |  SELECT p.node, COALESCE(w$i.new_lbl, p.lbl) AS lbl
          |  FROM $prev p LEFT JOIN w$i ON w$i.node = p.node)""".stripMargin
-    s"""WITH tr AS (
+    s"""tr AS (
        |  SELECT event_type AS dst,
        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
        |  FROM events),
@@ -147,8 +171,109 @@ object Graphs {
        |l0 AS (SELECT DISTINCT event_type AS node, event_type AS lbl FROM events),
        |${round(1, "l0")},
        |${round(2, "l1")},
-       |${round(3, "l2")}
+       |${round(3, "l2")}""".stripMargin
+  }
+
+  val q113LabelPropSql: String =
+    s"""WITH $labelPropCtes
        |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
+
+  /** q238: Newman–Girvan weighted modularity TRAJECTORY of the q113
+    * label propagation — the evaluation a community detector owes its
+    * consumer, reported per round: Q = Σ_c [ e_c/2m − (d_c/2m)² ]
+    * (Newman 2004, weighted form) over the symmetric weight matrix,
+    * where e_c is intra-community weight, d_c the community strength
+    * sum, 2m the total weight of the symmetrized edge frame
+    * (conventions: both directions present, self-loop weight doubled
+    * by the symmetrization — stated so the number reproduces). Round 0
+    * scores the singleton partition; rounds 1–3 score each propagation
+    * step — on this dense transition graph the trajectory shows the
+    * coarsening finding NO real structure (Q never rises above the
+    * singleton baseline before collapsing to the trivial Q = 0 single
+    * community), which is exactly what a dense near-complete graph
+    * should report and why the trajectory, not one number, is the
+    * honest output. Every Q folds its bounded per-community frame in
+    * ascending-community order (the q225 discipline) — doubles
+    * bit-match the oracle.
+    *
+    * Scale shape: the corpus-sized work is the one window + one
+    * (src, dst) aggregate building the graph; per round, two
+    * node-keyed label joins and three bounded aggregates. Label frames
+    * checkpoint once per round — no per-consumer recompute (the q218
+    * lesson).
+    */
+  def q238Modularity(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = symmetrizedEdges(s, dir).localCheckpoint(true)
+    val nodes = Tables.load(s, dir, "events")
+      .select($"event_type".as("node")).distinct()
+    val twom = e.agg(sum($"wt").as("twom"))
+    val strength = e.groupBy($"src".as("node")).agg(sum($"wt").as("k"))
+    def qOf(r: Int, lbl: DataFrame): DataFrame = {
+      val kc = lbl.join(strength, Seq("node"), "left")
+        .groupBy($"lbl".as("community"))
+        .agg(sum(coalesce($"k", lit(0L))).as("degree_sum"))
+      val iw = e
+        .join(lbl.select($"node".as("src"), $"lbl".as("c_src")), "src")
+        .join(lbl.select($"node".as("dst"), $"lbl".as("c_dst")), "dst")
+        .filter($"c_src" === $"c_dst")
+        .groupBy($"c_src".as("community"))
+        .agg(sum($"wt").as("internal_weight"))
+      val cc = kc.join(iw, Seq("community"), "left")
+        .crossJoin(broadcast(twom))
+        .select($"community",
+          (coalesce($"internal_weight", lit(0L)).cast("double") / $"twom".cast("double")
+            - ($"degree_sum".cast("double") / $"twom".cast("double"))
+            * ($"degree_sum".cast("double") / $"twom".cast("double"))).as("contrib"))
+      cc.agg(count(lit(1)).as("n_communities"),
+          LangModel.orderedSum($"community", $"contrib").as("q"))
+        .select(lit(r.toLong).as("round"), $"n_communities", $"q")
+    }
+    var labels = nodes.select($"node", $"node".as("lbl")).localCheckpoint(true)
+    var out = qOf(0, labels)
+    val byMass = Window.partitionBy($"node").orderBy($"w".desc, $"lbl")
+    for (r <- 1 to rounds) {
+      val mass = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node"), $"lbl").agg(sum($"wt").as("w"))
+      val winner = mass.withColumn("rk", row_number().over(byMass))
+        .filter($"rk" === 1).select($"node", $"lbl".as("new_lbl"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select($"node", coalesce($"new_lbl", $"lbl").as("lbl"))
+        .localCheckpoint(true) // read by qOf (×3 joins) and the next round
+      out = out.unionByName(qOf(r, labels))
+    }
+    out.select($"round", $"n_communities", $"q".cast("float").as("modularity"))
+      .orderBy($"round")
+  }
+
+  val q238ModularitySql: String = {
+    def qCte(r: Int) =
+      s"""kc$r AS (
+         |  SELECT l.lbl AS community, CAST(SUM(COALESCE(st.k, 0)) AS BIGINT) AS degree_sum
+         |  FROM l$r l LEFT JOIN st ON st.node = l.node GROUP BY 1),
+         |iw$r AS (
+         |  SELECT ls.lbl AS community, CAST(SUM(e.wt) AS BIGINT) AS internal_weight
+         |  FROM e JOIN l$r ls ON ls.node = e.src JOIN l$r ld ON ld.node = e.dst
+         |  WHERE ls.lbl = ld.lbl GROUP BY 1),
+         |cc$r AS (
+         |  SELECT kc$r.community,
+         |    CAST(COALESCE(iw$r.internal_weight, 0) AS DOUBLE) / CAST(tm.twom AS DOUBLE)
+         |      - (CAST(kc$r.degree_sum AS DOUBLE) / CAST(tm.twom AS DOUBLE))
+         |        * (CAST(kc$r.degree_sum AS DOUBLE) / CAST(tm.twom AS DOUBLE)) AS contrib
+         |  FROM kc$r LEFT JOIN iw$r ON iw$r.community = kc$r.community CROSS JOIN tm),
+         |q$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round,
+         |    CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |    list_sum(list(contrib ORDER BY community)) AS q
+         |  FROM cc$r)""".stripMargin
+    s"""WITH $labelPropCtes,
+      |tm AS (SELECT CAST(SUM(wt) AS BIGINT) AS twom FROM e),
+      |st AS (SELECT src AS node, CAST(SUM(wt) AS BIGINT) AS k FROM e GROUP BY 1),
+      |${(0 to 3).map(qCte).mkString(",\n")}
+      |SELECT round, n_communities, CAST(q AS FLOAT) AS modularity FROM (
+      |  SELECT * FROM q0 UNION ALL SELECT * FROM q1
+      |  UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3)
+      |ORDER BY round""".stripMargin
   }
 
   /** Oracle: the same three iterations unrolled as CTEs, mass summed via

@@ -230,4 +230,47 @@ class GraphsLangModelSpec extends SparkSpec {
     val expect = (n * sxy - sx * sx).toDouble / (n * sxx - sx * sx)
     assert(a == expect, s"got $a expected $expect")
   }
+
+  test("q238: modularity trajectory — singleton start, coarsening rounds, " +
+    "round-0 Q matches a local recompute from the raw graph") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Graphs.q238Modularity(spark, dir).collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.map(_.getAs[Long]("round")).toSeq == Seq(0L, 1L, 2L, 3L))
+    // community counts can only coarsen or hold under synchronous LP? No —
+    // LP can oscillate; what IS invariant: round 0 is the singleton
+    // partition and every Q is a valid modularity value
+    rows.foreach { r =>
+      val q = r.getAs[Float]("modularity")
+      assert(q >= -0.5f && q <= 1.0f)
+      assert(r.getAs[Long]("n_communities") >= 1)
+    }
+    // independent round-0 recompute: singleton partition over the
+    // symmetrized transition graph built directly from events
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val es = ev.withColumn("src",
+        org.apache.spark.sql.functions.lag($"event_type", 1).over(byUser))
+      .filter($"src".isNotNull)
+      .select($"src", $"event_type".as("dst"))
+      .as[(String, String)].collect()
+    val sym = scala.collection.mutable.Map.empty[(String, String), Long]
+    es.foreach { case (a, b) =>
+      sym((a, b)) = sym.getOrElse((a, b), 0L) + 1
+      sym((b, a)) = sym.getOrElse((b, a), 0L) + 1
+    }
+    val twom = sym.values.sum.toDouble
+    val nodes = sym.keys.map(_._1).toSeq.distinct.sorted
+    val k = nodes.map(n => n -> sym.collect { case ((a, _), w) if a == n => w }.sum).toMap
+    var q0 = 0.0
+    nodes.foreach { n =>
+      q0 += sym.getOrElse((n, n), 0L) / twom - (k(n) / twom) * (k(n) / twom)
+    }
+    val r0 = rows.head
+    assert(r0.getAs[Long]("n_communities") >= nodes.length) // isolated nodes may add
+    assert(math.abs(r0.getAs[Float]("modularity") - q0) < 1e-6,
+      s"round-0 Q ${r0.getAs[Float]("modularity")} vs local $q0")
+  }
 }
