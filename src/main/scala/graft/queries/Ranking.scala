@@ -37,28 +37,43 @@ object Ranking {
     */
   private val Terms = Seq("dup", "spark", "key")
 
-  def q82Bm25(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  /** Per-doc (doc_id, dl, tf_t...) frame for a term set — the q82/q239
+    * map-side scan (per-row array ops, no explode).
+    */
+  private def tfFrame(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     import s.implicits._
-    val perDoc = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id" +: size($"ws").cast("long").as("dl") +:
-        Terms.map(t =>
+        terms.map(t =>
           size(filter($"ws", w => w === t)).cast("long").as(s"tf_$t")): _*)
-    val corpus = perDoc.agg(
+  }
+
+  /** One-row corpus statistics (n_docs, sum_dl, df_t...) for a tf frame. */
+  private def corpusStats(perDoc: DataFrame, terms: Seq[String]): DataFrame =
+    perDoc.agg(
       count(lit(1)).as("n_docs"),
-      sum($"dl").as("sum_dl") +:
-        Terms.map(t =>
+      sum(col("dl")).as("sum_dl") +:
+        terms.map(t =>
           sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
-    val avgdl: Column = $"sum_dl".cast("double") / $"n_docs"
-    // Per-term BM25 part — the expression SHAPE (parenthesization,
-    // constant literals, operand order) mirrors q82Bm25Sql exactly so
-    // double results are bit-identical.
-    def part(t: String): Column = {
-      val tf = col(s"tf_$t"); val df = col(s"df_$t")
-      log(($"n_docs" - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
-        (tf * lit(2.2)) /
-        (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * $"dl" / avgdl))
-    }
+
+  /** Per-term BM25 part — the expression SHAPE (parenthesization,
+    * constant literals, operand order) mirrors the SQL twins exactly so
+    * double results are bit-identical.
+    */
+  private def bm25Part(t: String): Column = {
+    val tf = col(s"tf_$t"); val df = col(s"df_$t")
+    log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+      (tf * lit(2.2)) /
+      (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") /
+        (col("sum_dl").cast("double") / col("n_docs"))))
+  }
+
+  def q82Bm25(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val perDoc = tfFrame(s, dir, Terms)
+    val corpus = corpusStats(perDoc, Terms)
+    def part(t: String): Column = bm25Part(t)
     perDoc.crossJoin(broadcast(corpus))
       .select($"doc_id" +: $"dl" +: Terms.map(t => col(s"tf_$t")) :+
         Terms.map(part).reduce(_ + _).as("score"): _*)
@@ -406,4 +421,96 @@ object Ranking {
       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w AS keyword, tf,
       |  CAST(score_d AS FLOAT) AS score
       |FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
+
+  /** The q239 mining query set: each a conjunctive term query whose
+    * POSITIVES are the documents containing every term (relevance by
+    * construction). `dup` is the corpus's one rare term, so the
+    * positive sets are small and the negative pools large — the shape
+    * hard-negative mining exists for.
+    */
+  private val MineQueries: Seq[(String, Seq[String])] = Seq(
+    "dup+key"    -> Seq("dup", "key"),
+    "dup+vector" -> Seq("dup", "vector"),
+    "fast+line"  -> Seq("fast", "line"))
+  private val MineTerms: Seq[String] = MineQueries.flatMap(_._2).distinct
+
+  /** q239: BM25 hard-negative mining — the contrastive-training data
+    * step (public recipe: DPR, Karpukhin et al. 2020 uses exactly
+    * "top BM25 passages that don't contain the answer"): for each
+    * query, rank the documents that match SOME but not ALL query terms
+    * by BM25 and keep the top k — lexically close non-positives, the
+    * negatives that teach a retriever the hardest distinctions.
+    * Positives (all terms present) are excluded by construction;
+    * zero-overlap documents score no terms and are excluded too.
+    *
+    * Determinism: tf/df/dl/N are exact integers, each score is the
+    * q82 fixed-shape double expression (shared `bm25Part`), rank ties
+    * break on doc_id.
+    *
+    * Scale shape: ONE corpus scan builds tf for the bounded term
+    * union (map-side, no explode), corpus stats are one all-reduce
+    * row broadcast back, each query's score/filter is a map-only
+    * projection of that same frame, and the per-query top-k is a
+    * rank-filter window (WindowGroupLimit — per-partition heaps, no
+    * global sort) over |queries| partitions.
+    */
+  def q239HardNegatives(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val perDoc = tfFrame(s, dir, MineTerms)
+    val corpus = corpusStats(perDoc, MineTerms)
+    val scored = perDoc.crossJoin(broadcast(corpus))
+      .localCheckpoint(true) // one scan feeds every query's projection
+    val perQuery = MineQueries.map { case (qid, terms) =>
+      scored.select(
+        lit(qid).as("qid"), $"doc_id",
+        terms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_present"),
+        // float-present BEFORE ranking: these term sets hit ln inputs
+        // where libm and the JVM differ in the last double ulp (the
+        // q104 rule), and the rank must see identical keys
+        terms.map(bm25Part).reduce(_ + _).cast("float").as("score"))
+        .filter($"n_present" > 0 && $"n_present" < terms.length)
+    }.reduce(_ unionByName _)
+    val byQ = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id")
+    perQuery.withColumn("rnk", row_number().over(byQ).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"qid", $"rnk", $"doc_id", $"n_present", $"score")
+      .orderBy($"qid", $"rnk")
+  }
+
+  def q239HardNegativesSql(k: Int = 10): String = {
+    def tfCol(t: String) =
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf_$t"
+    def dfCol(t: String) =
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t"
+    def partSql(t: String) =
+      s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
+        s"(tf_$t * 2.2) / " +
+        s"(tf_$t + $K1 * (1.0 - $B + $B * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+    val queryRows = MineQueries.map { case (qid, terms) =>
+      val present = terms.map(t =>
+        s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""SELECT '$qid' AS qid, doc_id,
+         |    CAST($present AS BIGINT) AS n_present,
+         |    CAST(${terms.map(partSql).mkString("\n    + ")} AS FLOAT) AS score
+         |  FROM d, c
+         |  WHERE ($present) > 0 AND ($present) < ${terms.length}""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    ${MineTerms.map(tfCol).mkString(",\n    ")}
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |c AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+      |    ${MineTerms.map(dfCol).mkString(",\n    ")}
+      |  FROM d),
+      |neg AS (
+      |  $queryRows),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY score DESC, doc_id) AS rnk
+      |  FROM neg)
+      |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, n_present, score
+      |FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+  }
 }

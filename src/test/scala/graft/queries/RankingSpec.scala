@@ -90,4 +90,33 @@ class RankingSpec extends SparkSpec {
       assert(words.contains(r.getAs[String]("keyword")))
     }
   }
+
+  test("q239: mined negatives are lexically close but never positives — " +
+    "each contains some query terms, none contains all") {
+    val dir = "/root/testdata/sf0.001"
+    val queries = Map(
+      "dup+key"    -> Seq("dup", "key"),
+      "dup+vector" -> Seq("dup", "vector"),
+      "fast+line"  -> Seq("fast", "line"))
+    val rows = Ranking.q239HardNegatives(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.load(spark, dir, "documents")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.groupBy(_.getAs[String]("qid")).foreach { case (qid, rs) =>
+      assert(rs.length <= 10)
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to rs.length).toSeq)
+      val scores = sorted.map(_.getAs[Float]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      val terms = queries(qid)
+      rs.foreach { r =>
+        val words = texts(r.getAs[Long]("doc_id")).split(" ").toSet
+        val present = terms.count(words.contains)
+        // the defining hard-negative property, checked against raw text
+        assert(present == r.getAs[Long]("n_present"))
+        assert(present > 0 && present < terms.length,
+          s"$qid doc ${r.getAs[Long]("doc_id")}: $present of ${terms.length}")
+      }
+    }
+  }
 }
