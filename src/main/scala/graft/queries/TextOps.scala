@@ -928,4 +928,61 @@ object TextOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_docs
       |FROM n GROUP BY 1 HAVING COUNT(*) >= 2
       |ORDER BY family""".stripMargin
+
+  /** q240: temperature-scaled mixture weights — the multilingual
+    * up/down-sampling recipe of XLM-R / mT5 (Conneau et al. 2020 §3.1,
+    * public): sampling weight w_ℓ ∝ p_ℓ^α over the per-language token
+    * shares, here with α = 0.5 — deliberately, because p^0.5 = sqrt(p)
+    * and IEEE-754 REQUIRES sqrt to be correctly rounded, so the whole
+    * weight computation is bit-exact cross-engine with no libm-ULP
+    * caveat (a general pow(p, α) would carry one). The report gives
+    * each language's natural share p, its temperature weight w, and
+    * the boost factor w/p — the up-sampling rate low-resource
+    * languages get and the down-sampling rate the head pays. q61
+    * APPLIES fixed per-source rates; this query is where such rates
+    * come FROM.
+    *
+    * Scale shape: one corpus scan → one (lang) aggregate (map-side
+    * partials, output bounded by |langs|); the total and the
+    * normalizer Z = Σ sqrt(p) ride broadcast one-row frames, Z folding
+    * the bounded language frame in ascending order (q225 discipline).
+    */
+  def q240TempMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = Tables.load(s, dir, "documents")
+      .select($"lang", size(split($"text", " ")).cast("long").as("toks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+    val tot = perLang.agg(sum($"n_tokens").as("tot"))
+    val shares = perLang.crossJoin(broadcast(tot))
+      .withColumn("p", $"n_tokens".cast("double") / $"tot".cast("double"))
+      .withColumn("pw", sqrt($"p"))
+      .localCheckpoint(true) // read by the normalizer fold and the output
+    val z = shares.agg(LangModel.orderedSum($"lang", $"pw").as("z"))
+    shares.crossJoin(broadcast(z))
+      .select($"lang", $"n_docs", $"n_tokens",
+        $"p".cast("float").as("p"),
+        ($"pw" / $"z").cast("float").as("w"),
+        (($"pw" / $"z") / $"p").cast("float").as("boost"))
+      .orderBy($"lang")
+  }
+
+  val q240TempMixtureSql: String =
+    """WITH g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g),
+      |sh AS (
+      |  SELECT g.lang, g.n_docs, g.n_tokens,
+      |    CAST(g.n_tokens AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p,
+      |    sqrt(CAST(g.n_tokens AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS pw
+      |  FROM g CROSS JOIN t),
+      |z AS (SELECT list_sum(list(pw ORDER BY lang)) AS z FROM sh)
+      |SELECT sh.lang, sh.n_docs, sh.n_tokens,
+      |  CAST(sh.p AS FLOAT) AS p,
+      |  CAST(sh.pw / z.z AS FLOAT) AS w,
+      |  CAST((sh.pw / z.z) / sh.p AS FLOAT) AS boost
+      |FROM sh CROSS JOIN z
+      |ORDER BY lang""".stripMargin
 }

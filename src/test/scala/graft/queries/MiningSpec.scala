@@ -573,4 +573,35 @@ class MiningSpec extends SparkSpec {
     val rec = out.minBy(_.getAs[Long]("recency_days"))
     assert(rec.getAs[Int]("r_score") == 1)
   }
+
+  test("q240: temperature weights are a probability vector that flattens " +
+    "the natural shares — head down-sampled, tail up-sampled") {
+    val rows = TextOps.q240TempMixture(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val ps = rows.map(_.getAs[Float]("p").toDouble)
+    val wsW = rows.map(_.getAs[Float]("w").toDouble)
+    assert(math.abs(ps.sum - 1.0) < 1e-5)
+    assert(math.abs(wsW.sum - 1.0) < 1e-5)
+    // the provable flattening laws for α < 1 (NOT the folk claim that
+    // every w lands between p and uniform — false for mid-head items):
+    //  (a) below-uniform shares are up-sampled: p < 1/n ⇒ w > p
+    //      (Cauchy–Schwarz: Z ≤ √n so 1/Z ≥ √(1/n) > √p)
+    //  (b) above-uniform shares stay above uniform: p > 1/n ⇒ w > 1/n
+    //      (concavity: mean(√p) ≤ √(1/n) < √p)
+    //  (c) the largest share is down-sampled: √(p_max·p_j) ≥ p_j termwise
+    val uniform = 1.0 / rows.length
+    rows.foreach { r =>
+      val (p, w) = (r.getAs[Float]("p").toDouble, r.getAs[Float]("w").toDouble)
+      val boost = r.getAs[Float]("boost").toDouble
+      assert(math.abs(boost - w / p) < 1e-5)
+      if (p < uniform - 1e-9) assert(w > p, s"tail must up-sample: p=$p w=$w")
+      if (p > uniform + 1e-9) assert(w > uniform - 1e-9, s"head stays above uniform: p=$p w=$w")
+    }
+    val maxRow = rows.maxBy(_.getAs[Float]("p").toDouble)
+    assert(maxRow.getAs[Float]("w").toDouble < maxRow.getAs[Float]("p").toDouble,
+      "the largest share must be down-sampled")
+    // sqrt is monotone: the share order and the weight order agree
+    assert(rows.sortBy(_.getAs[Float]("p")).map(_.getAs[String]("lang")).toSeq ==
+      rows.sortBy(_.getAs[Float]("w")).map(_.getAs[String]("lang")).toSeq)
+  }
 }
