@@ -1168,6 +1168,67 @@ object Behavior {
     * win count is zero pins at strength 0 (Hunter's condition: its
     * MLE diverges to 0; documented rather than smoothed).
     */
+  /** q241: daily sample-ratio-mismatch (SRM) audit — the first
+    * diagnostic every experimentation platform runs before reading an
+    * A/B result (Fabijan et al. 2019, "Diagnosing Sample Ratio
+    * Mismatch", public): per day, the count of active users landing in
+    * each arm of the q226 50/50 md5 assignment, the χ² goodness-of-fit
+    * statistic against the designed split, and a flag at the df=1 5%
+    * critical value (3.841459, a literal on both engines — no p-value,
+    * so no special-function libm divergence). A day that flags means
+    * assignment, logging, or ramp broke THAT day — the q226 readout
+    * is untrustworthy until explained.
+    *
+    * Exactness: daily arm counts are exact integers over distinct
+    * (day, user) pairs; χ² is ONE fixed-shape double expression over
+    * them, float-presented; the flag compares the pre-rounding double
+    * against the literal identically on both engines.
+    *
+    * Scale shape: one scan → one (day, user) distinct → one day-keyed
+    * aggregate; output bounded by the day axis.
+    */
+  def q241SrmCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val armed = Tables.load(s, dir, "events")
+      .select(to_date($"ts").as("day"), $"user_id")
+      .distinct()
+      .withColumn("arm",
+        when((conv(substring(md5(concat(lit("arm:"), $"user_id".cast("string"))), 1, 8),
+          16, 10).cast("long") % 100) < 50, "A").otherwise("B"))
+    val daily = armed.groupBy($"day").agg(
+      sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"))
+    def e = ($"n_a" + $"n_b").cast("double") / lit(2.0)
+    val chi2 = ($"n_a".cast("double") - e) * ($"n_a".cast("double") - e) / e +
+      ($"n_b".cast("double") - e) * ($"n_b".cast("double") - e) / e
+    daily.select($"day", $"n_a", $"n_b",
+        chi2.cast("float").as("chi2"),
+        (chi2 > lit(3.841459)).as("srm_flag"))
+      .orderBy($"day")
+  }
+
+  val q241SrmCheckSql: String = {
+    val e = "CAST(n_a + n_b AS DOUBLE) / 2.0"
+    val chi2 = s"(CAST(n_a AS DOUBLE) - $e) * (CAST(n_a AS DOUBLE) - $e) / ($e)" +
+      s" + (CAST(n_b AS DOUBLE) - $e) * (CAST(n_b AS DOUBLE) - $e) / ($e)"
+    s"""WITH ud AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |a AS (
+      |  SELECT day,
+      |    CASE WHEN CAST(('0x' || substring(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+      |         THEN 'A' ELSE 'B' END AS arm
+      |  FROM ud),
+      |g AS (
+      |  SELECT day,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM a GROUP BY day)
+      |SELECT day, n_a, n_b,
+      |  CAST($chi2 AS FLOAT) AS chi2,
+      |  ($chi2) > 3.841459 AS srm_flag
+      |FROM g ORDER BY day""".stripMargin
+  }
+
   def q235BradleyTerry(s: SparkSession, dir: String, rounds: Int = 20): DataFrame = {
     import s.implicits._
     val u = Tables.load(s, dir, "events")

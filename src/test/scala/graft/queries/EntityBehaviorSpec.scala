@@ -220,6 +220,38 @@ class EntityBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q241: a rigged one-arm day flags SRM; a balanced day does not") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-srm").toString
+    def ts(s: String) = Timestamp.valueOf(s).getTime * 1000000L
+    // mirror the query's arm hash to pick users by arm
+    def arm(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 100 < 50) "A" else "B"
+    }
+    val usersA = (1L to 200L).filter(arm(_) == "A").take(20)
+    val usersB = (1L to 200L).filter(arm(_) == "B").take(20)
+    assert(usersA.size == 20 && usersB.size == 20)
+    // day 1: balanced (20 A + 20 B); day 2: A only (logging loss in arm B)
+    val day1 = (usersA ++ usersB).zipWithIndex.map { case (u, i) =>
+      (i.toLong, ts("2024-03-01 10:00:00"), u, "view", 1.0, "{}") }
+    val day2 = usersA.zipWithIndex.map { case (u, i) =>
+      (1000L + i, ts("2024-03-02 10:00:00"), u, "view", 1.0, "{}") }
+    (day1 ++ day2).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = Behavior.q241SrmCheck(spark, tmp).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+         r.getAs[Float]("chi2"), r.getAs[Boolean]("srm_flag"))).toMap
+    val (a1, b1, chi1, f1) = rows("2024-03-01")
+    assert(a1 == 20L && b1 == 20L && chi1 == 0.0f && !f1)
+    val (a2, b2, chi2v, f2) = rows("2024-03-02")
+    assert(a2 == 20L && b2 == 0L && f2, s"chi2=$chi2v must flag")
+    assert(math.abs(chi2v - 20.0) < 1e-5) // (20-10)^2/10 * 2
+  }
+
   test("q235: Bradley–Terry strengths satisfy the MLE fixpoint — expected wins " +
     "match actual wins; ranks are the strength permutation; masses conserve") {
     import spark.implicits._
