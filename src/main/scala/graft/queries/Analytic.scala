@@ -835,4 +835,103 @@ object Analytic {
       |  quantile_disc(value, 0.9) AS p90,
       |  quantile_disc(value, 0.99) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q242: HyperLogLog-style register sketch for distinct counting —
+    * the REGISTER-MAX family beside q71's bottom-k: the Flajolet et al.
+    * 2007 estimator over m = 64 registers, built end-to-end from
+    * portable integer ops so BOTH engines compute the identical sketch
+    * (hash = first 60 bits of md5; register = h mod 64; ρ = 55 −
+    * bit_length(h div 64), bit_length via the minimal `bin()` string
+    * both engines share). The elements are the corpus's word
+    * 3-shingles; crucially the sketch path needs NO distinct and NO
+    * shuffle — max(ρ) per register is duplicate-insensitive and
+    * map-side combinable, which is the whole reason HLL is a warehouse
+    * primitive: at 100 TB the sketch is one scan producing 64 longs,
+    * vs the exact baseline's corpus-wide distinct shuffle (computed
+    * here only to grade the estimate). Harmonic sum folds the 64
+    * registers in index order; the raw estimate α₆₄·m²/Σ2^(−M_j) and
+    * Flajolet's small-range correction (taken iff raw ≤ 2.5m with
+    * empty registers — branch decided on identical doubles) present as
+    * FLOAT per the libm rule (`ln`).
+    */
+  def q242HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 64
+    val docs = Tables.load(s, dir, "documents")
+      .select(split($"text", " ").as("ws"))
+    // trigram shingles; string shape identical to the oracle's
+    // ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+    val n2 = size($"ws") - 2
+    val sh = docs
+      .select(explode(zip_with(
+        slice($"ws", lit(1), n2),
+        zip_with(slice($"ws", lit(2), n2), slice($"ws", lit(3), n2),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))).as("g"))
+      .localCheckpoint(true) // sketch lane + exact baseline
+    val hv = conv(substring(md5($"g"), 1, 15), 16, 10).cast("long")
+    val withRho = sh.select((hv % m).as("idx"),
+        shiftright(hv, 6).as("tail"))
+      .select($"idx",
+        when($"tail" === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin($"tail")).cast("long")).as("rho"))
+    val regs = withRho.groupBy($"idx").agg(max($"rho").as("reg"))
+    val fullRegs = s.range(m).select($"id".as("idx"))
+      .join(regs, Seq("idx"), "left")
+      .select($"idx", coalesce($"reg", lit(0L)).as("reg"))
+    val sums = fullRegs.agg(
+      LangModel.orderedSum($"idx",
+        // 2^reg is a power of two — exact as a double in both engines
+        lit(1.0) / pow(lit(2.0), $"reg".cast("double"))).as("hsum"),
+      sum(when($"reg" === 0L, 1L).otherwise(0L)).as("v_zero"))
+    val exact = sh.agg(count_distinct($"g").as("exact_distinct"))
+    val est = sums.crossJoin(broadcast(exact))
+      .withColumn("raw", lit(0.709) * lit(m) * lit(m) / $"hsum")
+      .withColumn("est_d",
+        when($"raw" <= lit(160.0) && $"v_zero" > 0L,
+          lit(64.0) * log(lit(64.0) / $"v_zero")).otherwise($"raw"))
+    est.select(lit(m.toLong).as("m"), $"v_zero",
+      $"raw".cast("float").as("raw_estimate"),
+      $"est_d".cast("float").as("estimate"),
+      $"exact_distinct",
+      (($"est_d" - $"exact_distinct".cast("double"))
+        / $"exact_distinct".cast("double")).cast("float").as("rel_error"))
+  }
+
+  val q242HllDistinctSql: String =
+    """WITH sh AS (
+      |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)),
+      |h AS (SELECT CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS hv FROM sh),
+      |b AS (SELECT hv % 64 AS idx, hv // 64 AS tail FROM h),
+      |r AS (SELECT idx,
+      |        CASE WHEN tail = 0 THEN 55
+      |             ELSE 55 - CAST(length(bin(tail)) AS BIGINT) END AS rho
+      |      FROM b),
+      |mx AS (SELECT idx, CAST(MAX(rho) AS BIGINT) AS reg FROM r GROUP BY idx),
+      |fr AS (SELECT t.i AS idx, CAST(COALESCE(mx.reg, 0) AS BIGINT) AS reg
+      |       FROM (SELECT unnest(range(0, 64)) AS i) t LEFT JOIN mx ON mx.idx = t.i),
+      |s AS (SELECT
+      |        list_sum(list(CAST(1.0 AS DOUBLE)
+      |          / pow(CAST(2.0 AS DOUBLE), CAST(reg AS DOUBLE))
+      |          ORDER BY idx)) AS hsum,
+      |        CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |      FROM fr),
+      |ex AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS exact_distinct FROM sh),
+      |e AS (SELECT s.v_zero, ex.exact_distinct,
+      |        CAST(0.709 AS DOUBLE) * 64 * 64 / s.hsum AS raw
+      |      FROM s CROSS JOIN ex),
+      |f AS (SELECT v_zero, exact_distinct, raw,
+      |        CASE WHEN raw <= CAST(160.0 AS DOUBLE) AND v_zero > 0
+      |             THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / v_zero)
+      |             ELSE raw END AS est_d
+      |      FROM e)
+      |SELECT CAST(64 AS BIGINT) AS m, v_zero,
+      |  CAST(raw AS FLOAT) AS raw_estimate,
+      |  CAST(est_d AS FLOAT) AS estimate,
+      |  exact_distinct,
+      |  CAST((est_d - CAST(exact_distinct AS DOUBLE))
+      |    / CAST(exact_distinct AS DOUBLE) AS FLOAT) AS rel_error
+      |FROM f""".stripMargin
 }

@@ -57,4 +57,46 @@ class QuantileSketchSpec extends SparkSpec {
     joined.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
       s"${r.getString(0)}: sketch ${r.getDouble(1)} != exact ${r.getDouble(2)}"))
   }
+
+  test("q242: HLL registers are mergeable — register-wise max of disjoint " +
+    "halves equals the whole-corpus sketch; error inside 3 sigma") {
+    import spark.implicits._
+    val r = Analytic.q242HllDistinct(spark, dir).collect().head
+    val exact = r.getAs[Long]("exact_distinct")
+    val est = r.getAs[Float]("estimate").toDouble
+    assert(exact > 0)
+    // 3σ of the published HLL standard error 1.04/√m
+    val sigma = 1.04 / math.sqrt(64.0)
+    assert(math.abs(est - exact) / exact <= 3 * sigma,
+      s"estimate $est vs exact $exact")
+    assert(math.abs(r.getAs[Float]("rel_error") - (est - exact) / exact) < 1e-5)
+
+    // mergeability: registers from two disjoint halves, max-merged,
+    // must equal the whole-corpus registers — recomputed locally from
+    // the same md5-derived integers
+    val texts = Tables.load(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .as[(Long, Seq[String])].collect()
+    def registers(docs: Array[(Long, Seq[String])]): Array[Long] = {
+      val regs = Array.fill(64)(0L)
+      docs.foreach { case (_, ws) =>
+        ws.sliding(3).filter(_.size == 3).foreach { tri =>
+          val g = tri.mkString(" ")
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
+          val hv = java.lang.Long.parseLong(hex, 16)
+          val idx = (hv % 64).toInt
+          val tail = hv >> 6
+          val rho = if (tail == 0L) 55L else 55L - java.lang.Long.toBinaryString(tail).length
+          if (rho > regs(idx)) regs(idx) = rho
+        }
+      }
+      regs
+    }
+    val (h1, h2) = texts.partition(_._1 % 2 == 0)
+    val whole = registers(texts)
+    val merged = registers(h1).zip(registers(h2)).map { case (a, b) => math.max(a, b) }
+    assert(whole.toSeq == merged.toSeq)
+    assert(whole.exists(_ > 0))
+  }
 }
