@@ -393,4 +393,72 @@ class EventStreamsSpec extends SparkSpec {
         Seq((1L, 1L, true), (1L, 2L, false)))
     }
   }
+
+  test("heavy hitters: full capacity ⇒ exact streaming word count (batch ≡ stream)") {
+    withRocksDb {
+      import org.apache.spark.sql.functions.{col, explode, split, count => cnt, lit, max}
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).as[Doc].collect().toSeq
+      val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+      val truth = docs.toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(cnt(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      val in = MemoryStream[Doc](spark)
+      val name = s"hh_${System.nanoTime()}"
+      val q = EventStreams.heavyHitters(in.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+
+      val out = spark.sql(s"SELECT * FROM $name")
+      // no evictions at full capacity: counts only grow, last = max
+      val got = out.groupBy(col("word")).agg(max(col("count_est")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == truth)
+      assert(out.agg(max(col("overcount_max"))).collect().head.getLong(0) == 0L)
+    }
+  }
+
+  test("heavy hitters: bounded capacity keeps the space-saving guarantees — " +
+    "table ≤ capacity, est ≥ true ≥ est − overcount, frequent words present") {
+    withRocksDb {
+      import org.apache.spark.sql.functions.{col, explode, split, pmod, xxhash64, count => cnt, lit}
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).as[Doc].collect().toSeq
+      val capacity = 32
+      val shards = 4
+      val sharded = docs.toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .select(pmod(xxhash64(col("w")), lit(shards)).cast("long").as("shard"), col("w"))
+      val truth = sharded.groupBy(col("shard"), col("w")).agg(cnt(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val shardTotals = truth.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+
+      val in = MemoryStream[Doc](spark)
+      val name = s"hhb_${System.nanoTime()}"
+      val q = EventStreams.heavyHitters(in.toDF(), capacity = capacity, shards = shards)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      in.addData(docs: _*); q.processAllAvailable() // single batch: emissions ARE the final tables
+      q.stop()
+
+      val rows = spark.sql(s"SELECT * FROM $name").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        assert(rs.length <= capacity)
+      }
+      rows.foreach { case (shard, w, est, over) =>
+        val t = truth((shard, w))
+        assert(est >= t, s"$w: est $est < true $t")
+        assert(est - over <= t, s"$w: floor ${est - over} > true $t")
+      }
+      // completeness: any word with true count > shardTotal/capacity is present
+      val present = rows.map(r => (r._1, r._2)).toSet
+      truth.foreach { case ((shard, w), n) =>
+        if (n > shardTotals(shard).toDouble / capacity)
+          assert(present((shard, w)), s"frequent '$w' missing from shard $shard")
+      }
+    }
+  }
 }
