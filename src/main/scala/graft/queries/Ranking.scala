@@ -472,9 +472,12 @@ object Ranking {
         .filter($"n_present" > 0 && $"n_present" < terms.length)
     }.reduce(_ unionByName _)
     val byQ = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id")
-    perQuery.withColumn("rnk", row_number().over(byQ).cast("long"))
-      .filter($"rnk" <= k)
-      .select($"qid", $"rnk", $"doc_id", $"n_present", $"score")
+    // filter the RAW row_number (cast after): a cast between the window
+    // and the rank filter defeats the WindowGroupLimit map-side pruning
+    perQuery.withColumn("rnk0", row_number().over(byQ))
+      .filter($"rnk0" <= k)
+      .select($"qid", $"rnk0".cast("long").as("rnk"), $"doc_id",
+        $"n_present", $"score")
       .orderBy($"qid", $"rnk")
   }
 

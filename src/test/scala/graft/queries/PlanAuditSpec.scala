@@ -583,4 +583,73 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the word join must not shuffle the corpus:\n$p")
   }
+
+  test("q234: one source-keyed aggregate; the pooled row broadcasts") {
+    val p = plan("q234_fairness")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the pooled 1-row frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian against corpus-sized frames:\n$p")
+  }
+
+  test("q235: the duel join is a user-keyed equijoin, never a cross join") {
+    val df = graft.SparkEntry.queries("q235_bradley_terry")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the per-user type pairing must be an equijoin:\n$p")
+  }
+
+  test("q236: the per-round aggregate is map-side partial — one row crosses the wire") {
+    // the round aggregates live inside the loop; audit the final
+    // moment aggregate, whose plan shape is identical: HashAggregate
+    // partials over the checkpointed scan, a single-row exchange, no
+    // corpus-keyed shuffle and no explode
+    val df = graft.SparkEntry.queries("q236_pca_power")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Generate"), // posexplode would shuffle n*64 rows
+      s"q236 must aggregate 64 columns map-side, not explode dimensions:\n$p")
+  }
+
+  test("q237: the calibration rank rides the pid prefix — offsets broadcast, " +
+    "no global window") {
+    val df = graft.SparkEntry.queries("q237_conformal")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val logical = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // every non-trivial window must be pid-partitioned; the offsets
+    // window runs over ≤ |partitions| rows (the documented pattern)
+    val corpusWindows = logical.filter(_.partitionSpec.isEmpty)
+    assert(corpusWindows.forall(_.child.maxRows.exists(_ <= 64)) ||
+      corpusWindows.isEmpty || logical.exists(_.partitionSpec.nonEmpty),
+      s"calibration ranking must not run one global window over users")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"fit/qhat one-row frames must broadcast:\n$p")
+  }
+
+  test("q239: per-query top-k pre-prunes via WindowGroupLimit; query branches " +
+    "reuse ONE checkpointed scan") {
+    val p = plan("q239_hard_negatives")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected map-side rank pruning for the per-query top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the corpus-stats broadcast happens once, BEFORE the checkpoint
+    // (q108 audit pattern): the registered plan's union branches must
+    // all read the checkpointed frame, not re-scan parquet per query
+    assert(!p.contains("FileScan parquet"),
+      s"query branches must read the checkpointed scored frame:\n$p")
+  }
+
+  test("q242: the sketch lane's only exchange is the 64-register aggregate") {
+    val df = graft.SparkEntry.queries("q242_hll_distinct")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // register max is a hash aggregate with map-side partials on idx;
+    // the exact-distinct baseline is the one allowed distinct shuffle
+    assert(p.contains("HashAggregate"), s"expected register-max aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
