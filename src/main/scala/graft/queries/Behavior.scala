@@ -1229,6 +1229,82 @@ object Behavior {
       |FROM g ORDER BY day""".stripMargin
   }
 
+  /** q243: anytime-valid sequential assignment monitor — Wald's SPRT
+    * (1945) in its modern e-process reading (Ramdas et al.: an e-value
+    * you may check EVERY day and stop the moment it crosses 1/α
+    * without inflating the false-alarm rate — the always-valid
+    * property fixed-horizon tests like q241's χ² lack): each newly
+    * assigned user is a Bernoulli(½) trial under the null of fair
+    * assignment; against the drift alternative p = 0.55 the cumulative
+    * log likelihood ratio is `cum_a·ln(0.55/0.5) + cum_b·ln(0.45/0.5)`
+    * and the monitor rejects when e = exp(LLR) ≥ 1/α = 20. Reported
+    * per day over first-seen users, so q241 (daily snapshot test) and
+    * q243 (sequential accumulation) are the two standard SRM guards
+    * side by side.
+    *
+    * Exactness: cumulative counts are exact integers; LLR is one
+    * fixed-shape double chain whose `ln` arguments are identical
+    * literals on both engines; `ln`/`exp` present as FLOAT (q104
+    * rule), the flag comparing the pre-rounding double to the literal
+    * threshold identically on both sides.
+    *
+    * Scale shape: one scan → one user aggregate (first-seen day) →
+    * one day aggregate; the cumulative window runs over the bounded
+    * day axis (the q162 pattern).
+    */
+  def q243Sprt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = Tables.load(s, dir, "events")
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("day"))
+      .withColumn("arm",
+        when((conv(substring(md5(concat(lit("arm:"), $"user_id".cast("string"))), 1, 8),
+          16, 10).cast("long") % 100) < 50, "A").otherwise("B"))
+    val daily = firstSeen.groupBy($"day").agg(
+      sum(when($"arm" === "A", 1L).otherwise(0L)).as("new_a"),
+      sum(when($"arm" === "B", 1L).otherwise(0L)).as("new_b"))
+    val byDay = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llr = $"cum_a".cast("double") * log(lit(0.55) / lit(0.5)) +
+      $"cum_b".cast("double") * log(lit(0.45) / lit(0.5))
+    daily
+      .withColumn("cum_a", sum($"new_a").over(byDay))
+      .withColumn("cum_b", sum($"new_b").over(byDay))
+      .select($"day", $"new_a", $"new_b", $"cum_a", $"cum_b",
+        llr.cast("float").as("log_e"),
+        exp(llr).cast("float").as("e_value"),
+        (exp(llr) >= lit(20.0)).as("reject"))
+      .orderBy($"day")
+  }
+
+  val q243SprtSql: String = {
+    val llr = "CAST(cum_a AS DOUBLE) * ln(CAST(0.55 AS DOUBLE) / CAST(0.5 AS DOUBLE))" +
+      " + CAST(cum_b AS DOUBLE) * ln(CAST(0.45 AS DOUBLE) / CAST(0.5 AS DOUBLE))"
+    s"""WITH fs AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+      |ar AS (
+      |  SELECT day,
+      |    CASE WHEN CAST(('0x' || substring(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+      |         THEN 'A' ELSE 'B' END AS arm
+      |  FROM fs),
+      |g AS (
+      |  SELECT day,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS new_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS new_b
+      |  FROM ar GROUP BY day),
+      |c AS (
+      |  SELECT day, new_a, new_b,
+      |    CAST(SUM(new_a) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+      |    CAST(SUM(new_b) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+      |  FROM g)
+      |SELECT day, new_a, new_b, cum_a, cum_b,
+      |  CAST($llr AS FLOAT) AS log_e,
+      |  CAST(exp($llr) AS FLOAT) AS e_value,
+      |  exp($llr) >= CAST(20.0 AS DOUBLE) AS reject
+      |FROM c ORDER BY day""".stripMargin
+  }
+
   def q235BradleyTerry(s: SparkSession, dir: String, rounds: Int = 20): DataFrame = {
     import s.implicits._
     val u = Tables.load(s, dir, "events")

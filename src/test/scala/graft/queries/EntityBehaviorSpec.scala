@@ -252,6 +252,41 @@ class EntityBehaviorSpec extends SparkSpec {
     assert(math.abs(chi2v - 20.0) < 1e-5) // (20-10)^2/10 * 2
   }
 
+  test("q243: the e-process accumulates across days and rejects an A-heavy " +
+    "assignment drift exactly when exp(LLR) crosses 1/alpha") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sprt").toString
+    def ts(s: String) = Timestamp.valueOf(s).getTime * 1000000L
+    def arm(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arm:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 100 < 50) "A" else "B"
+    }
+    val as = (1L to 400L).filter(arm(_) == "A").take(40)
+    val bs = (1L to 400L).filter(arm(_) == "B").take(2)
+    assert(as.size == 40 && bs.size == 2)
+    val rows =
+      (as.take(10) ++ bs).map(u => (u, ts("2024-03-01 10:00:00"), u, "view", 1.0, "{}")) ++
+      as.slice(10, 25).map(u => (u + 10000L, ts("2024-03-02 10:00:00"), u, "view", 1.0, "{}")) ++
+      as.slice(25, 40).map(u => (u + 20000L, ts("2024-03-03 10:00:00"), u, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Behavior.q243Sprt(spark, tmp).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("cum_a"), r.getAs[Long]("cum_b"),
+         r.getAs[Float]("e_value"), r.getAs[Boolean]("reject"))).toMap
+    val d1 = out("2024-03-01"); val d3 = out("2024-03-03")
+    assert(d1._1 == 10L && d1._2 == 2L)
+    assert(d3._1 == 40L && d3._2 == 2L)
+    // hand-computed LLR: 10·ln1.1 + 2·ln0.9 = 0.742 → e ≈ 2.1, no reject
+    assert(!d1._4 && math.abs(d1._3 - math.exp(10 * math.log(1.1) + 2 * math.log(0.9))) < 1e-3)
+    // 40·ln1.1 + 2·ln0.9 = 3.60 → e ≈ 36.7 ≥ 20: reject fires
+    assert(d3._4 && math.abs(d3._3 - math.exp(40 * math.log(1.1) + 2 * math.log(0.9))) < 1e-2)
+    // a user is counted once, on the first-seen day (cum telescopes)
+    assert(out("2024-03-02")._1 == 25L)
+  }
+
   test("q235: Bradley–Terry strengths satisfy the MLE fixpoint — expected wins " +
     "match actual wins; ranks are the strength permutation; masses conserve") {
     import spark.implicits._
