@@ -387,6 +387,69 @@ object ModelEval {
       .orderBy($"source")
   }
 
+  /** q244: leave-one-source-out quality ablation — the cheapest form
+    * of data valuation (the direction Shapley-style data attribution
+    * approximates, public framing e.g. Ghorbani & Zou 2019): for each
+    * source, the corpus-mean q112 quality WITHOUT that source, in
+    * closed form from per-source sufficient statistics — no
+    * re-scoring, no second corpus pass. `delta_if_removed` > 0 means
+    * dropping the source RAISES corpus quality: the source is a drag
+    * and a curation candidate; < 0 means it carries quality.
+    *
+    * Cross-engine exactness: float scores sum per source in doc_id
+    * order, the corpus total folds the bounded per-source sums in
+    * source order (two-level ordered fold, q225 discipline), and each
+    * mean/delta is one fixed-shape double chain presented FLOAT; the
+    * single-source degenerate case guards to NULL.
+    *
+    * Scale shape: the q112 doc aggregate + one source-keyed aggregate
+    * (bounded by |sources|); totals ride a broadcast one-row frame.
+    */
+  def q244SourceAblation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = LangModel.qualityScores(s, dir)
+      .join(Tables.load(s, dir, "documents").select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .select($"source", $"doc_id", $"quality_score".cast("double").as("q"))
+    val perSource = scored.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        LangModel.orderedSum($"doc_id", $"q").as("sum_q"))
+      .localCheckpoint(true) // read by the total fold and the output
+    val tot = perSource.agg(
+      sum($"n_docs").as("tot_n"),
+      LangModel.orderedSum($"source", $"sum_q").as("tot_q"))
+    perSource.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        ($"sum_q" / $"n_docs").cast("float").as("mean_q"),
+        ($"tot_q" / $"tot_n").cast("float").as("mean_corpus"),
+        when($"tot_n" === $"n_docs", lit(null).cast("float"))
+          .otherwise((($"tot_q" - $"sum_q") / ($"tot_n" - $"n_docs")
+            - $"tot_q" / $"tot_n").cast("float")).as("delta_if_removed"))
+      .orderBy($"source")
+  }
+
+  val q244SourceAblationSql: String =
+    s"""WITH ${LangModel.qualityScoresCte},
+      |sc AS (
+      |  SELECT d.source, q.doc_id, CAST(q.quality_score AS DOUBLE) AS q
+      |  FROM qscore q JOIN documents d ON d.doc_id = q.doc_id),
+      |ps AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    list_sum(list(q ORDER BY doc_id)) AS sum_q
+      |  FROM sc GROUP BY source),
+      |t AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_n,
+      |    list_sum(list(sum_q ORDER BY source)) AS tot_q
+      |  FROM ps)
+      |SELECT ps.source, ps.n_docs,
+      |  CAST(ps.sum_q / ps.n_docs AS FLOAT) AS mean_q,
+      |  CAST(t.tot_q / t.tot_n AS FLOAT) AS mean_corpus,
+      |  CAST(CASE WHEN t.tot_n = ps.n_docs THEN NULL
+      |            ELSE (t.tot_q - ps.sum_q) / (t.tot_n - ps.n_docs)
+      |                 - t.tot_q / t.tot_n END AS FLOAT) AS delta_if_removed
+      |FROM ps CROSS JOIN t
+      |ORDER BY source""".stripMargin
+
   val q234FairnessAuditSql: String =
     s"""WITH ${LangModel.qualityScoresCte},
       |sc AS (

@@ -115,4 +115,28 @@ class ModelEvalSpec extends SparkSpec {
       r.getAs[Float]("parity_gap").toDouble * r.getAs[Long]("n")).sum
     assert(math.abs(wsum) < 1e-3)
   }
+
+  test("q244: ablation deltas are the exact leave-one-out identity and " +
+    "count-weighted means reconstruct the corpus mean") {
+    val rows = ModelEval.q244SourceAblation(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val corpusMean = rows.head.getAs[Float]("mean_corpus").toDouble
+    assert(rows.forall(r =>
+      math.abs(r.getAs[Float]("mean_corpus") - corpusMean) < 1e-6))
+    val totN = rows.map(_.getAs[Long]("n_docs")).sum
+    // Σ n_s · mean_s == totN · corpus mean (the sums telescope)
+    val recon = rows.map(r =>
+      r.getAs[Long]("n_docs") * r.getAs[Float]("mean_q").toDouble).sum / totN
+    assert(math.abs(recon - corpusMean) < 1e-4)
+    rows.foreach { r =>
+      val (n, m) = (r.getAs[Long]("n_docs"), r.getAs[Float]("mean_q").toDouble)
+      val without = (corpusMean * totN - m * n) / (totN - n)
+      assert(math.abs(r.getAs[Float]("delta_if_removed") - (without - corpusMean)) < 1e-4)
+      // sign law: removing a below-average source raises the mean
+      if (m < corpusMean - 1e-6)
+        assert(r.getAs[Float]("delta_if_removed") > 0.0f)
+      if (m > corpusMean + 1e-6)
+        assert(r.getAs[Float]("delta_if_removed") < 0.0f)
+    }
+  }
 }
