@@ -724,4 +724,77 @@ object LangModel {
       |  CAST(SUM(length(word)) AS DOUBLE)
       |    / SUM(len(string_split(s, '|')) - 1) AS chars_per_token
       |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** q245: next-token distribution concentration — per context word of
+    * the q104 bigram model: the NUCLEUS size (Holtzman et al. 2020's
+    * top-p at p = 0.9 — the successor-type count that covers 90% of
+    * the continuation mass) and the Shannon entropy of the successor
+    * distribution. These are the analytics an LM data pipeline reads
+    * to see where its corpus is predictable boilerplate (tiny nucleus,
+    * low entropy — dedup/repetition candidates) vs open text; reported
+    * for the 20 most frequent contexts.
+    *
+    * Exactness: nucleus membership is decided in EXACT INTEGERS
+    * (successor ranked by count desc then word; member iff
+    * 10·cum_before < 9·c_ctx — no float threshold anywhere); entropy
+    * folds −p·ln(p) in successor order and presents FLOAT (libm
+    * rule); the top-20 context cut orders on exact counts.
+    *
+    * Scale shape: one bigram aggregate (map-side partials), one
+    * context-keyed window (never global), one context aggregate, and
+    * a TakeOrdered 20-row cut.
+    */
+  def q245Nucleus(s: SparkSession, dir: String, topCtx: Int = 20): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", ws.as("ws"))
+    val bg = docs.select(explode(zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val byCtx = Window.partitionBy($"w1").orderBy($"c2".desc, $"w2")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bg
+      .withColumn("cum", sum($"c2").over(byCtx))
+      .withColumn("c1", sum($"c2").over(Window.partitionBy($"w1")))
+      .withColumn("p", $"c2".cast("double") / $"c1".cast("double"))
+    val perCtx = ranked.groupBy($"w1").agg(
+      first($"c1").as("n_ctx"),
+      count(lit(1)).as("n_succ"),
+      sum(when(($"cum" - $"c2") * 10 < $"c1" * 9, 1L).otherwise(0L))
+        .as("nucleus_size"),
+      orderedSum($"w2", -($"p" * log($"p"))).as("entropy_d"))
+    perCtx
+      .select($"w1", $"n_ctx", $"n_succ", $"nucleus_size",
+        $"entropy_d".cast("float").as("entropy"))
+      .orderBy($"n_ctx".desc, $"w1")
+      .limit(topCtx)
+  }
+
+  def q245NucleusSql(topCtx: Int = 20): String =
+    s"""WITH bg AS (
+      |  SELECT b.w1, b.w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)),
+      |      i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+      |    FROM (SELECT string_split(text, ' ') AS ws FROM documents)) t
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT w1, w2, c2,
+      |    CAST(SUM(c2) OVER (PARTITION BY w1 ORDER BY c2 DESC, w2
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1
+      |  FROM bg),
+      |pc AS (
+      |  SELECT w1, ANY_VALUE(c1) AS n_ctx, CAST(COUNT(*) AS BIGINT) AS n_succ,
+      |    CAST(SUM(CASE WHEN (cum - c2) * 10 < c1 * 9 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nucleus_size,
+      |    list_sum(list(-(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |      * ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))) ORDER BY w2))
+      |      AS entropy_d
+      |  FROM r GROUP BY w1)
+      |SELECT w1, n_ctx, n_succ, nucleus_size,
+      |  CAST(entropy_d AS FLOAT) AS entropy
+      |FROM pc ORDER BY n_ctx DESC, w1 LIMIT $topCtx""".stripMargin
 }

@@ -231,6 +231,39 @@ class GraphsLangModelSpec extends SparkSpec {
     assert(a == expect, s"got $a expected $expect")
   }
 
+  test("q245: hand-computed nucleus and entropy on a micro corpus; " +
+    "real-data bounds hold") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-nucleus").toString
+    // "a b a b a c": context a → {b:2, c:1}; context b → {a:2}
+    Seq((1L, "a b a b a c", "en", "src0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val micro = LangModel.q245Nucleus(spark, tmp).collect()
+      .map(r => r.getAs[String]("w1") ->
+        (r.getAs[Long]("n_ctx"), r.getAs[Long]("n_succ"),
+         r.getAs[Long]("nucleus_size"), r.getAs[Float]("entropy"))).toMap
+    val a = micro("a")
+    assert(a._1 == 3L && a._2 == 2L)
+    // cum_before(b)=0 < 2.7, cum_before(c)=2 → 20 < 27: both in the nucleus
+    assert(a._3 == 2L)
+    val hA = -(2.0 / 3 * math.log(2.0 / 3)) - (1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(a._4 - hA) < 1e-6)
+    val b = micro("b")
+    assert(b == ((2L, 1L, 1L, -0.0f)) || b == ((2L, 1L, 1L, 0.0f)))
+
+    val rows = LangModel.q245Nucleus(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nucleus_size") >= 1 &&
+        r.getAs[Long]("nucleus_size") <= r.getAs[Long]("n_succ"))
+      assert(r.getAs[Float]("entropy") >= -0.0f)
+      // entropy ≤ ln(n_succ) (uniform maximizes)
+      assert(r.getAs[Float]("entropy") <=
+        math.log(r.getAs[Long]("n_succ").toDouble) + 1e-6)
+    }
+  }
+
   test("q238: modularity trajectory — singleton start, coarsening rounds, " +
     "round-0 Q matches a local recompute from the raw graph") {
     import spark.implicits._
