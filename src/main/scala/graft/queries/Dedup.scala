@@ -739,6 +739,90 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q246: cross-split SUBSTRING contamination — the strict
+    * decontamination standard (the GPT-3 / Pile recipe, Brown et al.
+    * 2020 App. C; Lee et al. 2022 §6.2): an eval document is
+    * contaminated if it shares ANY ≥ L-token substring with a train
+    * document, which catches verbatim passage overlap that q227's
+    * document-level near-dup audit can miss (a long doc quoting one
+    * eval paragraph has low Jaccard but is still memorization fuel).
+    * Identity (the q230 trick): a shared ≥ L substring exists iff some
+    * stride-1 L-gram is shared, so the test is one gram-keyed
+    * aggregate — never pairwise. Reports each contaminated val/test
+    * document with its offending-gram and covered-token counts.
+    *
+    * Scale shape: ONE shuffle keyed by md5(L-gram) carrying the split
+    * tag; `has_train` is a per-gram max; everything after is
+    * (doc, tidx)-linear on the contaminated minority. Exact integers
+    * throughout — nothing floating anywhere.
+    */
+  def q246SplitContamination(s: SparkSession, dir: String, L: Int = SubstrL): DataFrame = {
+    import s.implicits._
+    val ws = Tables.load(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 8),
+          16, 10).cast("long") % 100)
+      .select($"doc_id", $"ws",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+    val grams = ws.filter(size($"ws") >= L)
+      .select($"doc_id", $"split", explode(transform(
+        sequence(lit(0L), (size($"ws") - L).cast("long")),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice($"ws", (i + 1).cast("int"), lit(L)))).as("h"))))
+        .as("g"))
+      .select($"doc_id", $"split", $"g.pos", $"g.h")
+    val cw = Window.partitionBy($"h")
+    val evalSeeds = grams
+      .withColumn("has_train",
+        max(when($"split" === "train", 1L).otherwise(0L)).over(cw))
+      .filter($"has_train" === 1L && $"split" =!= "train")
+      .select($"doc_id", $"split", $"pos")
+      .localCheckpoint(true) // contaminated minority; two consumers
+    val perDoc = evalSeeds.groupBy($"doc_id", $"split")
+      .agg(count(lit(1)).as("n_contam_grams"))
+    val covered = evalSeeds
+      .select($"doc_id", explode(sequence($"pos", $"pos" + L - 1)).as("tidx"))
+      .distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_tokens_covered"))
+    perDoc.join(covered, Seq("doc_id"))
+      .select($"doc_id", $"split", $"n_contam_grams", $"n_tokens_covered")
+      .orderBy($"doc_id")
+  }
+
+  def q246SplitContaminationSql(L: Int = SubstrL): String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |      AS bucket
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |    CAST(i AS BIGINT) AS pos,
+      |    array_to_string(ws[i+1 : i+$L], ' ') AS gram
+      |  FROM w, UNNEST(range(0, greatest(len(ws) - $L + 1, 0))) AS t(i)),
+      |hs AS (
+      |  SELECT gram, MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+      |  FROM g GROUP BY gram),
+      |es AS (
+      |  SELECT g.doc_id, g.split, g.pos
+      |  FROM g JOIN hs USING (gram)
+      |  WHERE hs.has_train = 1 AND g.split <> 'train'),
+      |pd AS (
+      |  SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_contam_grams
+      |  FROM es GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_covered FROM (
+      |    SELECT DISTINCT doc_id, pos + j AS tidx
+      |    FROM es, UNNEST(range(0, $L)) AS u(j))
+      |  GROUP BY doc_id)
+      |SELECT pd.doc_id, pd.split, pd.n_contam_grams, cov.n_tokens_covered
+      |FROM pd JOIN cov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def q230SubstrDedupSql(L: Int = SubstrL): String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |g AS (

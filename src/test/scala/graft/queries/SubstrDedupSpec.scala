@@ -90,4 +90,45 @@ class SubstrDedupSpec extends SparkSpec {
       .agg(sum($"n_removed")).collect()(0).getLong(0)
     assert(got == 0L)
   }
+
+  test("q246: a test doc quoting ONE train paragraph is flagged (the low-Jaccard " +
+    "case document-level near-dup misses); clean eval docs are not") {
+    import spark.implicits._
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val trainId = (1L to 500L).find(bucket(_) < 80).get
+    val testId = (1L to 500L).find(bucket(_) >= 90).get
+    val cleanId = (1L to 500L).filter(bucket(_) >= 90).apply(1)
+    val passage = (1 to L).map(i => s"p$i").mkString(" ")
+    // train doc: 100 filler words + the passage → test doc quotes ONLY
+    // the passage inside its own 100 different words: Jaccard ≈ 0.07
+    val trainText = (1 to 100).map(i => s"t$i").mkString(" ") + " " + passage
+    val testText = (1 to 50).map(i => s"e$i").mkString(" ") + " " + passage +
+      " " + (51 to 100).map(i => s"e$i").mkString(" ")
+    val cleanText = (1 to 60).map(i => s"c$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (trainId, trainText), (testId, testText), (cleanId, cleanText)))
+    val rows = Dedup.q246SplitContamination(spark, tmp).collect()
+    assert(rows.length == 1, s"exactly the quoting test doc: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") == testId)
+    assert(r.getAs[String]("split") == "test")
+    // a verbatim L-word quote yields exactly one shared L-gram and
+    // covers exactly L tokens
+    assert(r.getAs[Long]("n_contam_grams") == 1L)
+    assert(r.getAs[Long]("n_tokens_covered") == L.toLong)
+  }
+
+  test("q246: real-corpus flags are all eval-side with sane coverage") {
+    val rows = Dedup.q246SplitContamination(spark, dir).collect()
+    rows.foreach { r =>
+      assert(Set("val", "test")(r.getAs[String]("split")))
+      assert(r.getAs[Long]("n_contam_grams") >= 1L)
+      assert(r.getAs[Long]("n_tokens_covered") >= L.toLong)
+    }
+  }
 }
