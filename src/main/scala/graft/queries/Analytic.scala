@@ -898,6 +898,119 @@ object Analytic {
         / $"exact_distinct".cast("double")).cast("float").as("rel_error"))
   }
 
+  /** q247: HLL register SET ALGEBRA — the property that makes the
+    * q242 sketch a warehouse primitive rather than a one-shot
+    * estimator (the register twin of q167's KMV set ops): per-source
+    * trigram-vocabulary registers build in ONE scan (a (source, idx)
+    * max — still no distinct, no row shuffle beyond the 20×64-row
+    * aggregate), and the UNION cardinality of all sources comes from
+    * register-wise max over the already-aggregated per-source
+    * registers — no second corpus pass, the exact operation a
+    * warehouse runs when merging per-partition/per-day sketches.
+    * Per-source and union estimates are graded against exact distinct
+    * counts computed only for the report.
+    *
+    * Same portable integer construction as q242 (md5 hash, mod-64
+    * register, bin()-length ρ); harmonic sums fold each bounded
+    * 64-register frame in index order; ln presents FLOAT.
+    */
+  def q247HllSetops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 64
+    val docs = Tables.load(s, dir, "documents")
+      .select($"source", split($"text", " ").as("ws"))
+    val n2 = size($"ws") - 2
+    val sh = docs
+      .select($"source", explode(zip_with(
+        slice($"ws", lit(1), n2),
+        zip_with(slice($"ws", lit(2), n2), slice($"ws", lit(3), n2),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))).as("g"))
+      .localCheckpoint(true) // sketch lane + the two exact baselines
+    val hv = conv(substring(md5($"g"), 1, 15), 16, 10).cast("long")
+    val withRho = sh.select($"source", (hv % m).as("idx"),
+        shiftright(hv, 6).as("tail"))
+      .select($"source", $"idx",
+        when($"tail" === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin($"tail")).cast("long")).as("rho"))
+    val perSrc = withRho.groupBy($"source", $"idx").agg(max($"rho").as("reg"))
+      .localCheckpoint(true) // bounded 20×64; feeds per-source AND union
+    val unionRegs = perSrc.groupBy($"idx").agg(max($"reg").as("reg"))
+      .select(lit("__union__").as("scope"), $"idx", $"reg")
+    val scoped = perSrc.select($"source".as("scope"), $"idx", $"reg")
+      .unionByName(unionRegs)
+    val fullRegs = scoped.select($"scope").distinct()
+      .crossJoin(s.range(m).select($"id".as("idx")))
+      .join(scoped, Seq("scope", "idx"), "left")
+      .select($"scope", $"idx", coalesce($"reg", lit(0L)).as("reg"))
+    val sums = fullRegs.groupBy($"scope").agg(
+      LangModel.orderedSum($"idx",
+        lit(1.0) / pow(lit(2.0), $"reg".cast("double"))).as("hsum"),
+      sum(when($"reg" === 0L, 1L).otherwise(0L)).as("v_zero"))
+    val exactSrc = sh.groupBy($"source".as("scope"))
+      .agg(count_distinct($"g").as("exact_distinct"))
+    val exactUnion = sh.agg(count_distinct($"g").as("exact_distinct"))
+      .select(lit("__union__").as("scope"), $"exact_distinct")
+    val est = sums.join(exactSrc.unionByName(exactUnion), Seq("scope"))
+      .withColumn("raw", lit(0.709) * lit(m) * lit(m) / $"hsum")
+      .withColumn("est_d",
+        when($"raw" <= lit(160.0) && $"v_zero" > 0L,
+          lit(64.0) * log(lit(64.0) / $"v_zero")).otherwise($"raw"))
+    est.select($"scope", $"v_zero",
+        $"est_d".cast("float").as("estimate"),
+        $"exact_distinct",
+        (($"est_d" - $"exact_distinct".cast("double"))
+          / $"exact_distinct".cast("double")).cast("float").as("rel_error"))
+      .orderBy($"scope")
+  }
+
+  val q247HllSetopsSql: String =
+    """WITH sh AS (
+      |  SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)),
+      |h AS (SELECT source,
+      |        CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS hv
+      |      FROM sh),
+      |r AS (SELECT source, hv % 64 AS idx,
+      |        CASE WHEN hv // 64 = 0 THEN 55
+      |             ELSE 55 - CAST(length(bin(hv // 64)) AS BIGINT) END AS rho
+      |      FROM h),
+      |ps AS (SELECT source, idx, CAST(MAX(rho) AS BIGINT) AS reg
+      |       FROM r GROUP BY 1, 2),
+      |un AS (SELECT '__union__' AS scope, idx, CAST(MAX(reg) AS BIGINT) AS reg
+      |       FROM ps GROUP BY 2),
+      |sc AS (SELECT source AS scope, idx, reg FROM ps
+      |       UNION ALL SELECT scope, idx, reg FROM un),
+      |fr AS (SELECT s.scope, t.i AS idx, CAST(COALESCE(sc.reg, 0) AS BIGINT) AS reg
+      |       FROM (SELECT DISTINCT scope FROM sc) s
+      |       CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+      |       LEFT JOIN sc ON sc.scope = s.scope AND sc.idx = t.i),
+      |ss AS (SELECT scope,
+      |        list_sum(list(CAST(1.0 AS DOUBLE)
+      |          / pow(CAST(2.0 AS DOUBLE), CAST(reg AS DOUBLE))
+      |          ORDER BY idx)) AS hsum,
+      |        CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |      FROM fr GROUP BY scope),
+      |ex AS (SELECT source AS scope, CAST(COUNT(DISTINCT g) AS BIGINT) AS exact_distinct
+      |       FROM sh GROUP BY 1
+      |       UNION ALL
+      |       SELECT '__union__', CAST(COUNT(DISTINCT g) AS BIGINT) FROM sh),
+      |e AS (SELECT ss.scope, ss.v_zero, ex.exact_distinct,
+      |        CAST(0.709 AS DOUBLE) * 64 * 64 / ss.hsum AS raw
+      |      FROM ss JOIN ex ON ex.scope = ss.scope),
+      |f AS (SELECT scope, v_zero, exact_distinct, raw,
+      |        CASE WHEN raw <= CAST(160.0 AS DOUBLE) AND v_zero > 0
+      |             THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / v_zero)
+      |             ELSE raw END AS est_d
+      |      FROM e)
+      |SELECT scope, v_zero,
+      |  CAST(est_d AS FLOAT) AS estimate,
+      |  exact_distinct,
+      |  CAST((est_d - CAST(exact_distinct AS DOUBLE))
+      |    / CAST(exact_distinct AS DOUBLE) AS FLOAT) AS rel_error
+      |FROM f ORDER BY scope""".stripMargin
+
   val q242HllDistinctSql: String =
     """WITH sh AS (
       |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g

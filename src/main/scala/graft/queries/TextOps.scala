@@ -105,7 +105,11 @@ object TextOps {
     * operator itself is the deliverable and the oracle checks the full
     * scoring pipeline both sides.)
     */
-  def q32LangScore(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document language detection frame (doc_id, lang_label,
+    * score_*, detected) — the q32 marker-vote logic, shared with the
+    * q248 confusion matrix.
+    */
+  private def langDetectedFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Single pass: explode distinct words once and take conditional-sum
     // marker counts per language in one codegen'd aggregation (the
@@ -130,7 +134,11 @@ object TextOps {
           .when(fr >= es && fr > 0, "fr")
           .when(es > 0, "es")
           .otherwise("und").as("detected"))
-      .orderBy($"doc_id")
+  }
+
+  def q32LangScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    langDetectedFrame(s, dir).orderBy($"doc_id")
   }
 
   val q32LangScoreSql: String = {
@@ -148,6 +156,170 @@ object TextOps {
       |       WHEN $es > 0 THEN 'es'
       |       ELSE 'und' END AS detected
       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q248: language-ID confusion matrix — the evaluation the q32
+    * detector itself owes its consumer (exactly how fastText-style
+    * language filters are graded before gating a corpus): per
+    * (true label, detected) cell the document count and its share of
+    * the label's documents (the diagonal shares are per-language
+    * recall), with overall accuracy riding every row. On this corpus
+    * the matrix delivers its verdict loudly: ~98% of EVERY label lands
+    * in `en` (accuracy 0.404 ≈ the en base rate at sf0.1) because the
+    * synthetic token distribution is English-ish regardless of the
+    * `lang` label — the marker heuristic cannot see the labels. That
+    * a filter is useless on a given corpus is precisely what the full
+    * matrix (never an accuracy scalar alone) reveals before the
+    * filter gates anything.
+    *
+    * Exactness: cells are exact integer counts; shares and accuracy
+    * are single fixed-shape double divisions presented FLOAT.
+    *
+    * Scale shape: the q32 per-doc aggregate + ONE (label, detected)
+    * aggregate bounded by |langs|²; label totals and the accuracy
+    * scalar ride broadcast bounded frames.
+    */
+  def q248LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val det = langDetectedFrame(s, dir)
+      .select($"lang_label", $"detected")
+    val cells = det.groupBy($"lang_label", $"detected")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // bounded |langs|²; three consumers
+    val totals = cells.groupBy($"lang_label").agg(sum($"n").as("label_total"))
+    val acc = cells.agg(
+      (sum(when($"lang_label" === $"detected", $"n").otherwise(0L)).cast("double")
+        / sum($"n").cast("double")).as("accuracy_d"))
+    cells.join(broadcast(totals), Seq("lang_label"))
+      .crossJoin(broadcast(acc))
+      .select($"lang_label", $"detected", $"n",
+        ($"n".cast("double") / $"label_total".cast("double"))
+          .cast("float").as("share_of_label"),
+        $"accuracy_d".cast("float").as("accuracy"))
+      .orderBy($"lang_label", $"detected")
+  }
+
+  val q248LangConfusionSql: String = {
+    def hits(ms: Seq[String]): String =
+      s"CAST(len(list_filter(list_distinct(string_split(text, ' ')), w -> w IN (${ms.map("'" + _ + "'").mkString(", ")}))) AS BIGINT)"
+    val en = hits(Seq("the", "a", "and", "of", "value", "data"))
+    val de = hits(Seq("der", "die", "das", "und", "nicht"))
+    val fr = hits(Seq("le", "la", "les", "et", "est"))
+    val es = hits(Seq("el", "los", "las", "es", "una"))
+    s"""WITH det AS (
+      |  SELECT lang AS lang_label,
+      |    CASE WHEN $en >= greatest($de, $fr, $es) AND $en > 0 THEN 'en'
+      |         WHEN $de >= greatest($fr, $es) AND $de > 0 THEN 'de'
+      |         WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+      |         WHEN $es > 0 THEN 'es'
+      |         ELSE 'und' END AS detected
+      |  FROM documents),
+      |cells AS (
+      |  SELECT lang_label, detected, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM det GROUP BY 1, 2),
+      |tot AS (SELECT lang_label, CAST(SUM(n) AS BIGINT) AS label_total
+      |        FROM cells GROUP BY 1),
+      |acc AS (SELECT CAST(SUM(CASE WHEN lang_label = detected THEN n ELSE 0 END) AS DOUBLE)
+      |          / CAST(SUM(n) AS DOUBLE) AS accuracy_d
+      |        FROM cells)
+      |SELECT c.lang_label, c.detected, c.n,
+      |  CAST(CAST(c.n AS DOUBLE) / CAST(t.label_total AS DOUBLE) AS FLOAT)
+      |    AS share_of_label,
+      |  CAST(acc.accuracy_d AS FLOAT) AS accuracy
+      |FROM cells c JOIN tot t USING (lang_label) CROSS JOIN acc
+      |ORDER BY lang_label, detected""".stripMargin
+  }
+
+  /** q249: packing-efficiency ladder — the context-length trade study
+    * behind q47's packer: for each candidate budget (256/512/1024
+    * tokens), the number of training sequences the corpus packs into,
+    * the tail-waste fraction (padding in each shard's last sequence —
+    * the only waste under q47's greedy straddling fill), and the share
+    * of documents SPLIT across a sequence boundary (the cost
+    * straddling pays instead of padding: split docs lose cross-boundary
+    * attention). Doubling the context halves the waste but raises the
+    * split rate — this query is the table that decision gets made
+    * from.
+    *
+    * Exactness: everything is exact integers through FLOOR of
+    * identically-shaped double divisions (the q193 rule): sequences
+    * per shard = floor((tot + B − 1)/B), a doc splits iff
+    * floor((cum − 1)/B) > floor(prev/B); fractions present FLOAT.
+    *
+    * Scale shape: one scan + one shard-keyed window (q47's exact
+    * partitioning, never global), then per budget ONE one-row
+    * aggregate over the checkpointed cum frame + one over the 8-row
+    * shard-totals frame.
+    */
+  def q249PackingLadder(s: SparkSession, dir: String,
+      budgets: Seq[Int] = Seq(256, 512, 1024), shards: Int = 8): DataFrame = {
+    import s.implicits._
+    val shard = (conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))), 1, 8),
+      16, 10).cast("long") % shards).as("shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val cum = Tables.load(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"), shard)
+      .withColumn("cum", sum($"toks").over(w))
+      .withColumn("prev", $"cum" - $"toks")
+      .localCheckpoint(true) // one frame feeds every budget's aggregates
+    val shardTot = cum.groupBy($"shard").agg(max($"cum").as("tot"))
+      .localCheckpoint(true)
+    val perBudget = budgets.map { b =>
+      val seqs = shardTot.agg(
+        sum(floor(($"tot" + (b - 1)) / lit(b.toDouble))).as("n_sequences"),
+        sum($"tot").as("used_tokens"))
+      val splits = cum.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(floor(($"cum" - 1) / lit(b.toDouble)) >
+          floor($"prev" / lit(b.toDouble)), 1L).otherwise(0L)).as("n_split_docs"))
+      seqs.crossJoin(splits).select(
+        lit(b.toLong).as("budget"),
+        $"n_sequences", $"used_tokens",
+        ($"n_sequences" * b).as("capacity"),
+        ((($"n_sequences" * b) - $"used_tokens").cast("double")
+          / ($"n_sequences" * b).cast("double")).cast("float").as("waste_frac"),
+        $"n_split_docs",
+        ($"n_split_docs".cast("double") / $"n_docs".cast("double"))
+          .cast("float").as("split_frac"))
+    }
+    perBudget.reduce(_ unionByName _).orderBy($"budget")
+  }
+
+  def q249PackingLadderSql(budgets: Seq[Int] = Seq(256, 512, 1024),
+      shards: Int = 8): String = {
+    val rows = budgets.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS budget,
+         |  (SELECT CAST(SUM(FLOOR((tot + ${b - 1}) / ${b}.0)) AS BIGINT) FROM st) AS n_sequences,
+         |  (SELECT CAST(SUM(tot) AS BIGINT) FROM st) AS used_tokens,
+         |  (SELECT CAST(SUM(FLOOR((tot + ${b - 1}) / ${b}.0)) AS BIGINT) * $b FROM st) AS capacity,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cum) AS n_docs,
+         |  (SELECT CAST(SUM(CASE WHEN FLOOR((cum - 1) / ${b}.0) > FLOOR(prev / ${b}.0)
+         |                        THEN 1 ELSE 0 END) AS BIGINT) FROM cum) AS n_split_docs""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $shards
+      |      AS shard
+      |  FROM documents),
+      |cum AS (
+      |  SELECT shard, doc_id, toks,
+      |    CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS BIGINT) AS prev
+      |  FROM base),
+      |st AS (SELECT shard, CAST(MAX(cum) AS BIGINT) AS tot FROM cum GROUP BY 1),
+      |lad AS (
+      |  $rows)
+      |SELECT budget, n_sequences, used_tokens, capacity,
+      |  CAST(CAST(capacity - used_tokens AS DOUBLE)
+      |    / CAST(capacity AS DOUBLE) AS FLOAT) AS waste_frac,
+      |  n_split_docs,
+      |  CAST(CAST(n_split_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS FLOAT)
+      |    AS split_frac
+      |FROM lad ORDER BY budget""".stripMargin
   }
 
   /** PII-style scrubbing + pseudonymization — the redaction pass every

@@ -604,4 +604,42 @@ class MiningSpec extends SparkSpec {
     assert(rows.sortBy(_.getAs[Float]("p")).map(_.getAs[String]("lang")).toSeq ==
       rows.sortBy(_.getAs[Float]("w")).map(_.getAs[String]("lang")).toSeq)
   }
+
+  test("q248: cells partition the corpus, label shares sum to 1, " +
+    "accuracy is the diagonal mass") {
+    val rows = TextOps.q248LangConfusion(spark, "/root/testdata/sf0.001").collect()
+    val nDocs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    rows.groupBy(_.getAs[String]("lang_label")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Float]("share_of_label").toDouble).sum - 1.0) < 1e-5)
+    }
+    val diag = rows.filter(r =>
+      r.getAs[String]("lang_label") == r.getAs[String]("detected"))
+      .map(_.getAs[Long]("n")).sum
+    val acc = rows.head.getAs[Float]("accuracy").toDouble
+    assert(math.abs(acc - diag.toDouble / nDocs) < 1e-6)
+  }
+
+  test("q249: capacity bookkeeping holds; splits and sequences are " +
+    "monotone in the budget (2B boundaries are a subset of B boundaries)") {
+    val rows = TextOps.q249PackingLadder(spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getAs[Long]("budget"))
+    assert(rows.map(_.getAs[Long]("budget")).toSeq == Seq(256L, 512L, 1024L))
+    val used = rows.head.getAs[Long]("used_tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("used_tokens") == used) // budget-independent
+      val cap = r.getAs[Long]("capacity")
+      assert(cap >= used)
+      assert(cap == r.getAs[Long]("n_sequences") * r.getAs[Long]("budget"))
+      assert(math.abs(r.getAs[Float]("waste_frac") -
+        (cap - used).toDouble / cap) < 1e-6)
+    }
+    // 512-boundaries ⊂ 256-boundaries (and 1024 ⊂ 512): a doc crossing
+    // a coarser boundary necessarily crosses the finer one
+    val splits = rows.map(_.getAs[Long]("n_split_docs"))
+    assert(splits(0) >= splits(1) && splits(1) >= splits(2))
+    val seqs = rows.map(_.getAs[Long]("n_sequences"))
+    assert(seqs(0) >= seqs(1) && seqs(1) >= seqs(2))
+  }
 }

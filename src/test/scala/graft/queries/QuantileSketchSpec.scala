@@ -99,4 +99,23 @@ class QuantileSketchSpec extends SparkSpec {
     assert(whole.toSeq == merged.toSeq)
     assert(whole.exists(_ > 0))
   }
+
+  test("q247: the union scope IS the whole-corpus q242 sketch; " +
+    "per-source exact counts bound the union") {
+    val rows = Analytic.q247HllSetops(spark, dir).collect()
+      .map(r => r.getAs[String]("scope") ->
+        (r.getAs[Float]("estimate"), r.getAs[Long]("exact_distinct"))).toMap
+    val union = rows("__union__")
+    // register-wise max over per-source registers equals building the
+    // sketch over the whole corpus — so the union estimate must equal
+    // q242's estimate bit-for-bit
+    val q242 = Analytic.q242HllDistinct(spark, dir).collect().head
+    assert(union._1 == q242.getAs[Float]("estimate"))
+    assert(union._2 == q242.getAs[Long]("exact_distinct"))
+    // subadditivity of the exact counts: union ≤ Σ sources (shared
+    // shingles collapse), and union ≥ every single source
+    val srcs = (rows - "__union__").values.map(_._2)
+    assert(union._2 <= srcs.sum)
+    assert(srcs.forall(_ <= union._2))
+  }
 }
