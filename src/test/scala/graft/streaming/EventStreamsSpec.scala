@@ -461,4 +461,32 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("heavy hitters: tables survive a kill/restart — counts resume from the " +
+    "checkpointed MapState, not from zero") {
+    withRocksDb {
+      import java.nio.file.Files
+      import org.apache.spark.sql.functions.{col, explode, split, count => cnt, lit, max}
+      val in = MemoryStream[Doc](spark)
+      val ckpt = Files.createTempDirectory("graft-hh-ckpt").toString
+      val out = Files.createTempDirectory("graft-hh-out").toString
+      def start() = EventStreams.heavyHitters(in.toDF())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      in.addData(Doc(1, "alpha beta alpha"), Doc(2, "beta gamma"))
+      q1.processAllAvailable(); q1.stop()
+      val q2 = start() // MapState restored from the checkpoint
+      in.addData(Doc(3, "alpha delta"))
+      q2.processAllAvailable(); q2.stop()
+      val finalCounts = spark.read.parquet(out)
+        .groupBy(col("word")).agg(max(col("count_est")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // alpha: 2 before the kill + 1 after — 3 only if state survived
+      assert(finalCounts("alpha") == 3L)
+      assert(finalCounts("beta") == 2L)
+      assert(finalCounts("gamma") == 1L && finalCounts("delta") == 1L)
+    }
+  }
 }
