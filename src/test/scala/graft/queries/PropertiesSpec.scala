@@ -198,4 +198,22 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: the portable bin()-length rho (q242/q247) equals the JVM " +
+    "leading-zeros intrinsic on random 60-bit hashes, in BOTH engines") {
+    import spark.implicits._
+    val hvs = Gen.listOfN(300, Gen.chooseNum(0L, (1L << 60) - 1)).sample.get
+    // reference: tail = hv >> 6 has 54 bits; bit_length = 64 - nlz(tail);
+    // rho = 55 - bit_length = nlz(tail) - 9 (tail != 0), else 55
+    def refRho(hv: Long): Long = {
+      val tail = hv >>> 6
+      if (tail == 0L) 55L else java.lang.Long.numberOfLeadingZeros(tail) - 9L
+    }
+    val got = hvs.toDF("hv")
+      .selectExpr("hv",
+        "CASE WHEN shiftright(hv, 6) = 0 THEN 55L " +
+          "ELSE 55L - length(bin(shiftright(hv, 6))) END AS rho")
+      .as[(Long, Long)].collect().toMap
+    hvs.foreach(hv => assert(got(hv) == refRho(hv), s"hv=$hv"))
+  }
 }
