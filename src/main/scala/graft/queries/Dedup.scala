@@ -686,10 +686,17 @@ object Dedup {
     * shuffles ONCE, keyed by md5(gram) — 16-byte keys, never the gram
     * text; the duplicate test is a partition-local window count; all
     * later steps are keyed by doc_id over the SEED rows only (rare —
-    * the duplicated fraction), except the reassembly anti-join which is
-    * (doc_id, tidx)-keyed and linear. Nothing is quadratic, nothing
-    * collects. Reports per document: token count, merged removal
-    * regions, removed-token count, and the cleaned text.
+    * the duplicated fraction). The reassembly lane is minority-sized
+    * too: documents are first semi-joined to the seed-bearing doc set,
+    * so ONLY touched docs pay the posexplode / anti-join / rebuild;
+    * every untouched doc emits `array_join(ws, " ")` — the exact
+    * byte-identical round-trip of a space-split — with no explode and
+    * no shuffle beyond the doc-keyed left join. A fully-covered doc
+    * (every token removed) vanishes from the rebuilt frame, so the
+    * touched set left-joins the rebuild and coalesces to "" — never to
+    * the original text. Nothing is quadratic, nothing collects.
+    * Reports per document: token count, merged removal regions,
+    * removed-token count, and the cleaned text.
     */
   def q230SubstrDedup(s: SparkSession, dir: String, L: Int = SubstrL): DataFrame = {
     import s.implicits._
@@ -722,20 +729,25 @@ object Dedup {
     val covered = seeds
       .select($"doc_id", explode(sequence($"pos", $"pos" + L - 1)).as("tidx"))
       .distinct()
-    val clean = ws
+    val touched = seeds.select($"doc_id").distinct()
+    val rebuilt = ws
+      .join(touched, Seq("doc_id"), "left_semi")
       .select($"doc_id", posexplode($"ws").as(Seq("tidx", "tok")))
       .join(covered, Seq("doc_id", "tidx"), "left_anti")
       .groupBy($"doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct($"tidx", $"tok"))),
         x => x.getField("tok")), " ").as("text_clean"))
-    ws.select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+    val clean = touched.join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"text_clean", lit("")).as("text_clean"))
+    ws.select($"doc_id", size($"ws").cast("long").as("n_tokens"), $"ws")
       .join(regions, Seq("doc_id"), "left")
       .join(clean, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         coalesce($"n_regions", lit(0L)).as("n_regions"),
         coalesce($"n_removed", lit(0L)).as("n_removed"),
-        coalesce($"text_clean", lit("")).as("text_clean"))
+        coalesce($"text_clean", array_join($"ws", " ")).as("text_clean"))
       .orderBy($"doc_id")
   }
 

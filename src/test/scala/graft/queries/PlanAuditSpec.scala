@@ -576,6 +576,22 @@ class PlanAuditSpec extends SparkSpec {
       s"q230 joins must all be equijoins:\n$p")
   }
 
+  test("q230: the reassembly posexplode only sees seed-bearing docs (semi-join below the explode)") {
+    import org.apache.spark.sql.catalyst.expressions.PosExplode
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val df = graft.SparkEntry.queries("q230_substr_dedup")(spark, dir)
+    val rebuilds = df.queryExecution.optimizedPlan.collect {
+      case g @ Generate(_: PosExplode, _, _, _, _, _) => g }
+    assert(rebuilds.nonEmpty, "expected the token-reassembly posexplode")
+    rebuilds.foreach { g =>
+      val semis = g.child.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semis.nonEmpty,
+        s"the reassembly explode must be fed by the touched-doc semi-join, " +
+          s"not the whole corpus:\n${g.treeString}")
+    }
+  }
+
   test("q233: the trained vocabulary broadcasts onto the corpus words") {
     val p = plan("q233_bpe_encode")
     assert(p.contains("BroadcastHashJoin"),
