@@ -572,9 +572,13 @@ object EventStreams {
     * entry and inherits its count as both estimate floor and recorded
     * overcount — the classic guarantees hold per shard: estimate ≥
     * true ≥ estimate − overcount, and any word with true count >
-    * batchTotal/capacity is present. Intra-batch arrival order is
-    * made deterministic (sorted) so replays reproduce bit-identical
-    * tables; each batch emits the shard's full table snapshot.
+    * batchTotal/capacity is present. The shard batch is first
+    * pre-aggregated to (word, count) — so per-batch memory is bounded
+    * by the batch's DISTINCT vocabulary, never its token count — and
+    * applied in sorted word order, which is bit-identical to the
+    * sorted-token order (grouped updates telescope; see
+    * [[SpaceSaving.ingest]]), so replays reproduce identical tables;
+    * each batch emits the shard's full table snapshot.
     */
   private class SpaceSavingProcessor(capacity: Int)
       extends StatefulProcessor[Long, (Long, String), (Long, String, Long, Long)] {
@@ -590,18 +594,12 @@ object EventStreams {
         shard: Long,
         rows: Iterator[(Long, String)],
         timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
-      val tbl = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val tbl: SpaceSaving.Table = scala.collection.mutable.Map.empty
       tblState.iterator().foreach { case (k, v) => tbl(k) = v }
-      rows.map(_._2).toSeq.sorted.foreach { w =>
-        tbl.get(w) match {
-          case Some((c, e)) => tbl(w) = (c + 1L, e)
-          case None if tbl.size < capacity => tbl(w) = (1L, 0L)
-          case None =>
-            val (mw, (mc, _)) = tbl.minBy { case (k, (c, _)) => (c, k) }
-            tbl.remove(mw)
-            tblState.removeKey(mw)
-            tbl(w) = (mc + 1L, mc)
-        }
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach { r => counts(r._2) = counts.getOrElse(r._2, 0L) + 1L }
+      counts.toSeq.sortBy(_._1).foreach { case (w, c) =>
+        SpaceSaving.ingest(tbl, w, c, capacity).foreach(tblState.removeKey)
       }
       tbl.foreach { case (k, v) => tblState.updateValue(k, v) }
       tbl.toSeq.sortBy(_._1)
@@ -635,5 +633,38 @@ object EventStreams {
       .transformWithState(new SpaceSavingProcessor(capacity),
         TimeMode.None(), OutputMode.Append())
       .toDF("shard", "word", "count_est", "overcount_max")
+  }
+
+  /** Re-shard heavy-hitter table snapshots onto `newShards` shards —
+    * the operation a cluster resize needs. Each word moves to
+    * `pmod(xxhash64(word), newShards)`. Because [[heavyHitters]] puts
+    * every word in exactly ONE old shard, the entries arriving at a
+    * new shard summarize DISJOINT token streams: a word absent from
+    * another old shard's table was truly absent from that shard's
+    * stream (count 0), not evicted, so no cross-table floor is owed
+    * and the combine is a plain union (the fa = fb = 0 case of
+    * [[SpaceSaving.merge]]). The union is then re-bounded to the
+    * `capacity` largest estimates per new shard; surviving entries
+    * keep their exact (count_est, overcount_max), so the per-word
+    * bounds est ≥ true ≥ est − overcount carry over verbatim — the
+    * law EventStreamsSpec pins against exact re-sharded truth.
+    *
+    * Scale shape: ONE shuffle keyed by the new shard id; the
+    * per-shard top-`capacity` is a rank over ≤ oldShards × capacity
+    * bounded rows (WindowGroupLimit prunes map-side). For tables over
+    * the SAME stream (snapshot epochs, replicas) use
+    * [[SpaceSaving.merge]], which owes the eviction floors.
+    */
+  def reshardHeavyHitters(tables: DataFrame, newShards: Int,
+      capacity: Int = 1 << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("count_est").desc, col("word"))
+    tables
+      .select(pmod(xxhash64(col("word")), lit(newShards)).cast("long").as("shard"),
+        col("word"), col("count_est"), col("overcount_max"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= capacity)
+      .select(col("shard"), col("word"), col("count_est"), col("overcount_max"))
   }
 }

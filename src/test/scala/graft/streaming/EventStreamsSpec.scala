@@ -489,4 +489,84 @@ class EventStreamsSpec extends SparkSpec {
       assert(finalCounts("gamma") == 1L && finalCounts("delta") == 1L)
     }
   }
+
+  test("space-saving core: grouped (word,count) ingestion is bit-identical to " +
+    "token-by-token — the determinism the bounded batch buffer relies on") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val vocab = (1 to 40).map(i => f"w$i%02d")
+      val tokens = Seq.fill(500)(vocab(rnd.nextInt(vocab.size)))
+      val capacity = 1 + rnd.nextInt(16)
+      val tokenWise: SpaceSaving.Table = scala.collection.mutable.Map.empty
+      tokens.sorted.foreach(w => SpaceSaving.ingest(tokenWise, w, 1L, capacity))
+      val grouped = SpaceSaving.fromCounts(
+        tokens.groupBy(identity).view.mapValues(_.size.toLong).toSeq, capacity)
+      assert(tokenWise.toMap == grouped.toMap, s"trial $trial, capacity $capacity")
+      assert(grouped.size <= capacity)
+    }
+  }
+
+  test("space-saving merge: per-word bounds est ≥ true ≥ est − overcount survive " +
+    "combining tables over OVERLAPPING streams, and the merged table stays bounded") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { trial =>
+      val vocab = (1 to 60).map(i => f"v$i%02d")
+      def stream() = Seq.fill(400)(vocab(rnd.nextInt(vocab.size)))
+      val (s1, s2) = (stream(), stream())
+      val capacity = 4 + rnd.nextInt(12)
+      def counts(s: Seq[String]) =
+        s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val t1 = SpaceSaving.fromCounts(counts(s1).toSeq, capacity).toMap
+      val t2 = SpaceSaving.fromCounts(counts(s2).toSeq, capacity).toMap
+      val merged = SpaceSaving.merge(t1, t2, capacity)
+      assert(merged.size <= capacity)
+      val truth = counts(s1 ++ s2)
+      merged.foreach { case (w, (est, over)) =>
+        val t = truth.getOrElse(w, 0L)
+        assert(est >= t, s"trial $trial '$w': est $est < true $t")
+        assert(est - over <= t, s"trial $trial '$w': floor ${est - over} > true $t")
+      }
+    }
+  }
+
+  test("heavy hitters: re-sharding the emitted tables (cluster resize) keeps " +
+    "per-word bounds and the capacity bound on every new shard") {
+    import org.apache.spark.sql.functions.{col, explode, split, pmod, xxhash64, count => cnt, lit}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+    val capacity = 32
+    val (oldShards, newShards) = (8, 3)
+    val tokens = docs.select(explode(split(col("text"), " ")).as("w"))
+    // batch twin of the streaming tables: exact per-old-shard counts
+    // through the same pure core the processor runs
+    val perOldShard = tokens
+      .select(pmod(xxhash64(col("w")), lit(oldShards)).cast("long").as("shard"), col("w"))
+      .groupBy(col("shard"), col("w")).agg(cnt(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val tables = perOldShard.toSeq.flatMap { case (shard, rows) =>
+      SpaceSaving.fromCounts(rows.map(r => (r._2, r._3)), capacity)
+        .toSeq.map { case (w, (c, e)) => (shard, w, c, e) }
+    }
+    import spark.implicits._
+    val resharded = EventStreams.reshardHeavyHitters(
+      tables.toDF("shard", "word", "count_est", "overcount_max"),
+      newShards, capacity).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val truth = tokens
+      .select(pmod(xxhash64(col("w")), lit(newShards)).cast("long").as("shard"), col("w"))
+      .groupBy(col("shard"), col("w")).agg(cnt(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(resharded.nonEmpty)
+    resharded.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(rs.length <= capacity, s"new shard $shard over capacity")
+      assert(rs.map(_._2).distinct.length == rs.length, s"duplicate word in shard $shard")
+    }
+    resharded.foreach { case (shard, w, est, over) =>
+      assert(shard >= 0L && shard < newShards.toLong)
+      val t = truth((shard, w))
+      assert(est >= t, s"'$w'@$shard: est $est < true $t")
+      assert(est - over <= t, s"'$w'@$shard: floor ${est - over} > true $t")
+    }
+  }
 }
