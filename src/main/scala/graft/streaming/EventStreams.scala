@@ -565,6 +565,82 @@ object EventStreams {
       .toDF("fp", "owner_doc", "n_copies", "is_new")
   }
 
+  /** Per-gram train-membership flag for [[streamingContamination]]:
+    * state exists iff SOME train document has carried this L-gram —
+    * the persisted fingerprint index, bounded by the number of
+    * distinct TRAIN grams (eval-only grams write nothing). Eval rows
+    * of a gram emit whenever the flag is set by this batch or any
+    * earlier one; emission order is sorted (doc, pos) so replays are
+    * deterministic.
+    */
+  private class ContamIndexProcessor
+      extends StatefulProcessor[String, (String, Long, String, Long), (Long, String, Long)] {
+
+    @transient private var trainSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      trainSeen = getHandle.getValueState[Long]("train", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        h: String,
+        rows: Iterator[(String, Long, String, Long)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      val rs = rows.toSeq
+      val hasTrain = rs.exists(_._3 == "train")
+      val known = trainSeen.exists()
+      if (hasTrain && !known) trainSeen.update(1L)
+      if (known || hasTrain)
+        rs.filter(_._3 != "train").sortBy(r => (r._2, r._4))
+          .iterator.map(r => (r._2, r._3, r._4))
+      else Iterator.empty
+    }
+  }
+
+  /** Streaming substring contamination — the ingest twin of
+    * q246SplitContamination (the strict GPT-3/Pile decontamination
+    * standard): as documents arrive, each is cut into stride-1
+    * L-token grams keyed by md5 (16-byte keys, never gram text);
+    * train docs' grams build a PERSISTED fingerprint index (RocksDB
+    * `transformWithState` state, one flag per distinct train gram),
+    * and each val/test doc's grams probe it AT ARRIVAL — one row
+    * (doc_id, split, pos) per contaminated gram occurrence, exactly
+    * the per-gram evidence q246 aggregates. Inherently prospective:
+    * an eval doc is flagged against the train grams ingested up to
+    * and including its own micro-batch (a later-arriving train doc
+    * does not retro-flag — re-run the batch audit q246 for the
+    * retrospective answer). Batch ≡ stream law (EventStreamsSpec):
+    * replaying train docs before eval docs reproduces q246's
+    * per-doc gram and coverage counts exactly; the index survives a
+    * kill/restart.
+    *
+    * At 100 TB: per-batch cost is O(batch grams) with ONE shuffle
+    * keyed by gram hash; state is bounded by distinct train grams,
+    * sharded across executors in RocksDB — the same shape as
+    * [[streamingDedup]] one granularity down.
+    *
+    * Input schema: (doc_id, text, split) with split ∈
+    * {train, val, test}; L defaults to the batch audit's
+    * [[graft.queries.Dedup.SubstrL]] = 8.
+    */
+  def streamingContamination(docs: DataFrame, L: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("split"),
+        split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= L)
+      .select(col("doc_id"), col("split"), explode(transform(
+        sequence(lit(0L), (size(col("ws")) - L).cast("long")),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(L)))).as("h"))))
+        .as("g"))
+      .select(col("g.h"), col("doc_id"), col("split"), col("g.pos"))
+      .as[(String, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ContamIndexProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("doc_id", "split", "pos")
+  }
+
   /** Per-shard space-saving table for [[heavyHitters]] — Metwally et
     * al. 2005's bounded-memory top-k summary as `MapState`: at most
     * `capacity` (word → (count, overcount)) entries per shard in

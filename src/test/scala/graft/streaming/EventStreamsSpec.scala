@@ -19,6 +19,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Doc(doc_id: Long, text: String)
 
+case class SplitDoc(doc_id: Long, text: String, split: String)
+
 class EventStreamsSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp =
@@ -487,6 +489,85 @@ class EventStreamsSpec extends SparkSpec {
       assert(finalCounts("alpha") == 3L)
       assert(finalCounts("beta") == 2L)
       assert(finalCounts("gamma") == 1L && finalCounts("delta") == 1L)
+    }
+  }
+
+  test("streaming contamination: train-first replay of the corpus reproduces " +
+    "q246's per-doc gram and coverage counts exactly (batch ≡ stream)") {
+    withRocksDb {
+      import org.apache.spark.sql.functions.{col, conv, concat, lit, md5,
+        substring, when}
+      val L = graft.queries.Dedup.SubstrL
+      // the same split assignment q246 derives internally
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long") % 100)
+        .select(col("doc_id"), col("text"),
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+      import spark.implicits._
+      val all = docs.as[SplitDoc].collect().toSeq
+      val (train, evals) = all.partition(_.split == "train")
+
+      val in = MemoryStream[SplitDoc](spark)
+      val name = s"contam_${System.nanoTime()}"
+      val q = EventStreams.streamingContamination(in.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      in.addData(train: _*); q.processAllAvailable()
+      in.addData(evals: _*); q.processAllAvailable()
+      q.stop()
+
+      val emitted = spark.sql(s"SELECT * FROM $name").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"), r.getAs[Long]("pos")))
+      val got = emitted.groupBy(r => (r._1, r._2)).map { case ((doc, sp), rs) =>
+        val covered = rs.flatMap(r => r._3 until (r._3 + L)).toSet
+        (doc, sp, rs.length.toLong, covered.size.toLong)
+      }.toSet
+      val want = graft.queries.Dedup
+        .q246SplitContamination(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"),
+          r.getAs[Long]("n_contam_grams"), r.getAs[Long]("n_tokens_covered"))).toSet
+      assert(want.nonEmpty, "the corpus must actually exercise contamination")
+      assert(got == want)
+    }
+  }
+
+  test("streaming contamination: the train-gram index survives a kill/restart, " +
+    "and flagging is prospective (no retro-flag when train arrives later)") {
+    withRocksDb {
+      import java.nio.file.Files
+      import org.apache.spark.sql.functions.col
+      val L = 8
+      val passageA = (1 to L).map(i => s"a$i").mkString(" ")
+      val passageB = (1 to L).map(i => s"b$i").mkString(" ")
+      val in = MemoryStream[SplitDoc](spark)
+      val ckpt = Files.createTempDirectory("graft-contam-ckpt").toString
+      val out = Files.createTempDirectory("graft-contam-out").toString
+      def start() = EventStreams.streamingContamination(in.toDF())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      // batch 1: train doc carrying A; eval doc carrying B (B not yet in train)
+      in.addData(
+        SplitDoc(1L, passageA, "train"),
+        SplitDoc(2L, passageB, "val"))
+      q1.processAllAvailable(); q1.stop()
+      val q2 = start() // index restored from the checkpoint
+      // batch 2: eval doc quoting A (train seen BEFORE the restart);
+      // train doc carrying B plus an eval doc quoting B in the SAME batch
+      in.addData(
+        SplitDoc(3L, passageA, "test"),
+        SplitDoc(4L, passageB, "train"),
+        SplitDoc(5L, passageB, "val"))
+      q2.processAllAvailable(); q2.stop()
+      val flagged = spark.read.parquet(out)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      // doc 3 only flags if the index survived the restart; doc 5 flags
+      // within its own batch; doc 2 must NOT be retro-flagged
+      assert(flagged == Set(3L, 5L))
     }
   }
 
