@@ -725,6 +725,277 @@ object LangModel {
       |    / SUM(len(string_split(s, '|')) - 1) AS chars_per_token
       |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Default EM-round budget / piece cap / piece length / word length
+    * for the q250 unigram-LM trainer.
+    */
+  val UnigramRounds = 3
+  val UnigramCap = 200
+  val UnigramMaxPiece = 4
+  val UnigramMaxWord = 20
+
+  /** Viterbi segmentation of `word` under quantized piece log-probs
+    * `mp` (piece → micro-nats, BIGINT): an `aggregate` fold over
+    * character positions whose accumulator is the dp array of
+    * (best score, best segmentation) per prefix. Candidate pieces end
+    * at the current position with length 1..maxPiece; the argmax is
+    * `array_max` over (score, start) structs — EXACT integer
+    * comparison with the deterministic (score, j)-lexicographic
+    * tie-break the DuckDB twin reproduces verbatim. Single characters
+    * are always in the vocabulary, so a candidate always exists.
+    * Interpreted per row (HOF lambda) — only ever applied to the
+    * DISTINCT-word frame, never the corpus.
+    */
+  private def viterbi(word: Column, mp: Column, maxPiece: Int): Column = {
+    val init = array(struct(lit(0L).as("score"), lit("").as("seg")))
+      .cast("array<struct<score:bigint,seg:string>>")
+    val folded = aggregate(
+      sequence(lit(1), length(word)), init,
+      (acc, i) => {
+        val cands = filter(
+          transform(sequence(greatest(lit(0), i - maxPiece), i - 1), j => {
+            val q = try_element_at(mp, word.substr(j + 1, i - j))
+            when(q.isNotNull, struct(
+              (element_at(acc, j + 1).getField("score") + q).as("score"),
+              j.as("j")))
+          }),
+          x => x.isNotNull)
+        val best = array_max(cands)
+        val bj = best.getField("j")
+        array_append(acc, struct(
+          best.getField("score").as("score"),
+          concat(element_at(acc, bj + 1).getField("seg"),
+            word.substr(bj + 1, i - bj), lit("|")).as("seg")))
+      })
+    element_at(folded, length(word) + 1)
+  }
+
+  /** The q250 training loop, exposed for [[q251UnigramEncode]]:
+    * returns the per-round summary frames and the FINAL round's
+    * per-word Viterbi frame (word, freq, score, seg) — the trained
+    * segmenter artifact the encoder broadcasts.
+    */
+  private[queries] def unigramTrainFrames(s: SparkSession, dir: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
+    val words = Tables.load(s, dir, "documents")
+      .select(explode(ws).as("word"))
+      .filter($"word".rlike("^[a-z]+$") && length($"word") <= UnigramMaxWord)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // distinct-word frame; cuts the corpus lineage
+    val subs = words
+      .select($"freq", explode(flatten(transform(
+        sequence(lit(1), least(length($"word"), lit(UnigramMaxPiece))),
+        l => transform(sequence(lit(0), length($"word") - l),
+          p => $"word".substr(p + 1, l))))).as("piece"))
+      .groupBy($"piece").agg(sum($"freq").as("cnt"))
+      .localCheckpoint(true) // seed counts; feeds chars AND vocab0
+    val chars = subs.filter(length($"piece") === 1).select($"piece")
+    var vocab = subs.filter(length($"piece") === 1)
+      .unionByName(subs.filter(length($"piece") > 1)
+        .orderBy($"cnt".desc, $"piece").limit(UnigramCap))
+      .localCheckpoint(true)
+    var lastVit: DataFrame = null
+    val summaries = (1 to rounds).map { r =>
+      val tot = vocab.agg(sum($"cnt").cast("double").as("T"))
+      val scored = vocab.crossJoin(broadcast(tot))
+        .select($"piece",
+          floor((log($"cnt".cast("double")) - log($"T")) * 1e6)
+            .cast("long").as("qlp"))
+        .localCheckpoint(true) // ≤ cap+|chars| rows; map AND n_pieces
+      val mapRow = scored
+        .agg(map_from_entries(collect_list(struct($"piece", $"qlp"))).as("mp"))
+      val vit = words.crossJoin(broadcast(mapRow))
+        .select($"word", $"freq", viterbi($"word", $"mp", UnigramMaxPiece).as("v"))
+        .select($"word", $"freq",
+          $"v.score".as("score"), $"v.seg".as("seg"))
+        .localCheckpoint(true) // feeds counts, the summary, and the encoder
+      lastVit = vit
+      val used = vit
+        .select($"freq", explode(split($"seg", "[|]")).as("piece"))
+        .filter($"piece" =!= "")
+        .groupBy($"piece").agg(sum($"freq").as("cnt"))
+        .localCheckpoint(true) // piece-sized; feeds both vocab halves
+      vocab = chars.join(used, Seq("piece"), "left")
+        .select($"piece", greatest(coalesce($"cnt", lit(0L)), lit(1L)).as("cnt"))
+        .unionByName(used.filter(length($"piece") > 1)
+          .orderBy($"cnt".desc, $"piece").limit(UnigramCap))
+        .localCheckpoint(true)
+      vit.crossJoin(broadcast(scored.agg(count(lit(1)).as("n_pieces"))))
+        .groupBy($"n_pieces")
+        .agg(sum($"freq" * (size(split($"seg", "[|]")) - 1)).cast("long")
+          .as("viterbi_tokens"),
+          sum($"freq" * $"score").cast("long").as("loglik_micro"))
+        .select(lit(r).cast("long").as("round"), $"n_pieces",
+          $"viterbi_tokens", $"loglik_micro")
+    }
+    (summaries, lastVit)
+  }
+
+  /** q250 — unigram-LM (SentencePiece-style) tokenizer TRAINING: the
+    * EM/prune twin of q231's BPE (Kudo 2018, "Subword Regularization",
+    * §3 — the hard-EM variant: the E-step is the Viterbi segmentation,
+    * the M-step re-estimates piece probabilities from the winning
+    * segmentations' exact integer counts). Seeded with every substring
+    * of length ≤ 4 (all single characters plus the `UnigramCap` most
+    * frequent multi-character pieces), then `rounds` EM rounds: score
+    * pieces in quantized micro-nats (floor((ln c − ln T)·10⁶) — the
+    * q236 recipe that makes every distributed comparison exact
+    * BIGINT), Viterbi-segment the distinct-word frame, re-count pieces
+    * from the winning segmentations, re-prune to single chars (count
+    * floor 1, so coverage never breaks) plus the top `UnigramCap`
+    * multi-char pieces (count DESC, piece ASC tie-break). Emits the
+    * training curve: per round, the scoring-vocabulary size, the total
+    * Viterbi token count, and the corpus log-likelihood in micro-nats
+    * — all exact BIGINTs.
+    *
+    * At 100 TB: the corpus is scanned ONCE into the distinct-word
+    * frame (the only corpus-sized shuffle, same as q231); every EM
+    * round touches vocabulary-sized frames only — the piece map rides
+    * a broadcast, the Viterbi fold is per distinct word, counts are
+    * one piece-keyed aggregate, and per-round lineage is cut with
+    * eager localCheckpoints (the q215 discipline).
+    */
+  def q250UnigramTrain(s: SparkSession, dir: String,
+      rounds: Int = UnigramRounds): DataFrame = {
+    import s.implicits._
+    val (summaries, _) = unigramTrainFrames(s, dir, rounds)
+    summaries.reduce(_ unionByName _).orderBy($"round")
+  }
+
+  /** q251 — unigram tokenizer APPLICATION (the q233 analogue for
+    * q250): encode the corpus with the final EM round's Viterbi
+    * segmenter and report, per source, exact word/char/token totals
+    * and the chars-per-token compression. The per-word token count
+    * and segmentation are read off the trained per-word frame, so
+    * encoding is a broadcast join corpus-words → segmenter — one
+    * corpus scan, one broadcast probe, one per-source aggregate.
+    * chars_per_token is ONE double division of two exact BIGINT sums.
+    */
+  def q251UnigramEncode(s: SparkSession, dir: String,
+      rounds: Int = UnigramRounds): DataFrame = {
+    import s.implicits._
+    val (_, vit) = unigramTrainFrames(s, dir, rounds)
+    val corpusWords = Tables.load(s, dir, "documents")
+      .select($"source", explode(ws).as("word"))
+      .filter($"word".rlike("^[a-z]+$") && length($"word") <= UnigramMaxWord)
+    corpusWords.join(broadcast(vit.select($"word", $"seg")), Seq("word"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"word")).cast("long").as("n_chars"),
+        sum(size(split($"seg", "[|]")) - 1).cast("long").as("n_unigram_tokens"))
+      .select($"source", $"n_words", $"n_chars", $"n_unigram_tokens",
+        ($"n_chars".cast("double") / $"n_unigram_tokens").as("chars_per_token"))
+      .orderBy($"source")
+  }
+
+  /** The unrolled EM CTE chain shared by the q250 and q251 oracles:
+    * vwords/subs/chars seed the loop; per round r, sc`r` is the
+    * quantized scoring table, vit`r` the recursive-CTE Viterbi
+    * (depth ≤ word length; the dp array rides a LIST column), used`r`
+    * the winning-segmentation counts, vocab`r` the re-pruned
+    * vocabulary. DuckDB's map subscript returns a LIST — `[1]`
+    * unwraps it; absent pieces yield NULL and are filtered, exactly
+    * Spark's try_element_at + filter.
+    */
+  private def unigramCtes(rounds: Int): String = {
+    def roundCtes(r: Int) =
+      s"""t$r AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS T FROM vocab${r - 1}),
+         |sc$r AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(floor((ln(CAST(cnt AS DOUBLE)) - ln(T)) * 1000000.0) AS BIGINT)
+         |      AS qlp
+         |  FROM vocab${r - 1}, t$r),
+         |m$r AS (SELECT map_from_entries(list(struct_pack(k := piece, v := qlp)))
+         |        AS mp FROM sc$r),
+         |vr$r AS (
+         |  SELECT word, freq, 0 AS pos,
+         |    [struct_pack(score := CAST(0 AS BIGINT), seg := '')] AS dp
+         |  FROM vwords
+         |  UNION ALL
+         |  SELECT word, freq, pos + 1,
+         |    list_append(dp, (
+         |      SELECT struct_pack(
+         |        score := best.score,
+         |        seg := dp[best.j + 1].seg ||
+         |          substring(word, best.j + 1, pos + 1 - best.j) || '|')
+         |      FROM (SELECT list_max(list_filter(
+         |        list_transform(range(greatest(0, pos + 1 - $UnigramMaxPiece), pos + 1),
+         |          j -> CASE WHEN m$r.mp[substring(word, j + 1, pos + 1 - j)][1]
+         |                      IS NOT NULL
+         |            THEN struct_pack(
+         |              score := dp[j + 1].score
+         |                + m$r.mp[substring(word, j + 1, pos + 1 - j)][1],
+         |              j := j) END),
+         |        x -> x IS NOT NULL)) AS best)))
+         |  FROM vr$r, m$r WHERE pos < length(word)),
+         |vit$r AS MATERIALIZED (
+         |  SELECT word, freq, dp[length(word) + 1].score AS score,
+         |    dp[length(word) + 1].seg AS seg
+         |  FROM vr$r WHERE pos = length(word)),
+         |used$r AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, UNNEST(string_split(seg, '|')) AS piece FROM vit$r)
+         |  WHERE piece <> '' GROUP BY piece),
+         |vocab$r AS MATERIALIZED (
+         |  SELECT c.piece, greatest(COALESCE(u.cnt, 0), 1) AS cnt
+         |  FROM chars c LEFT JOIN used$r u ON c.piece = u.piece
+         |  UNION ALL
+         |  SELECT piece, cnt FROM
+         |    (SELECT piece, cnt FROM used$r WHERE length(piece) > 1
+         |     ORDER BY cnt DESC, piece LIMIT $UnigramCap))""".stripMargin
+    s"""vwords AS MATERIALIZED (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $UnigramMaxWord
+      |  GROUP BY word),
+      |subs AS MATERIALIZED (
+      |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT freq, substring(word, p + 1, l) AS piece
+      |        FROM vwords,
+      |          UNNEST(range(1, least(length(word), $UnigramMaxPiece) + 1)) AS tl(l),
+      |          UNNEST(range(0, length(word) - l + 1)) AS tp(p))
+      |  GROUP BY piece),
+      |chars AS MATERIALIZED (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+      |vocab0 AS MATERIALIZED (
+      |  SELECT piece, cnt FROM chars
+      |  UNION ALL
+      |  SELECT piece, cnt FROM
+      |    (SELECT piece, cnt FROM subs WHERE length(piece) > 1
+      |     ORDER BY cnt DESC, piece LIMIT $UnigramCap)),
+      |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  def q250UnigramTrainSql(rounds: Int = UnigramRounds): String = {
+    val union = (1 to rounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sc$r) AS n_pieces,
+         |  CAST(SUM(freq * (len(string_split(seg, '|')) - 1)) AS BIGINT)
+         |    AS viterbi_tokens,
+         |  CAST(SUM(freq * score) AS BIGINT) AS loglik_micro
+         |FROM vit$r""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE ${unigramCtes(rounds)}
+      |SELECT * FROM (
+      |  $union)
+      |ORDER BY round""".stripMargin
+  }
+
+  def q251UnigramEncodeSql(rounds: Int = UnigramRounds): String =
+    s"""WITH RECURSIVE ${unigramCtes(rounds)},
+      |wrds AS (
+      |  SELECT source, word
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $UnigramMaxWord),
+      |enc AS (SELECT w.source, w.word, v.seg
+      |        FROM wrds w JOIN vit$rounds v USING (word))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(len(string_split(seg, '|')) - 1) AS BIGINT) AS n_unigram_tokens,
+      |  CAST(SUM(length(word)) AS DOUBLE)
+      |    / SUM(len(string_split(seg, '|')) - 1) AS chars_per_token
+      |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
+
   /** q245: next-token distribution concentration — per context word of
     * the q104 bigram model: the NUCLEUS size (Holtzman et al. 2020's
     * top-p at p = 0.9 — the successor-type count that covers 90% of

@@ -592,6 +592,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q250: every per-round frame rides a broadcast (piece map, totals, " +
+    "n_pieces) — no cartesian, no corpus-keyed shuffle inside the EM loop") {
+    val p = plan("q250_unigram_train")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row frames must broadcast, never cartesian:\n$p")
+  }
+
+  test("q251: the trained segmenter broadcasts onto the corpus words") {
+    val p = plan("q251_unigram_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the segmenter side to broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the word join must not shuffle the corpus:\n$p")
+  }
+
   test("q233: the trained vocabulary broadcasts onto the corpus words") {
     val p = plan("q233_bpe_encode")
     assert(p.contains("BroadcastHashJoin"),
