@@ -79,6 +79,20 @@ object SerBench {
         println(f"$tag%-18s min ${ts.min}%.3f s  median ${ts(ts.length / 2)}%.3f s" +
           s"  (attempts ${ts.map(t => f"$t%.2f").mkString(", ")})")
       }
+      // one machine-readable line for the per-round SERBENCH_rN.json
+      // artifact: headline serializer-lane numbers should come from THIS
+      // interleaved run, not from whichever contended suite run was best
+      val nRows = events.count()
+      val laneJson = lanes.map { case (tag, _) =>
+        val ts = samples(tag).sorted
+        val med = ts(ts.length / 2)
+        f""""$tag":{"min_sec":${ts.min}%.3f,"median_sec":$med%.3f,""" +
+          f""""rows_per_sec_min":${nRows / ts.min}%.0f,""" +
+          f""""rows_per_sec_median":${nRows / med}%.0f,""" +
+          s""""attempts":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
+      }.mkString(",")
+      println(s"""{"metric":"serbench_isolate","sf_dir":"$sfDir","rows":$nRows,""" +
+        s""""interleaved_attempts":7,"lanes":{$laneJson}}""")
       spark.stop(); return
     }
     val img = Handlers.payloadImage(col("op"), col("oldData"), col("newData"))
