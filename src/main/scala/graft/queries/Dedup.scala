@@ -271,8 +271,32 @@ object Dedup {
     * verification. Block width trades recall for bucket selectivity:
     * short docs (tens of shingles) have noisy signatures (Hamming up to
     * ~10 for 0.9-Jaccard pairs here), so blocks are narrow; long-document
-    * corpora can use the classic 4×16-bit tables (Hamming ≤ 3) for much
-    * sharper buckets at scale.
+    * corpora can use the classic 4×16-bit tables (Hamming ≤ 3, Manku et
+    * al. WWW'07) for much sharper buckets at scale. With 5-bit blocks the
+    * bucket join enumerates ~13n²/2·2⁻⁵ random collisions — quadratic
+    * with a small constant, so SimHash-at-d≤12 is NOT this engine's
+    * subquadratic τ=0.8 scale path (q41's MinHash banding is, with its
+    * content-keyed 64-bit buckets); q42 is registered as the SimHash
+    * semantics lane and its join must stay cheap per enumerated pair.
+    *
+    * Two scale lessons measured on the derived 10×-sf0.1 corpus
+    * (BENCH_SCALING.md round 10), both encoded below:
+    *  - STRATEGY CLIFF: the chunk frame is small in BYTES (1 long + 2
+    *    ints × 13n rows), so Catalyst broadcasts it — but the key space
+    *    is only 13×32=416 values, and a HashedRelation probe walks a
+    *    ~n/32-long duplicate chain per probe with interpreted-iterator
+    *    cost: 319 s where SortMergeJoin's packed group loop runs the
+    *    SAME 558M-pair enumeration in 2.9 s (110×). The `merge` hint
+    *    pins SMJ — at real scale byte-stats would force SMJ anyway; the
+    *    hint removes the mid-scale cliff where bytes look broadcastable
+    *    but duplication is extreme.
+    *  - LENGTH FILTER (AllPairs/PPJoin, Bayardo et al. WWW'07): jac ≥ τ
+    *    forces shingle-count ratio ≥ τ, so geometric length bands (base
+    *    1/τ) of a τ≥0.8 pair differ by ≤ 1 — adding the band to the
+    *    bucket key is LOSSLESS for the emitted (jac ≥ τ) pairs and cuts
+    *    random collisions by the band diversity (3.1× on this corpus's
+    *    narrow 8..98-shingle spread; real corpora span decades of doc
+    *    lengths and cut far more).
     */
   def q42Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -281,31 +305,38 @@ object Dedup {
     // Per-bit majority votes via the native simhash64 expression — the
     // same strictly-more-set-than-clear vote the round-2 explode +
     // 64-sum-aggregate computed, but as one fused map-side loop per
-    // document with no shuffle and no 64 agg buffers.
+    // document with no shuffle and no 64 agg buffers. The geometric
+    // length band rides along: log-base 1.25 = 1/τ, so a jac≥τ pair's
+    // bands differ by at most 1 (|A∩B| ≤ min ∧ |A∪B| ≥ max ⇒ min/max ≥ τ).
     val sim = cacheScratch(s, "q42_sim",
-      docs.select($"doc_id", call_function("simhash64", $"sh").as("simhash")))
+      docs.select($"doc_id", call_function("simhash64", $"sh").as("simhash"),
+        floor(log(size($"sh").cast("double")) / log(lit(1.0 / Tau))).cast("int").as("band")))
     // the signature is ONE long, so it rides the block explode for free —
     // both self-join sides come straight off the cached sim frame with no
     // join-back to re-attach it (the join-back form paid two extra
     // doc_id-shuffles of the 13×corpus chunk frame)
-    val chunks = sim.select($"doc_id", $"simhash",
+    val chunks = sim.select($"doc_id", $"simhash", $"band",
         explode(expr(
           """transform(sequence(0, 12), c -> struct(c AS chunk,
             |  shiftright(simhash, cast(c*64 div 13 AS int))
             |    & (shiftleft(1L, cast((c+1)*64 div 13 - c*64 div 13 AS int)) - 1) AS cv))""".stripMargin))
           .as("cc"))
-      .select($"doc_id", $"simhash", $"cc.chunk", $"cc.cv")
+      .select($"doc_id", $"simhash", $"band", $"cc.chunk", $"cc.cv")
     // Hamming-filter BEFORE distinct: the raw pair stream (with up to one
     // duplicate per colliding block) is large, the ≤12-Hamming survivors
     // are rare — filtering on two 8-byte columns first means the distinct
-    // shuffle only ever sees survivors.
+    // shuffle only ever sees survivors. The probe side explodes its band
+    // to {band-1, band, band+1} so a cross-band τ-pair is caught exactly
+    // once (the build side keeps its single band value).
     val a = chunks
-      .select($"doc_id".as("d1"), $"chunk", $"cv", $"simhash".as("s1"))
+      .withColumn("pband", explode(array($"band" - 1, $"band", $"band" + 1)))
+      .select($"doc_id".as("d1"), $"chunk", $"cv", $"pband", $"simhash".as("s1"))
     val b = chunks
-      .select($"doc_id".as("d2"), $"chunk".as("chunk2"), $"cv".as("cv2"), $"simhash".as("s2"))
-    val cands = a.join(b,
-        $"chunk" === $"chunk2" && $"cv" === $"cv2" && $"d1" < $"d2" &&
-        expr("bit_count(s1 ^ s2) <= 12"))
+      .select($"doc_id".as("d2"), $"chunk".as("chunk2"), $"cv".as("cv2"),
+        $"band".as("band2"), $"simhash".as("s2"))
+    val cands = a.hint("merge").join(b,
+        $"chunk" === $"chunk2" && $"cv" === $"cv2" && $"pband" === $"band2" &&
+        $"d1" < $"d2" && expr("bit_count(s1 ^ s2) <= 12"))
       .select($"d1", $"d2")
       .distinct()
     verifyPairs(cands, docs)

@@ -260,7 +260,13 @@ object Multimodal {
         struct(lit(b).as("band"),
           (shiftright($"phash", b * 4).bitwiseAND(lit(15))).as("bkey"))): _*)).as("bb"))
       .select($"media_id", $"phash", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-    banded.as("a").join(banded.as("b"),
+    // `merge` hint: the banded frame is tiny in bytes but its key space
+    // is only 4×16=64 values, so Catalyst's byte-stats pick a broadcast
+    // hash join whose duplicate-chain probe degenerates on ~n/16-deep
+    // chains (the q42 strategy cliff, measured at 110× on the derived
+    // 10× corpus — see Dedup.q42Simhash). SMJ's packed per-key group
+    // loop does the same enumeration at codegen speed.
+    banded.as("a").hint("merge").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
           $"a.media_id" < $"b.media_id")
       .select($"a.media_id".as("id1"), $"b.media_id".as("id2"),

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build a derived ~N× corpus from an existing sf directory for the
+  * third scaling point (BENCH_SCALING.md): the driver caps generated
+  * testdata at sf0.1, so scaling evidence past 10× needs a legitimate
+  * synthetic decade — N disjoint SHARDS, each with exactly the source
+  * corpus's internal structure, written to a scratch dir (never
+  * touching the read-only testdata).
+  *
+  * The shard construction keeps every measured operator's work LINEAR
+  * in N by keeping shards disjoint along the axis the operator pairs
+  * on — the honest way a real corpus grows 10×:
+  *  - documents: copy k remaps doc_id (+k·stride) and suffixes every
+  *    token with "_k" (copy 0 verbatim), so copies share NO tokens /
+  *    grams / shingles: each shard reproduces the original's
+  *    near-dup/containment/prefix-join pair structure instead of
+  *    creating cross-copy duplicate clusters (10 identical copies
+  *    would make pair counts quadratic in N by construction — a
+  *    workload CHANGE, not a scale-up).
+  *  - events: copy k shifts time by k·(span rounded up to whole
+  *    hours) and remaps user_id/event_id, so each shard is a disjoint
+  *    time epoch with the original's per-hour session density
+  *    (overlap-pair output scales ×N, as more DAYS of data would; 10×
+  *    users in the SAME window would be ×N² output — again a
+  *    different workload, not more of the same one).
+  *  - embeddings: copy k remaps vec_id and shifts every coordinate by
+  *    k·0.001, keeping labels — cell/bucket populations scale ×N.
+  *
+  * Usage: runMain graft.tools.DeriveScale [srcDir] [outDir] [copies]
+  */
+object DeriveScale {
+  val Stride = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/root/repo/scratch/sf1d")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ks = explode(sequence(lit(0), lit(copies - 1))).as("k")
+    val kL = col("k").cast("long")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(ks, col("*"))
+      .select((col("doc_id") + kL * Stride).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(array_join(
+          transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("k"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(ks, col("*"))
+      .select((col("vec_id") + kL * Stride).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("k").cast("float") * lit(0.001f)).as("embedding"),
+        col("label"))
+    emb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val ev0 = graft.sources.Tables.load(spark, src, "events")
+    val mm = ev0.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0)
+    val (tMin, tMax) = (mm.getLong(0), mm.getLong(1))
+    val HourUs = 3600L * 1000000L
+    val epochUs = ((tMax - tMin) / HourUs + 2) * HourUs
+    val ev = ev0.select(ks, col("*"))
+      .select((col("event_id") + kL * Stride).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) + kL * epochUs).as("ts"),
+        (col("user_id") + kL * Stride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    Seq("documents", "embeddings", "events").foreach { t =>
+      val n = spark.read.parquet(s"$out/$t.parquet").count()
+      println(s"derived $t: $n rows (${copies}x)")
+    }
+    spark.stop()
+  }
+}

@@ -52,6 +52,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!logical.contains("min(xxhash64"), s"round-2 aggregate formulation resurfaced:\n$logical")
   }
 
+  test("q42: the SimHash block self-join is sort-merge, never broadcast-hash") {
+    // round-10 derived-decade finding: the chunk frame is broadcastable
+    // in BYTES but has only 13×32 distinct keys, and a HashedRelation
+    // probe over ~n/32-deep duplicate chains ran the 558M-pair
+    // enumeration 110× slower than SMJ's packed group loop. The merge
+    // hint must keep the (chunk, cv, band) join out of BHJ.
+    val p = plan("q42_simhash")
+    assert(p.contains("SortMergeJoin [chunk"),
+      s"expected the block self-join to be SortMergeJoin on chunk keys:\n$p")
+    assert(!p.contains("BroadcastHashJoin [chunk"),
+      s"block self-join fell back to the broadcast duplicate-chain cliff:\n$p")
+  }
+
+  test("q221: the pHash band self-join is sort-merge, never broadcast-hash") {
+    // same cliff shape as q42: 4×16=64 distinct band keys
+    val p = plan("q221_media_phash")
+    assert(p.contains("SortMergeJoin [band"),
+      s"expected the band self-join to be SortMergeJoin on band keys:\n$p")
+    assert(!p.contains("BroadcastHashJoin [band"),
+      s"band self-join fell back to the broadcast duplicate-chain cliff:\n$p")
+  }
+
   test("q47: the packing window is partitioned — no single-partition WindowExec") {
     // the round-3 scale-killer: Window.orderBy with no partitionBy
     // serializes the corpus through one task ("No Partition Defined").
