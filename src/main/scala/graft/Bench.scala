@@ -51,15 +51,18 @@ object Bench {
     // attempts finish. The dedup family's shared shingle/pair caches
     // are the deliberate exception: they persist ACROSS a family
     // segment (built at q126 — alphabetically first since round 7 —
-    // and reused through q45; rebuilt at q72 for q72/q75; rebuilt at
-    // q94 for q94/q98), so family members skip the
-    // per-query sweep entirely and each segment END (q45, q75, q98)
-    // drops the shared frames via clearCaches, then sweeps EVERYTHING
+    // and reused through q45, with q250/q251's shared unigram
+    // training checkpoints riding the same segment; rebuilt at q72
+    // for q72/q75; rebuilt at q94 for q94/q98), so family members
+    // skip the per-query sweep entirely and each segment END (q45,
+    // q75, q98) drops the shared frames via clearCaches (Dedup +
+    // LangModel), then sweeps EVERYTHING
     // created since the segment's first member — which also reclaims
     // mid-family members' own localCheckpoints (e.g. q72's BFS
     // frontier/visited frames) that their own turn skipped.
     val cacheSharers = Set("q126_prefix_join", "q135_containment",
-      "q138_source_overlap", "q148_snm", "q40_ngram_jaccard", "q41_minhash_lsh",
+      "q138_source_overlap", "q148_snm", "q250_unigram_train",
+      "q251_unigram_encode", "q40_ngram_jaccard", "q41_minhash_lsh",
       "q42_simhash", "q45_dup_clusters", "q72_bfs_depth", "q75_edit_distance",
       "q94_triangles", "q98_best_keeper")
     val familyEnds = Set("q45_dup_clusters", "q75_edit_distance", "q98_best_keeper")
@@ -71,6 +74,7 @@ object Bench {
     // lineitem, which derived corpora don't carry.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val initialIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
@@ -97,6 +101,7 @@ object Bench {
         }
       if (familyEnds.contains(name)) {
         graft.queries.Dedup.clearCaches(spark)
+        graft.queries.LangModel.clearCaches(spark)
         val base = familyStartIds.getOrElse(preIds)
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!base.contains(id)) rdd.unpersist(blocking = false)
@@ -108,6 +113,17 @@ object Bench {
         }
       }
       (name, sec, attempts.toSeq)
+    }
+    // A subset run (SPARK_GRAFT_ONLY) may include a cacheSharer without
+    // its familyEnd, so the per-family sweep above never fires; drop
+    // the shared frames here so a multi-scale sweep in one JVM doesn't
+    // carry one scale's pinned shingle/scratch frames into the next.
+    if (only.isDefined) {
+      graft.queries.Dedup.clearCaches(spark)
+      graft.queries.LangModel.clearCaches(spark)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!initialIds.contains(id)) rdd.unpersist(blocking = false)
+      }
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

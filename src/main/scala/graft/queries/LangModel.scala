@@ -769,12 +769,35 @@ object LangModel {
     element_at(folded, length(word) + 1)
   }
 
+  /** Memoized trained-segmenter artifacts: q250 (training curve) and
+    * q251 (encoder) are reports off the SAME EM run, so one session
+    * trains once per (dir, rounds) and both queries read the shared
+    * localCheckpointed frames — the q40/q45 family-cache discipline.
+    * Bench marks both queries cacheSharers so the checkpoints survive
+    * between them, and clears this map alongside Dedup.clearCaches.
+    */
+  private val trainCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (Seq[DataFrame], DataFrame)]
+
+  /** Drop this session's memoized training frames (storage reclaim is
+    * the caller's RDD sweep; localCheckpointed frames have no lineage
+    * to recompute from, so a dropped entry simply retrains next use).
+    */
+  def clearCaches(s: SparkSession): Unit =
+    trainCache.keySet.foreach { k => if (k._1 == s) trainCache.remove(k) }
+
   /** The q250 training loop, exposed for [[q251UnigramEncode]]:
     * returns the per-round summary frames and the FINAL round's
     * per-word Viterbi frame (word, freq, score, seg) — the trained
-    * segmenter artifact the encoder broadcasts.
+    * segmenter artifact the encoder broadcasts. Memoized per
+    * (session, dir, rounds).
     */
   private[queries] def unigramTrainFrames(s: SparkSession, dir: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) =
+    trainCache.getOrElseUpdate((s, dir, rounds),
+      unigramTrainFramesUncached(s, dir, rounds))
+
+  private def unigramTrainFramesUncached(s: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame) = {
     import s.implicits._
     val words = Tables.load(s, dir, "documents")

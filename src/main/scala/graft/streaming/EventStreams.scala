@@ -725,11 +725,21 @@ object EventStreams {
     * bounds est ≥ true ≥ est − overcount carry over verbatim — the
     * law EventStreamsSpec pins against exact re-sharded truth.
     *
-    * Scale shape: ONE shuffle keyed by the new shard id; the
-    * per-shard top-`capacity` is a rank over ≤ oldShards × capacity
-    * bounded rows (WindowGroupLimit prunes map-side). For tables over
-    * the SAME stream (snapshot epochs, replicas) use
-    * [[SpaceSaving.merge]], which owes the eviction floors.
+    * [[heavyHitters]] emits a FULL table snapshot every micro-batch
+    * (append mode), so a caller that feeds several epochs would see
+    * the same word several times; rather than silently double-count
+    * capacity slots, duplicates are collapsed to the word's LATEST
+    * snapshot entry first (per-word counts are monotone across
+    * epochs, so max(count_est) — ties resolved by the paired
+    * overcount — is exactly the newest row). For the documented
+    * single-snapshot input the collapse is an identity.
+    *
+    * Scale shape: two shuffles over capacity-BOUNDED frames (input ≤
+    * oldShards × capacity × epochs rows, independent of corpus
+    * size): the per-word collapse, then the new-shard rank
+    * (WindowGroupLimit prunes map-side). For tables over the SAME
+    * stream (replicas, not epochs) use [[SpaceSaving.merge]], which
+    * owes the eviction floors.
     */
   def reshardHeavyHitters(tables: DataFrame, newShards: Int,
       capacity: Int = 1 << 16): DataFrame = {
@@ -737,8 +747,11 @@ object EventStreams {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("count_est").desc, col("word"))
     tables
+      .groupBy(col("word"))
+      .agg(max(struct(col("count_est"), col("overcount_max"))).as("s"))
       .select(pmod(xxhash64(col("word")), lit(newShards)).cast("long").as("shard"),
-        col("word"), col("count_est"), col("overcount_max"))
+        col("word"), col("s.count_est").as("count_est"),
+        col("s.overcount_max").as("overcount_max"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= capacity)
       .select(col("shard"), col("word"), col("count_est"), col("overcount_max"))

@@ -69,6 +69,15 @@ object SpaceSaving {
     */
   def merge(a: Map[String, (Long, Long)], b: Map[String, (Long, Long)],
       capacity: Int): Map[String, (Long, Long)] = {
+    // `capacity` must be the BUILD capacity of both inputs: fullness
+    // (= evictions were possible) is inferred from t.size >= capacity,
+    // so a larger caller-supplied capacity would classify a genuinely
+    // full table as never-evicting and silently drop its absent-word
+    // floor, breaking the est >= true guarantee. A table larger than
+    // the claimed capacity is proof of that mismatch — fail loudly.
+    require(a.size <= capacity && b.size <= capacity,
+      s"merge capacity $capacity below a table size " +
+        s"(${a.size}, ${b.size}) — pass the tables' build capacity")
     def floor(t: Map[String, (Long, Long)]): Long =
       if (t.size >= capacity && t.nonEmpty) t.values.map(_._1).min else 0L
     val (fa, fb) = (floor(a), floor(b))

@@ -38,6 +38,8 @@ object DeriveScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/scratch/sf1d")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    require(copies >= 1 && copies <= 26,
+      s"copies must be in [1, 26] (one alphabet letter per copy), got $copies")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -50,9 +52,16 @@ object DeriveScale {
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select(ks, col("*"))
       .select((col("doc_id") + kL * Stride).as("doc_id"),
+        // All-letter suffix ("q" + k-th alphabet letter) keeps derived
+        // tokens inside the `^[a-z]+$` word filter the tokenizer lanes
+        // (q231/q233/q250/q251) apply, so a 10x corpus really trains
+        // them on 10x the vocabulary — while staying disjoint across
+        // copies (a "_k" suffix made copies 1..N-1 invisible to them).
         when(col("k") === 0, col("text")).otherwise(array_join(
           transform(split(col("text"), " "),
-            t => concat(t, lit("_"), col("k"))), " ")).as("text"),
+            t => concat(t, lit("q"),
+              substring(lit("abcdefghijklmnopqrstuvwxyz"), col("k"), lit(1)))), " "))
+          .as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     docs.write.mode("overwrite").parquet(s"$out/documents.parquet")

@@ -650,4 +650,35 @@ class EventStreamsSpec extends SparkSpec {
       assert(est - over <= t, s"'$w'@$shard: floor ${est - over} > true $t")
     }
   }
+
+  test("re-sharding collapses multi-epoch snapshots to each word's latest " +
+    "entry instead of double-counting capacity slots") {
+    import spark.implicits._
+    // heavyHitters emits a FULL table snapshot per micro-batch; feeding
+    // two epochs means every word of the older epoch reappears with a
+    // smaller (monotone) count. The reshard must behave exactly as if
+    // only the newest snapshot were fed.
+    val epoch1 = Seq((0L, "alpha", 3L, 0L), (0L, "beta", 2L, 0L))
+    val epoch2 = Seq((0L, "alpha", 9L, 1L), (0L, "beta", 2L, 0L),
+      (0L, "gamma", 5L, 0L))
+    val both = EventStreams.reshardHeavyHitters(
+      (epoch1 ++ epoch2).toDF("shard", "word", "count_est", "overcount_max"),
+      newShards = 2, capacity = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val latestOnly = EventStreams.reshardHeavyHitters(
+      epoch2.toDF("shard", "word", "count_est", "overcount_max"),
+      newShards = 2, capacity = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(both == latestOnly)
+    assert(both.toSeq.map(t => (t._1, t._2)).distinct.size == both.size)
+  }
+
+  test("space-saving merge rejects a capacity below a table's size (build-" +
+    "capacity mismatch fails loudly instead of dropping eviction floors)") {
+    val t = SpaceSaving.fromCounts(
+      (1 to 8).map(i => (s"w$i", i.toLong)), capacity = 8).toMap
+    assertThrows[IllegalArgumentException] {
+      SpaceSaving.merge(t, Map.empty, capacity = 4)
+    }
+  }
 }
