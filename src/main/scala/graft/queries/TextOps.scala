@@ -230,6 +230,219 @@ object TextOps {
       |ORDER BY lang_label, detected""".stripMargin
   }
 
+  /** Cavnar–Trenkle profile depth: a language profile (and a document
+    * profile) is its top-`CtK` character n-grams by count; an n-gram
+    * absent from the language profile costs the maximum out-of-place
+    * penalty `CtK`.
+    */
+  private val CtK = 160
+  private val CtGramMin = 2
+  private val CtGramMax = 4
+  private val CtTrainPct = 80
+
+  /** Per-(doc, word) gram-count base the two Cavnar–Trenkle queries
+    * share: one corpus scan → (doc, word) occurrence counts → padded
+    * character n-grams of length [[CtGramMin]]..[[CtGramMax]], each
+    * carrying the word's occurrence count and the doc's deterministic
+    * train/eval bucket (md5("ct:"+doc_id) mod 100 — the q39 split
+    * convention, salted independently).
+    */
+  private def ctGramFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        (conv(substring(md5(concat(lit("ct:"), $"doc_id".cast("string"))), 1, 8),
+          16, 10).cast("long") % 100).as("bucket"),
+        explode(split($"text", " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"doc_id", $"lang", $"bucket", $"word")
+      .agg(count(lit(1)).as("c"))
+    val padded = concat(lit("_"), $"word", lit("_"))
+    wc.select($"doc_id", $"lang", $"bucket", $"c",
+      explode(flatten(transform(
+        sequence(lit(CtGramMin), least(lit(CtGramMax), length(padded))),
+        l => transform(sequence(lit(1), length(padded) - l + 1),
+          i => padded.substr(i, l))))).as("g"))
+  }
+
+  /** The trained per-language rank profiles (train split only):
+    * top-[[CtK]] grams per language by summed occurrence count, ranked
+    * count DESC, gram ASC — every rank decision an exact-integer
+    * compare, so the profile is bit-identical cross-engine.
+    */
+  private def ctProfileFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"cnt".desc, $"g")
+    ctGramFrame(s, dir).filter($"bucket" < CtTrainPct)
+      .groupBy($"lang", $"g").agg(sum($"c").as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= CtK) // raw rank: keeps the WindowGroupLimit rewrite
+  }
+
+  /** q252 — Cavnar–Trenkle language-ID TRAINING (Cavnar & Trenkle
+    * 1994, "N-Gram-Based Text Categorization"): per language, the
+    * rank-ordered profile of its most frequent padded character
+    * n-grams (lengths 2–4 over `_word_`), built from the 80%
+    * deterministic train split. The profile is the classifier
+    * artifact q253 classifies against; counts and ranks are exact
+    * BIGINTs.
+    *
+    * At 100 TB: one corpus scan into (doc, word) counts, one gram
+    * explode (bounded ×~9 rows per distinct doc-word), ONE
+    * (lang, gram)-keyed aggregate — map-side combined, output bounded
+    * by |langs| × |gram space|; the rank is a window over per-language
+    * frames that WindowGroupLimit prunes map-side to K rows.
+    */
+  def q252CtProfiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ctProfileFrame(s, dir)
+      .select($"lang", $"rank".cast("long").as("rank"), $"g".as("gram"), $"cnt")
+      .orderBy($"lang", $"rank")
+  }
+
+  /** The shared CTE chain of the q252/q253 oracles. */
+  private def ctCtes: String =
+    s"""wc AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5('ct:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 100 AS bucket,
+      |    word, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$')
+      |  GROUP BY 1, 2, 3, 4),
+      |grams AS MATERIALIZED (
+      |  SELECT doc_id, lang, bucket, c,
+      |    substring('_' || word || '_', i, l) AS g
+      |  FROM wc,
+      |    UNNEST(range($CtGramMin, least($CtGramMax, length(word) + 2) + 1))
+      |      AS tl(l),
+      |    UNNEST(range(1, length(word) + 2 - l + 2)) AS tp(i)),
+      |prof AS MATERIALIZED (
+      |  SELECT lang, g, cnt, rank FROM (
+      |    SELECT lang, g, CAST(SUM(c) AS BIGINT) AS cnt,
+      |      CAST(row_number() OVER (PARTITION BY lang ORDER BY SUM(c) DESC, g)
+      |        AS BIGINT) AS rank
+      |    FROM grams WHERE bucket < $CtTrainPct GROUP BY lang, g)
+      |  WHERE rank <= $CtK)""".stripMargin
+
+  def q252CtProfilesSql: String =
+    s"""WITH $ctCtes
+      |SELECT lang, rank, g AS gram, cnt FROM prof
+      |ORDER BY lang, rank""".stripMargin
+
+  /** q253 — Cavnar–Trenkle language-ID EVALUATION on the held-out 20%
+    * split: classify each eval document by the minimum out-of-place
+    * distance between its own top-[[CtK]] gram rank profile and each
+    * trained language profile (|doc rank − lang rank| per shared gram,
+    * [[CtK]] per gram missing from the language profile; ties broken
+    * by language ASC), then emit the same confusion matrix q248 grades
+    * the q32 marker heuristic with.
+    *
+    * HONEST GRADE ON THIS CORPUS: the synthetic documents' word×lang
+    * contingency is statistically independent (χ² ≈ 130 on 120 dof at
+    * sf0.1, p ≈ 0.24 — measured, see CtLangIdSpec), so NO text-based
+    * classifier can beat the label base rates here and this matrix
+    * stays non-diagonal — exactly what the full matrix is for.
+    * CtLangIdSpec proves the implementation itself is discriminative:
+    * on a micro corpus with real per-language character distributions
+    * the same pipeline is diagonal-dominant (perfect recall per label)
+    * and matches an independent plain-Scala reference gram-for-gram.
+    *
+    * Exactness: distances are exact-BIGINT sums of rank differences;
+    * the argmin is a (dist, lang) lexicographic min; shares/accuracy
+    * are single fixed-shape double divisions presented FLOAT (q248).
+    *
+    * At 100 TB: the trained profile is |langs|×K rows — broadcast;
+    * per-doc profiles are one doc-keyed rank (WindowGroupLimit-pruned
+    * to K rows/doc); the distance probe is a broadcast join + one
+    * (doc, lang)-keyed aggregate over ≤ K×|langs| rows per doc; the
+    * matrix is bounded |langs|².
+    */
+  def q253CtConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prof = ctProfileFrame(s, dir)
+      .select($"lang".as("plang"), $"g", $"rank")
+      .localCheckpoint(true) // bounded |langs|×K; probed from two branches
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"cnt".desc, $"g")
+    val docG = ctGramFrame(s, dir).filter($"bucket" >= CtTrainPct)
+      .groupBy($"doc_id", $"lang", $"g").agg(sum($"c").as("cnt"))
+      .withColumn("dr", row_number().over(wd))
+      .filter($"dr" <= CtK)
+      .localCheckpoint(true) // K rows/doc; feeds ndoc AND the probe
+    val langs = prof.select($"plang").distinct()
+    val matched = docG.join(broadcast(prof), Seq("g"))
+      .groupBy($"doc_id", $"plang")
+      .agg(sum(abs($"dr".cast("long") - $"rank".cast("long"))).as("os"),
+        count(lit(1)).as("m"))
+    val ndoc = docG.groupBy($"doc_id", $"lang").agg(count(lit(1)).as("nd"))
+    val det = ndoc.crossJoin(broadcast(langs))
+      .join(matched, Seq("doc_id", "plang"), "left")
+      .select($"doc_id", $"lang",  $"plang",
+        (coalesce($"os", lit(0L))
+          + lit(CtK.toLong) * ($"nd" - coalesce($"m", lit(0L)))).as("dist"))
+      .groupBy($"doc_id", $"lang")
+      .agg(min(struct($"dist", $"plang")).as("b"))
+      .select($"lang".as("lang_label"), $"b.plang".as("detected"))
+    val cells = det.groupBy($"lang_label", $"detected")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // bounded |langs|²; three consumers
+    val totals = cells.groupBy($"lang_label").agg(sum($"n").as("label_total"))
+    val acc = cells.agg(
+      (sum(when($"lang_label" === $"detected", $"n").otherwise(0L)).cast("double")
+        / sum($"n").cast("double")).as("accuracy_d"))
+    cells.join(broadcast(totals), Seq("lang_label"))
+      .crossJoin(broadcast(acc))
+      .select($"lang_label", $"detected", $"n",
+        ($"n".cast("double") / $"label_total".cast("double"))
+          .cast("float").as("share_of_label"),
+        $"accuracy_d".cast("float").as("accuracy"))
+      .orderBy($"lang_label", $"detected")
+  }
+
+  def q253CtConfusionSql: String =
+    s"""WITH $ctCtes,
+      |docg AS MATERIALIZED (
+      |  SELECT doc_id, lang, g, cnt, dr FROM (
+      |    SELECT doc_id, lang, g, CAST(SUM(c) AS BIGINT) AS cnt,
+      |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY SUM(c) DESC, g)
+      |        AS BIGINT) AS dr
+      |    FROM grams WHERE bucket >= $CtTrainPct GROUP BY doc_id, lang, g)
+      |  WHERE dr <= $CtK),
+      |nd AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nd
+      |       FROM docg GROUP BY 1, 2),
+      |langs AS (SELECT DISTINCT lang AS plang FROM prof),
+      |mt AS (
+      |  SELECT d.doc_id, p.lang AS plang,
+      |    CAST(SUM(abs(d.dr - p.rank)) AS BIGINT) AS os,
+      |    CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM docg d JOIN prof p ON d.g = p.g GROUP BY 1, 2),
+      |det AS (
+      |  SELECT doc_id, lang AS lang_label, plang AS detected FROM (
+      |    SELECT nd.doc_id, nd.lang, l.plang,
+      |      COALESCE(mt.os, 0) + $CtK * (nd.nd - COALESCE(mt.m, 0)) AS dist,
+      |      row_number() OVER (PARTITION BY nd.doc_id ORDER BY
+      |        COALESCE(mt.os, 0) + $CtK * (nd.nd - COALESCE(mt.m, 0)), l.plang)
+      |        AS rk
+      |    FROM nd CROSS JOIN langs l
+      |    LEFT JOIN mt ON mt.doc_id = nd.doc_id AND mt.plang = l.plang)
+      |  WHERE rk = 1),
+      |cells AS (SELECT lang_label, detected, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM det GROUP BY 1, 2),
+      |tot AS (SELECT lang_label, CAST(SUM(n) AS BIGINT) AS label_total
+      |        FROM cells GROUP BY 1),
+      |acc AS (SELECT CAST(SUM(CASE WHEN lang_label = detected THEN n ELSE 0 END)
+      |          AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS accuracy_d
+      |        FROM cells)
+      |SELECT c.lang_label, c.detected, c.n,
+      |  CAST(CAST(c.n AS DOUBLE) / CAST(t.label_total AS DOUBLE) AS FLOAT)
+      |    AS share_of_label,
+      |  CAST(acc.accuracy_d AS FLOAT) AS accuracy
+      |FROM cells c JOIN tot t USING (lang_label) CROSS JOIN acc
+      |ORDER BY lang_label, detected""".stripMargin
+
   /** q249: packing-efficiency ladder — the context-length trade study
     * behind q47's packer: for each candidate budget (256/512/1024
     * tokens), the number of training sequences the corpus packs into,
