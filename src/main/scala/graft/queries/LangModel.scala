@@ -777,7 +777,7 @@ object LangModel {
     * between them, and clears this map alongside Dedup.clearCaches.
     */
   private val trainCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), (Seq[DataFrame], DataFrame)]
+    .empty[(SparkSession, String, Int), (Seq[DataFrame], DataFrame, DataFrame)]
 
   /** Drop this session's memoized training frames (storage reclaim is
     * the caller's RDD sweep; localCheckpointed frames have no lineage
@@ -787,18 +787,20 @@ object LangModel {
     trainCache.keySet.foreach { k => if (k._1 == s) trainCache.remove(k) }
 
   /** The q250 training loop, exposed for [[q251UnigramEncode]]:
-    * returns the per-round summary frames and the FINAL round's
+    * returns the per-round summary frames, the FINAL round's
     * per-word Viterbi frame (word, freq, score, seg) — the trained
-    * segmenter artifact the encoder broadcasts. Memoized per
-    * (session, dir, rounds).
+    * segmenter artifact the encoder broadcasts — and the final
+    * round's quantized scoring table (piece, qlp) the n-best sampler
+    * (q254) re-derives its DP from. Memoized per (session, dir,
+    * rounds).
     */
   private[queries] def unigramTrainFrames(s: SparkSession, dir: String,
-      rounds: Int): (Seq[DataFrame], DataFrame) =
+      rounds: Int): (Seq[DataFrame], DataFrame, DataFrame) =
     trainCache.getOrElseUpdate((s, dir, rounds),
       unigramTrainFramesUncached(s, dir, rounds))
 
   private def unigramTrainFramesUncached(s: SparkSession, dir: String,
-      rounds: Int): (Seq[DataFrame], DataFrame) = {
+      rounds: Int): (Seq[DataFrame], DataFrame, DataFrame) = {
     import s.implicits._
     val words = Tables.load(s, dir, "documents")
       .select(explode(ws).as("word"))
@@ -818,6 +820,7 @@ object LangModel {
         .orderBy($"cnt".desc, $"piece").limit(UnigramCap))
       .localCheckpoint(true)
     var lastVit: DataFrame = null
+    var lastScored: DataFrame = null
     val summaries = (1 to rounds).map { r =>
       val tot = vocab.agg(sum($"cnt").cast("double").as("T"))
       val scored = vocab.crossJoin(broadcast(tot))
@@ -833,6 +836,7 @@ object LangModel {
           $"v.score".as("score"), $"v.seg".as("seg"))
         .localCheckpoint(true) // feeds counts, the summary, and the encoder
       lastVit = vit
+      lastScored = scored
       val used = vit
         .select($"freq", explode(split($"seg", "[|]")).as("piece"))
         .filter($"piece" =!= "")
@@ -851,7 +855,7 @@ object LangModel {
         .select(lit(r).cast("long").as("round"), $"n_pieces",
           $"viterbi_tokens", $"loglik_micro")
     }
-    (summaries, lastVit)
+    (summaries, lastVit, lastScored)
   }
 
   /** q250 — unigram-LM (SentencePiece-style) tokenizer TRAINING: the
@@ -881,7 +885,7 @@ object LangModel {
   def q250UnigramTrain(s: SparkSession, dir: String,
       rounds: Int = UnigramRounds): DataFrame = {
     import s.implicits._
-    val (summaries, _) = unigramTrainFrames(s, dir, rounds)
+    val (summaries, _, _) = unigramTrainFrames(s, dir, rounds)
     summaries.reduce(_ unionByName _).orderBy($"round")
   }
 
@@ -897,7 +901,7 @@ object LangModel {
   def q251UnigramEncode(s: SparkSession, dir: String,
       rounds: Int = UnigramRounds): DataFrame = {
     import s.implicits._
-    val (_, vit) = unigramTrainFrames(s, dir, rounds)
+    val (_, vit, _) = unigramTrainFrames(s, dir, rounds)
     val corpusWords = Tables.load(s, dir, "documents")
       .select($"source", explode(ws).as("word"))
       .filter($"word".rlike("^[a-z]+$") && length($"word") <= UnigramMaxWord)
@@ -1018,6 +1022,109 @@ object LangModel {
       |  CAST(SUM(length(word)) AS DOUBLE)
       |    / SUM(len(string_split(seg, '|')) - 1) AS chars_per_token
       |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** Default n-best depth for the q254 subword-regularization lattice. */
+  val UnigramNBest = 4
+
+  /** N-best Viterbi segmentation (Kudo 2018 §4 — the lattice the
+    * subword-regularization sampler draws from): the [[viterbi]] fold
+    * with each prefix's DP cell widened from the single argmax to the
+    * top-`n` (score, segmentation) candidates. Entries are stored as
+    * (ns = −score, seg) so one ascending `array_sort` orders them best
+    * first with the deterministic seg-ASC tie-break — every comparison
+    * an exact BIGINT/string compare the DuckDB twin reproduces. A
+    * segmentation string uniquely determines its piece path, so cells
+    * never hold duplicates. Interpreted per row (HOF lambda) — only
+    * ever applied to the DISTINCT-word frame, never the corpus.
+    */
+  private def nbestViterbi(word: Column, mp: Column, maxPiece: Int,
+      n: Int): Column = {
+    val init = array(array(struct(lit(0L).as("ns"), lit("").as("seg"))))
+      .cast("array<array<struct<ns:bigint,seg:string>>>")
+    val folded = aggregate(
+      sequence(lit(1), length(word)), init,
+      (acc, i) => {
+        val cands = flatten(filter(
+          transform(sequence(greatest(lit(0), i - maxPiece), i - 1), j => {
+            val q = try_element_at(mp, word.substr(j + 1, i - j))
+            when(q.isNotNull,
+              transform(element_at(acc, j + 1), e =>
+                struct((e.getField("ns") - q).as("ns"),
+                  concat(e.getField("seg"), word.substr(j + 1, i - j), lit("|"))
+                    .as("seg"))))
+          }),
+          x => x.isNotNull))
+        array_append(acc, slice(array_sort(cands), 1, n))
+      })
+    element_at(folded, length(word) + 1)
+  }
+
+  /** q254 — n-best segmentation lattice of the trained unigram
+    * tokenizer (subword regularization, Kudo 2018 §4): for every
+    * distinct word, the top-[[UnigramNBest]] segmentations under the
+    * final EM round's piece scores, reported as the per-rank training
+    * curve a sampling-based augmentation recipe reads — how many
+    * words/occurrences have an r-th best segmentation at all, its
+    * token count, and its corpus log-likelihood in exact micro-nats.
+    * Rank 1's loglik equals q250's final-round Viterbi loglik by
+    * construction (the score law UnigramSpec pins per word against an
+    * exhaustive-enumeration reference).
+    *
+    * At 100 TB: rides the q250/q251 shared training artifact (memoized
+    * frames — zero extra corpus scans); the n-best DP is one broadcast
+    * map probe per DISTINCT word; the report is ONE rank-keyed
+    * aggregate over ≤ n × |vocab words| rows.
+    */
+  def q254UnigramNbest(s: SparkSession, dir: String,
+      rounds: Int = UnigramRounds, nBest: Int = UnigramNBest): DataFrame = {
+    import s.implicits._
+    val (_, vit, scored) = unigramTrainFrames(s, dir, rounds)
+    val mapRow = scored
+      .agg(map_from_entries(collect_list(struct($"piece", $"qlp"))).as("mp"))
+    vit.select($"word", $"freq").crossJoin(broadcast(mapRow))
+      .select($"word", $"freq",
+        posexplode(nbestViterbi($"word", $"mp", UnigramMaxPiece, nBest)))
+      .select($"freq", ($"pos" + 1).cast("long").as("rank"),
+        (-$"col.ns").as("score"), $"col.seg".as("seg"))
+      .groupBy($"rank")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"freq").cast("long").as("word_mass"),
+        sum($"freq" * (size(split($"seg", "[|]")) - 1)).cast("long")
+          .as("tokens"),
+        sum($"freq" * $"score").cast("long").as("loglik_micro"))
+      .orderBy($"rank")
+  }
+
+  def q254UnigramNbestSql(rounds: Int = UnigramRounds,
+      nBest: Int = UnigramNBest): String =
+    s"""WITH RECURSIVE ${unigramCtes(rounds)},
+      |nvr AS (
+      |  SELECT word, freq, 0 AS pos,
+      |    [[struct_pack(ns := CAST(0 AS BIGINT), seg := '')]] AS dp
+      |  FROM vwords
+      |  UNION ALL
+      |  SELECT word, freq, pos + 1,
+      |    list_append(dp, list_slice(list_sort(flatten(list_filter(
+      |      list_transform(range(greatest(0, pos + 1 - $UnigramMaxPiece), pos + 1),
+      |        j -> CASE WHEN m$rounds.mp[substring(word, j + 1, pos + 1 - j)][1]
+      |                    IS NOT NULL
+      |          THEN list_transform(dp[j + 1], e -> struct_pack(
+      |            ns := e.ns - m$rounds.mp[substring(word, j + 1, pos + 1 - j)][1],
+      |            seg := e.seg || substring(word, j + 1, pos + 1 - j) || '|'))
+      |          END),
+      |      x -> x IS NOT NULL))), 1, $nBest))
+      |  FROM nvr, m$rounds WHERE pos < length(word)),
+      |nbest AS (
+      |  SELECT freq, r AS rank,
+      |    dp[length(word) + 1][r].ns AS ns, dp[length(word) + 1][r].seg AS seg
+      |  FROM nvr, UNNEST(range(1, len(dp[length(word) + 1]) + 1)) AS t(r)
+      |  WHERE pos = length(word))
+      |SELECT CAST(rank AS BIGINT) AS rank,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(freq) AS BIGINT) AS word_mass,
+      |  CAST(SUM(freq * (len(string_split(seg, '|')) - 1)) AS BIGINT) AS tokens,
+      |  CAST(SUM(freq * (-ns)) AS BIGINT) AS loglik_micro
+      |FROM nbest GROUP BY 1 ORDER BY rank""".stripMargin
 
   /** q245: next-token distribution concentration — per context word of
     * the q104 bigram model: the NUCLEUS size (Holtzman et al. 2020's

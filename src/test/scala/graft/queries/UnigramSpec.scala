@@ -60,7 +60,8 @@ class UnigramSpec extends SparkSpec {
     * the final round's word → (score, seg).
     */
   private def refTrain(wordFreqs: Map[String, Long], rounds: Int)
-      : (Seq[(Long, Long, Long)], Map[String, (Long, String)]) = {
+      : (Seq[(Long, Long, Long)], Map[String, (Long, String)],
+         Map[String, Long]) = {
     val subs = wordFreqs.toSeq.flatMap { case (w, f) =>
       for {
         l <- 1 to math.min(w.length, MaxPiece)
@@ -71,9 +72,11 @@ class UnigramSpec extends SparkSpec {
     var vocab: Map[String, Long] =
       subs.filter(_._1.length == 1) ++ topMulti(subs)
     var lastVit: Map[String, (Long, String)] = Map.empty
+    var lastMp: Map[String, Long] = Map.empty
     val rows = (1 to rounds).map { _ =>
       val t = vocab.values.sum.toDouble
       val mp = vocab.map { case (p, c) => p -> qlp(c, t) }
+      lastMp = mp
       lastVit = wordFreqs.map { case (w, _) => w -> refViterbi(w, mp) }
       val used = lastVit.toSeq.flatMap { case (w, (_, seg)) =>
         seg.split("[|]").filter(_.nonEmpty).map(p => (p, wordFreqs(w)))
@@ -87,7 +90,7 @@ class UnigramSpec extends SparkSpec {
         topMulti(used)
       summary
     }
-    (rows, lastVit)
+    (rows, lastVit, lastMp)
   }
 
   // ---- tests ----
@@ -97,7 +100,7 @@ class UnigramSpec extends SparkSpec {
     // corpus: 'aa aa ab' → word freqs aa:2 ab:1; seed counts
     // a:5 b:1 aa:2 ab:1, T=9 — the two argmaxes above, by hand
     val tmp = writeDocs(Seq((0L, "aa aa ab", "web")))
-    val (_, vit) = LangModel.unigramTrainFrames(spark, tmp, 1)
+    val (_, vit, _) = LangModel.unigramTrainFrames(spark, tmp, 1)
     val got = vit.collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getString(3))).toMap
     assert(got("aa")._2 == "a|a|")
@@ -115,7 +118,7 @@ class UnigramSpec extends SparkSpec {
     val wordFreqs = (text1.split(" ") ++ text2.split(" "))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     val rounds = LangModel.UnigramRounds
-    val (refRows, refVit) = refTrain(wordFreqs, rounds)
+    val (refRows, refVit, _) = refTrain(wordFreqs, rounds)
 
     val got = LangModel.q250UnigramTrain(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -126,9 +129,54 @@ class UnigramSpec extends SparkSpec {
       assert(vt == rvt, s"round $r viterbi_tokens")
       assert(ll == rll, s"round $r loglik_micro")
     }
-    val (_, vit) = LangModel.unigramTrainFrames(spark, tmp, rounds)
+    val (_, vit, _) = LangModel.unigramTrainFrames(spark, tmp, rounds)
     val segs = vit.collect().map(r => r.getString(0) -> r.getString(3)).toMap
     assert(segs == refVit.view.mapValues(_._2).toMap)
+  }
+
+  test("q254 n-best lattice matches EXHAUSTIVE segmentation enumeration " +
+    "(top-N by score DESC, seg ASC) and rank 1 carries the Viterbi score") {
+    val text1 = "the cat sat on the mat the cat ran"
+    val text2 = "banana bandana ban can cabana banana"
+    val tmp = writeDocs(Seq((0L, text1, "web"), (1L, text2, "book")))
+    val wordFreqs = (text1.split(" ") ++ text2.split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rounds = LangModel.UnigramRounds
+    val nBest = LangModel.UnigramNBest
+    val (_, refVit, mp) = refTrain(wordFreqs, rounds)
+    // exhaustive: every segmentation of `word` into vocabulary pieces
+    def allSegs(word: String): Seq[(Long, String)] = {
+      def go(i: Int): Seq[(Long, String)] =
+        if (i == word.length) Seq((0L, ""))
+        else (1 to math.min(MaxPiece, word.length - i)).flatMap { l =>
+          val p = word.substring(i, i + l)
+          mp.get(p).toSeq.flatMap(q =>
+            go(i + l).map { case (s, seg) => (s + q, p + "|" + seg) })
+        }
+      go(0)
+    }
+    val refNbest: Map[String, Seq[(Long, String)]] = wordFreqs.keys.map { w =>
+      w -> allSegs(w).sortBy { case (s, seg) => (-s, seg) }.take(nBest)
+    }.toMap
+    // rank 1 score is the Viterbi optimum for every word
+    refNbest.foreach { case (w, best) =>
+      assert(best.head._1 == refVit(w)._1, s"rank-1 score for '$w'")
+    }
+    // expected per-rank aggregate rows
+    val want = (1 to nBest).flatMap { r =>
+      val withR = wordFreqs.toSeq.filter { case (w, _) => refNbest(w).size >= r }
+      if (withR.isEmpty) None else Some((r.toLong,
+        withR.size.toLong,
+        withR.map(_._2).sum,
+        withR.map { case (w, f) => f * refNbest(w)(r - 1)._2.count(_ == '|').toLong }.sum,
+        withR.map { case (w, f) => f * refNbest(w)(r - 1)._1 }.sum))
+    }
+    val got = LangModel.q254UnigramNbest(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // sanity: the lattice is non-degenerate (some word has > 1 candidate)
+    assert(refNbest.values.exists(_.size > 1))
   }
 
   test("training-curve sanity on the real corpus: vocabulary bounded, token " +
