@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * in N by keeping shards disjoint along the axis the operator pairs
   * on — the honest way a real corpus grows 10×:
   *  - documents: copy k remaps doc_id (+k·stride) and suffixes every
-  *    token with "_k" (copy 0 verbatim), so copies share NO tokens /
-  *    grams / shingles: each shard reproduces the original's
+  *    token with "q" + the k-th alphabet letter (copy 0 verbatim; the
+  *    all-letter suffix keeps derived tokens inside the `^[a-z]+$`
+  *    word filter the tokenizer lanes apply, so those lanes see the
+  *    full N× vocabulary), so copies share NO tokens / grams /
+  *    shingles: each shard reproduces the original's
   *    near-dup/containment/prefix-join pair structure instead of
   *    creating cross-copy duplicate clusters (10 identical copies
   *    would make pair counts quadratic in N by construction — a
