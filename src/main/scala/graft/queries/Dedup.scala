@@ -280,7 +280,7 @@ object Dedup {
     * semantics lane and its join must stay cheap per enumerated pair.
     *
     * Two scale lessons measured on the derived 10×-sf0.1 corpus
-    * (BENCH_SCALING.md round 10), both encoded below:
+    * (BENCH_SCALING.md, "Round 10/11: the derived decade"), encoded below:
     *  - STRATEGY CLIFF: the chunk frame is small in BYTES (1 long + 2
     *    ints × 13n rows), so Catalyst broadcasts it — but the key space
     *    is only 13×32=416 values, and a HashedRelation probe walks a
