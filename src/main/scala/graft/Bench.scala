@@ -62,7 +62,8 @@ object Bench {
     // frontier/visited frames) that their own turn skipped.
     val cacheSharers = Set("q126_prefix_join", "q135_containment",
       "q138_source_overlap", "q148_snm", "q250_unigram_train",
-      "q251_unigram_encode", "q40_ngram_jaccard", "q41_minhash_lsh",
+      "q251_unigram_encode", "q255_wordpiece_train", "q256_wordpiece_encode",
+      "q40_ngram_jaccard", "q41_minhash_lsh",
       "q42_simhash", "q45_dup_clusters", "q72_bfs_depth", "q75_edit_distance",
       "q94_triangles", "q98_best_keeper")
     val familyEnds = Set("q45_dup_clusters", "q75_edit_distance", "q98_best_keeper")

@@ -725,6 +725,203 @@ object LangModel {
       |    / SUM(len(string_split(s, '|')) - 1) AS chars_per_token
       |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Default merge-round budget for q255. */
+  val WordPieceRounds = 10
+
+  /** Memoized WordPiece training frames: q255 (merge table) and q256
+    * (encoder) are reports off the SAME merge run — the q250/q251
+    * family-cache discipline. Cleared by [[clearCaches]]; Bench marks
+    * both queries cacheSharers.
+    */
+  private val wpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (Seq[DataFrame], DataFrame)]
+
+  /** The q255 training loop, exposed for [[q256WordPieceEncode]]:
+    * returns the per-round merge frames AND the trained vocabulary
+    * (word → final symbol string) after `rounds` merges. Memoized per
+    * (session, dir, rounds).
+    */
+  private[queries] def wordPieceTrainFrames(s: SparkSession, dir: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) =
+    wpCache.getOrElseUpdate((s, dir, rounds),
+      wordPieceTrainFramesUncached(s, dir, rounds))
+
+  private def wordPieceTrainFramesUncached(s: SparkSession, dir: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
+    var vocab = Tables.load(s, dir, "documents")
+      .select(explode(ws).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select($"word", regexp_replace($"word", "(.)", "$1|").as("s"), $"freq")
+      .localCheckpoint(true) // vocabulary-sized; cuts the corpus lineage
+    val merges = (1 to rounds).map { r =>
+      val syms = split($"s", "[|]") // k symbols → k+1 slots (trailing "")
+      // current symbol unigram counts — the score's denominator; the
+      // frame is vocabulary-sized and probed twice (lhs AND rhs)
+      val symCounts = vocab
+        .select($"freq", explode(syms).as("sym"))
+        .filter($"sym" =!= "")
+        .groupBy($"sym").agg(sum($"freq").as("c"))
+        .localCheckpoint(true)
+      val pairs = vocab
+        .select($"freq", explode(
+          when(size(syms) >= 3, transform(sequence(lit(0), size(syms) - 3),
+            i => struct(get(syms, i).as("lhs"), get(syms, i + 1).as("rhs"))))
+            .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+          .as("p"))
+        .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+        .agg(sum($"freq").as("pair_count"))
+      val best = pairs
+        .join(broadcast(symCounts.select($"sym".as("lhs"), $"c".as("ca"))),
+          Seq("lhs"))
+        .join(broadcast(symCounts.select($"sym".as("rhs"), $"c".as("cb"))),
+          Seq("rhs"))
+        .select($"lhs", $"rhs", $"pair_count",
+          floor((log($"pair_count".cast("double"))
+            - log($"ca".cast("double")) - log($"cb".cast("double"))) * 1e6)
+            .cast("long").as("qscore"))
+        .orderBy($"qscore".desc, $"lhs", $"rhs").limit(1)
+        .select($"lhs", $"rhs", concat($"lhs", $"rhs").as("merged"),
+          $"pair_count", $"qscore")
+        .localCheckpoint(true) // ≤1 row; feeds the apply AND the output
+      vocab = vocab.crossJoin(broadcast(best.select($"lhs", $"rhs", $"merged")))
+        .select($"word", replace($"s",
+          concat($"lhs", lit("|"), $"rhs", lit("|")),
+          concat($"merged", lit("|"))).as("s"), $"freq")
+        .localCheckpoint(true)
+      best.select(lit(r).cast("long").as("round"),
+        $"lhs", $"rhs", $"merged", $"pair_count", $"qscore")
+    }
+    (merges, vocab)
+  }
+
+  /** q255 — WordPiece vocabulary TRAINING (Schuster & Nakajima 2012;
+    * the likelihood-scored third of the tokenizer-training trio next
+    * to q231's frequency-scored BPE and q250's unigram-LM EM): the
+    * same bounded-round merge loop as q231, but each round merges the
+    * pair maximizing the corpus-likelihood gain score
+    * count(ab) / (count(a)·count(b)) — the pair whose merge most
+    * increases a unigram LM's log-likelihood — instead of the raw pair
+    * count. The score comparison is exact-BIGINT via the q250/q236
+    * micro-nat recipe: qscore = floor((ln cnt_ab − ln cnt_a −
+    * ln cnt_b)·10⁶), deterministic tie-break (qscore DESC, lhs, rhs).
+    * Merge application is the q231 delimiter-string `replace`
+    * primitive (greedy left-to-right non-overlap, identical in both
+    * engines). Continuation markers ("##") are presentation-only in
+    * the reference algorithm and are omitted under the letter-run
+    * convention. Output = the merge table (round, lhs, rhs, merged,
+    * pair count, quantized score).
+    *
+    * At 100 TB: identical shape to q231 — ONE corpus scan into the
+    * weighted vocabulary (the only corpus-sized shuffle); per round,
+    * two vocabulary-sized aggregates (symbol counts + pair counts),
+    * two broadcast probes for the score's denominators, a 1-row
+    * argmax, and a codegen'd replace projection; per-round lineage cut
+    * with eager localCheckpoints. A round with no pairs left produces
+    * no merge row and an empty vocabulary thereafter (the q231
+    * convention, spec-pinned there).
+    */
+  def q255WordPieceTrain(s: SparkSession, dir: String,
+      rounds: Int = WordPieceRounds): DataFrame = {
+    import s.implicits._
+    val (merges, _) = wordPieceTrainFrames(s, dir, rounds)
+    merges.reduce(_ unionByName _).orderBy($"round")
+  }
+
+  /** The unrolled training CTE chain shared by the q255 and q256
+    * oracles: v0..v`rounds` carry (word, s, freq); sy`r` the per-round
+    * symbol counts, b`r` the winning merge under the quantized
+    * likelihood score.
+    */
+  private def wordPieceCtes(rounds: Int): String = {
+    def roundCtes(r: Int) =
+      s"""sy$r AS (
+         |  SELECT sym, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq, UNNEST(string_split(s, '|')) AS sym FROM v${r - 1})
+         |  WHERE sym <> '' GROUP BY sym),
+         |p$r AS (
+         |  SELECT ws[i+1] AS lhs, ws[i+2] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq, string_split(s, '|') AS ws FROM v${r - 1}),
+         |    UNNEST(range(0, greatest(len(ws) - 2, 0))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, lhs || rhs AS merged, pair_count,
+         |    CAST(floor((ln(CAST(pair_count AS DOUBLE))
+         |      - ln(CAST(ca.c AS DOUBLE)) - ln(CAST(cb.c AS DOUBLE)))
+         |      * 1000000.0) AS BIGINT) AS qscore
+         |  FROM p$r
+         |  JOIN sy$r ca ON ca.sym = p$r.lhs
+         |  JOIN sy$r cb ON cb.sym = p$r.rhs
+         |  ORDER BY qscore DESC, lhs, rhs LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT word,
+         |    replace(s, lhs || '|' || rhs || '|', merged || '|') AS s,
+         |    freq
+         |  FROM v${r - 1}, b$r)""".stripMargin
+    s"""v0 AS MATERIALIZED (
+      |  SELECT word, regexp_replace(word, '(.)', '\\1|', 'g') AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$')
+      |  GROUP BY word),
+      |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  def q255WordPieceTrainSql(rounds: Int = WordPieceRounds): String = {
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, merged, pair_count, qscore FROM b$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${wordPieceCtes(rounds)}
+      |SELECT * FROM (
+      |  $union)
+      |ORDER BY round""".stripMargin
+  }
+
+  /** q256 — WordPiece tokenizer APPLICATION (the q233/q251 analogue
+    * for q255): encode the corpus by replaying the trained merges and
+    * report, per source, exact word/char/token totals and the
+    * chars-per-token compression. The registered encoder is the
+    * merge-replay form (the q233 convention — the reference greedy
+    * longest-match inference coincides with replay on any word whose
+    * merge history is prefix-closed; the CONTRACT here is replay).
+    * Encoding is a broadcast join corpus-words → trained vocabulary:
+    * one corpus scan, one broadcast probe, one per-source aggregate.
+    */
+  def q256WordPieceEncode(s: SparkSession, dir: String,
+      rounds: Int = WordPieceRounds): DataFrame = {
+    import s.implicits._
+    val (_, vocab) = wordPieceTrainFrames(s, dir, rounds)
+    val words = Tables.load(s, dir, "documents")
+      .select($"source", explode(ws).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+    words.join(broadcast(vocab.select($"word", $"s")), Seq("word"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"word")).cast("long").as("n_chars"),
+        sum(size(split($"s", "[|]")) - 1).cast("long").as("n_wp_tokens"))
+      .select($"source", $"n_words", $"n_chars", $"n_wp_tokens",
+        ($"n_chars".cast("double") / $"n_wp_tokens").as("chars_per_token"))
+      .orderBy($"source")
+  }
+
+  def q256WordPieceEncodeSql(rounds: Int = WordPieceRounds): String =
+    s"""WITH ${wordPieceCtes(rounds)},
+      |wrds AS (
+      |  SELECT source, word
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$')),
+      |enc AS (SELECT w.source, w.word, v.s
+      |        FROM wrds w JOIN v$rounds v USING (word))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(len(string_split(s, '|')) - 1) AS BIGINT) AS n_wp_tokens,
+      |  CAST(SUM(length(word)) AS DOUBLE)
+      |    / SUM(len(string_split(s, '|')) - 1) AS chars_per_token
+      |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
+
   /** Default EM-round budget / piece cap / piece length / word length
     * for the q250 unigram-LM trainer.
     */
@@ -783,8 +980,10 @@ object LangModel {
     * the caller's RDD sweep; localCheckpointed frames have no lineage
     * to recompute from, so a dropped entry simply retrains next use).
     */
-  def clearCaches(s: SparkSession): Unit =
+  def clearCaches(s: SparkSession): Unit = {
     trainCache.keySet.foreach { k => if (k._1 == s) trainCache.remove(k) }
+    wpCache.keySet.foreach { k => if (k._1 == s) wpCache.remove(k) }
+  }
 
   /** The q250 training loop, exposed for [[q251UnigramEncode]]:
     * returns the per-round summary frames, the FINAL round's
