@@ -964,6 +964,96 @@ object Analytic {
       .orderBy($"scope")
   }
 
+  /** CMS shape: depth (independent hash rows) and width (buckets per
+    * row). 4x512 = 2048 registers — a fixed 16 KB of longs regardless
+    * of corpus size.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 512
+  /** How many top-frequency words the q257 report grades. */
+  val CmsTopK = 20
+
+  /** Row-i bucket of a word: 28 bits sliced from the word's md5 at
+    * offset 7i, mod the width — the q242 portable-hash idiom (md5 and
+    * hex-parse are engine-identical), with DISJOINT digest slices
+    * standing in for the d pairwise-independent hash functions.
+    */
+  private def cmsBucket(word: Column, i: Column): Column =
+    conv(md5(word).substr((i * 7 + 1).cast("int"), lit(7)), 16, 10)
+      .cast("long") % CmsWidth
+
+  /** q257 — Count-Min sketch point-frequency estimates (Cormode &
+    * Muthukrishnan 2005): the COUNTING sketch beside q242/q247's
+    * distinct-counting HLL and the streaming lane's SpaceSaving top-k.
+    * Every word occurrence increments one register per hash row; a
+    * word's estimate is the MIN over its d registers — never an
+    * undercount (each of its registers holds its true count plus
+    * non-negative collision mass), which the report exposes as the
+    * per-word `overcount` column (>= 0 by construction, the sketch's
+    * one-sided error law). Graded against exact counts for the top-20
+    * words (count DESC, word tie-break).
+    *
+    * At 100 TB: the sketch path is ONE corpus scan into a
+    * 4x512-register aggregate — map-side combined, duplicate-friendly,
+    * NO distinct and no corpus-keyed shuffle (the same reason HLL is a
+    * warehouse primitive; registers are additionally mergeable by
+    * element-wise SUM across shards/days, law-tested in CmsSpec). The
+    * exact word counts exist only to grade the report (one word-keyed
+    * shuffle); the probe joins the top-k frame against the broadcast
+    * 2048-row register table.
+    */
+  def q257CmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .localCheckpoint(true) // sketch lane + exact baseline
+    val regs = words
+      .select(explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("i"), $"word")
+      .select($"i", cmsBucket($"word", $"i").as("bucket"))
+      .groupBy($"i", $"bucket").agg(count(lit(1)).as("reg"))
+    val topk = words.groupBy($"word").agg(count(lit(1)).as("true_cnt"))
+      .orderBy($"true_cnt".desc, $"word").limit(CmsTopK)
+    val est = topk
+      .select($"word", $"true_cnt",
+        explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("i"))
+      .select($"word", $"true_cnt", $"i", cmsBucket($"word", $"i").as("bucket"))
+      .join(broadcast(regs), Seq("i", "bucket"))
+      .groupBy($"word", $"true_cnt").agg(min($"reg").as("cms_est"))
+    est.select($"word", $"true_cnt", $"cms_est",
+        ($"cms_est" - $"true_cnt").as("overcount"))
+      .orderBy($"true_cnt".desc, $"word")
+  }
+
+  val q257CmsEstimateSql: String =
+    s"""WITH w AS (
+      |  SELECT word FROM
+      |    (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$')),
+      |occ AS (
+      |  SELECT t.i,
+      |    CAST(('0x' || substring(md5(word), CAST(t.i * 7 + 1 AS INT), 7))
+      |      AS BIGINT) % $CmsWidth AS bucket
+      |  FROM w, (SELECT unnest(range(0, $CmsDepth)) AS i) t),
+      |regs AS (
+      |  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS reg
+      |  FROM occ GROUP BY 1, 2),
+      |topk AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      |  FROM w GROUP BY word
+      |  ORDER BY true_cnt DESC, word LIMIT $CmsTopK),
+      |probe AS (
+      |  SELECT word, true_cnt, t.i,
+      |    CAST(('0x' || substring(md5(word), CAST(t.i * 7 + 1 AS INT), 7))
+      |      AS BIGINT) % $CmsWidth AS bucket
+      |  FROM topk, (SELECT unnest(range(0, $CmsDepth)) AS i) t),
+      |e AS (
+      |  SELECT word, true_cnt, MIN(reg) AS cms_est
+      |  FROM probe JOIN regs USING (i, bucket)
+      |  GROUP BY 1, 2)
+      |SELECT word, true_cnt, cms_est, cms_est - true_cnt AS overcount
+      |FROM e ORDER BY true_cnt DESC, word""".stripMargin
+
   val q247HllSetopsSql: String =
     """WITH sh AS (
       |  SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
