@@ -978,7 +978,7 @@ object Analytic {
     * hex-parse are engine-identical), with DISJOINT digest slices
     * standing in for the d pairwise-independent hash functions.
     */
-  private def cmsBucket(word: Column, i: Column): Column =
+  private[graft] def cmsBucket(word: Column, i: Column): Column =
     conv(md5(word).substr((i * 7 + 1).cast("int"), lit(7)), 16, 10)
       .cast("long") % CmsWidth
 

@@ -741,6 +741,69 @@ object EventStreams {
     * stream (replicas, not epochs) use [[SpaceSaving.merge]], which
     * owes the eviction floors.
     */
+  /** One CMS register per grouping key (coord = row·width + bucket):
+    * a single Long `ValueState` that each batch increments by the
+    * key's arrival count — increments are commutative integers, so
+    * replay order cannot change a register and restarts are exact.
+    */
+  private class CmsRegisterProcessor
+      extends StatefulProcessor[Long, Long, (Long, Long, Long)] {
+
+    @transient private var reg: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      reg = getHandle.getValueState[Long]("reg", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        coord: Long,
+        rows: Iterator[Long],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var add = 0L
+      rows.foreach(_ => add += 1L)
+      val nv = (if (reg.exists()) reg.get() else 0L) + add
+      reg.update(nv)
+      Iterator.single((coord / graft.queries.Analytic.CmsWidth,
+        coord % graft.queries.Analytic.CmsWidth, nv))
+    }
+  }
+
+  /** Streaming Count-Min sketch over the document token stream — the
+    * ingest twin of the batch q257 (same md5-slice hash family, same
+    * 4x512 register plane), and the counting complement of
+    * [[heavyHitters]]: SpaceSaving keeps the top-k WORDS in bounded
+    * space; CMS keeps a fixed-size register plane answering point
+    * frequency queries for EVERY word with one-sided error. Each
+    * micro-batch emits the new values of the registers it touched;
+    * registers only grow, so the latest (max) emission per register IS
+    * the table — the batch ≡ stream law EventStreamsSpec pins against
+    * an independent reference sketch.
+    *
+    * State is 2048 Longs REGARDLESS of corpus size — the streaming
+    * operator whose memory truly never grows. Per batch: one shuffle
+    * of the depth-x fan-out keyed by register coordinate (2048 keys,
+    * same cost class as [[heavyHitters]]' word shuffle), per-key
+    * combine inside the processor. Registers from disjoint streams
+    * merge by element-wise sum (CmsSpec law), so per-shard /per-day
+    * sketches roll up without replay.
+    */
+  def streamingCms(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val depth = graft.queries.Analytic.CmsDepth
+    val width = graft.queries.Analytic.CmsWidth
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .select(explode(sequence(lit(0L), lit(depth - 1L))).as("i"), col("word"))
+      .select((col("i") * width +
+        graft.queries.Analytic.cmsBucket(col("word"), col("i"))).as("coord"))
+      .as[Long]
+      .groupByKey(identity)
+      .transformWithState(new CmsRegisterProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("i", "bucket", "reg")
+  }
+
   def reshardHeavyHitters(tables: DataFrame, newShards: Int,
       capacity: Int = 1 << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window

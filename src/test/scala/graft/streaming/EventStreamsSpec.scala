@@ -681,4 +681,78 @@ class EventStreamsSpec extends SparkSpec {
       SpaceSaving.merge(t, Map.empty, capacity = 4)
     }
   }
+
+  /** Independent CMS reference: row-i bucket from md5 hex chars
+    * [7i, 7i+7) — same family as Analytic.cmsBucket, built here from
+    * java.security so the Spark expression is cross-checked.
+    */
+  private def refCmsBucket(word: String, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(word.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(7 * i, 7 * i + 7), 16) %
+      graft.queries.Analytic.CmsWidth
+  }
+
+  private def refCmsRegs(words: Seq[String]): Map[(Long, Long), Long] =
+    words.filter(_.matches("^[a-z]+$"))
+      .flatMap(w => (0 until graft.queries.Analytic.CmsDepth)
+        .map(i => (i.toLong, refCmsBucket(w, i))))
+      .groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+
+  test("streaming cms: batch-partitioned replay reproduces the reference " +
+    "sketch (batch ≡ stream; registers are monotone so latest = max)") {
+    withRocksDb {
+      import org.apache.spark.sql.functions.{col, max}
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).as[Doc].collect().toSeq
+      val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+      val expected = refCmsRegs(docs.flatMap(_.text.split(" ")))
+
+      val in = MemoryStream[Doc](spark)
+      val name = s"cms_${System.nanoTime()}"
+      val q = EventStreams.streamingCms(in.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+
+      val got = spark.sql(s"SELECT * FROM $name")
+        .groupBy(col("i"), col("bucket")).agg(max(col("reg")).as("reg"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("streaming cms: registers survive a kill/restart — increments resume " +
+    "from the checkpointed ValueState, not from zero") {
+    withRocksDb {
+      import java.nio.file.Files
+      import org.apache.spark.sql.functions.{col, max}
+      val in = MemoryStream[Doc](spark)
+      val ckpt = Files.createTempDirectory("graft-cms-ckpt").toString
+      val out = Files.createTempDirectory("graft-cms-out").toString
+      def start() = EventStreams.streamingCms(in.toDF())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      in.addData(Doc(1, "alpha beta alpha"), Doc(2, "beta gamma"))
+      q1.processAllAvailable(); q1.stop()
+      val q2 = start() // ValueStates restored from the checkpoint
+      in.addData(Doc(3, "alpha delta"))
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(out)
+        .groupBy(col("i"), col("bucket")).agg(max(col("reg")).as("reg"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expected = refCmsRegs(Seq(
+        "alpha", "beta", "alpha", "beta", "gamma", "alpha", "delta"))
+      assert(got == expected)
+      // point probe off the final registers never undercounts
+      Seq(("alpha", 3L), ("beta", 2L), ("gamma", 1L), ("delta", 1L))
+        .foreach { case (w, t) =>
+          val est = (0 until graft.queries.Analytic.CmsDepth)
+            .map(i => got((i.toLong, refCmsBucket(w, i)))).min
+          assert(est >= t)
+        }
+    }
+  }
 }
