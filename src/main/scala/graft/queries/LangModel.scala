@@ -108,6 +108,106 @@ object LangModel {
       |  CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT) AS avg_logprob
       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q258 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): the curation recipe that splits each source's
+    * documents into HEAD / MIDDLE / TAIL terciles by language-model
+    * score and keeps head+middle for training. The per-doc signal is
+    * q104's add-one-smoothed bigram mean log-probability
+    * (float-presented per the libm rule); the tercile BOUNDARIES are
+    * per-source exact percentiles, broadcast back onto the docs —
+    * head: avg_lp > p66 (most probable = lowest perplexity), tail:
+    * avg_lp <= p33, middle between. Docs with < 2 words carry no
+    * bigram signal and are out of scope on both engines. Output: per
+    * (source, bucket) doc/word totals and the bucket's score range.
+    *
+    * At 100 TB: the scoring pipeline is q104's (two vocabulary-sized
+    * count joins + one per-doc ordered fold); the bucketing adds ONE
+    * per-source aggregate (20 rows) broadcast back — no per-source
+    * sort, no window over the corpus (an ntile(3) would funnel each
+    * source through one partition). The exact `percentile` grades the
+    * oracle; at petabyte scale the same plan runs with
+    * `approx_percentile` boundaries unchanged in shape.
+    */
+  def q258CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", ws.as("ws"))
+    val bi = docs.select($"doc_id",
+      zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat(a, lit(" "), b)).as("bs"))
+    val uni = docs.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val voc = uni.agg(count(lit(1)).as("v"))
+    val big = bi.select(explode($"bs").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+    val scored = bi.select($"doc_id", posexplode($"bs").as(Seq("pos", "b")))
+      .join(big, "b")
+      .withColumn("w1", split($"b", " ").getItem(0))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(voc))
+      .select($"doc_id", $"pos",
+        log(($"c2" + lit(1.0)) / ($"c1" + $"v")).as("t"))
+      .groupBy($"doc_id")
+      .agg((orderedSum($"pos", $"t") / count(lit(1)))
+        .cast("float").as("avg_lp"))
+      .localCheckpoint(true) // bounds aggregate AND the classify join
+    val withSrc = docs.select($"doc_id", $"source", size($"ws").as("nw"))
+      .join(scored, "doc_id")
+    val bounds = withSrc.groupBy($"source").agg(
+      percentile($"avg_lp", lit(1.0) / 3).as("p33"),
+      percentile($"avg_lp", lit(2.0) / 3).as("p66"))
+    withSrc.join(broadcast(bounds), "source")
+      .withColumn("bucket",
+        when($"avg_lp" > $"p66", lit("head"))
+          .when($"avg_lp" <= $"p33", lit("tail"))
+          .otherwise(lit("middle")))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nw").cast("long").as("n_words"),
+        min($"avg_lp").as("worst_avg_lp"),
+        max($"avg_lp").as("best_avg_lp"))
+      .orderBy($"source", $"bucket")
+  }
+
+  val q258CcnetBucketsSql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |bi AS (SELECT doc_id,
+      |         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bs
+      |       FROM d),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      |        FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+      |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      |bg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2
+      |       FROM (SELECT unnest(bs) AS b FROM bi) GROUP BY b),
+      |sc AS (SELECT u.doc_id,
+      |         CAST(list_sum(list(ln((bg.c2 + CAST(1.0 AS DOUBLE)) / (uni.c1 + voc.v))
+      |             ORDER BY u.pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT) AS avg_lp
+      |       FROM (SELECT doc_id, unnest(bs) AS b,
+      |               generate_subscripts(bs, 1) AS pos FROM bi) u
+      |       JOIN bg ON bg.b = u.b
+      |       JOIN uni ON uni.w = string_split(u.b, ' ')[1]
+      |       CROSS JOIN voc
+      |       GROUP BY u.doc_id),
+      |ds AS (SELECT d.source, d.doc_id, CAST(len(d.ws) AS BIGINT) AS nw, sc.avg_lp
+      |       FROM d JOIN sc ON sc.doc_id = d.doc_id),
+      |bounds AS (SELECT source,
+      |             quantile_cont(avg_lp, CAST(1.0 AS DOUBLE) / 3) AS p33,
+      |             quantile_cont(avg_lp, CAST(2.0 AS DOUBLE) / 3) AS p66
+      |           FROM ds GROUP BY source),
+      |cl AS (SELECT ds.source, nw, avg_lp,
+      |         CASE WHEN avg_lp > p66 THEN 'head'
+      |              WHEN avg_lp <= p33 THEN 'tail'
+      |              ELSE 'middle' END AS bucket
+      |       FROM ds JOIN bounds ON bounds.source = ds.source)
+      |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nw) AS BIGINT) AS n_words,
+      |  MIN(avg_lp) AS worst_avg_lp, MAX(avg_lp) AS best_avg_lp
+      |FROM cl GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
   /** q105: DSIR-style importance weights with hashed unigram features.
     * Target distribution = the English subset; raw = the whole corpus.
     * Each token hashes (md5 prefix, engine-portable) into one of 64
