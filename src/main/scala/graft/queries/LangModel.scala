@@ -1223,7 +1223,7 @@ object LangModel {
     * unwraps it; absent pieces yield NULL and are filtered, exactly
     * Spark's try_element_at + filter.
     */
-  private def unigramCtes(rounds: Int): String = {
+  private[queries] def unigramCtes(rounds: Int): String = {
     def roundCtes(r: Int) =
       s"""t$r AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS T FROM vocab${r - 1}),
          |sc$r AS MATERIALIZED (
@@ -1497,4 +1497,127 @@ object LangModel {
       |SELECT w1, n_ctx, n_succ, nucleus_size,
       |  CAST(entropy_d AS FLOAT) AS entropy
       |FROM pc ORDER BY n_ctx DESC, w1 LIMIT $topCtx""".stripMargin
+
+  /** q259 — tokenizer FERTILITY by PREDICTED language: the
+    * composition report a real tokenizer evaluation runs (fertility —
+    * tokens per word — varies by language, and production corpora are
+    * labeled by a language-ID model, not ground truth). Two trained
+    * artifacts compose: q252's Cavnar–Trenkle rank profiles classify
+    * EVERY document (the q253 out-of-place argmin, not restricted to
+    * the eval split), and q250's trained unigram segmenter encodes its
+    * words; the report aggregates per DETECTED language — docs, words,
+    * chars, unigram tokens, chars-per-token and fertility. Documents
+    * whose in-scope words are all outside the segmenter's word-length
+    * bound carry zero tokens and NULL ratios (CASE-guarded on both
+    * engines).
+    *
+    * At 100 TB: the classifier probe is q253's shape (broadcast
+    * |langs|×K profile, per-doc K-row rank via WindowGroupLimit, one
+    * (doc, lang)-keyed bounded aggregate); the encoder is q251's
+    * (broadcast segmenter join, one corpus scan); the final aggregate
+    * is |langs| rows. Both trained artifacts ride the memoized family
+    * caches, so the pair trains once per session.
+    */
+  def q259FertilityByLang(s: SparkSession, dir: String,
+      rounds: Int = UnigramRounds): DataFrame = {
+    import s.implicits._
+    val prof = TextOps.ctProfileFrame(s, dir)
+      .select($"lang".as("plang"), $"g", $"rank")
+      .localCheckpoint(true) // bounded |langs|×K; probed from two branches
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"cnt".desc, $"g")
+    val docG = TextOps.ctGramFrame(s, dir) // ALL docs — no split filter
+      .groupBy($"doc_id", $"g").agg(sum($"c").as("cnt"))
+      .withColumn("dr", row_number().over(wd))
+      .filter($"dr" <= TextOps.CtK)
+      .localCheckpoint(true) // K rows/doc; feeds ndoc AND the probe
+    val langs = prof.select($"plang").distinct()
+    val matched = docG.join(broadcast(prof), Seq("g"))
+      .groupBy($"doc_id", $"plang")
+      .agg(sum(abs($"dr".cast("long") - $"rank".cast("long"))).as("os"),
+        count(lit(1)).as("m"))
+    val det = docG.groupBy($"doc_id").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(langs))
+      .join(matched, Seq("doc_id", "plang"), "left")
+      .select($"doc_id", $"plang",
+        (coalesce($"os", lit(0L))
+          + lit(TextOps.CtK.toLong) * ($"nd" - coalesce($"m", lit(0L))))
+          .as("dist"))
+      .groupBy($"doc_id")
+      .agg(min(struct($"dist", $"plang")).as("b"))
+      .select($"doc_id", $"b.plang".as("detected"))
+    val (_, vit, _) = unigramTrainFrames(s, dir, rounds)
+    val tok = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(ws).as("word"))
+      .filter($"word".rlike("^[a-z]+$") && length($"word") <= UnigramMaxWord)
+      .join(broadcast(vit.select($"word", $"seg")), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nw"),
+        sum(length($"word")).cast("long").as("nc"),
+        sum(size(split($"seg", "[|]")) - 1).cast("long").as("nt"))
+    det.join(tok, Seq("doc_id"), "left")
+      .groupBy($"detected")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"nw", lit(0L))).cast("long").as("n_words"),
+        sum(coalesce($"nc", lit(0L))).cast("long").as("n_chars"),
+        sum(coalesce($"nt", lit(0L))).cast("long").as("n_tokens"))
+      .select($"detected", $"n_docs", $"n_words", $"n_chars", $"n_tokens",
+        when($"n_tokens" > 0L,
+          $"n_chars".cast("double") / $"n_tokens").as("chars_per_token"),
+        when($"n_words" > 0L,
+          $"n_tokens".cast("double") / $"n_words").as("fertility"))
+      .orderBy($"detected")
+  }
+
+  def q259FertilityByLangSql(rounds: Int = UnigramRounds): String =
+    s"""WITH RECURSIVE ${TextOps.ctCtes},
+      |${unigramCtes(rounds)},
+      |docg2 AS MATERIALIZED (
+      |  SELECT doc_id, g, cnt, dr FROM (
+      |    SELECT doc_id, g, CAST(SUM(c) AS BIGINT) AS cnt,
+      |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY SUM(c) DESC, g)
+      |        AS BIGINT) AS dr
+      |    FROM grams GROUP BY doc_id, g)
+      |  WHERE dr <= ${TextOps.CtK}),
+      |nd2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd
+      |        FROM docg2 GROUP BY 1),
+      |langs2 AS (SELECT DISTINCT lang AS plang FROM prof),
+      |mt2 AS (
+      |  SELECT d.doc_id, p.lang AS plang,
+      |    CAST(SUM(abs(d.dr - p.rank)) AS BIGINT) AS os,
+      |    CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM docg2 d JOIN prof p ON d.g = p.g GROUP BY 1, 2),
+      |det2 AS (
+      |  SELECT doc_id, plang AS detected FROM (
+      |    SELECT nd2.doc_id, l.plang,
+      |      row_number() OVER (PARTITION BY nd2.doc_id ORDER BY
+      |        COALESCE(mt2.os, 0) + ${TextOps.CtK} * (nd2.nd - COALESCE(mt2.m, 0)),
+      |        l.plang) AS rk
+      |    FROM nd2 CROSS JOIN langs2 l
+      |    LEFT JOIN mt2 ON mt2.doc_id = nd2.doc_id AND mt2.plang = l.plang)
+      |  WHERE rk = 1),
+      |wrds2 AS (
+      |  SELECT doc_id, word
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$')
+      |    AND length(word) <= $UnigramMaxWord),
+      |tok2 AS (
+      |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+      |    CAST(SUM(length(w.word)) AS BIGINT) AS nc,
+      |    CAST(SUM(len(string_split(v.seg, '|')) - 1) AS BIGINT) AS nt
+      |  FROM wrds2 w JOIN vit$rounds v ON v.word = w.word
+      |  GROUP BY 1)
+      |SELECT detected, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(COALESCE(nw, 0)) AS BIGINT) AS n_words,
+      |  CAST(SUM(COALESCE(nc, 0)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(COALESCE(nt, 0)) AS BIGINT) AS n_tokens,
+      |  CASE WHEN CAST(SUM(COALESCE(nt, 0)) AS BIGINT) > 0
+      |       THEN CAST(SUM(COALESCE(nc, 0)) AS DOUBLE)
+      |         / CAST(SUM(COALESCE(nt, 0)) AS BIGINT) END AS chars_per_token,
+      |  CASE WHEN CAST(SUM(COALESCE(nw, 0)) AS BIGINT) > 0
+      |       THEN CAST(SUM(COALESCE(nt, 0)) AS DOUBLE)
+      |         / CAST(SUM(COALESCE(nw, 0)) AS BIGINT) END AS fertility
+      |FROM det2 LEFT JOIN tok2 USING (doc_id)
+      |GROUP BY detected ORDER BY detected""".stripMargin
 }

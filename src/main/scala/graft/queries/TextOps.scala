@@ -235,7 +235,7 @@ object TextOps {
     * absent from the language profile costs the maximum out-of-place
     * penalty `CtK`.
     */
-  private val CtK = 160
+  private[queries] val CtK = 160
   private val CtGramMin = 2
   private val CtGramMax = 4
   private val CtTrainPct = 80
@@ -247,7 +247,7 @@ object TextOps {
     * train/eval bucket (md5("ct:"+doc_id) mod 100 — the q39 split
     * convention, salted independently).
     */
-  private def ctGramFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ctGramFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wc = Tables.load(s, dir, "documents")
       .select($"doc_id", $"lang",
@@ -270,7 +270,7 @@ object TextOps {
     * count DESC, gram ASC — every rank decision an exact-integer
     * compare, so the profile is bit-identical cross-engine.
     */
-  private def ctProfileFrame(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ctProfileFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"cnt".desc, $"g")
@@ -302,7 +302,7 @@ object TextOps {
   }
 
   /** The shared CTE chain of the q252/q253 oracles. */
-  private def ctCtes: String =
+  private[queries] def ctCtes: String =
     s"""wc AS MATERIALIZED (
       |  SELECT doc_id, lang,
       |    CAST(('0x' || substring(md5('ct:' || CAST(doc_id AS VARCHAR)), 1, 8))
