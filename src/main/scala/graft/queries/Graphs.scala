@@ -313,6 +313,106 @@ object Graphs {
        |ORDER BY r3.node""".stripMargin
   }
 
+  /** q260 — HITS hubs & authorities (Kleinberg 1999, "Authoritative
+    * Sources in a Hyperlinked Environment"): the link-analysis sibling
+    * of q103's PageRank over the SAME weighted event-transition graph
+    * — a node is a good AUTHORITY if good hubs point at it, a good HUB
+    * if it points at good authorities. `iters` synchronous rounds of
+    * a(v) = Σ_{u→v} w·h(u) then h(u) = Σ_{u→v} w·a(v) (the classic
+    * a-then-h update), each re-normalized to max = 10⁶.
+    *
+    * Exactness: the q236 quantized-power-iteration recipe — scores
+    * live as micro-unit BIGINTs, every distributed sum is an exact
+    * integer sum of wt·score products (order-free, map-side
+    * combinable), and the normalization floor(s·10⁶ / max) is BIGINT
+    * division both engines floor identically on non-negative inputs.
+    * No floating point until the final ÷10⁶ presentation. Headroom:
+    * Σwt·10⁶ must stay under 2⁶³ — fine through ~10¹² transitions;
+    * past that drop the quantization scale (same plan).
+    *
+    * At 100 TB: edges aggregate once from the corpus (the only
+    * corpus-sized shuffle, shared shape with q103); per round two
+    * edge-keyed joins against node-sized score frames + two bounded
+    * aggregates + two 1-row maxes riding broadcasts — one shuffle per
+    * half-step, state bounded by |nodes|.
+    */
+  def q260Hits(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val Q = 1000000L
+    val ev = Tables.load(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val edges = ev
+      .withColumn("src", lag($"event_type", 1).over(byUser))
+      .filter($"src".isNotNull)
+      .groupBy($"src", $"event_type".as("dst"))
+      .agg(count(lit(1)).as("wt"))
+      .localCheckpoint(true) // probed twice per round, 2·iters rounds
+    val nodes = ev.select($"event_type".as("node")).distinct()
+      .localCheckpoint(true)
+    var auth = nodes.select($"node", lit(Q).as("aq"))
+    var hub = nodes.select($"node", lit(Q).as("hq"))
+    for (_ <- 1 to iters) {
+      val aSum = edges.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node")).agg(sum($"wt" * $"hq").as("s"))
+      val aMax = aSum.agg(max($"s").as("mx"))
+      auth = nodes.join(aSum, Seq("node"), "left")
+        .crossJoin(broadcast(aMax))
+        .select($"node",
+          expr(s"(coalesce(s, 0L) * ${Q}L) div mx").as("aq"))
+        .localCheckpoint(true)
+      val hSum = edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy($"src".as("node")).agg(sum($"wt" * $"aq").as("s"))
+      val hMax = hSum.agg(max($"s").as("mx"))
+      hub = nodes.join(hSum, Seq("node"), "left")
+        .crossJoin(broadcast(hMax))
+        .select($"node",
+          expr(s"(coalesce(s, 0L) * ${Q}L) div mx").as("hq"))
+        .localCheckpoint(true)
+    }
+    auth.join(hub, "node")
+      .select($"node", $"aq".as("authority_q"), $"hq".as("hub_q"),
+        ($"aq".cast("double") / Q).as("authority"),
+        ($"hq".cast("double") / Q).as("hub"))
+      .orderBy($"node")
+  }
+
+  def q260HitsSql(iters: Int = 3): String = {
+    val Q = 1000000L
+    def roundCtes(i: Int) =
+      s"""asum$i AS (
+         |  SELECT e.dst AS node, CAST(SUM(e.wt * h.hq) AS BIGINT) AS s
+         |  FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |amax$i AS (SELECT MAX(s) AS mx FROM asum$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(COALESCE(t.s, 0) * $Q // mx AS BIGINT) AS aq
+         |  FROM nodes n LEFT JOIN asum$i t ON t.node = n.node, amax$i),
+         |hsum$i AS (
+         |  SELECT e.src AS node, CAST(SUM(e.wt * a.aq) AS BIGINT) AS s
+         |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |hmax$i AS (SELECT MAX(s) AS mx FROM hsum$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(COALESCE(t.s, 0) * $Q // mx AS BIGINT) AS hq
+         |  FROM nodes n LEFT JOIN hsum$i t ON t.node = n.node, hmax$i)""".stripMargin
+    s"""WITH tr AS (
+       |  SELECT event_type AS dst,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+       |  FROM events),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt
+       |  FROM tr WHERE src IS NOT NULL GROUP BY src, dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+       |h0 AS (SELECT node, CAST($Q AS BIGINT) AS hq FROM nodes),
+       |${(1 to iters).map(roundCtes).mkString(",\n")}
+       |SELECT a$iters.node, a$iters.aq AS authority_q, h$iters.hq AS hub_q,
+       |  CAST(a$iters.aq AS DOUBLE) / $Q AS authority,
+       |  CAST(h$iters.hq AS DOUBLE) / $Q AS hub
+       |FROM a$iters JOIN h$iters ON h$iters.node = a$iters.node
+       |ORDER BY a$iters.node""".stripMargin
+  }
+
   /** q168: bounded-hop single-source shortest paths (Bellman–Ford,
     * `hops` relaxation rounds) over the weighted part-co-occurrence
     * graph: nodes = parts, an undirected edge (p1, p2) with integer
