@@ -705,4 +705,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected register-max aggregate:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q257: register build is map-side combined; the probe rides a broadcast") {
+    val p = plan("q257_cms_estimate")
+    // the d×W register aggregate must have partial (map-side) counts —
+    // the no-distinct one-scan property the CMS exists for
+    assert(p.contains("partial_count"),
+      s"expected map-side partial counts on the register aggregate:\n$p")
+    // the 2048-row register table broadcasts onto the top-k frame
+    assert(p.contains("BroadcastHashJoin [i"),
+      s"expected the register probe to be a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q258: tercile bounds broadcast back; no corpus-wide window (ntile) anywhere") {
+    val df = graft.SparkEntry.queries("q258_ccnet_buckets")(spark, dir)
+    // the classify step must be threshold-join shaped, not an ntile —
+    // an ntile(3) per source funnels each source through one partition
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      s"q258 must classify via broadcast thresholds, not a window:\n${df.queryExecution.optimizedPlan}")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin [source"),
+      s"expected the per-source bounds to broadcast:\n$p")
+  }
+
+  test("q259: both trained artifacts ride broadcasts — the CT profile onto doc " +
+    "grams, the segmenter onto corpus words") {
+    val p = plan("q259_fertility_by_lang")
+    assert(p.contains("BroadcastHashJoin [g"),
+      s"expected the |langs|×K profile to broadcast onto doc grams:\n$p")
+    assert(p.contains("BroadcastHashJoin [word"),
+      s"expected the trained segmenter to broadcast onto corpus words:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
