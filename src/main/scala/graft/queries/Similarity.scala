@@ -1002,4 +1002,121 @@ object Similarity {
       |FROM s$rounds s, n$rounds n, rq, tq
       |ORDER BY k""".stripMargin
   }
+
+  /** Hamming-shortlist size for q261 (rerank pool per query). */
+  private val BinShortlist = 16
+
+  /** q261 — binary (sign) quantization ANN: the 1-bit rung of the
+    * quantization ladder under PQ (q63) and SQ8. Each 64-dim vector
+    * compresses to TWO 32-bit sign codes (bit i of half h set iff
+    * dim 32h+i > 0) — 16 bytes against 256, so at 100 TB the code
+    * table lives where the float table cannot; candidate scan cost is
+    * two XOR+POPCNT per pair inside whole-stage codegen (exact
+    * integers, no libm anywhere in the shortlist). The deployment
+    * recipe is staged: Hamming top-`BinShortlist` shortlist per query
+    * (distance ASC, nid tie-break), then exact cosine rerank of the
+    * shortlist to top-K, graded in-line against the exact
+    * full-cosine top-K (`in_exact_topk` — the q212 discipline: the
+    * truth column exists only to grade; the registered scale path is
+    * codes + rerank).
+    *
+    * At 100 TB: queries broadcast twice (code probe, then float rerank
+    * of K·shortlist rows); the corpus is scanned once over the 16-byte
+    * code frame; rerank touches `shortlist` float rows per query. The
+    * exact-truth branch (full cosine) is the deliberate grading
+    * baseline, exactly q50's shape.
+    */
+  def q261AnnBinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    def half(h: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, i) => acc + when(get($"embedding", lit(32 * h) + i) > lit(0.0),
+          pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+    val codes = e.select($"vec_id", half(0).as("c0"), half(1).as("c1"))
+      .localCheckpoint(true) // corpus side AND query side probe it
+    val q = codes.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"c0".as("q0"), $"c1".as("q1"))
+    val wh = Window.partitionBy($"qid").orderBy($"hamming", $"nid")
+    val shortlist = codes
+      .select($"vec_id".as("nid"), $"c0", $"c1")
+      .crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid")
+      .withColumn("hamming",
+        (bit_count($"c0".bitwiseXOR($"q0"))
+          + bit_count($"c1".bitwiseXOR($"q1"))).cast("long"))
+      .withColumn("hr", row_number().over(wh))
+      .filter($"hr" <= BinShortlist)
+      .select($"qid", $"nid", $"hamming")
+    val qe = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val wc = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    val reranked = shortlist
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), Seq("nid"))
+      .join(broadcast(qe), Seq("qid"))
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
+      .withColumn("rnk", row_number().over(wc))
+      .filter($"rnk" <= K)
+    val exact = e.select($"vec_id".as("nid"), $"embedding".as("ne"))
+      .crossJoin(broadcast(qe))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
+      .withColumn("xr", row_number().over(wc))
+      .filter($"xr" <= K)
+      .select($"qid", $"nid", lit(true).as("hit"))
+    reranked.join(exact, Seq("qid", "nid"), "left")
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"nid", $"hamming",
+        $"cos_sim", coalesce($"hit", lit(false)).as("in_exact_topk"))
+      .orderBy($"qid", $"rnk")
+  }
+
+  val q261AnnBinaryHammingSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def half(h: Int) =
+      s"""CAST(list_sum(list_transform(range(0, 32),
+         |      i -> CASE WHEN embedding[${32 * h} + i + 1] > 0
+         |                THEN CAST(pow(2.0, i) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+    s"""WITH codes AS MATERIALIZED (
+      |  SELECT vec_id, ${half(0)} AS c0, ${half(1)} AS c1
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, c0 AS q0, c1 AS q1 FROM codes
+      |      WHERE vec_id % 100 = 0),
+      |sl AS (
+      |  SELECT qid, nid, hamming FROM (
+      |    SELECT q.qid, c.vec_id AS nid,
+      |      CAST(bit_count(xor(c.c0, q.q0)) + bit_count(xor(c.c1, q.q1))
+      |        AS BIGINT) AS hamming,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        bit_count(xor(c.c0, q.q0)) + bit_count(xor(c.c1, q.q1)),
+      |        c.vec_id) AS hr
+      |    FROM q, codes c WHERE c.vec_id <> q.qid)
+      |  WHERE hr <= $BinShortlist),
+      |qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      |       WHERE vec_id % 100 = 0),
+      |rr AS (
+      |  SELECT qid, nid, hamming, cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rnk
+      |  FROM (
+      |    SELECT sl.qid, sl.nid, sl.hamming,
+      |      ${dot("qe.qe", "e.embedding")} /
+      |      (sqrt(${dot("qe.qe", "qe.qe")}) * sqrt(${dot("e.embedding", "e.embedding")})) AS cos_sim
+      |    FROM sl
+      |    JOIN embeddings e ON e.vec_id = sl.nid
+      |    JOIN qe ON qe.qid = sl.qid)),
+      |ex AS (
+      |  SELECT qid, nid, TRUE AS hit FROM (
+      |    SELECT qe.qid, e.vec_id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qe.qid ORDER BY
+      |        ${dot("qe.qe", "e.embedding")} /
+      |        (sqrt(${dot("qe.qe", "qe.qe")}) * sqrt(${dot("e.embedding", "e.embedding")})) DESC,
+      |        e.vec_id) AS xr
+      |    FROM qe, embeddings e WHERE e.vec_id <> qe.qid)
+      |  WHERE xr <= $K)
+      |SELECT rr.qid, CAST(rr.rnk AS BIGINT) AS rnk, rr.nid, rr.hamming,
+      |  rr.cos_sim, COALESCE(ex.hit, FALSE) AS in_exact_topk
+      |FROM rr LEFT JOIN ex ON ex.qid = rr.qid AND ex.nid = rr.nid
+      |WHERE rr.rnk <= $K
+      |ORDER BY rr.qid, rr.rnk""".stripMargin
+  }
 }
