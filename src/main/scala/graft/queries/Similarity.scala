@@ -1026,28 +1026,26 @@ object Similarity {
     * exact-truth branch (full cosine) is the deliberate grading
     * baseline, exactly q50's shape.
     */
-  def q261AnnBinaryHamming(s: SparkSession, dir: String): DataFrame = {
+  /** Sign codes (two 32-bit halves) for every vector — shared by the
+    * brute q261 and the IVF-bucketed q262.
+    */
+  private def binCodes(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = Tables.load(s, dir, "embeddings")
     def half(h: Int): Column =
       aggregate(sequence(lit(0), lit(31)), lit(0L),
         (acc, i) => acc + when(get($"embedding", lit(32 * h) + i) > lit(0.0),
           pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
-    val codes = e.select($"vec_id", half(0).as("c0"), half(1).as("c1"))
-      .localCheckpoint(true) // corpus side AND query side probe it
-    val q = codes.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"c0".as("q0"), $"c1".as("q1"))
-    val wh = Window.partitionBy($"qid").orderBy($"hamming", $"nid")
-    val shortlist = codes
-      .select($"vec_id".as("nid"), $"c0", $"c1")
-      .crossJoin(broadcast(q))
-      .filter($"nid" =!= $"qid")
-      .withColumn("hamming",
-        (bit_count($"c0".bitwiseXOR($"q0"))
-          + bit_count($"c1".bitwiseXOR($"q1"))).cast("long"))
-      .withColumn("hr", row_number().over(wh))
-      .filter($"hr" <= BinShortlist)
-      .select($"qid", $"nid", $"hamming")
+    e.select($"vec_id", half(0).as("c0"), half(1).as("c1"))
+  }
+
+  /** Cosine-rerank a Hamming shortlist to top-[[K]] and grade each row
+    * against the exact full-cosine top-K (`in_exact_topk`) — the shared
+    * tail of q261/q262.
+    */
+  private def rerankAndGrade(s: SparkSession, e: DataFrame,
+      shortlist: DataFrame): DataFrame = {
+    import s.implicits._
     val qe = e.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val wc = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
@@ -1069,6 +1067,88 @@ object Similarity {
         $"cos_sim", coalesce($"hit", lit(false)).as("in_exact_topk"))
       .orderBy($"qid", $"rnk")
   }
+
+  def q261AnnBinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val codes = binCodes(e)
+      .localCheckpoint(true) // corpus side AND query side probe it
+    val q = codes.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"c0".as("q0"), $"c1".as("q1"))
+    val wh = Window.partitionBy($"qid").orderBy($"hamming", $"nid")
+    val shortlist = codes
+      .select($"vec_id".as("nid"), $"c0", $"c1")
+      .crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid")
+      .withColumn("hamming",
+        (bit_count($"c0".bitwiseXOR($"q0"))
+          + bit_count($"c1".bitwiseXOR($"q1"))).cast("long"))
+      .withColumn("hr", row_number().over(wh))
+      .filter($"hr" <= BinShortlist)
+      .select($"qid", $"nid", $"hamming")
+    rerankAndGrade(s, e, shortlist)
+  }
+
+  /** q262 — IVF-bucketed binary ANN: the BUCKETED scale path the q261
+    * brute baseline's adjudication points at. Vectors carry their sign
+    * codes AND their nearest-of-C k-means cell (the q51 deterministic
+    * sampled codebook); queries probe only their `nProbe` nearest
+    * cells, Hamming-shortlist within the probed cells, cosine-rerank
+    * to top-K, graded in-line against the exact full-cosine top-K.
+    * The gate-registered form runs FULL PROBE (nProbe = C): every
+    * vector sits in exactly one cell and the probe set covers all
+    * cells, so each (query, candidate) pair is scored exactly once and
+    * the answer is provably identical to q261's global shortlist —
+    * which lets q261's SQL oracle grade the whole bucketed machinery
+    * (codebook, assignment, probe join, code path) exactly. The
+    * approximate nProbe < C configuration is the same code path,
+    * graded in AnnBinarySpec (recall + fullprobe ≡ q261 equality).
+    *
+    * At 100 TB: the corpus partitions by cell id (one shuffle or a
+    * bucketed layout), each query touches ~nProbe/C of the CODE table
+    * (16 bytes/vector), and the float table is only read for the
+    * K·shortlist rerank rows — the recipe big binary indexes deploy.
+    */
+  def q262AnnBinaryIvf(s: SparkSession, dir: String,
+      nCells: Int = 8, nProbe: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val cent = trainCodebook(e, nCells)
+    val wA = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(s, $"embedding", $"ce"))
+      .withColumn("r", row_number().over(wA)).filter($"r" === 1)
+      .select($"vec_id", $"cid")
+    val codes = binCodes(e).join(assigned, Seq("vec_id"))
+      .localCheckpoint(true) // corpus candidates AND the query code probe
+    val wP = Window.partitionBy($"qid").orderBy($"csim".desc, $"cid")
+    val probes = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(s, $"qe", $"ce"))
+      .withColumn("pr", row_number().over(wP)).filter($"pr" <= nProbe)
+      .select($"qid", $"cid")
+    val qcodes = codes.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"c0".as("q0"), $"c1".as("q1"))
+    val wh = Window.partitionBy($"qid").orderBy($"hamming", $"nid")
+    val shortlist = probes
+      .join(codes.select($"cid", $"vec_id".as("nid"), $"c0", $"c1"), Seq("cid"))
+      .join(broadcast(qcodes), Seq("qid"))
+      .filter($"nid" =!= $"qid")
+      .withColumn("hamming",
+        (bit_count($"c0".bitwiseXOR($"q0"))
+          + bit_count($"c1".bitwiseXOR($"q1"))).cast("long"))
+      .withColumn("hr", row_number().over(wh))
+      .filter($"hr" <= BinShortlist)
+      .select($"qid", $"nid", $"hamming")
+    rerankAndGrade(s, e, shortlist)
+  }
+
+  /** Full-probe flavor — see [[q262AnnBinaryIvf]]: provably q261's
+    * answer, so the q261 oracle grades it.
+    */
+  def q262AnnBinaryIvfFullProbe(s: SparkSession, dir: String): DataFrame =
+    q262AnnBinaryIvf(s, dir, nCells = 8, nProbe = 8)
 
   val q261AnnBinaryHammingSql: String = {
     def dot(a: String, b: String) =

@@ -1370,4 +1370,81 @@ object TextOps {
       |  CAST((sh.pw / z.z) / sh.p AS FLOAT) AS boost
       |FROM sh CROSS JOIN z
       |ORDER BY lang""".stripMargin
+
+  /** How many top-frequency ranks the q263 Zipf fit regresses over. */
+  private val ZipfR = 100
+
+  /** q263 — Zipf rank–frequency fit per source (Zipf 1949; the corpus
+    * statistic every tokenizer/mixture design consults — how heavy is
+    * each source's head, how long its tail): per source, the top-`R`
+    * words by exact count (count DESC, word ASC — WindowGroupLimit
+    * prunes map-side), then the closed-form OLS of ln(freq) on
+    * ln(rank). A clean Zipfian source fits slope ≈ −1; flatter slopes
+    * mean template/boilerplate-heavy text. Sums fold in rank order
+    * (LangModel.orderedSum ≡ DuckDB `list_sum(list(... ORDER BY
+    * rank))`) so every double accumulates identically cross-engine;
+    * slope/intercept present FLOAT per the libm `ln` rule.
+    *
+    * At 100 TB: one (source, word) count aggregate (map-side
+    * combined), a per-source window pruned to R rows before any sort
+    * spills, and a 20×R-row regression — nothing else touches the
+    * corpus.
+    */
+  def q263ZipfFit(s: SparkSession, dir: String, topR: Int = ZipfR): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"freq".desc, $"word")
+    val ranked = Tables.load(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"source", $"word").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topR)
+      .select($"source", $"rank",
+        log($"rank".cast("double")).as("x"),
+        log($"freq".cast("double")).as("y"))
+    ranked.groupBy($"source")
+      .agg(count(lit(1)).as("n_ranks"),
+        LangModel.orderedSum($"rank", $"x").as("sx"),
+        LangModel.orderedSum($"rank", $"y").as("sy"),
+        LangModel.orderedSum($"rank", $"x" * $"y").as("sxy"),
+        LangModel.orderedSum($"rank", $"x" * $"x").as("sxx"))
+      .select($"source", $"n_ranks",
+        (($"n_ranks" * $"sxy" - $"sx" * $"sy")
+          / ($"n_ranks" * $"sxx" - $"sx" * $"sx"))
+          .cast("float").as("zipf_slope"),
+        (($"sy" - ($"n_ranks" * $"sxy" - $"sx" * $"sy")
+          / ($"n_ranks" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n_ranks")
+          .cast("float").as("zipf_intercept"))
+      .orderBy($"source")
+  }
+
+  def q263ZipfFitSql(topR: Int = ZipfR): String =
+    s"""WITH wc AS (
+      |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$')
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT source, rank, ln(CAST(rank AS DOUBLE)) AS x,
+      |    ln(CAST(freq AS DOUBLE)) AS y
+      |  FROM (SELECT source, freq,
+      |          CAST(row_number() OVER (PARTITION BY source
+      |            ORDER BY freq DESC, word) AS BIGINT) AS rank
+      |        FROM wc)
+      |  WHERE rank <= $topR),
+      |ss AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+      |    list_sum(list(x ORDER BY rank)) AS sx,
+      |    list_sum(list(y ORDER BY rank)) AS sy,
+      |    list_sum(list(x * y ORDER BY rank)) AS sxy,
+      |    list_sum(list(x * x ORDER BY rank)) AS sxx
+      |  FROM rk GROUP BY source)
+      |SELECT source, n_ranks,
+      |  CAST((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx) AS FLOAT)
+      |    AS zipf_slope,
+      |  CAST((sy - (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx) * sx)
+      |    / n_ranks AS FLOAT) AS zipf_intercept
+      |FROM ss ORDER BY source""".stripMargin
 }

@@ -45,4 +45,28 @@ class AnnBinarySpec extends SparkSpec {
         s"q$qid cosine order")
     }
   }
+
+  test("q262 full probe is provably q261's answer (every cell probed = global shortlist)") {
+    val brute = Similarity.q261AnnBinaryHamming(spark, dir).collect().map(_.toSeq).toSeq
+    val ivf = Similarity.q262AnnBinaryIvfFullProbe(spark, dir).collect().map(_.toSeq).toSeq
+    assert(ivf == brute)
+  }
+
+  test("q262 pruned probe (nProbe < C) stays well-formed and finds real neighbors") {
+    val rows = Similarity.q262AnnBinaryIvf(spark, dir, nCells = 8, nProbe = 2)
+      .collect()
+    assert(rows.nonEmpty)
+    val brute = Similarity.q261AnnBinaryHamming(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.length <= 3, s"q$qid block size")
+      assert(rs.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 64L))
+    }
+    // pruned recall vs the global hamming shortlist: at nProbe=2/8 the
+    // probe still covers the query's own neighborhood cells — demand a
+    // non-trivial overlap rather than a corpus-dependent exact bar
+    val overlap = rows.count(r => brute((r.getLong(0), r.getLong(2))))
+    assert(overlap.toDouble / rows.length > 0.2,
+      s"pruned-probe overlap with the global shortlist: $overlap/${rows.length}")
+  }
 }
