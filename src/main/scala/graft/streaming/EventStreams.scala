@@ -804,6 +804,65 @@ object EventStreams {
       .toDF("i", "bucket", "reg")
   }
 
+  /** One HLL register per grouping key: a Long `ValueState` holding
+    * the max ρ seen — max is idempotent AND commutative, so replays,
+    * duplicates, and restarts cannot move a register wrongly.
+    */
+  private class HllRegisterProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+
+    @transient private var reg: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      reg = getHandle.getValueState[Long]("reg", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        idx: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      var mx = if (reg.exists()) reg.get() else 0L
+      rows.foreach { r => if (r._2 > mx) mx = r._2 }
+      reg.update(mx)
+      Iterator.single((idx, mx))
+    }
+  }
+
+  /** Streaming HyperLogLog registers over the document trigram stream
+    * — the ingest twin of the batch q242 sketch (same md5 hash, same
+    * mod-64 register, same bin()-length ρ), completing the mergeable-
+    * sketch streaming trio: [[heavyHitters]] (SpaceSaving, top-k),
+    * [[streamingCms]] (counts), and this (distinct count). State is 64
+    * Longs forever; registers are max-monotone so the latest emission
+    * per register IS the sketch, duplicates and replays are free
+    * (max is idempotent — the property HLL is built on), and
+    * registers from disjoint streams merge by element-wise MAX (the
+    * q247 set-algebra law). Per batch: one shuffle of (idx, ρ) rows
+    * onto 64 keys, max-combined in the processor.
+    */
+  def streamingHll(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val m = 64
+    val n2 = size(col("ws")) - 2
+    val sh = docs
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), n2),
+        zip_with(slice(col("ws"), lit(2), n2), slice(col("ws"), lit(3), n2),
+          (b, c) => concat(b, lit(" "), c)),
+        (a, bc) => concat(a, lit(" "), bc))).as("g"))
+    val hv = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+    sh.select((hv % m).as("idx"), shiftright(hv, 6).as("tail"))
+      .select(col("idx"),
+        when(col("tail") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("tail"))).cast("long")).as("rho"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new HllRegisterProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("idx", "reg")
+  }
+
   def reshardHeavyHitters(tables: DataFrame, newShards: Int,
       capacity: Int = 1 << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -722,6 +722,78 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  /** Independent HLL register reference: md5 60-bit prefix, mod-64
+    * register, ρ = 55 − bit_length(tail) — the q242 construction
+    * rebuilt from java.security.
+    */
+  private def refHllRegs(docs: Seq[Doc]): Map[Long, Long] = {
+    val grams = docs.flatMap { d =>
+      val ws = d.text.split(" ")
+      ws.toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+    }
+    val regs = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    grams.foreach { g =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hv = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val idx = hv % 64
+      val tail = hv >>> 6
+      val rho = if (tail == 0L) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(tail))
+      if (rho > regs(idx)) regs(idx) = rho
+    }
+    regs.toMap
+  }
+
+  test("streaming hll: batch-partitioned replay reproduces the reference " +
+    "registers (batch ≡ stream; max-monotone so latest = max)") {
+    withRocksDb {
+      import org.apache.spark.sql.functions.{col, max}
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).as[Doc].collect().toSeq
+      val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+      val expected = refHllRegs(docs)
+
+      val in = MemoryStream[Doc](spark)
+      val name = s"shll_${System.nanoTime()}"
+      val q = EventStreams.streamingHll(in.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+
+      val got = spark.sql(s"SELECT * FROM $name")
+        .groupBy(col("idx")).agg(max(col("reg")).as("reg"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("streaming hll: registers survive a kill/restart and duplicates are free " +
+    "(max is idempotent)") {
+    withRocksDb {
+      import java.nio.file.Files
+      import org.apache.spark.sql.functions.{col, max}
+      val in = MemoryStream[Doc](spark)
+      val ckpt = Files.createTempDirectory("graft-shll-ckpt").toString
+      val out = Files.createTempDirectory("graft-shll-out").toString
+      def start() = EventStreams.streamingHll(in.toDF())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val d1 = Doc(1, "alpha beta gamma delta")
+      val d2 = Doc(2, "epsilon zeta eta")
+      val q1 = start()
+      in.addData(d1, d2)
+      q1.processAllAvailable(); q1.stop()
+      val q2 = start()
+      in.addData(d1) // an at-least-once re-delivery — must change nothing
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(out)
+        .groupBy(col("idx")).agg(max(col("reg")).as("reg"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refHllRegs(Seq(d1, d2)))
+    }
+  }
+
   test("streaming cms: registers survive a kill/restart — increments resume " +
     "from the checkpointed ValueState, not from zero") {
     withRocksDb {
