@@ -482,4 +482,105 @@ object ModelEval {
       |     - (CASE WHEN o.o_fp + o.o_tn <> 0 THEN CAST(o.o_fp AS DOUBLE) / CAST(o.o_fp + o.o_tn AS DOUBLE) END) AS FLOAT) AS fpr_gap
       |FROM g CROSS JOIN o
       |ORDER BY source""".stripMargin
+
+  /** Rank depth of the q264 nDCG report. */
+  private val NdcgK = 10
+
+  /** q264 — nDCG@10 of embedding retrieval (Järvelin & Kekäläinen
+    * 2002): the graded-relevance metric the retrieval-eval family was
+    * missing beside recall/MRR/precision@k. Queries are the 1% vec_id
+    * sample; each query's ranked list is the exact cosine top-10
+    * (the deliberate brute eval baseline of the q50/q212 class — the
+    * production list comes from the registered ANN paths); gain = 1
+    * when the neighbor shares the query's label. DCG folds
+    * gain/log2(rank+1) in rank order; IDCG places the query's R
+    * same-label vectors first (Σ_{i≤min(R,10)} 1/log2(i+1) — a
+    * bounded in-row fold over the exact relevant count); queries with
+    * R = 0 have no defined ideal and are excluded by both engines.
+    * Output: per label, the query count and mean nDCG@10 (folded in
+    * qid order; floats per the libm `ln` rule).
+    *
+    * At 100 TB: the ranked lists are top-k windows over the scored
+    * pairs (WindowGroupLimit prunes map-side); the relevant-count
+    * frame is one label-keyed aggregate broadcast back; everything
+    * after the lists is label-sized.
+    */
+  def q264Ndcg(s: SparkSession, dir: String, k: Int = NdcgK): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        $"label".as("qlabel"))
+    val labelCounts = e.groupBy($"label".as("qlabel"))
+      .agg(count(lit(1)).as("nlab"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    val ranked = e.select($"vec_id".as("nid"), $"embedding".as("ne"),
+        $"label".as("nlabel"))
+      .crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos_sim",
+        call_function("cosine_similarity", $"qe", $"ne"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+    val ln2 = log(lit(2.0))
+    val dcg = ranked
+      .select($"qid", $"qlabel", $"rnk",
+        (when($"nlabel" === $"qlabel", lit(1.0)).otherwise(lit(0.0))
+          * ln2 / log($"rnk".cast("double") + lit(1.0))).as("g"))
+      .groupBy($"qid", $"qlabel")
+      .agg(LangModel.orderedSum($"rnk", $"g").as("dcg"))
+    val withIdeal = dcg.join(broadcast(labelCounts), Seq("qlabel"))
+      // R relevant = same-label vectors minus the query itself
+      .withColumn("r", least($"nlab" - 1L, lit(k.toLong)))
+      .filter($"r" > 0L)
+      .withColumn("idcg",
+        aggregate(sequence(lit(1L), $"r"), lit(0.0),
+          (acc, i) => acc + ln2 / log(i.cast("double") + lit(1.0))))
+      .select($"qid", $"qlabel", ($"dcg" / $"idcg").as("ndcg"))
+    withIdeal.groupBy($"qlabel".as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        (LangModel.orderedSum($"qid", $"ndcg")
+          / count(lit(1))).cast("float").as("mean_ndcg"))
+      .orderBy($"label")
+  }
+
+  def q264NdcgSql(k: Int = NdcgK): String = {
+    val dim = 64
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |lc AS (SELECT label AS qlabel, CAST(COUNT(*) AS BIGINT) AS nlab
+      |       FROM embeddings GROUP BY 1),
+      |ranked AS (
+      |  SELECT qid, qlabel, rnk, nlabel FROM (
+      |    SELECT q.qid, q.qlabel, e.label AS nlabel,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        ${dot("q.qe", "e.embedding")} /
+      |        (sqrt(${dot("q.qe", "q.qe")}) * sqrt(${dot("e.embedding", "e.embedding")})) DESC,
+      |        e.vec_id) AS rnk
+      |    FROM q, embeddings e WHERE e.vec_id <> q.qid)
+      |  WHERE rnk <= $k),
+      |dcg AS (
+      |  SELECT qid, qlabel,
+      |    list_sum(list(
+      |      (CASE WHEN nlabel = qlabel THEN CAST(1.0 AS DOUBLE)
+      |            ELSE CAST(0.0 AS DOUBLE) END)
+      |        * ln(CAST(2.0 AS DOUBLE)) / ln(CAST(rnk AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      |      ORDER BY rnk)) AS dcg
+      |  FROM ranked GROUP BY 1, 2),
+      |nd AS (
+      |  SELECT qid, qlabel, dcg / list_sum(list_transform(range(1, r + 1),
+      |      i -> ln(CAST(2.0 AS DOUBLE)) / ln(CAST(i AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+      |    AS ndcg
+      |  FROM (SELECT dcg.qid, dcg.qlabel, dcg.dcg,
+      |          least(lc.nlab - 1, $k) AS r
+      |        FROM dcg JOIN lc ON lc.qlabel = dcg.qlabel)
+      |  WHERE r > 0)
+      |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(list_sum(list(ndcg ORDER BY qid)) / CAST(COUNT(*) AS BIGINT) AS FLOAT)
+      |    AS mean_ndcg
+      |FROM nd GROUP BY 1 ORDER BY label""".stripMargin
+  }
 }
