@@ -1371,6 +1371,61 @@ object TextOps {
       |FROM sh CROSS JOIN z
       |ORDER BY lang""".stripMargin
 
+  /** q265 — Good–Turing unseen-mass estimate per source (Good 1953;
+    * the Gale & Sampson 1995 presentation): from each source's
+    * frequency-of-frequencies, the probability mass its NEXT token is
+    * a never-seen word is P₀ = N₁/N (hapax share), and the adjusted
+    * count for once-seen words is r* = 2·N₂/N₁ — the coverage
+    * statistics an LM/tokenizer design consults before committing a
+    * vocabulary (a source with fat P₀ keeps minting new tokens at
+    * 100 TB; one with thin P₀ has converged). Everything is exact
+    * BIGINT counts until the two presented divisions (FLOAT, fixed
+    * shape); sources without hapaxes CASE-guard r* to NULL
+    * identically on both engines.
+    *
+    * At 100 TB: one (source, word) count (map-side combined), one
+    * (source, freq) frequency-of-frequencies aggregate over the
+    * vocabulary-sized frame, one 20-row report — the corpus is
+    * scanned once.
+    */
+  def q265GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.load(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"source", $"word").agg(count(lit(1)).as("freq"))
+    wc.groupBy($"source")
+      .agg(sum($"freq").cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when($"freq" === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when($"freq" === 2L, 1L).otherwise(0L)).as("n2"))
+      .select($"source", $"n_tokens", $"vocab", $"n1", $"n2",
+        ($"n1".cast("double") / $"n_tokens").cast("float").as("p_unseen"),
+        when($"n1" > 0L, (lit(2.0) * $"n2" / $"n1").cast("float"))
+          .as("r_star_1"))
+      .orderBy($"source")
+  }
+
+  val q265GoodTuringSql: String =
+    """WITH wc AS (
+      |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$')
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab,
+      |  CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |  CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |  CAST(CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(freq) AS BIGINT) AS FLOAT) AS p_unseen,
+      |  CASE WHEN CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) > 0
+      |       THEN CAST(CAST(2.0 AS DOUBLE)
+      |         * CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         / CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS FLOAT)
+      |  END AS r_star_1
+      |FROM wc GROUP BY source ORDER BY source""".stripMargin
+
   /** How many top-frequency ranks the q263 Zipf fit regresses over. */
   private val ZipfR = 100
 
