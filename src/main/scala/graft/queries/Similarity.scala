@@ -1199,4 +1199,83 @@ object Similarity {
       |WHERE rr.rnk <= $K
       |ORDER BY rr.qid, rr.rnk""".stripMargin
   }
+
+  /** q266 — embedding anisotropy report (Ethayarajh 2019's "how
+    * anisotropic is the space" diagnostic, the one-scan form): per
+    * label and overall (ROLLUP), the corpus size, the mean vector's
+    * norm, the mean per-vector norm, and their ratio — an isotropic
+    * cloud scores ~0 (directions cancel), a collapsed/anisotropic one
+    * approaches 1; the first health check an embedding pipeline runs
+    * before trusting cosine similarities. Exactness is the q236
+    * quantized recipe: every distributed sum is a BIGINT sum of
+    * floor(x·10⁶) micro-units (order-free, map-side combinable,
+    * ROLLUP-safe), and the per-row norm is one fixed-shape in-row
+    * fold; the only doubles are the final fixed-shape presentations.
+    *
+    * At 100 TB: ONE corpus scan into a 65-column integer aggregate
+    * (64 dimension sums + the norm sum) with map-side partials;
+    * everything after lives on the (labels+1)-row frame.
+    */
+  def q266Anisotropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+    val rowNorm = sqrt(aggregate(sequence(lit(0), lit(Dim - 1)), lit(0.0),
+      (acc, i) => acc + get($"embedding", i).cast("double")
+        * get($"embedding", i).cast("double")))
+    val baseCols = $"label" +:
+      floor(rowNorm * lit(1e6)).cast("long").as("nq") +:
+      (0 until Dim).map(d =>
+        floor(get($"embedding", lit(d)).cast("double") * lit(1e6))
+          .cast("long").as(s"q$d"))
+    val base = e.select(baseCols: _*)
+    val agg0 = base.rollup($"label")
+      .agg(count(lit(1)).as("n"),
+        sum($"nq").as("snq") +:
+          (0 until Dim).map(d => sum(col(s"q$d")).as(s"s$d")): _*)
+    val mu2 = aggregate(
+      array((0 until Dim).map(d => col(s"s$d")): _*), lit(0.0),
+      (acc, sd) => {
+        val t = sd.cast("double") / $"n" / lit(1e6)
+        acc + t * t
+      })
+    agg0.select(coalesce($"label", lit(-1)).cast("int").as("label"),
+        $"n",
+        ($"snq".cast("double") / $"n" / lit(1e6)).cast("float").as("mean_norm"),
+        sqrt(mu2).cast("float").as("mu_norm"),
+        (sqrt(mu2) / ($"snq".cast("double") / $"n" / lit(1e6)))
+          .cast("float").as("anisotropy"))
+      .orderBy($"label")
+  }
+
+  val q266AnisotropySql: String = {
+    val dim = 64
+    val qs = (0 until dim).map(d =>
+      s"CAST(SUM(CAST(FLOOR(CAST(embedding[${d + 1}] AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s$d").mkString(",\n      |    ")
+    val lst = (0 until dim).map(d => s"s$d").mkString(", ")
+    s"""WITH b AS (
+      |  SELECT label,
+      |    CAST(FLOOR(sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS nq,
+      |    embedding
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(nq) AS BIGINT) AS snq,
+      |    $qs
+      |  FROM b GROUP BY ROLLUP(label)),
+      |f AS (
+      |  SELECT CAST(COALESCE(label, -1) AS INT) AS label, n, snq,
+      |    list_sum(list_transform([$lst],
+      |      sd -> (CAST(sd AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE))
+      |          * (CAST(sd AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE)))) AS mu2
+      |  FROM g)
+      |SELECT label, n,
+      |  CAST(CAST(snq AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE) AS FLOAT)
+      |    AS mean_norm,
+      |  CAST(sqrt(mu2) AS FLOAT) AS mu_norm,
+      |  CAST(sqrt(mu2) / (CAST(snq AS DOUBLE) / n / CAST(1000000.0 AS DOUBLE))
+      |    AS FLOAT) AS anisotropy
+      |FROM f ORDER BY label""".stripMargin
+  }
 }
