@@ -1502,4 +1502,42 @@ object TextOps {
       |  CAST((sy - (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx) * sx)
       |    / n_ranks AS FLOAT) AS zipf_intercept
       |FROM ss ORDER BY source""".stripMargin
+
+  /** q267 — word burstiness (Church & Gale 1995's cf/df "clumpiness"):
+    * for the collection's top-50 words by collection frequency, the
+    * mean occurrences per CONTAINING document — function words score
+    * ~cf/df near their per-doc rate everywhere, while topical/bursty
+    * words concentrate (high cf/df), the signal behind burstiness-
+    * aware term weighting and the repetition-filter design. All
+    * counts exact BIGINTs; the ratio is one double division.
+    *
+    * At 100 TB: one (doc, word) count (map-side combined), one
+    * word-keyed aggregate producing cf AND df in the same pass, a
+    * top-50 TakeOrdered — the corpus is scanned once.
+    */
+  def q267Burstiness(s: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+      .groupBy($"word")
+      .agg(sum($"c").cast("long").as("cf"), count(lit(1)).as("df"))
+      .select($"word", $"cf", $"df",
+        ($"cf".cast("double") / $"df").as("burstiness"))
+      .orderBy($"cf".desc, $"word").limit(topK)
+  }
+
+  def q267BurstinessSql(topK: Int = 50): String =
+    s"""WITH dw AS (
+      |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$')
+      |  GROUP BY 1, 2)
+      |SELECT word, CAST(SUM(c) AS BIGINT) AS cf,
+      |  CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS burstiness
+      |FROM dw GROUP BY word
+      |ORDER BY cf DESC, word LIMIT $topK""".stripMargin
 }
