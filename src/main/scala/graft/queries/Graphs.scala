@@ -324,11 +324,17 @@ object Graphs {
     * Exactness: the q236 quantized-power-iteration recipe — scores
     * live as micro-unit BIGINTs, every distributed sum is an exact
     * integer sum of wt·score products (order-free, map-side
-    * combinable), and the normalization floor(s·10⁶ / max) is BIGINT
-    * division both engines floor identically on non-negative inputs.
-    * No floating point until the final ÷10⁶ presentation. Headroom:
-    * Σwt·10⁶ must stay under 2⁶³ — fine through ~10¹² transitions;
-    * past that drop the quantization scale (same plan).
+    * combinable), and the normalization floor(s·10⁶ / max) is an
+    * integral division both engines floor identically on non-negative
+    * inputs. Because s is itself bounded by Σwt·10⁶, the ·10⁶
+    * normalization numerator would overflow int64 once Σwt exceeds
+    * ~9.2·10⁶ — so the multiply-divide runs in 128-bit integer space
+    * (DECIMAL(38,0) on Spark, HUGEINT on DuckDB; identical floor
+    * semantics, result always ≤ 10⁶ so the BIGINT cast back is safe).
+    * No floating point until the final ÷10⁶ presentation. Headroom is
+    * then set by the SUM itself: Σwt·10⁶ must stay under 2⁶³ — fine
+    * through ~9·10¹² transitions; past that drop the quantization
+    * scale (same plan).
     *
     * At 100 TB: edges aggregate once from the corpus (the only
     * corpus-sized shuffle, shared shape with q103); per round two
@@ -359,7 +365,8 @@ object Graphs {
       auth = nodes.join(aSum, Seq("node"), "left")
         .crossJoin(broadcast(aMax))
         .select($"node",
-          expr(s"(coalesce(s, 0L) * ${Q}L) div mx").as("aq"))
+          expr(s"(cast(coalesce(s, 0L) as decimal(38,0)) * $Q) div mx")
+            .cast("long").as("aq"))
         .localCheckpoint(true)
       val hSum = edges.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy($"src".as("node")).agg(sum($"wt" * $"aq").as("s"))
@@ -367,7 +374,8 @@ object Graphs {
       hub = nodes.join(hSum, Seq("node"), "left")
         .crossJoin(broadcast(hMax))
         .select($"node",
-          expr(s"(coalesce(s, 0L) * ${Q}L) div mx").as("hq"))
+          expr(s"(cast(coalesce(s, 0L) as decimal(38,0)) * $Q) div mx")
+            .cast("long").as("hq"))
         .localCheckpoint(true)
     }
     auth.join(hub, "node")
@@ -386,7 +394,7 @@ object Graphs {
          |amax$i AS (SELECT MAX(s) AS mx FROM asum$i),
          |a$i AS MATERIALIZED (
          |  SELECT n.node,
-         |    CAST(COALESCE(t.s, 0) * $Q // mx AS BIGINT) AS aq
+         |    CAST(CAST(COALESCE(t.s, 0) AS HUGEINT) * $Q // mx AS BIGINT) AS aq
          |  FROM nodes n LEFT JOIN asum$i t ON t.node = n.node, amax$i),
          |hsum$i AS (
          |  SELECT e.src AS node, CAST(SUM(e.wt * a.aq) AS BIGINT) AS s
@@ -394,7 +402,7 @@ object Graphs {
          |hmax$i AS (SELECT MAX(s) AS mx FROM hsum$i),
          |h$i AS MATERIALIZED (
          |  SELECT n.node,
-         |    CAST(COALESCE(t.s, 0) * $Q // mx AS BIGINT) AS hq
+         |    CAST(CAST(COALESCE(t.s, 0) AS HUGEINT) * $Q // mx AS BIGINT) AS hq
          |  FROM nodes n LEFT JOIN hsum$i t ON t.node = n.node, hmax$i)""".stripMargin
     s"""WITH tr AS (
        |  SELECT event_type AS dst,

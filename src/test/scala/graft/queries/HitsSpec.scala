@@ -58,6 +58,26 @@ class HitsSpec extends SparkSpec {
     assert(ra("h") == 0L)          // nothing points at h
   }
 
+  test("normalization expression is overflow-safe past the int64 numerator boundary") {
+    // s is bounded by totalEdgeWeight·10⁶, so the ·10⁶ normalization
+    // numerator leaves int64 once total edge weight exceeds ~9.2·10⁶
+    // transitions. The query computes it in DECIMAL(38,0); this law
+    // pins the expression to a BigInt floor reference on values
+    // straddling the boundary (the old `s * 10⁶ div mx` int64 form
+    // wraps negative on every row here past the third).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val mx = 9300000000000L // ~9.3e12: max sum at ~9.3e6 transitions
+    val ss = Seq(0L, 1L, 9223372036854L, 9223372036855L, // boundary s·10⁶ ≈ 2⁶³
+      4650000000000L, 9299999999999L, mx)
+    val got = ss.toDF("s")
+      .select(expr(s"(cast(s as decimal(38,0)) * $Q) div $mx").cast("long").as("q"))
+      .collect().map(_.getLong(0))
+    val want = ss.map(s => (BigInt(s) * Q / mx).toLong)
+    assert(got.toSeq == want)
+    assert(got.last == Q && got.forall(q => q >= 0L && q <= Q))
+  }
+
   test("normalization laws on the test corpus: scores in [0, 10^6], argmax pinned, floats exact") {
     val rows = Graphs.q260Hits(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
