@@ -679,12 +679,21 @@ object LangModel {
     * tokenizer ships.
     *
     * The trick that makes BOTH engines exact with zero per-row loops:
-    * a word's symbol sequence is ONE string with a trailing delimiter
-    * per symbol ("hello" → "h|e|l|l|o|"), so greedy left-to-right merge
+    * a word's symbol sequence is ONE string with every symbol WRAPPED
+    * in delimiters ("hello" → "|h||e||l||l||o|" — `||` between
+    * symbols, one `|` at each end), so greedy left-to-right merge
     * application is precisely non-overlapping string
-    * `replace(s, "l|r|", "lr|")` — the same primitive, with the same
-    * left-to-right non-overlap semantics, in Spark and DuckDB. The
-    * delimiter cannot collide: pre-tokens are filtered to ^[a-z]+$
+    * `replace(s, "|l||r|", "|lr|")` — the same primitive, with the
+    * same left-to-right non-overlap semantics, in Spark and DuckDB.
+    * Both pattern ends land on a symbol BOUNDARY: a trailing-only
+    * delimiter scheme ("h|e|…") is unanchored on the left, so a merge
+    * (b,c) would also fire inside "ab|c|" (lhs `b` matching the SUFFIX
+    * of symbol `ab`) — a cross-boundary merge of a pair that is not
+    * present; the wrapped form cannot (the char before `|b||c|` would
+    * have to be `|`). Consuming a full `|l||r|` block leaves the
+    * neighbors' own delimiters intact, so adjacent disjoint pairs
+    * still merge in one pass (aaaa → aa,aa). The delimiter cannot
+    * collide with symbol text: pre-tokens are filtered to ^[a-z]+$
     * (the q79 letter-run convention).
     *
     * At 100 TB: the corpus is scanned ONCE into the weighted
@@ -707,13 +716,14 @@ object LangModel {
       .select(explode(ws).as("word"))
       .filter($"word".rlike("^[a-z]+$"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .select($"word", regexp_replace($"word", "(.)", "$1|").as("s"), $"freq")
+      .select($"word", regexp_replace($"word", "(.)", "|$1|").as("s"), $"freq")
       .localCheckpoint(true) // vocabulary-sized; cuts the corpus lineage
     val merges = (1 to rounds).map { r =>
-      val syms = split($"s", "[|]") // k symbols → k+1 slots (trailing "")
+      // k symbols → k+2 slots (leading + trailing ""), symbols at 1..k
+      val syms = split($"s", "[|]+")
       val pairs = vocab
         .select($"freq", explode(
-          when(size(syms) >= 3, transform(sequence(lit(0), size(syms) - 3),
+          when(size(syms) >= 4, transform(sequence(lit(1), size(syms) - 3),
             i => struct(get(syms, i).as("lhs"), get(syms, i + 1).as("rhs"))))
             .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
           .as("p"))
@@ -726,8 +736,8 @@ object LangModel {
         .localCheckpoint(true) // ≤1 row; feeds the apply AND the output
       vocab = vocab.crossJoin(broadcast(best))
         .select($"word", replace($"s",
-          concat($"lhs", lit("|"), $"rhs", lit("|")),
-          concat($"merged", lit("|"))).as("s"), $"freq")
+          concat(lit("|"), $"lhs", lit("||"), $"rhs", lit("|")),
+          concat(lit("|"), $"merged", lit("|"))).as("s"), $"freq")
         .localCheckpoint(true)
       best.select(lit(r).cast("long").as("round"),
         $"lhs", $"rhs", $"merged", $"pair_count")
@@ -750,19 +760,21 @@ object LangModel {
       s"""p$r AS (
          |  SELECT ws[i+1] AS lhs, ws[i+2] AS rhs,
          |    CAST(SUM(freq) AS BIGINT) AS pair_count
-         |  FROM (SELECT freq, string_split(s, '|') AS ws FROM v${r - 1}),
-         |    UNNEST(range(0, greatest(len(ws) - 2, 0))) AS t(i)
+         |  FROM (SELECT freq, string_split(trim(s, '|'), '||') AS ws
+         |        FROM v${r - 1}),
+         |    UNNEST(range(0, greatest(len(ws) - 1, 0))) AS t(i)
          |  GROUP BY 1, 2),
          |b$r AS MATERIALIZED (
          |  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
          |  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
          |v$r AS MATERIALIZED (
          |  SELECT word,
-         |    replace(s, lhs || '|' || rhs || '|', merged || '|') AS s,
+         |    replace(s, '|' || lhs || '||' || rhs || '|',
+         |      '|' || merged || '|') AS s,
          |    freq
          |  FROM v${r - 1}, b$r)""".stripMargin
     s"""v0 AS MATERIALIZED (
-      |  SELECT word, regexp_replace(word, '(.)', '\\1|', 'g') AS s,
+      |  SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS s,
       |    CAST(COUNT(*) AS BIGINT) AS freq
       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
       |  WHERE regexp_matches(word, '^[a-z]+$$')
@@ -803,7 +815,8 @@ object LangModel {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_words"),
         sum(length($"word")).cast("long").as("n_chars"),
-        sum(size(split($"s", "[|]")) - 1).cast("long").as("n_bpe_tokens"))
+        // wrapped repr: k symbols → k+2 split slots (leading+trailing "")
+        sum(size(split($"s", "[|]+")) - 2).cast("long").as("n_bpe_tokens"))
       .select($"source", $"n_words", $"n_chars", $"n_bpe_tokens",
         ($"n_chars".cast("double") / $"n_bpe_tokens").as("chars_per_token"))
       .orderBy($"source")
@@ -820,9 +833,10 @@ object LangModel {
       |        FROM wrds w JOIN v$rounds v USING (word))
       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
       |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
-      |  CAST(SUM(len(string_split(s, '|')) - 1) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(SUM(len(string_split(trim(s, '|'), '||'))) AS BIGINT)
+      |    AS n_bpe_tokens,
       |  CAST(SUM(length(word)) AS DOUBLE)
-      |    / SUM(len(string_split(s, '|')) - 1) AS chars_per_token
+      |    / SUM(len(string_split(trim(s, '|'), '||'))) AS chars_per_token
       |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
 
   /** Default merge-round budget for q255. */
@@ -853,10 +867,11 @@ object LangModel {
       .select(explode(ws).as("word"))
       .filter($"word".rlike("^[a-z]+$"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .select($"word", regexp_replace($"word", "(.)", "$1|").as("s"), $"freq")
+      .select($"word", regexp_replace($"word", "(.)", "|$1|").as("s"), $"freq")
       .localCheckpoint(true) // vocabulary-sized; cuts the corpus lineage
     val merges = (1 to rounds).map { r =>
-      val syms = split($"s", "[|]") // k symbols → k+1 slots (trailing "")
+      // k symbols → k+2 slots (leading + trailing ""), symbols at 1..k
+      val syms = split($"s", "[|]+")
       // current symbol unigram counts — the score's denominator; the
       // frame is vocabulary-sized and probed twice (lhs AND rhs)
       val symCounts = vocab
@@ -866,7 +881,7 @@ object LangModel {
         .localCheckpoint(true)
       val pairs = vocab
         .select($"freq", explode(
-          when(size(syms) >= 3, transform(sequence(lit(0), size(syms) - 3),
+          when(size(syms) >= 4, transform(sequence(lit(1), size(syms) - 3),
             i => struct(get(syms, i).as("lhs"), get(syms, i + 1).as("rhs"))))
             .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
           .as("p"))
@@ -887,8 +902,8 @@ object LangModel {
         .localCheckpoint(true) // ≤1 row; feeds the apply AND the output
       vocab = vocab.crossJoin(broadcast(best.select($"lhs", $"rhs", $"merged")))
         .select($"word", replace($"s",
-          concat($"lhs", lit("|"), $"rhs", lit("|")),
-          concat($"merged", lit("|"))).as("s"), $"freq")
+          concat(lit("|"), $"lhs", lit("||"), $"rhs", lit("|")),
+          concat(lit("|"), $"merged", lit("|"))).as("s"), $"freq")
         .localCheckpoint(true)
       best.select(lit(r).cast("long").as("round"),
         $"lhs", $"rhs", $"merged", $"pair_count", $"qscore")
@@ -906,9 +921,10 @@ object LangModel {
     * count. The score comparison is exact-BIGINT via the q250/q236
     * micro-nat recipe: qscore = floor((ln cnt_ab − ln cnt_a −
     * ln cnt_b)·10⁶), deterministic tie-break (qscore DESC, lhs, rhs).
-    * Merge application is the q231 delimiter-string `replace`
-    * primitive (greedy left-to-right non-overlap, identical in both
-    * engines). Continuation markers ("##") are presentation-only in
+    * Merge application is the q231 boundary-anchored delimiter-string
+    * `replace` primitive (symbols wrapped `|sym|`, pattern `|l||r|` —
+    * greedy left-to-right non-overlap, anchored at symbol boundaries
+    * on BOTH sides, identical in both engines). Continuation markers ("##") are presentation-only in
     * the reference algorithm and are omitted under the letter-run
     * convention. Output = the merge table (round, lhs, rhs, merged,
     * pair count, quantized score).
@@ -943,8 +959,9 @@ object LangModel {
          |p$r AS (
          |  SELECT ws[i+1] AS lhs, ws[i+2] AS rhs,
          |    CAST(SUM(freq) AS BIGINT) AS pair_count
-         |  FROM (SELECT freq, string_split(s, '|') AS ws FROM v${r - 1}),
-         |    UNNEST(range(0, greatest(len(ws) - 2, 0))) AS t(i)
+         |  FROM (SELECT freq, string_split(trim(s, '|'), '||') AS ws
+         |        FROM v${r - 1}),
+         |    UNNEST(range(0, greatest(len(ws) - 1, 0))) AS t(i)
          |  GROUP BY 1, 2),
          |b$r AS MATERIALIZED (
          |  SELECT lhs, rhs, lhs || rhs AS merged, pair_count,
@@ -957,11 +974,12 @@ object LangModel {
          |  ORDER BY qscore DESC, lhs, rhs LIMIT 1),
          |v$r AS MATERIALIZED (
          |  SELECT word,
-         |    replace(s, lhs || '|' || rhs || '|', merged || '|') AS s,
+         |    replace(s, '|' || lhs || '||' || rhs || '|',
+         |      '|' || merged || '|') AS s,
          |    freq
          |  FROM v${r - 1}, b$r)""".stripMargin
     s"""v0 AS MATERIALIZED (
-      |  SELECT word, regexp_replace(word, '(.)', '\\1|', 'g') AS s,
+      |  SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS s,
       |    CAST(COUNT(*) AS BIGINT) AS freq
       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
       |  WHERE regexp_matches(word, '^[a-z]+$$')
@@ -1000,7 +1018,8 @@ object LangModel {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_words"),
         sum(length($"word")).cast("long").as("n_chars"),
-        sum(size(split($"s", "[|]")) - 1).cast("long").as("n_wp_tokens"))
+        // wrapped repr: k symbols → k+2 split slots (leading+trailing "")
+        sum(size(split($"s", "[|]+")) - 2).cast("long").as("n_wp_tokens"))
       .select($"source", $"n_words", $"n_chars", $"n_wp_tokens",
         ($"n_chars".cast("double") / $"n_wp_tokens").as("chars_per_token"))
       .orderBy($"source")
@@ -1017,9 +1036,10 @@ object LangModel {
       |        FROM wrds w JOIN v$rounds v USING (word))
       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
       |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
-      |  CAST(SUM(len(string_split(s, '|')) - 1) AS BIGINT) AS n_wp_tokens,
+      |  CAST(SUM(len(string_split(trim(s, '|'), '||'))) AS BIGINT)
+      |    AS n_wp_tokens,
       |  CAST(SUM(length(word)) AS DOUBLE)
-      |    / SUM(len(string_split(s, '|')) - 1) AS chars_per_token
+      |    / SUM(len(string_split(trim(s, '|'), '||'))) AS chars_per_token
       |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
 
   /** Default EM-round budget / piece cap / piece length / word length

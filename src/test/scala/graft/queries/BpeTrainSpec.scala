@@ -53,6 +53,25 @@ class BpeTrainSpec extends SparkSpec {
     assert(run(tmp, 1) == Seq((1L, "b", "a", "ba", 1L)))
   }
 
+  test("merge application is boundary-anchored: a later merge whose lhs is the SUFFIX of an earlier merged symbol does not fire across the boundary") {
+    // corpus: "ab"×10, "bc"×6, "abc"×3.
+    // round 1: (a,b) = 13 beats (b,c) = 9 → merge ab; "abc" → [ab, c]
+    // round 2: (b,c) = 6 (from "bc" only) beats (ab,c) = 3 → merge bc.
+    //   An UNANCHORED replace of "b|c|" would also fire inside
+    //   "ab|c|" (lhs b = suffix of symbol ab), corrupting "abc" to
+    //   the single symbol [abc] though the pair (b,c) is absent —
+    //   and round 3 would then find no pairs and emit NO row.
+    // round 3 (anchored): (ab,c) = 3 from the intact [ab, c] → merge.
+    val tmp = writeDocs(Seq(
+      (0L, Seq.fill(10)("ab").mkString(" ")),
+      (1L, Seq.fill(6)("bc").mkString(" ")),
+      (2L, Seq.fill(3)("abc").mkString(" "))))
+    assert(run(tmp, 3) == Seq(
+      (1L, "a", "b", "ab", 13L),
+      (2L, "b", "c", "bc", 6L),
+      (3L, "ab", "c", "abc", 3L)))
+  }
+
   test("non-[a-z] pre-tokens are excluded by the q79 letter-run convention") {
     val tmp = writeDocs(Seq((0L, "x9y x9y zz zz zz")))
     // "x9y" is filtered out; only "zz" trains

@@ -60,6 +60,27 @@ class WordPieceSpec extends SparkSpec {
       (2L, "aa", "a", "aaa", 1L, q(1, 1, 1))))
   }
 
+  test("merge application is boundary-anchored: a later merge whose lhs is the SUFFIX of an earlier merged symbol does not fire across the boundary") {
+    // corpus: "ab"×4, "bc"×2, "abc"×1, "c"×10.
+    // round 1 counts a=5, b=7, c=13: (a,b)=5 score 1/7 beats
+    //   (b,c)=3 score 3/91 → merge ab; "abc" → [ab, c]
+    // round 2 counts ab=5, b=2, c=13: (b,c)=2 score 1/13 beats
+    //   (ab,c)=1 score 1/65 → merge bc. An UNANCHORED replace of
+    //   "b|c|" would also fire inside "ab|c|" (lhs b = suffix of
+    //   symbol ab), corrupting "abc" to [abc] though the pair (b,c)
+    //   is absent — and round 3 would then emit NO row.
+    // round 3 (anchored): (ab,c)=1 from the intact [ab, c] → merge
+    //   (counts ab=5, c=11 — round 2 consumed the two "bc" words' c).
+    val tmp = writeDocs(Seq(
+      (0L, Seq.fill(4)("ab").mkString(" ")),
+      (1L, Seq.fill(2)("bc").mkString(" ")),
+      (2L, "abc " + Seq.fill(10)("c").mkString(" "))))
+    assert(run(tmp, 3) == Seq(
+      (1L, "a", "b", "ab", 5L, q(5, 5, 7)),
+      (2L, "b", "c", "bc", 2L, q(2, 2, 13)),
+      (3L, "ab", "c", "abc", 1L, q(1, 5, 11))))
+  }
+
   test("exhausted vocabulary produces no merge row (the q231 convention)") {
     val tmp = writeDocs(Seq((0L, "ab ab")))
     // round 1 merges (a,b); round 2 has no adjacent pairs → 1 row only
