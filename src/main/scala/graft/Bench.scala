@@ -51,8 +51,13 @@ object Bench {
     // attempts finish. The dedup family's shared shingle/pair caches
     // are the deliberate exception: they persist ACROSS a family
     // segment (built at q126 — alphabetically first since round 7 —
-    // and reused through q45, with q250/q251's shared unigram
-    // training checkpoints riding the same segment; rebuilt at q72
+    // and reused through q45, with the unigram-LM training
+    // checkpoints shared by q250/q251/q254/q259 riding the same
+    // segment — EVERY trainCache consumer must be listed here, or a
+    // SPARK_GRAFT_ONLY subset where it is the first consumer would
+    // sweep the freshly-trained checkpoint RDDs the cache still
+    // references, and the next consumer would read unpersisted
+    // lineage-truncated frames; rebuilt at q72
     // for q72/q75; rebuilt at q94 for q94/q98), so family members
     // skip the per-query sweep entirely and each segment END (q45,
     // q75, q98) drops the shared frames via clearCaches (Dedup +
@@ -62,7 +67,9 @@ object Bench {
     // frontier/visited frames) that their own turn skipped.
     val cacheSharers = Set("q126_prefix_join", "q135_containment",
       "q138_source_overlap", "q148_snm", "q250_unigram_train",
-      "q251_unigram_encode", "q255_wordpiece_train", "q256_wordpiece_encode",
+      "q251_unigram_encode", "q254_unigram_nbest",
+      "q255_wordpiece_train", "q256_wordpiece_encode",
+      "q259_fertility_by_lang",
       "q40_ngram_jaccard", "q41_minhash_lsh",
       "q42_simhash", "q45_dup_clusters", "q72_bfs_depth", "q75_edit_distance",
       "q94_triangles", "q98_best_keeper")
