@@ -52,6 +52,35 @@ object DeriveScale {
     val ks = explode(sequence(lit(0), lit(copies - 1))).as("k")
     val kL = col("k").cast("long")
 
+    // Disjointness guard for the "copies share NO tokens" invariant the
+    // linear pair-structure scaling argument relies on: copy k's
+    // vocabulary is {w + "q"+letter_k}, so a collision with copy 0
+    // needs a SOURCE word that already ends in a used "q"+letter
+    // suffix AND whose prefix is itself a source word (original "xqa"
+    // = copy-1's "x"+"qa"). Assert none exist before deriving — if the
+    // source corpus ever grows one, fail loudly instead of silently
+    // bending the invariant. Vocabulary-sized work; no corpus re-scan
+    // beyond the one distinct.
+    val usedSuffixes = "abcdefghijklmnopqrstuvwxyz".take(copies - 1)
+      .map(l => s"q$l")
+    if (usedSuffixes.nonEmpty) {
+      val vocab = spark.read.parquet(s"$src/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w")).distinct()
+        .localCheckpoint(true) // probed twice (candidates + prefix join)
+      val collisions = vocab
+        .filter(length(col("w")) > 2 &&
+          substring(col("w"), -2, 2).isin(usedSuffixes: _*))
+        .select(expr("substring(w, 1, length(w) - 2)").as("p"), col("w"))
+        .join(vocab.withColumnRenamed("w", "p"), "p")
+        .select(col("w")).limit(5).collect().map(_.getString(0))
+      require(collisions.isEmpty,
+        s"derived-suffix collision: source word(s) ${collisions.mkString(", ")} " +
+          "end in a used 'q'+letter suffix with a prefix that is also a " +
+          "source word; copies would share tokens and the linear " +
+          "pair-structure invariant breaks — use fewer copies or a " +
+          "different suffix scheme")
+    }
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
       .select(ks, col("*"))
       .select((col("doc_id") + kL * Stride).as("doc_id"),
