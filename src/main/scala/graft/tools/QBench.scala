@@ -6,8 +6,17 @@ import org.apache.spark.sql.SparkSession
   * of the full `graft.Bench` suite, for auditing whether a suite
   * outlier is a real plan cost or GC/contention amplification (the
   * BENCH_SCALING discipline: every >10x scaling ratio gets one of
-  * these runs before it is believed). Warm-up write + timed write per
-  * query on a fresh `local[32]` session. Usage:
+  * these runs before it is believed). Times BOTH writes per query on a
+  * fresh `local[32]` session and reports them as separate numbers:
+  *  - cold_sec: the FIRST write — includes one-time family-training /
+  *    cache-build cost (e.g. the unigram EM run q250/q251/q254/q259
+  *    share, the CT profile training q252/q253 share);
+  *  - warm_sec: the SECOND write — the steady-state per-query cost a
+  *    suite run pays on every member after the family's first.
+  * Publishing only the warm number booked one-time training cost as
+  * "contention amplification" when a suite outlier was compared
+  * against it; the two-point form makes training amortization and
+  * contention separately visible. Usage:
   *   runMain graft.tools.QBench <sfDir> <query> [query ...]
   */
 object QBench {
@@ -19,10 +28,13 @@ object QBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(f"$tag: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val warm = (System.nanoTime() - t1) / 1e9
+      println(f"$tag: cold ${cold}%.2f s, warm ${warm}%.2f s")
     }
     args.drop(1).foreach(q => time(q)(graft.SparkEntry.queries(q)(spark, dir)))
     spark.stop()
