@@ -150,6 +150,16 @@ object Similarity {
   def q43EmbedNearDup(s: SparkSession, dir: String,
       nCells: Int = 32, nAssign: Int = 7): DataFrame = {
     import s.implicits._
+    nearDupPairs(s, dir, nCells, nAssign).orderBy($"d1", $"d2")
+  }
+
+  /** The bucketed exact-verified near-dup pair frame shared by q43 and
+    * q268: distinct (d1, d2, cos_sim) with d1 < d2 and cos ≥ `tau`,
+    * candidates from `nAssign`-way cell co-residency, unsorted.
+    */
+  private[queries] def nearDupPairs(s: SparkSession, dir: String,
+      nCells: Int, nAssign: Int, tau: Double = 0.45): DataFrame = {
+    import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
     val cent = trainCodebook(e, nCells)
     val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cid")
@@ -169,10 +179,79 @@ object Similarity {
     // duplicates collapse exactly.
     a.join(b, Seq("cid")).filter($"d1" < $"d2")
       .withColumn("cos_sim", cosine(s, $"x", $"y"))
-      .filter($"cos_sim" >= 0.45)
+      .filter($"cos_sim" >= tau)
       .select($"d1", $"d2", $"cos_sim")
       .distinct()
-      .orderBy($"d1", $"d2")
+  }
+
+  /** q268 — SemDedup-style corpus-level embedding dedup (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): cluster the embedding
+    * space with the deterministic k-means codebook, generate candidate
+    * pairs ONLY within shared cells, exact-cosine-verify against τ, and
+    * prune every vector that has a τ-neighbor ranked before it —
+    * emitting the prune MANIFEST (pruned vec_id, its keeper = the
+    * first-ranked τ-neighbor, their exact cosine), the dedup audit log
+    * whose complement is the kept corpus.
+    *
+    * Contract choices, both deterministic where the paper is loose:
+    * the keep-rule is smallest vec_id (the paper keeps the lowest
+    * centroid-similarity member and reports the choice barely matters
+    * — §4.1; an id rule makes the output independent of the clustering
+    * and so exactly oracle-checkable), and the prune is the paper's
+    * ONE-PASS dominated prune (a pruned vector can still dominate a
+    * later one: in a chain a–b, b–c with cos(a,c) < τ, both b and c
+    * are pruned), not a transitive-closure greedy — q45 already covers
+    * connected-component grouping for that semantics.
+    *
+    * Registered configuration = q43's validated full-recall envelope
+    * (C=32, a=7, τ=0.45 — every true τ-pair is caught at sf0.01 AND
+    * sf0.1, re-checked by q43's own oracle gate each round), under
+    * which the manifest provably equals the all-pairs ground truth the
+    * DuckDB twin computes — the q51/q62 full-probe discipline. The
+    * scale path (single-assignment, cluster-LOCAL prune — the paper's
+    * actual configuration) is spec-graded: SemDedupSpec pins soundness
+    * (a pruned id always has a real τ-neighbor, any assignment) and
+    * recall on a clustered corpus.
+    *
+    * At 100 TB: one corpus scan + broadcast C×dim codebook for
+    * assignment, one cell-keyed shuffle for candidates (never an
+    * all-pairs join — plan-audited), exact verification riding the
+    * codegen'd native cosine, and the keeper window runs on the
+    * τ-SURVIVOR pair stream only (duplicate-pair rate × corpus, tiny
+    * by definition in a deduped-ish corpus; the paper prunes 50% of
+    * LAION at τ≈0.94 — still survivor-bounded). Cluster populations
+    * are bounded by the k-means balance argument (q51), so per-cell
+    * pair work is C(cell, 2)-bounded — the scale shape that makes
+    * SemDedup tractable where q43's ε-ball enumeration at a LOW τ
+    * would not be.
+    */
+  def q268SemDedup(s: SparkSession, dir: String,
+      nCells: Int = 32, nAssign: Int = 7, tau: Double = 0.45): DataFrame = {
+    import s.implicits._
+    val pairs = nearDupPairs(s, dir, nCells, nAssign, tau)
+    val wKeep = Window.partitionBy($"d2").orderBy($"d1")
+    pairs.withColumn("rk", row_number().over(wKeep))
+      .filter($"rk" === 1)
+      .select($"d2".as("vec_id"), $"d1".as("keeper_id"), $"cos_sim")
+      .orderBy($"vec_id")
+  }
+
+  val q268SemDedupSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH pairs AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |    ${dot("a.embedding", "b.embedding")} /
+      |    (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) AS cos_sim
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < b.vec_id
+      |    AND ${dot("a.embedding", "b.embedding")} /
+      |        (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) >= 0.45)
+      |SELECT d2 AS vec_id, d1 AS keeper_id, cos_sim
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY d2 ORDER BY d1) AS rk
+      |      FROM pairs)
+      |WHERE rk = 1 ORDER BY vec_id""".stripMargin
   }
 
   val q43EmbedNearDupSql: String = {

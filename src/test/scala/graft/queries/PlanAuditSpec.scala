@@ -286,6 +286,19 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"expected a sig-keyed equijoin:\n$p")
   }
 
+  test("q268: semdedup candidates come from the cell-id equijoin — never a corpus self-cross") {
+    // the SemDedup scale shape: the only corpus-vs-corpus contact is
+    // the cell-keyed shuffle join (cluster-local candidates); the sole
+    // legitimate nested-loop is the C×dim codebook broadcast onto the
+    // assignment scan
+    val p = plan("q268_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"semdedup must never enumerate all pairs:\n$p")
+    assert(p.contains("SortMergeJoin [cid") || p.contains("ShuffledHashJoin [cid")
+      || p.contains("BroadcastHashJoin [cid"),
+      s"expected the candidate join keyed on cid:\n$p")
+  }
+
   test("q111: the eval side is broadcast — the corpus is never shuffled for scoring") {
     val df = graft.SparkEntry.queries("q111_semantic_decontam")(spark, dir)
     df.collect()
