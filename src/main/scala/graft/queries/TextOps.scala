@@ -1150,6 +1150,40 @@ object TextOps {
       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin
 
+  /** Global heavy hitters via SPACE-SAVING (Metwally, Agrawal &
+    * El Abbadi 2005) — the third member of the mergeable-sketch trio
+    * (q242 HLL, q257 CMS) as a REGISTERED batch query: the reduce is
+    * `SpaceSaving.ingest`, the merge `SpaceSaving.merge` — the exact
+    * core the streaming `EventStreams.heavyHitters` processor and its
+    * re-shard combine run — so this oracle row anchors the code the
+    * streaming batch≡stream laws exercise, not a parallel
+    * implementation. Registered at full capacity (⇒ eviction never
+    * fires, ingestion-order dependence vanishes, every overcount is 0
+    * and every estimate is the exact count — the q71/q77/q102
+    * discipline), so the plain GROUP-BY oracle grades
+    * reduce/merge/finish exactly; the bounded path carries the classic
+    * ε = n/capacity guarantees, spec-graded in SpaceSavingItemsSpec.
+    * 100 TB shape: per-partition constant-size tables into one merge —
+    * no token-keyed shuffle.
+    */
+  def q269SpaceSaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ss = udaf(graft.functions.SpaceSavingItems.aggregator(1 << 20))
+    Tables.load(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .agg(ss($"w").as("top"))
+      .select(explode($"top").as("t"))
+      .select($"t._1".as("w"), $"t._2".as("count_est"), $"t._3".as("overcount"))
+      .orderBy($"count_est".desc, $"w")
+      .limit(20)
+  }
+
+  val q269SpaceSavingSql: String =
+    """SELECT w, CAST(COUNT(*) AS BIGINT) AS count_est,
+      |  CAST(0 AS BIGINT) AS overcount
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY count_est DESC, w LIMIT 20""".stripMargin
+
   /** Corpus-statistics quality profile (the CCNet/TF-DF signal family):
     * score each document by how COMMON its vocabulary is across the
     * corpus — documents of rare/garbage tokens (OCR noise, codes,

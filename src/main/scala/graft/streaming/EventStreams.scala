@@ -695,7 +695,10 @@ object EventStreams {
     * vocabulary the tables are exact streaming word counts and a
     * batch `groupBy(word).count` reproduces them — the batch ≡ stream
     * law pinned in EventStreamsSpec alongside the bounded-capacity
-    * error-bound law.
+    * error-bound law. The SAME ingest/merge core is also the
+    * registered, oracle-gated batch query q269 (TextOps
+    * .q269SpaceSaving), completing the mergeable-sketch trio's oracle
+    * anchoring (q242 HLL, q257 CMS, q269 SpaceSaving).
     */
   def heavyHitters(docs: DataFrame, capacity: Int = 1 << 16,
       shards: Int = 8): DataFrame = {
