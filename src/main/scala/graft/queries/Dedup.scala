@@ -106,6 +106,15 @@ object Dedup {
     }
   }
 
+  /** Build and MATERIALIZE the shared shingle cache for `dir` —
+    * [[graft.queries.Families.warm]]'s hook; the frame is lazy-cached,
+    * so forcing it here is what moves the cost out of the first
+    * family query.
+    */
+  private[queries] def warmShingles(s: SparkSession, dir: String): Unit = {
+    shingled(s, dir).count(); ()
+  }
+
   /** Drop every cached scratch frame this session holds (shingle + per-query
     * signature caches). Benchmarks call this after the dedup family so the
     * cached frames' executor storage cannot pressure later queries' heap.
