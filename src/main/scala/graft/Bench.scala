@@ -76,10 +76,10 @@ object Bench {
     val familyEnds = Set("q45_dup_clusters", "q75_edit_distance", "q98_best_keeper")
     var familyStartIds: Option[Set[Int]] = None
     // Opt-in subset for derived-scale sweeps (BENCH_SCALING's third
-    // point runs only the tables the scratch corpus carries); the
-    // driver never sets it, so the per-round contract is unchanged.
-    // The CDC race lanes are skipped under a subset run — they read
-    // lineitem, which derived corpora don't carry.
+    // point runs only the selected lanes); the driver never sets it,
+    // so the per-round contract is unchanged. The CDC race lanes are
+    // skipped under a subset run — the subset timings are per-query
+    // scaling points, not a headline-throughput rerun.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val initialIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
