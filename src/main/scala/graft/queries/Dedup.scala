@@ -111,7 +111,7 @@ object Dedup {
     * so forcing it here is what moves the cost out of the first
     * family query.
     */
-  private[queries] def warmShingles(s: SparkSession, dir: String): Unit = {
+  private[graft] def warmShingles(s: SparkSession, dir: String): Unit = {
     shingled(s, dir).count(); ()
   }
 
@@ -1141,7 +1141,15 @@ object Dedup {
     * included, not the full pair set).
     */
   def q148SortedNeighborhood(s: SparkSession, dir: String,
-      w: Int = 10, parts: Int = 32): DataFrame = {
+      w: Int = 10, parts: Int = 32): DataFrame =
+    snmStages(s, dir, w, parts)._4
+
+  /** The q148 pipeline with its stage frames exposed (rank / candidates
+    * / filtered / verified) — the derived-decade adjudication probes
+    * time each stage in isolation (tools/SnmProbe).
+    */
+  private[graft] def snmStages(s: SparkSession, dir: String,
+      w: Int = 10, parts: Int = 32): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
     val docs = shingled(s, dir)
@@ -1149,6 +1157,15 @@ object Dedup {
       .select($"doc_id", expr(
         "array_min(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
           "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))").as("k"))
+      // checkpoint BEFORE the range exchange: RangePartitioner SAMPLES
+      // its child to pick split points, i.e. executes the plan a second
+      // time — and this child is the interpreted min-3-gram lambda, the
+      // single most expensive stage of the whole query (measured at the
+      // derived decades: the key pass is ~123 s at sf2d, and the
+      // un-checkpointed sample pass re-paid it; cutting it here took the
+      // q148 decade ratio from x16.5 to ~linear). The q108 orderBy
+      // lesson, repartitionByRange edition.
+      .localCheckpoint(true)
     val ranged = keyed.repartitionByRange(parts, $"k".asc, $"doc_id".asc)
       .withColumn("pid", spark_partition_id())
     val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
@@ -1191,7 +1208,7 @@ object Dedup {
       .join(sig.as("q"), $"d2" === $"q.doc_id")
       .filter(call_function("slot_agreement", $"p.sig", $"q.sig") / 64.0 >= 0.3)
       .select($"d1", $"d2")
-    verifyPairs(filtered, docs)
+    (ranked, cands, filtered, verifyPairs(filtered, docs))
   }
 
   def q148SortedNeighborhoodSql(w: Int = 10): String =

@@ -30,7 +30,13 @@ import org.apache.spark.sql.functions._
   *    users in the SAME window would be ×N² output — again a
   *    different workload, not more of the same one).
   *  - embeddings: copy k remaps vec_id and shifts every coordinate by
-  *    k·0.001, keeping labels — cell/bucket populations scale ×N.
+  *    k·0.001, keeping labels — cell/bucket populations scale ×N for
+  *    the top-k ANN lanes. LIMITATION: the constant shift makes the
+  *    copies of one source vector near-PARALLEL (cos(v, v+c·1) ≈ 1),
+  *    so cosine-THRESHOLD pair lanes (q43/q268) would see ~C(N,2)
+  *    cross-copy pairs per source vector — quadratic, a workload
+  *    change. Derived decades are valid for ANN top-k scaling rows,
+  *    NOT for τ-pair linearity claims on the embedding axis.
   *  - customer/orders/lineitem: copy k shifts the FK chain
   *    (c_custkey/o_orderkey/o_custkey/l_orderkey) by k·stride and tags
   *    customer names with a doubled copy letter (see the in-line note:

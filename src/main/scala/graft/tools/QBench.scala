@@ -22,17 +22,30 @@ import org.apache.spark.sql.SparkSession
 object QBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // SPARK_GRAFT_PARTS: shuffle-partition override for derived-decade
+    // adjudication — the bench holds 32 fixed across scales, so per-
+    // partition volume grows with sf; a cluster (and AQE) scales
+    // partitions with data, and comparing 32 vs a scaled count on one
+    // isolate separates "plan is super-linear" from "fixed-partition
+    // spill artifact".
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+    // mk is BY-NAME and re-invoked per attempt: builders with eager
+    // localCheckpoints do real work at CONSTRUCTION time, so a by-value
+    // DataFrame would run that work outside the timed window (and the
+    // warm write would time plan-reuse of materialized scratch frames,
+    // not a second run). Re-invoking matches graft.Bench's per-attempt
+    // semantics exactly.
+    def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      mk.write.format("noop").mode("overwrite").save()
       val cold = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      mk.write.format("noop").mode("overwrite").save()
       val warm = (System.nanoTime() - t1) / 1e9
       println(f"$tag: cold ${cold}%.2f s, warm ${warm}%.2f s")
     }
