@@ -97,6 +97,12 @@ object Sampling {
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", size($"ws").cast("long").as("n_tok"),
         (size(array_distinct($"ws")).cast("double") / size($"ws")).as("score"))
+      // checkpoint before the range exchange: the split-points sampler
+      // re-executes a map-only child, and this one tokenizes every doc
+      // (the q148 range-sampler lesson — here the child is codegen'd
+      // collection ops, so the measured win is ~10% at sf1d, not
+      // q148's ~5x; kept because the shape is the same)
+      .localCheckpoint(true)
     val ranged = scored.repartitionByRange(parts, $"score".desc, $"doc_id".asc)
       .withColumn("pid", spark_partition_id())
     val offsets = ranged.groupBy($"pid").agg(sum($"n_tok").as("ptotal"))
