@@ -299,6 +299,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the candidate join keyed on cid:\n$p")
   }
 
+  test("q77/q269: sketch aggregates build per-partition partials — the only exchange is the single-partition merge, never a token-keyed shuffle") {
+    for (q <- Seq("q77_frequent_tokens", "q269_space_saving")) {
+      val p = plan(q)
+      // the global udaf plans partial ObjectHashAggregates per input
+      // partition and ONE SinglePartition exchange to the merge — a
+      // token-keyed hashpartitioning exchange would mean the summary
+      // machinery degraded to the full groupBy it exists to avoid
+      // (the top-20 presentation AFTER the explode may sort/limit)
+      assert(p.contains("ObjectHashAggregate"), s"$q: expected udaf aggregate:\n$p")
+      assert(!p.contains("hashpartitioning(w"),
+        s"$q must never shuffle keyed on the token:\n$p")
+    }
+  }
+
   test("q111: the eval side is broadcast — the corpus is never shuffled for scoring") {
     val df = graft.SparkEntry.queries("q111_semantic_decontam")(spark, dir)
     df.collect()
