@@ -28,16 +28,32 @@ case class ChangeEvent(
   def isUpdate: Boolean   = op == Op.Update
   def isDelete: Boolean   = op == Op.Delete
   def isSnapshot: Boolean = op == Op.Snapshot
+  def isTruncate: Boolean = op == Op.Truncate
   def fullTableName: String = s"$tableNamespace.$tableName"
 }
 
-/** `MessageType` enum (message.go:64-77). */
+/** `MessageType` enum (message.go:64-77), plus TRUNCATE — the reference
+  * decodes pgoutput Truncate but silently drops it
+  * (`connector.go:140-142`); a publication can publish it
+  * (`example/simple/main.go:60-65`, config.go's operations knob), and a
+  * replica sink that never hears about a truncation diverges forever —
+  * so here it is a first-class op: no row images, one event per
+  * truncated relation.
+  */
 object Op {
   val Insert   = "INSERT"
   val Update   = "UPDATE"
   val Delete   = "DELETE"
   val Snapshot = "SNAPSHOT"
-  val all: Seq[String] = Seq(Insert, Update, Delete, Snapshot)
+  val Truncate = "TRUNCATE"
+  /** Row-image-carrying ops (what [[ChangeEvent.oldData]]/`newData`
+    * are populated for) — the serializers' default emit set.
+    */
+  val rowOps: Seq[String] = Seq(Insert, Update, Delete, Snapshot)
+  /** Every known op, TRUNCATE included — the "is this event well-formed"
+    * set the quality counters check against.
+    */
+  val all: Seq[String] = rowOps :+ Truncate
 }
 
 object ChangeEvent {

@@ -541,6 +541,114 @@ object Analytic {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q270 — TRUNCATE through the replica lane, end-to-end under the
+    * oracle: the q64 change log gets one TRUNCATE event injected at the
+    * corpus' midpoint position and is replayed through `applyBatch` in
+    * three interleaved batches (event_id mod 3 — so pre-truncate
+    * changes arrive both BEFORE the truncating batch and AFTER it, the
+    * latter exercising the persisted horizon against late stragglers).
+    * The truncate position (t0, s0) = the latest (ts, event_id) among
+    * events with event_id ≤ 99% of max(event_id) — aggregate + top-1,
+    * no global sort — and its seq rides the event's `seqCol` map field
+    * exactly like row changes' LSNs do. The DuckDB twin restates the
+    * contract declaratively: latest-by-key over ONLY the events at or
+    * after the truncate position (ties at (t0, s0) survive — the
+    * truncate-then-reload convention, Materialize.HorizonFile doc),
+    * deletes dropped. The reference decodes wire truncates and drops
+    * them (`connector.go:140-142`); this gate is what proves our
+    * replica does not silently diverge instead.
+    *
+    * Scale shape: the truncating batch is the only one that reads every
+    * bucket (the clear IS a full-table rewrite — unavoidable semantics);
+    * every other batch stays touched-bucket-pruned, and the horizon
+    * check adds one tiny file read per batch.
+    */
+  def q270CdcTruncate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev0 = Tables.load(s, dir, "events")
+    val maxId = ev0.agg(max($"event_id")).first().getLong(0)
+    // cut at the 99th id-percentile: ids are assigned in rough time
+    // order, so ~half the users have NO post-cut activity (measured at
+    // sf0.01 AND sf0.1) — the truncate must make those keys VANISH, and
+    // their pre-cut changes redelivered in the post-truncate batch are
+    // live resurrection bait for the horizon. A median cut would leave
+    // every user with post-cut activity and the gate could not tell a
+    // working truncate from a broken one (latest-by-key only sees each
+    // key's newest event).
+    val cut = ev0.filter($"event_id" <= maxId * 99L / 100L)
+      .orderBy($"ts".desc, $"event_id".desc).limit(1)
+      .select($"ts", $"event_id").first()
+    val (t0, s0) = (cut.getTimestamp(0), cut.getLong(1))
+    val log = ev0
+      .withColumn("op",
+        when($"event_id" % 10 === 0, "DELETE")
+          .when($"event_id" % 3 === 0, "UPDATE")
+          .otherwise("INSERT"))
+    val payload = map(
+      lit("user_id"), $"user_id".cast("string"),
+      lit("event_id"), $"event_id".cast("string"),
+      lit("event_type"), $"event_type",
+      lit("value"), $"value".cast("string"))
+    val rowEvents = log.select(
+      $"event_id".as("batch_src"),
+      $"ts".as("eventTime"),
+      lit("public").as("tableNamespace"), lit("events").as("tableName"),
+      when($"op" === "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("oldData"),
+      when($"op" =!= "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("newData"),
+      $"op")
+    // the TRUNCATE event: commit position (t0, s0) carried through the
+    // same seqCol map field the row changes use for their LSN
+    val truncEvent = s.range(1).select(
+      lit(1L).as("batch_src"), // delivered in the MIDDLE batch
+      lit(t0).as("eventTime"),
+      lit("public").as("tableNamespace"), lit("events").as("tableName"),
+      lit(null).cast("map<string,string>").as("oldData"),
+      map(lit("event_id"), lit(s0.toString),
+        lit("cascade"), lit("false")).as("newData"),
+      lit(graft.model.Op.Truncate).as("op"))
+    val events = rowEvents.unionByName(truncEvent)
+      // the replay harness re-filters this log per batch; materialize the
+      // scan once instead of three times
+      .localCheckpoint(true)
+    val tablePath =
+      java.nio.file.Files.createTempDirectory("graft_q270_replica").toString + "/t"
+    (0 until 3).foreach { i =>
+      graft.streaming.Materialize.applyBatch(
+        events.filter(pmod($"batch_src", lit(3)) === i).drop("batch_src"),
+        keyField = "user_id", tablePath, nBuckets = 8, seqCol = Some("event_id"))
+    }
+    graft.streaming.Materialize.replica(s, tablePath)
+      .select(
+        $"k".cast("long").as("user_id"),
+        $"seq".as("event_id"),
+        element_at($"data", "event_type").as("event_type"),
+        element_at($"data", "value").cast("double").as("value"),
+        $"event_time")
+      .orderBy($"user_id")
+  }
+
+  val q270CdcTruncateSql: String =
+    """WITH log AS (
+      |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'
+      |                 WHEN event_id % 3 = 0 THEN 'UPDATE'
+      |                 ELSE 'INSERT' END AS op
+      |  FROM events),
+      |cut AS (
+      |  SELECT ts AS t0, event_id AS s0 FROM events
+      |  WHERE event_id <= (SELECT max(event_id) * 99 // 100 FROM events)
+      |  ORDER BY ts DESC, event_id DESC LIMIT 1),
+      |surv AS (
+      |  SELECT l.* FROM log l, cut c
+      |  WHERE l.ts > c.t0 OR (l.ts = c.t0 AND l.event_id >= c.s0)),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM surv)
+      |SELECT user_id, event_id, event_type, value, ts AS event_time
+      |FROM latest WHERE rn = 1 AND op <> 'DELETE'
+      |ORDER BY user_id""".stripMargin
+
   val q64CdcReplicaSql: String =
     """WITH log AS (
       |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'

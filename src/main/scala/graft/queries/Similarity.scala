@@ -18,6 +18,13 @@ import graft.sources.Tables
 object Similarity {
 
   private val Dim = 64
+
+  /** The registered near-dup / SemDedup cosine threshold. ONE
+    * definition read by both twins (q43/q268 Scala defaults AND their
+    * DuckDB oracle SQL) so a re-registration at a different τ cannot
+    * silently diverge the Spark query from its oracle.
+    */
+  private[queries] val NearDupTau = 0.45
   private val K   = 3
 
   /** Cosine via the native codegen'd expression (graft.functions
@@ -158,7 +165,7 @@ object Similarity {
     * candidates from `nAssign`-way cell co-residency, unsorted.
     */
   private[queries] def nearDupPairs(s: SparkSession, dir: String,
-      nCells: Int, nAssign: Int, tau: Double = 0.45): DataFrame = {
+      nCells: Int, nAssign: Int, tau: Double = NearDupTau): DataFrame = {
     import s.implicits._
     val e = Tables.load(s, dir, "embeddings")
     val cent = trainCodebook(e, nCells)
@@ -227,7 +234,7 @@ object Similarity {
     * would not be.
     */
   def q268SemDedup(s: SparkSession, dir: String,
-      nCells: Int = 32, nAssign: Int = 7, tau: Double = 0.45): DataFrame = {
+      nCells: Int = 32, nAssign: Int = 7, tau: Double = NearDupTau): DataFrame = {
     import s.implicits._
     val pairs = nearDupPairs(s, dir, nCells, nAssign, tau)
     val wKeep = Window.partitionBy($"d2").orderBy($"d1")
@@ -247,7 +254,7 @@ object Similarity {
       |  FROM embeddings a, embeddings b
       |  WHERE a.vec_id < b.vec_id
       |    AND ${dot("a.embedding", "b.embedding")} /
-      |        (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) >= 0.45)
+      |        (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) >= $NearDupTau)
       |SELECT d2 AS vec_id, d1 AS keeper_id, cos_sim
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY d2 ORDER BY d1) AS rk
       |      FROM pairs)
@@ -263,7 +270,7 @@ object Similarity {
       |FROM embeddings a, embeddings b
       |WHERE a.vec_id < b.vec_id
       |  AND ${dot("a.embedding", "b.embedding")} /
-      |      (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) >= 0.45
+      |      (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")})) >= $NearDupTau
       |ORDER BY d1, d2""".stripMargin
   }
 

@@ -329,29 +329,50 @@ final class PgOutputSession {
   /** A row-carrying message rendered against the live schema registry,
     * stamped with `micros` (the commit time, or 0 for streamed rows
     * whose commit time is unknown until Stream Commit).
+    *
+    * Truncate fans out to ONE event per affected relation: PostgreSQL
+    * already lists every cascaded relation in the message's relIds
+    * (the CASCADE bit is advisory — honoring cascade = honoring the
+    * list), so downstream table routing/filtering sees a truncation of
+    * table X exactly like it sees X's row events. No row images; the
+    * newData map carries the two option bits for consumers that care.
+    * The reference drops this message on the floor
+    * (`connector.go:140-142`) — a silent-divergence hazard for any
+    * replica consumer, which is why it is surfaced here.
     */
-  private def rowEvent(msg: Msg, micros: Long): Option[RowEvent] = msg match {
+  private def rowEvents(msg: Msg, micros: Long): Seq[RowEvent] = msg match {
     case Insert(relId, newT) =>
       val rel = relation(relId)
-      Some(RowEvent(micros, rel.namespace, rel.name,
+      Seq(RowEvent(micros, rel.namespace, rel.name,
         null, render(rel, newT), graft.model.Op.Insert))
     case Update(relId, oldKind, oldT, newT) =>
       val rel = relation(relId)
-      Some(RowEvent(micros, rel.namespace, rel.name,
+      Seq(RowEvent(micros, rel.namespace, rel.name,
         oldT.map(render(rel, _, keyOnly = oldKind.contains('K'))).orNull,
         render(rel, newT), graft.model.Op.Update))
     case Delete(relId, oldKind, oldT) =>
       val rel = relation(relId)
-      Some(RowEvent(micros, rel.namespace, rel.name,
+      Seq(RowEvent(micros, rel.namespace, rel.name,
         render(rel, oldT, keyOnly = oldKind == 'K'), null, graft.model.Op.Delete))
-    case _ => None
+    case Truncate(relIds, cascade, restartIdentity) =>
+      relIds.map { relId =>
+        val rel = relation(relId)
+        RowEvent(micros, rel.namespace, rel.name, null,
+          Seq("cascade" -> cascade.toString,
+            "restart_identity" -> restartIdentity.toString),
+          graft.model.Op.Truncate)
+      }
+    case _ => Nil
   }
 
   /** Feed one decoded message; returns the committed row events it
-    * releases (0..1 for plain transactions; a whole transaction's worth
-    * at a protocol-v2 Stream Commit). Begin/Commit/Relation/Type/Origin/
-    * Truncate/Message maintain state or are carried silently (the
-    * reference likewise only dispatches row events).
+    * releases (0..n for plain transactions — a Truncate fans out per
+    * relation; a whole transaction's worth at a protocol-v2 Stream
+    * Commit). Begin/Commit/Relation/Type/Origin/Message maintain state
+    * or are carried silently; Truncate IS dispatched (one TRUNCATE
+    * event per affected relation — the reference drops it,
+    * `connector.go:140-142`, which silently diverges any replica
+    * consumer).
     */
   def accept(msg: Msg): Seq[RowEvent] = msg match {
     case Begin(_, t, _)    => commitMicros = t; Nil
@@ -359,7 +380,6 @@ final class PgOutputSession {
     case r: Relation       => relations(r.relId) = r; Nil
     case _: TypeMsg        => Nil
     case _: Origin         => Nil
-    case _: Truncate       => Nil
     case _: LogicalMessage => Nil
     case StreamStart(xid, _) =>
       require(segmentXid.isEmpty,
@@ -375,7 +395,7 @@ final class PgOutputSession {
         "pgoutput: streamed message outside a Stream Start..Stop segment"))
       inner match {
         case r: Relation => relations(r.relId) = r
-        case other => rowEvent(other, 0L).foreach(ev => pending(top) += ((subXid, ev)))
+        case other => rowEvents(other, 0L).foreach(ev => pending(top) += ((subXid, ev)))
       }
       Nil
     case StreamCommit(xid, _, _, _, micros) =>
@@ -385,7 +405,7 @@ final class PgOutputSession {
       if (subXid == xid) pending.remove(xid)
       else pending.get(xid).foreach(_.filterInPlace(_._1 != subXid))
       Nil
-    case row => rowEvent(row, commitMicros).toSeq
+    case row => rowEvents(row, commitMicros)
   }
 
   /** Decode a raw payload under the session's current stream state:

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -42,6 +42,18 @@ import graft.model.Op
   * delete's position and the stale change loses. Tombstones older than
   * the source's max out-of-orderness are reclaimed by [[vacuum]].
   *
+  * TRUNCATE applies as a TABLE-level tombstone: a persisted horizon
+  * `(event_time, seq)` under the table path. The truncating batch
+  * rewrites every bucket with its pre-horizon rows (and pre-horizon
+  * per-key tombstones) dropped, deletes fully-emptied bucket
+  * directories, and emits the cleared keys into the change feed so
+  * incremental views retract them; every LATER batch drops incoming
+  * changes at or before the horizon at ingest — the out-of-order
+  * protection per-key tombstones cannot provide for an op with no row
+  * identity. The reference decodes the wire truncate and silently drops
+  * it (`connector.go:140-142`) — parity for a Kafka-only pipeline, but
+  * a correctness hazard for this replica lane, hence first-class here.
+  *
   * Exactly-once effect: the sink is idempotent (re-applying any prefix
   * of delivered batches reproduces the same files), so the streaming
   * checkpoint's at-least-once redelivery composes to exactly-once
@@ -53,6 +65,54 @@ object Materialize {
 
   /** Replica schema: k, op, data, event_time, seq, bucket(partition). */
   private val KeyCol = "k"
+
+  /** TRUNCATE horizon marker: a table-level tombstone. A TRUNCATE event
+    * (op with no row identity — the source table was emptied at one log
+    * position) cannot be keyed per-row, so its out-of-order protection
+    * is a persisted horizon `(event_time µs, seq)` under the table path:
+    * every change at or before the horizon is dead — existing rows are
+    * cleared when the truncate applies, and any LATE pre-truncate change
+    * arriving in a later batch is dropped at ingest, exactly the job
+    * per-key tombstones do for deletes. The file is tiny, read per
+    * batch, and advanced monotonically; redelivered truncates recompute
+    * the same horizon, keeping the apply idempotent.
+    *
+    * Ordering convention at a FULL position tie (same event_time, both
+    * seqs null): the row change SURVIVES — `TRUNCATE` then reload inside
+    * one transaction shares one commit timestamp, and the reload must
+    * land. With a monotone `seqCol` (LSN) stamped on both, exact wire
+    * order is honored instead; a null seq orders below any stamped seq
+    * (the merge window's `desc_nulls_last` convention).
+    */
+  private val HorizonFile = "_graft_truncate_horizon"
+
+  /** (epoch µs, seq): seq None ⇔ the truncate carried no `seqCol`. */
+  private type Horizon = (Long, Option[Long])
+
+  private def horizonOrder(h: Horizon): (Long, Long) =
+    (h._1, h._2.getOrElse(Long.MinValue))
+
+  private def readHorizon(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Option[Horizon] = {
+    val p = new Path(tablePath, HorizonFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      val parts = txt.split('|')
+      Some((parts(0).toLong,
+        if (parts.length > 1 && parts(1).nonEmpty) Some(parts(1).toLong) else None))
+    }
+  }
+
+  private def writeHorizon(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, h: Horizon): Unit = {
+    val out = fs.create(new Path(tablePath, HorizonFile), true)
+    try out.write(s"${h._1}|${h._2.fold("")(_.toString)}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Single-writer lease for a replica table. The copy-on-write merge
     * (read touched buckets → dynamically overwrite touched buckets) is
@@ -269,17 +329,52 @@ object Materialize {
     def mapField(name: String) =
       coalesce(element_at($"newData", name), element_at($"oldData", name))
     val seq = seqCol.map(c => mapField(c).cast("long")).getOrElse(lit(null).cast("long"))
+    val fs = new Path(tablePath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // --- TRUNCATE horizon (see HorizonFile doc) ---------------------
+    // the batch's truncate position: latest (event_time, seq) among its
+    // TRUNCATE events — bounded: limit(1) after an orderBy, driver-side
+    val batchTrunc: Option[Horizon] = {
+      val r = batch.filter($"op" === lit(Op.Truncate))
+        .select(unix_micros($"eventTime").as("t"), seq.as("s"))
+        .orderBy($"t".desc, $"s".desc_nulls_last).limit(1).collect()
+      r.headOption.map(row =>
+        (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1))))
+    }
+    val persisted = readHorizon(fs, tablePath)
+    val horizon: Option[Horizon] =
+      (batchTrunc.toSeq ++ persisted.toSeq).reduceOption { (a, b) =>
+        if (Ordering[(Long, Long)].gteq(horizonOrder(a), horizonOrder(b))) a else b
+      }
+    // a change SURVIVES the horizon iff its (event_time, seq) is not
+    // strictly before it; a full tie survives (TRUNCATE-then-reload in
+    // one transaction shares the commit timestamp — the reload lands)
+    def survives(t: Column, sq: Column): Column = horizon.fold(lit(true)) {
+      case (ht, hs) =>
+        unix_micros(t) > ht || (unix_micros(t) === ht &&
+          coalesce(sq, lit(Long.MinValue)) >= lit(hs.getOrElse(Long.MinValue)))
+    }
+    // a NEW truncate clears the table: every existing bucket is read,
+    // pre-horizon rows (per-key tombstones included — the horizon itself
+    // is now the stronger guard) dropped, emptied buckets deleted.
+    // A REDELIVERED truncate (position ≤ persisted horizon) re-runs the
+    // clear against an already-conformant table — a no-op rewrite,
+    // keeping the apply idempotent.
+    val clearPass = batchTrunc.isDefined
     // latest change per key within the batch; DELETE carries its key in
-    // the pre-image when the post-image is empty (replica identity)
+    // the pre-image when the post-image is empty (replica identity).
+    // Pre-horizon changes are dropped at ingest — survival is monotone
+    // in (event_time, seq), so filtering after the latest-per-key window
+    // is equivalent to filtering before it.
     val wBatch = Window.partitionBy(col(KeyCol))
       .orderBy($"event_time".desc, $"seq".desc_nulls_last, $"op")
     val upserts = batch
+      .filter($"op" =!= lit(Op.Truncate)) // no row identity; handled above
       .withColumn(KeyCol, mapField(keyField))
       .filter(col(KeyCol).isNotNull)
       .withColumn("seq", seq)
       .withColumn("event_time", $"eventTime")
       .withColumn("rn", row_number().over(wBatch))
-      .filter($"rn" === 1)
+      .filter($"rn" === 1 && survives($"event_time", $"seq"))
       .select(col(KeyCol), $"op", $"newData".as("data"), $"event_time", $"seq")
       .withColumn("bucket", pmod(xxhash64(col(KeyCol)), lit(nBuckets)).cast("int"))
       // materialized once: feeds the touched-bucket probe AND the merge
@@ -287,16 +382,28 @@ object Materialize {
       .localCheckpoint(true)
     val emptyCdf = upserts.limit(0).select(
       col(KeyCol), $"data".as("before"), $"data".as("after"))
-    // touched buckets: ≤ nBuckets ints — bounded driver-side by design
-    val touched = upserts.select($"bucket").distinct().collect().map(_.getInt(0))
-    if (touched.isEmpty) return emptyCdf
-    val fs = new Path(tablePath).getFileSystem(s.sparkContext.hadoopConfiguration)
     // "table exists" = it has bucket partitions — the writer lease file
     // alone (created at stream start, before batch 0) is not a table
-    def hasBuckets = fs.exists(new Path(tablePath)) &&
-      fs.listStatus(new Path(tablePath)).exists(_.getPath.getName.startsWith("bucket="))
+    def bucketDirs: Array[Int] =
+      if (!fs.exists(new Path(tablePath))) Array.empty
+      else fs.listStatus(new Path(tablePath)).map(_.getPath.getName)
+        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+    val existingBuckets = bucketDirs
+    // touched buckets: ≤ nBuckets ints — bounded driver-side by design.
+    // A clear pass touches every existing bucket (the truncate rewrites
+    // or deletes each one); otherwise only the incoming keys' buckets.
+    val incomingBuckets = upserts.select($"bucket").distinct().collect().map(_.getInt(0))
+    val touched =
+      if (clearPass) (existingBuckets ++ incomingBuckets).distinct
+      else incomingBuckets
+    if (touched.isEmpty) {
+      // nothing to merge — but a truncate of an empty/absent table must
+      // still pin its horizon (late pre-truncate changes stay dead)
+      horizon.filter(_ => clearPass).foreach(writeHorizon(fs, tablePath, _))
+      return emptyCdf
+    }
     val existing =
-      if (hasBuckets)
+      if (existingBuckets.nonEmpty)
         s.read.parquet(tablePath)
           .filter($"bucket".isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
           .withColumn("src", lit("existing"))
@@ -305,30 +412,49 @@ object Materialize {
           // is what makes read-then-overwrite-the-same-path safe
           .localCheckpoint(true)
       else upserts.withColumn("src", lit("existing")).limit(0)
+    // the clear: existing rows at or before a batch truncate die here
+    // (no-op unless this batch carries a truncate — the persisted-
+    // horizon invariant keeps the stored table post-horizon already)
+    val existingSurvivors =
+      if (clearPass) existing.filter(survives($"event_time", $"seq"))
+      else existing
     // merge: newest (event_time, seq) wins — DELETEs included, so the
     // winning row may be a tombstone; at a full tie the INCOMING change
     // wins, so re-applying a batch that already landed rewrites
     // identical rows — idempotence under at-least-once redelivery.
     // Every incoming change leaves a row (data or tombstone), so every
     // touched bucket appears in the output and dynamic overwrite
-    // replaces exactly the touched set.
+    // replaces exactly the touched set (clear-emptied buckets excepted —
+    // deleted explicitly below).
     val wMerge = Window.partitionBy(col(KeyCol))
       .orderBy($"event_time".desc, $"seq".desc_nulls_last, ($"src" === "existing").asc)
-    val winners = existing.unionByName(upserts.withColumn("src", lit("incoming")))
+    val winners = existingSurvivors.unionByName(upserts.withColumn("src", lit("incoming")))
       .withColumn("rn", row_number().over(wMerge))
       .filter($"rn" === 1)
       // checkpointed: feeds the table overwrite AND the change feed, and
       // must not lazily re-read the files the overwrite replaces
       .localCheckpoint(true)
     // CDF: keys where the incoming change won — before from the prior
-    // live row (tombstone ⇒ absent ⇒ null), after from the winner.
-    // Derived entirely from CHECKPOINTED frames, so it reflects the
-    // PRE-apply state no matter when it is evaluated.
+    // live row (tombstone ⇒ absent ⇒ null), after from the winner —
+    // PLUS, on a clear pass, every key the truncate removed (before =
+    // its pre-batch row, after = null) that no incoming change rewrote:
+    // the feed is what keeps downstream incremental views exact, so a
+    // truncate must retract what it cleared. Derived entirely from
+    // CHECKPOINTED frames, so it reflects the PRE-apply state no matter
+    // when it is evaluated.
     val prior = existing.select(col(KeyCol),
       when($"op" =!= Op.Delete, $"data").as("before"))
-    val changes = winners.filter($"src" === "incoming")
-      .select(col(KeyCol),
-        when($"op" =!= Op.Delete, $"data").as("after"))
+    val incomingAfter = winners.filter($"src" === "incoming")
+      .select(col(KeyCol), when($"op" =!= Op.Delete, $"data").as("after"))
+    val clearedAfter =
+      if (!clearPass) incomingAfter
+      else incomingAfter.unionByName(
+        existing.filter(!survives($"event_time", $"seq") && $"op" =!= Op.Delete)
+          .select(col(KeyCol))
+          // keys the batch also writes are already covered above
+          .join(upserts.select(col(KeyCol)), Seq(KeyCol), "left_anti")
+          .withColumn("after", lit(null).cast("map<string,string>")))
+    val changes = clearedAfter
       .join(prior, Seq(KeyCol), "left")
       .filter($"before".isNotNull || $"after".isNotNull) // delete of absent key: no-op
       .select(col(KeyCol), $"before", $"after")
@@ -344,6 +470,19 @@ object Materialize {
       .option("partitionOverwriteMode", "dynamic") // only touched buckets
       .partitionBy("bucket")
       .parquet(tablePath)
+    if (clearPass) {
+      // a bucket the truncate fully emptied produces no output rows, and
+      // dynamic overwrite would keep its stale file — drop it explicitly
+      // (the vacuum discipline), then pin the horizon LAST: a crash
+      // anywhere above redelivers into a recomputation of the same
+      // horizon, so ordering here is for tidiness, not correctness
+      val stillWritten =
+        winners.select($"bucket").distinct().collect().map(_.getInt(0)).toSet
+      (touched.toSet -- stillWritten).foreach { b =>
+        fs.delete(new Path(tablePath, s"bucket=$b"), true)
+      }
+      horizon.foreach(writeHorizon(fs, tablePath, _))
+    }
     changes
   }
 
@@ -384,6 +523,27 @@ object Materialize {
       .write.mode("overwrite").parquet(aggPath)
   }
 
+  /** The stored replica frame, robust to a FULLY-TRUNCATED table: a
+    * truncate with no reload deletes every bucket directory, and a bare
+    * `read.parquet` over a dir holding only the horizon/lease markers
+    * (underscore-prefixed — invisible to parquet) cannot infer a schema.
+    * An empty replica is a queryable empty table, not an error.
+    */
+  private def readTable(s: SparkSession, tablePath: String): DataFrame = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasBuckets = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
+    if (hasBuckets) s.read.parquet(tablePath)
+    else s.range(0).select(
+      lit(null).cast("string").as(KeyCol),
+      lit(null).cast("string").as("op"),
+      lit(null).cast("map<string,string>").as("data"),
+      lit(null).cast("timestamp").as("event_time"),
+      lit(null).cast("long").as("seq"),
+      lit(null).cast("int").as("bucket"))
+  }
+
   /** Point lookup on the replica — the serving path: the key's bucket is
     * computable client-side (same xxhash64 the writer used), so the scan
     * prunes to ONE bucket directory regardless of table size; at a few
@@ -401,7 +561,7 @@ object Materialize {
         org.apache.spark.sql.types.StringType)),
       42L /* functions.xxhash64's fixed seed */).eval(null).asInstanceOf[Long]
     val bucket = (((h % nBuckets) + nBuckets) % nBuckets).toInt
-    s.read.parquet(tablePath)
+    readTable(s, tablePath)
       .filter($"bucket" === bucket) // partition-pruned to one directory
       .filter(col(KeyCol) === key && $"op" =!= Op.Delete)
       .select(col(KeyCol), $"data", $"event_time", $"seq")
@@ -429,7 +589,7 @@ object Materialize {
     * filtered at read — a parquet predicate on the op column).
     */
   def replica(s: SparkSession, tablePath: String): DataFrame =
-    s.read.parquet(tablePath)
+    readTable(s, tablePath)
       .filter(col("op") =!= Op.Delete)
       .select(col(KeyCol), col("data"), col("event_time"), col("seq"))
 
@@ -441,7 +601,7 @@ object Materialize {
     */
   def vacuum(s: SparkSession, tablePath: String, before: Timestamp): Unit = {
     import s.implicits._
-    val all = s.read.parquet(tablePath)
+    val all = readTable(s, tablePath)
     val reclaimable = all
       .filter($"op" === Op.Delete && $"event_time" < lit(before))
     // bounded: ≤ nBuckets ints

@@ -164,6 +164,25 @@ object DeriveScale {
     // across copies distinct doubled tags add Hamming 2 (and vs copy
     // 0, length +2) — so cross-copy pairs are impossible by
     // construction and the pair structure scales exactly ×N.
+    // Disjointness guard mirroring the documents-vocabulary guard
+    // above: a source c_name that already ENDS in a used doubled copy
+    // letter (e.g. "…aa" when copy 1 tags with "aa") would make an
+    // original (copy-0) name equal or Hamming-≤1-adjacent to a tagged
+    // copy name, creating cross-copy pairs and breaking the exactly-×N
+    // pair-structure invariant asserted below. Name-count-sized work.
+    val usedDoubled = "abcdefghijklmnopqrstuvwxyz"
+      .slice(letterOffset, letterOffset + copies - 1).map(l => s"$l$l")
+    if (usedDoubled.nonEmpty) {
+      val nameHits = spark.read.parquet(s"$src/customer.parquet")
+        .filter(substring(col("c_name"), -2, 2).isin(usedDoubled: _*))
+        .select(col("c_name")).limit(5).collect().map(_.getString(0))
+      require(nameHits.isEmpty,
+        s"derived-name collision: source c_name(s) ${nameHits.mkString(", ")} " +
+          "end in a used doubled copy letter; tagged copies would alias " +
+          "originals and the x N entity-pair invariant breaks — use a " +
+          "different letterOffset")
+    }
+
     val cust = spark.read.parquet(s"$src/customer.parquet")
       .select(ks, col("*"))
       .select((col("c_custkey") + kL * stride).as("c_custkey"),

@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
   * these runs before it is believed). Times BOTH writes per query on a
   * fresh `local[32]` session and reports them as separate numbers:
   *  - cold_sec: the FIRST write — includes one-time family-training /
-  *    cache-build cost (e.g. the unigram EM run q250/q251/q254/q259
-  *    share, the CT profile training q252/q253 share);
+  *    cache-build cost for lanes with a real session cache (the
+  *    unigram EM trainCache q250/q251/q254/q259 share, the WordPiece
+  *    wpCache, the dedup shingle cache; the CT profile frame is NOT
+  *    session-cached — q252/q253 rebuild it per run, so for them
+  *    cold≈warm by construction);
   *  - warm_sec: the SECOND write — the steady-state per-query cost a
   *    suite run pays on every member after the family's first.
   * Publishing only the warm number booked one-time training cost as

@@ -70,15 +70,24 @@ object Handlers {
 
   /** As above; `keepEventTime = true` carries the source event time
     * through as an extra column (used by the per-key ordered delivery
-    * lane, which sorts on it and drops it before the sink).
+    * lane, which sorts on it and drops it before the sink), and
+    * `emitTruncates = true` additionally serializes TRUNCATE events
+    * (null key — a truncation has no row identity; the value is the
+    * usual operation-injected JSON over the event's option map, so a
+    * topic consumer can clear its downstream state). The default drops
+    * them at the sink boundary — wire parity with the reference, whose
+    * handler never sees a truncate (`connector.go:140-142`) — while the
+    * replica lane ([[graft.streaming.Materialize]]) consumes them
+    * upstream of this serializer regardless.
     */
   def declarative(events: DataFrame, router: TopicRouter, keyField: String,
-      keepEventTime: Boolean): DataFrame = {
+      keepEventTime: Boolean, emitTruncates: Boolean = false): DataFrame = {
     graft.GraftExtensions.register(events.sparkSession)
     val img = payloadImage(col("op"), col("oldData"), col("newData"))
     val carried = if (keepEventTime) Seq(col("eventTime")) else Seq.empty
+    val emitted = if (emitTruncates) Op.rowOps :+ Op.Truncate else Op.rowOps
     events
-      .filter(col("op").isin(Op.all: _*))
+      .filter(col("op").isin(emitted: _*))
       .withColumn("topic", router.resolveColumn(col("tableNamespace"), col("tableName")))
       .filter(col("topic").isNotNull)
       .select(carried ++ Seq(
@@ -91,9 +100,12 @@ object Handlers {
         // lambda kicks the whole projection out of whole-stage codegen,
         // measured ~2x) and not map_concat∘map_drop_key (the concat
         // re-copies the image the drop just scanned, measured ~25% of
-        // the lane): one scan, one exactly-sized copy per row.
-        to_json(call_function("map_set_key", img, lit("operation"),
-          col("op"))).cast("binary").as("value"),
+        // the lane): one scan, one exactly-sized copy per row. A
+        // truncate may carry a null image — coalesced to {} so its
+        // record still serializes as {"operation":"TRUNCATE",...}.
+        to_json(call_function("map_set_key",
+          if (emitTruncates) coalesce(img, map().cast("map<string,string>")) else img,
+          lit("operation"), col("op"))).cast("binary").as("value"),
         array(
           struct(lit("operation").as("key"), col("op").cast("binary").as("value")),
           struct(lit("table").as("key"),
@@ -121,15 +133,20 @@ object Handlers {
     * (`ignoreNullFields=false`). Pure column expressions — same codegen
     * profile as [[declarative]].
     */
-  def debeziumEnvelope(events: DataFrame, router: TopicRouter, keyField: String): DataFrame = {
+  def debeziumEnvelope(events: DataFrame, router: TopicRouter,
+      keyField: String, emitTruncates: Boolean = false): DataFrame = {
     val opCode = when(col("op") === Op.Insert, "c")
       .when(col("op") === Op.Update, "u")
       .when(col("op") === Op.Delete, "d")
+      .when(col("op") === Op.Truncate, "t") // Debezium's truncate op code
       .otherwise("r")
     val img = payloadImage(col("op"), col("oldData"), col("newData"))
     val nullMap = lit(null).cast("map<string,string>")
+    // Debezium's default `skipped.operations=t` drops truncates; opting
+    // in emits the public truncate envelope: op "t", before/after null.
+    val emitted = if (emitTruncates) Op.rowOps :+ Op.Truncate else Op.rowOps
     events
-      .filter(col("op").isin(Op.all: _*))
+      .filter(col("op").isin(emitted: _*))
       .withColumn("topic", router.resolveColumn(col("tableNamespace"), col("tableName")))
       .filter(col("topic").isNotNull)
       .select(
@@ -139,7 +156,7 @@ object Handlers {
           struct(
             when(col("op").isin(Op.Update, Op.Delete), col("oldData"))
               .otherwise(nullMap).as("before"),
-            when(col("op") =!= Op.Delete, col("newData"))
+            when(!col("op").isin(Op.Delete, Op.Truncate), col("newData"))
               .otherwise(nullMap).as("after"),
             opCode.as("op"),
             unix_millis(col("eventTime")).as("ts_ms"),

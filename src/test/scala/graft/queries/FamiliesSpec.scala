@@ -37,21 +37,19 @@ class FamiliesSpec extends SparkSpec {
     assert(warm == cold)
   }
 
-  test("warm makes q259's run cheaper than its cold first-touch (the EM run moved into warm)") {
-    def timed[A](f: => A): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    LangModel.clearCaches(spark)
-    val coldSec = timed(LangModel.q259FertilityByLang(spark, dir).collect())
+  test("q259 after warm consumes the warmed caches verbatim (the EM run moved into warm)") {
+    // The non-flaky statement of "warm makes q259 cheaper": a wall-clock
+    // comparison at sf0.001 loses to a single GC pause on a contended
+    // machine, but the MECHANISM is exactly testable — after warm, the
+    // query's run must leave every family cache instance untouched
+    // (it consumed the prepaid frames; it did not retrain). The cost
+    // claim itself is the QBench two-point artifact's job (QBENCH_rN
+    // cold vs warm columns), measured where a measurement belongs.
     LangModel.clearCaches(spark)
     Families.warm(spark, dir)
-    // min-of-two on the warm side (the bench discipline): the claim is
-    // about steady-state cost, and cold includes the EM rounds the
-    // warmed runs must not pay again
-    val warmSec = Seq(
-      timed(LangModel.q259FertilityByLang(spark, dir).collect()),
-      timed(LangModel.q259FertilityByLang(spark, dir).collect())).min
-    assert(warmSec < coldSec,
-      f"post-warm q259 ($warmSec%.2f s) not cheaper than cold ($coldSec%.2f s)")
+    val uBefore = LangModel.unigramTrainFrames(spark, dir, LangModel.UnigramRounds)._2
+    LangModel.q259FertilityByLang(spark, dir).collect()
+    assert(uBefore eq LangModel.unigramTrainFrames(spark, dir, LangModel.UnigramRounds)._2,
+      "q259 rebuilt the unigram training frames after warm — the EM run did not move into warm")
   }
 }

@@ -458,7 +458,7 @@ class PgOutputSpec extends SparkSpec {
       val s = new PgOutputSession
       var cur = 0
       var msgs = Vector[Array[Byte]](relationMsg(1, "public", "t", 'd', layouts(cur)))
-      var expected = Vector.empty[(Long, Map[String, String])]
+      var expected = Vector.empty[(Long, Map[String, String], String)]
       var nextId = 0
       (1 to 1 + rnd.nextInt(4)).foreach { tx =>
         val micros = pg2024 + tx * 1000000L
@@ -468,8 +468,13 @@ class PgOutputSpec extends SparkSpec {
             case 0 => // mid-transaction schema change
               cur = rnd.nextInt(layouts.length)
               msgs :+= relationMsg(1, "public", "t", 'd', layouts(cur))
-            case 1 => // Truncate: decoded, releases nothing (≙ reference)
+            case 1 => // Truncate: released as a TRUNCATE event (the
+              // reference drops it — connector.go:140-142 — which is
+              // exactly the replica-divergence hazard this closes)
               msgs :+= truncateMsg(Seq(1))
+              expected :+= ((micros + PgOutput.PgEpochMicros,
+                Map("cascade" -> "false", "restart_identity" -> "false"),
+                graft.model.Op.Truncate))
             case 2 => // replication-origin noise
               msgs :+= originMsg(rnd.nextLong(1 << 20), s"o$trial")
             case 3 =>
@@ -478,18 +483,52 @@ class PgOutputSpec extends SparkSpec {
               msgs :+= insertMsg(1, cells)
               expected :+= ((micros + PgOutput.PgEpochMicros,
                 layouts(cur).zipWithIndex
-                  .map { case ((_, n), i) => n -> s"v$nextId-$i" }.toMap))
+                  .map { case ((_, n), i) => n -> s"v$nextId-$i" }.toMap,
+                graft.model.Op.Insert))
           }
         }
         msgs :+= commitMsg(tx * 100L, micros)
       }
       val events = msgs.flatMap(m => s.feed(m))
       assert(events.length == expected.length)
-      events.zip(expected).foreach { case (ev, (micros, data)) =>
+      events.zip(expected).foreach { case (ev, (micros, data, op)) =>
         assert(ev.eventTimeMicros == micros)
         assert(ev.newData.toMap == data)
+        assert(ev.op == op)
       }
     }
+  }
+
+  test("Truncate fans out one TRUNCATE event per affected relation, commit-time stamped") {
+    val s = new PgOutputSession
+    val b = buf(); b.put('T'.toByte); b.putInt(2); b.put(3.toByte) // CASCADE|RESTART
+    b.putInt(1); b.putInt(2)
+    val truncBoth = fin(b)
+    val msgs = Seq(
+      relationMsg(1, "public", "users", 'd', Seq(true -> "id")),
+      relationMsg(2, "app", "orders", 'd', Seq(true -> "oid")),
+      beginMsg(100L, pg2024, 1),
+      truncBoth,
+      commitMsg(100L, pg2024))
+    val events = msgs.flatMap(m => s.feed(m))
+    assert(events.map(e => (e.tableNamespace, e.tableName, e.op)) == Seq(
+      ("public", "users", graft.model.Op.Truncate),
+      ("app", "orders", graft.model.Op.Truncate)))
+    assert(events.forall(_.eventTimeMicros == pg2024 + PgOutput.PgEpochMicros))
+    assert(events.forall(_.oldData == null))
+    assert(events.forall(_.newData.toMap ==
+      Map("cascade" -> "true", "restart_identity" -> "true")))
+  }
+
+  test("a streamed transaction's Truncate is buffered until Stream Commit") {
+    val s = new PgOutputSession
+    s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id")))
+    assert(s.feed(streamStartMsg(500, first = true)).isEmpty)
+    assert(s.feed(streamed(500, truncateMsg(Seq(1)))).isEmpty) // buffered
+    assert(s.feed(streamStopMsg()).isEmpty)
+    val out = s.feed(streamCommitMsg(500, 900L, pg2024))
+    assert(out.map(_.op) == Seq(graft.model.Op.Truncate))
+    assert(out.head.eventTimeMicros == pg2024 + PgOutput.PgEpochMicros)
   }
 
   test("property: interleaved streamed segments with random aborts release exactly the surviving rows at commit, never earlier") {

@@ -441,6 +441,115 @@ class MaterializeSpec extends SparkSpec {
     assert(one.length == 1 && one(0).getMap[String, String](1)("w") == "42")
   }
 
+  // --- TRUNCATE: the table-level tombstone -------------------------
+
+  private def truncEv(min: Int): ChangeEvent =
+    ChangeEvent(ts(min), "public", "t", null,
+      Map("cascade" -> "false", "restart_identity" -> "false"), Op.Truncate)
+
+  test("TRUNCATE clears pre-truncate rows; the same batch's post-truncate reload lands") {
+    val tablePath = Files.createTempDirectory("graft-trunc1").toString + "/t"
+    Materialize.applyBatch(
+      (1 to 64).map(i => ev(Op.Insert, i, 0, s"v$i")).toDF(), "id", tablePath, nBuckets = 4)
+    assert(state(tablePath).size == 64)
+    // one batch: the truncate (ts=10), a pre-truncate straggler (ts=5,
+    // must die), and the post-truncate reload (ts=12, must land)
+    val b2 = Seq(truncEv(10), ev(Op.Insert, 100, 5, "stale"),
+      ev(Op.Insert, 200, 12, "fresh")).toDF()
+    Materialize.applyBatch(b2, "id", tablePath, nBuckets = 4)
+    assert(state(tablePath) == Map("200" -> ("fresh", ts(12))))
+    // emptied buckets are gone from disk, not kept as stale files
+    val liveBuckets = Option(new java.io.File(tablePath).list())
+      .map(_.toSeq.filter(_.startsWith("bucket="))).getOrElse(Seq.empty)
+    assert(liveBuckets.size == 1, s"expected 1 surviving bucket, got $liveBuckets")
+    // redelivery of the truncating batch is a no-op (idempotent)
+    Materialize.applyBatch(b2, "id", tablePath, nBuckets = 4)
+    assert(state(tablePath) == Map("200" -> ("fresh", ts(12))))
+  }
+
+  test("the truncate horizon persists: a LATE pre-truncate change in a later batch stays dead") {
+    val tablePath = Files.createTempDirectory("graft-trunc2").toString + "/t"
+    Materialize.applyBatch(
+      Seq(ev(Op.Insert, 1, 0, "a"), ev(Op.Insert, 2, 1, "b")).toDF(),
+      "id", tablePath, nBuckets = 4)
+    Materialize.applyBatch(Seq(truncEv(10)).toDF(), "id", tablePath, nBuckets = 4)
+    assert(state(tablePath).isEmpty)
+    // a later batch delivers an out-of-order PRE-truncate insert: without
+    // the horizon it would resurrect into a table the source emptied
+    Materialize.applyBatch(Seq(ev(Op.Insert, 1, 3, "zombie")).toDF(),
+      "id", tablePath, nBuckets = 4)
+    assert(state(tablePath).isEmpty)
+    // genuinely newer changes land normally
+    Materialize.applyBatch(Seq(ev(Op.Insert, 5, 20, "new")).toDF(),
+      "id", tablePath, nBuckets = 4)
+    assert(state(tablePath) == Map("5" -> ("new", ts(20))))
+  }
+
+  test("truncate-then-reload sharing one commit timestamp: the reload survives (tie convention)") {
+    val tablePath = Files.createTempDirectory("graft-trunc3").toString + "/t"
+    Materialize.applyBatch(Seq(ev(Op.Insert, 1, 0, "old")).toDF(),
+      "id", tablePath, nBuckets = 4)
+    // BEGIN; TRUNCATE t; INSERT ...; COMMIT — one commit time for both
+    Materialize.applyBatch(Seq(truncEv(10), ev(Op.Insert, 2, 10, "reload")).toDF(),
+      "id", tablePath, nBuckets = 4)
+    assert(state(tablePath) == Map("2" -> ("reload", ts(10))))
+  }
+
+  test("truncate-only batch on an empty table still pins the horizon") {
+    val tablePath = Files.createTempDirectory("graft-trunc4").toString + "/t"
+    Materialize.applyBatch(Seq(truncEv(10)).toDF(), "id", tablePath, nBuckets = 4)
+    Materialize.applyBatch(Seq(ev(Op.Insert, 1, 3, "zombie")).toDF(),
+      "id", tablePath, nBuckets = 4)
+    assert(state(tablePath).isEmpty)
+  }
+
+  test("truncate retracts cleared keys through the change feed; redelivery cancels") {
+    val base = Files.createTempDirectory("graft-trunc5").toString
+    val tablePath = s"$base/t"; val aggPath = s"$base/agg"
+    def evG(op: String, id: Int, min: Int, grp: String, m: Int): ChangeEvent = {
+      val data = Map("id" -> id.toString, "g" -> grp, "m" -> m.toString)
+      if (op == Op.Delete) ChangeEvent(ts(min), "public", "t", data, Map.empty, op)
+      else ChangeEvent(ts(min), "public", "t", Map.empty, data, op)
+    }
+    def agg(): Map[String, (Long, Long)] =
+      spark.read.parquet(aggPath).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def apply(evs: ChangeEvent*): Unit =
+      Materialize.applyAggregateDelta(
+        Materialize.applyBatchCdf(evs.toDF(), "id", tablePath, nBuckets = 4), "g", "m", aggPath)
+    apply(evG(Op.Insert, 1, 0, "a", 10), evG(Op.Insert, 2, 1, "a", 20),
+      evG(Op.Insert, 3, 2, "b", 5))
+    assert(agg() == Map("a" -> (2L, 30L), "b" -> (1L, 5L)))
+    // truncate + reload in one batch: the feed retracts keys 1..3 and
+    // asserts only the reload — the view never sees phantom survivors
+    val b2 = Seq(truncEv(10), evG(Op.Insert, 4, 12, "b", 7))
+    apply(b2: _*)
+    assert(agg() == Map("b" -> (1L, 7L)))
+    // redelivered truncating batch: nothing is cleared twice, the
+    // reload's CDF emits before == after ⇒ deltas cancel to a no-op
+    apply(b2: _*)
+    assert(agg() == Map("b" -> (1L, 7L)))
+  }
+
+  test("streamed apply handles a mid-stream TRUNCATE and keeps serving") {
+    val tablePath = Files.createTempDirectory("graft-trunc6").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-trunc6-ckpt").toString
+    val in = MemoryStream[ChangeEvent](spark)
+    val q = Materialize.applyStream(in.toDF(), "id", tablePath, ckpt, nBuckets = 4)
+    try {
+      in.addData(ev(Op.Insert, 1, 0, "a"), ev(Op.Insert, 2, 1, "b"))
+      q.processAllAvailable()
+      assert(state(tablePath).size == 2)
+      in.addData(truncEv(10), ev(Op.Insert, 3, 12, "c"))
+      q.processAllAvailable()
+      assert(state(tablePath) == Map("3" -> ("c", ts(12))))
+      // resume: post-truncate traffic flows; pre-truncate stragglers die
+      in.addData(ev(Op.Update, 3, 15, "c2"), ev(Op.Insert, 1, 2, "zombie"))
+      q.processAllAvailable()
+      assert(state(tablePath) == Map("3" -> ("c2", ts(15))))
+    } finally q.stop()
+  }
+
   test("second writer on the same table path is rejected while the lease is fresh") {
     import spark.implicits._
     val tablePath = Files.createTempDirectory("graft-replica-lock").toString + "/t"

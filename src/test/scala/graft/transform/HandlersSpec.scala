@@ -70,6 +70,38 @@ class HandlersSpec extends SparkSpec {
     assert(headers.getSeq[String](1) == Seq("INSERT", "public.users", "graft"))
   }
 
+  test("declarative handler: TRUNCATE is dropped by default, emitted null-keyed when opted in") {
+    import spark.implicits._
+    val events = Seq(
+      ev(Op.Truncate, newD = Map("cascade" -> "false", "restart_identity" -> "false")),
+      ev(Op.Insert, newD = Map("id" -> "1"))).toDF()
+    // default: wire parity with the reference — the sink never sees it
+    assert(Handlers.declarative(events, router, "id").count() == 1)
+    // opted in: a null-key record whose value announces the truncation
+    val out = Handlers.declarative(events, router, "id",
+      keepEventTime = false, emitTruncates = true)
+      .orderBy(org.apache.spark.sql.functions.col("key").asc_nulls_first).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Array[Byte]]("key") == null)
+    val value = new String(out(0).getAs[Array[Byte]]("value"))
+    assert(value.contains(""""operation":"TRUNCATE""""))
+    assert(new String(out(1).getAs[Array[Byte]]("key")) == "1")
+  }
+
+  test("debezium envelope: TRUNCATE skipped by default (skipped.operations=t), op 't' when emitted") {
+    import spark.implicits._
+    val events = Seq(
+      ev(Op.Truncate, newD = Map("cascade" -> "false", "restart_identity" -> "false")),
+      ev(Op.Insert, newD = Map("id" -> "1", "name" -> "n"))).toDF()
+    assert(Handlers.debeziumEnvelope(events, router, "id").count() == 1)
+    val rows = Handlers.debeziumEnvelope(events, router, "id", emitTruncates = true)
+      .orderBy(org.apache.spark.sql.functions.col("key").asc_nulls_first).collect()
+    assert(rows.length == 2)
+    val trunc = rows(0).getString(2)
+    assert(trunc.contains(""""op":"t""""))
+    assert(trunc.contains(""""before":null""") && trunc.contains(""""after":null"""))
+  }
+
   test("recordWireSize matches the reference's 14 + key + value + headers formula") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
