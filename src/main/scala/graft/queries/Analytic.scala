@@ -526,6 +526,77 @@ object Analytic {
       .orderBy($"event_type")
   }
 
+  /** q271 — incrementally-maintained MIN/MAX view (the first
+    * NON-subtractable aggregate after q65's count+sum): the same
+    * interleaved replay as q65, but each batch's change feed drives
+    * `Materialize.applyMinMaxDelta` — a group-bucketed value-count
+    * index that makes deletes of the current extremum exactly
+    * applicable from partition-pruned bucket merges, never a replica
+    * rescan (see the method's scaladoc for why the index, not an
+    * affected-group recompute, is the scale shape). The q64 op pattern
+    * deletes every 10th event_id, so batch replays routinely remove a
+    * group's live minimum or maximum and the runner-up must surface;
+    * updates move keys between groups, retracting from one side's
+    * extremes while asserting the other's. The oracle states the view
+    * DECLARATIVELY: min/max/count per group over the final
+    * latest-by-key state — the gate proves the incremental path equals
+    * the batch definition including extremum withdrawal, which no
+    * monotone (insert-only) min/max maintenance could pass.
+    */
+  def q271CdcMinMaxMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.load(s, dir, "events")
+      .withColumn("op",
+        when($"event_id" % 10 === 0, "DELETE")
+          .when($"event_id" % 3 === 0, "UPDATE")
+          .otherwise("INSERT"))
+    val payload = map(
+      lit("user_id"), $"user_id".cast("string"),
+      lit("event_id"), $"event_id".cast("string"),
+      lit("event_type"), $"event_type",
+      lit("value"), $"value".cast("string"))
+    val events = log.select(
+      $"event_id".as("batch_src"),
+      $"ts".as("eventTime"),
+      lit("public").as("tableNamespace"), lit("events").as("tableName"),
+      when($"op" === "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("oldData"),
+      when($"op" =!= "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("newData"),
+      $"op")
+      .localCheckpoint(true) // one scan feeds all three replay batches
+    val base = java.nio.file.Files.createTempDirectory("graft_q271_mv").toString
+    (0 until 3).foreach { i =>
+      val changes = graft.streaming.Materialize.applyBatchCdf(
+        events.filter(pmod($"batch_src", lit(3)) === i).drop("batch_src"),
+        keyField = "user_id", s"$base/t", nBuckets = 8, seqCol = Some("event_id"))
+      graft.streaming.Materialize.applyMinMaxDelta(
+        changes, groupField = "event_type", measureField = "event_id",
+        s"$base/idx", s"$base/view", nBuckets = 8)
+    }
+    graft.streaming.Materialize.minMaxView(s, s"$base/view")
+      .select($"grp".as("event_type"), $"mn".as("min_event_id"),
+        $"mx".as("max_event_id"), $"n")
+      .orderBy($"event_type")
+  }
+
+  val q271CdcMinMaxMvSql: String =
+    """WITH log AS (
+      |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'
+      |                 WHEN event_id % 3 = 0 THEN 'UPDATE'
+      |                 ELSE 'INSERT' END AS op
+      |  FROM events),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM log)
+      |SELECT event_type,
+      |  CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+      |  CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM latest WHERE rn = 1 AND op <> 'DELETE'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val q65IncrMvSql: String =
     """WITH log AS (
       |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'

@@ -523,6 +523,146 @@ object Materialize {
       .write.mode("overwrite").parquet(aggPath)
   }
 
+  /** Incrementally maintain a MIN/MAX (+count) grouped view — the first
+    * NON-SUBTRACTABLE aggregate a warehouse user asks for after
+    * count+sum ([[applyAggregateDelta]]): a delete of the current
+    * extremum cannot be applied from the delta alone, the maintainer
+    * must know the runner-up.
+    *
+    * Design: a persisted VALUE-COUNT INDEX `(grp, v, cnt)` hash-bucketed
+    * by GROUP into `nBuckets` directory partitions, alongside the
+    * output view `(grp, mn, mx, n)` bucketed the same way. Each batch:
+    *   1. nets the change feed to (grp, v, ±1) deltas (batch-sized;
+    *      redelivered changes arrive as before == after and cancel);
+    *   2. reads ONLY the touched groups' index buckets — by explicit
+    *      bucket-directory paths, so untouched groups' buckets are
+    *      never LISTED, read, or written (spec-pinned by corrupting an
+    *      untouched bucket and applying anyway);
+    *   3. merges counts, drops zero rows, rewrites exactly those
+    *      buckets (dynamic overwrite + explicit delete of emptied
+    *      dirs — the copy-on-write replica discipline at group grain);
+    *   4. recomputes `(mn, mx, n)` from the merged index for the
+    *      touched buckets' groups only and rewrites exactly those view
+    *      buckets.
+    *
+    * Why an index instead of recomputing affected groups from the
+    * replica: the replica is bucketed by KEY hash, so a group's rows
+    * spread across every bucket and an "affected groups only" recompute
+    * would still be a full-table scan whenever any delete touched any
+    * extremum. The index is the group-keyed projection that makes the
+    * recompute partition-pruned — per-batch cost is (touched group
+    * buckets) × (bucket size), independent of table size, the same
+    * shape as the replica merge itself. Storage is one (grp, v) pair
+    * per distinct live value — bounded by the replica, typically far
+    * smaller. Exactness under at-least-once redelivery is inherited
+    * from the feed ([[applyBatchCdf]]); TRUNCATE retractions flow
+    * through the same deltas, emptying the view.
+    */
+  def applyMinMaxDelta(changes: DataFrame, groupField: String,
+      measureField: String, indexPath: String, viewPath: String,
+      nBuckets: Int = 16): Unit = {
+    val s = changes.sparkSession
+    import s.implicits._
+    val minus = changes.filter($"before".isNotNull).select(
+      element_at($"before", groupField).as("grp"),
+      element_at($"before", measureField).cast("long").as("v"),
+      lit(-1L).as("cnt"))
+    val plus = changes.filter($"after".isNotNull).select(
+      element_at($"after", groupField).as("grp"),
+      element_at($"after", measureField).cast("long").as("v"),
+      lit(1L).as("cnt"))
+    val deltas = minus.unionByName(plus)
+      .groupBy($"grp", $"v").agg(sum($"cnt").as("cnt"))
+      .filter($"cnt" =!= 0)
+      .withColumn("bucket", pmod(xxhash64($"grp"), lit(nBuckets)).cast("int"))
+      // feeds the touched-bucket probe AND the merge — one evaluation
+      .localCheckpoint(true)
+    // ≤ nBuckets ints, driver-side by design
+    val touched = deltas.select($"bucket").distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // explicit bucket-directory reads: untouched buckets are not even
+    // LISTED — basePath keeps the bucket partition column alive
+    def bucketRead(base: String, buckets: Seq[Int]): Option[DataFrame] = {
+      val dirs = buckets.map(b => s"$base/bucket=$b")
+        .filter(d => fs.exists(new Path(d)))
+      if (dirs.isEmpty) None
+      else Some(s.read.option("basePath", base).parquet(dirs: _*))
+    }
+    val current = bucketRead(indexPath, touched.toIndexedSeq)
+      .map(_.select($"grp", $"v", $"cnt", $"bucket")
+        // lineage cut: we overwrite the buckets we just read
+        .localCheckpoint(true))
+      .getOrElse(deltas.limit(0))
+    val merged = current.unionByName(deltas)
+      .groupBy($"grp", $"v", $"bucket").agg(sum($"cnt").as("cnt"))
+      .filter($"cnt" =!= 0)
+      // feeds the index rewrite AND the view recompute
+      .localCheckpoint(true)
+    merged.select($"grp", $"v", $"cnt", $"bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(indexPath)
+    val stillIdx = merged.select($"bucket").distinct().collect().map(_.getInt(0)).toSet
+    (touched.toSet -- stillIdx).foreach { b =>
+      fs.delete(new Path(indexPath, s"bucket=$b"), true)
+    }
+    // view rows for every group living in the touched buckets (a
+    // superset of the touched groups — same-bucket neighbors recompute
+    // to their unchanged values; cost stays bucket-bounded)
+    val recomputed = merged.groupBy($"grp", $"bucket")
+      .agg(min($"v").as("mn"), max($"v").as("mx"), sum($"cnt").as("n"))
+      .select($"grp", $"mn", $"mx", $"n", $"bucket")
+      .localCheckpoint(true)
+    recomputed.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(viewPath)
+    val stillView = recomputed.select($"bucket").distinct().collect().map(_.getInt(0)).toSet
+    val vfs = new Path(viewPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    (touched.toSet -- stillView).foreach { b =>
+      vfs.delete(new Path(viewPath, s"bucket=$b"), true)
+    }
+  }
+
+  /** The maintained min/max view as a DataFrame (grp, mn, mx, n);
+    * empty-table-safe like [[replica]].
+    */
+  def minMaxView(s: SparkSession, viewPath: String): DataFrame = {
+    val p = new Path(viewPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasBuckets = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
+    if (hasBuckets)
+      s.read.parquet(viewPath).select(col("grp"), col("mn"), col("mx"), col("n"))
+    else s.range(0).select(
+      lit(null).cast("string").as("grp"),
+      lit(null).cast("long").as("mn"),
+      lit(null).cast("long").as("mx"),
+      lit(null).cast("long").as("n"))
+  }
+
+  /** Replica + incrementally-maintained min/max view in one stream —
+    * [[applyStreamWithView]]'s non-subtractable sibling.
+    */
+  def applyStreamWithMinMaxView(events: DataFrame, keyField: String,
+      tablePath: String, indexPath: String, viewPath: String,
+      groupField: String, measureField: String, checkpoint: String,
+      nBuckets: Int = 16, seqCol: Option[String] = None,
+      instanceId: String = null): StreamingQuery = {
+    val lease = new WriterLease(events.sparkSession, tablePath,
+      WriterLease.identity(instanceId, checkpoint)).acquire()
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        lease.renew()
+        val changes = applyBatchCdf(batch.toDF(), keyField, tablePath, nBuckets, seqCol)
+        applyMinMaxDelta(changes, groupField, measureField, indexPath, viewPath)
+      }
+      .start()
+  }
+
   /** The stored replica frame, robust to a FULLY-TRUNCATED table: a
     * truncate with no reload deletes every bucket directory, and a bare
     * `read.parquet` over a dir holding only the horizon/lease markers

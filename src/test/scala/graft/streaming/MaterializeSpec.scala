@@ -531,6 +531,97 @@ class MaterializeSpec extends SparkSpec {
     assert(agg() == Map("b" -> (1L, 7L)))
   }
 
+  // --- min/max incremental view (non-subtractable aggregate) -------
+
+  private def evG2(op: String, id: Int, min: Int, grp: String, m: Int): ChangeEvent = {
+    val data = Map("id" -> id.toString, "g" -> grp, "m" -> m.toString)
+    if (op == Op.Delete) ChangeEvent(ts(min), "public", "t", data, Map.empty, op)
+    else ChangeEvent(ts(min), "public", "t", Map.empty, data, op)
+  }
+
+  test("min/max view: deleting the extremum surfaces the runner-up; redelivery cancels") {
+    val base = Files.createTempDirectory("graft-minmax1").toString
+    def view(): Map[String, (Long, Long, Long)] =
+      Materialize.minMaxView(spark, s"$base/view").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def apply(evs: ChangeEvent*): Unit =
+      Materialize.applyMinMaxDelta(
+        Materialize.applyBatchCdf(evs.toDF(), "id", s"$base/t", nBuckets = 4),
+        "g", "m", s"$base/idx", s"$base/view", nBuckets = 4)
+    apply(evG2(Op.Insert, 1, 0, "a", 10), evG2(Op.Insert, 2, 1, "a", 20),
+      evG2(Op.Insert, 3, 2, "a", 30), evG2(Op.Insert, 4, 3, "b", 5))
+    assert(view() == Map("a" -> (10L, 30L, 3L), "b" -> (5L, 5L, 1L)))
+    // delete a's MIN and its MAX in one batch: both runner-ups surface —
+    // exactly what count+sum delta maintenance cannot do
+    val b2 = Seq(evG2(Op.Delete, 1, 10, "a", 10), evG2(Op.Delete, 3, 11, "a", 30))
+    apply(b2: _*)
+    assert(view() == Map("a" -> (20L, 20L, 1L), "b" -> (5L, 5L, 1L)))
+    // redelivery: CDF nets to nothing new ⇒ view unchanged
+    apply(b2: _*)
+    assert(view() == Map("a" -> (20L, 20L, 1L), "b" -> (5L, 5L, 1L)))
+    // update moves a key ACROSS groups: retracts b's only row (group
+    // vanishes), asserts a new max on a
+    apply(evG2(Op.Update, 4, 20, "a", 99))
+    assert(view() == Map("a" -> (20L, 99L, 2L)))
+    // duplicate values: deleting one of two equal minima keeps the min
+    apply(evG2(Op.Insert, 5, 30, "a", 20), evG2(Op.Delete, 2, 31, "a", 20))
+    assert(view() == Map("a" -> (20L, 99L, 2L)))
+    // TRUNCATE retracts through the same feed: the view empties
+    apply(truncEv(40))
+    assert(view().isEmpty)
+  }
+
+  test("min/max view: untouched groups' buckets are never read or written") {
+    val base = Files.createTempDirectory("graft-minmax2").toString
+    // two groups proven to land in DIFFERENT index buckets
+    import org.apache.spark.sql.functions.{xxhash64, pmod, lit => flit}
+    val bucketOf = Seq("ga", "gb").toDF("g")
+      .select($"g", pmod(xxhash64($"g"), flit(4)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assume(bucketOf("ga") != bucketOf("gb"), s"pick other names: $bucketOf")
+    def apply(evs: ChangeEvent*): Unit =
+      Materialize.applyMinMaxDelta(
+        Materialize.applyBatchCdf(evs.toDF(), "id", s"$base/t", nBuckets = 4),
+        "g", "m", s"$base/idx", s"$base/view", nBuckets = 4)
+    apply(evG2(Op.Insert, 1, 0, "ga", 10), evG2(Op.Insert, 2, 1, "gb", 20))
+    // CORRUPT gb's index bucket: if a later ga-only batch ever listed or
+    // read it, the apply would throw — surviving proves physical pruning
+    val gbDir = new java.io.File(s"$base/idx/bucket=${bucketOf("gb")}")
+    val files = gbDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val out = new java.io.FileOutputStream(f)
+      out.write("not a parquet file".getBytes); out.close()
+    }
+    val snapshot = gbDir.listFiles().map(f => f.getName -> f.length()).toMap
+    apply(evG2(Op.Delete, 1, 10, "ga", 10), evG2(Op.Insert, 3, 11, "ga", 7))
+    // ga's view row moved; gb's bucket bytes are untouched
+    val v = Materialize.minMaxView(spark, s"$base/view").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(v("ga") == (7L, 7L, 1L))
+    assert(gbDir.listFiles().map(f => f.getName -> f.length()).toMap == snapshot)
+  }
+
+  test("applyStreamWithMinMaxView keeps the min/max view current per batch") {
+    val base = Files.createTempDirectory("graft-minmax3").toString
+    val ckpt = Files.createTempDirectory("graft-minmax3-ckpt").toString
+    val in = MemoryStream[ChangeEvent](spark)
+    val q = Materialize.applyStreamWithMinMaxView(in.toDF(), "id", s"$base/t",
+      s"$base/idx", s"$base/view", groupField = "g", measureField = "m",
+      checkpoint = ckpt, nBuckets = 2)
+    def view(): Map[String, (Long, Long, Long)] =
+      Materialize.minMaxView(spark, s"$base/view").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    try {
+      in.addData(evG2(Op.Insert, 1, 0, "a", 10), evG2(Op.Insert, 2, 1, "a", 3))
+      q.processAllAvailable()
+      assert(view() == Map("a" -> (3L, 10L, 2L)))
+      in.addData(evG2(Op.Delete, 2, 5, "a", 3))
+      q.processAllAvailable()
+      assert(view() == Map("a" -> (10L, 10L, 1L)))
+    } finally q.stop()
+  }
+
   test("streamed apply handles a mid-stream TRUNCATE and keeps serving") {
     val tablePath = Files.createTempDirectory("graft-trunc6").toString + "/t"
     val ckpt = Files.createTempDirectory("graft-trunc6-ckpt").toString
