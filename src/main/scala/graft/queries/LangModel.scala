@@ -712,12 +712,23 @@ object LangModel {
   private[queries] def bpeTrainFrames(s: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame) = {
     import s.implicits._
-    var vocab = Tables.load(s, dir, "documents")
+    val vocab0 = Tables.load(s, dir, "documents")
       .select(explode(ws).as("word"))
       .filter($"word".rlike("^[a-z]+$"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .select($"word", regexp_replace($"word", "(.)", "|$1|").as("s"), $"freq")
       .localCheckpoint(true) // vocabulary-sized; cuts the corpus lineage
+    bpeMergeLoop(s, vocab0, rounds)
+  }
+
+  /** The shared bounded-round merge loop over a wrapped-symbol weighted
+    * vocabulary (word, s, freq) — q231's character lane and q272's
+    * byte lane differ ONLY in their initial symbolization.
+    */
+  private def bpeMergeLoop(s: SparkSession, vocab0: DataFrame,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
+    var vocab = vocab0
     val merges = (1 to rounds).map { r =>
       // k symbols → k+2 slots (leading + trailing ""), symbols at 1..k
       val syms = split($"s", "[|]+")
@@ -838,6 +849,92 @@ object LangModel {
       |  CAST(SUM(length(word)) AS DOUBLE)
       |    / SUM(len(string_split(trim(s, '|'), '||'))) AS chars_per_token
       |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** Default merge-round budget for q272. */
+  val ByteBpeRounds = 10
+
+  /** q272 — BYTE-LEVEL BPE pre-tokenizer training (the GPT-2 recipe,
+    * Radford et al. 2019 §2.2, public knowledge): the q231 merge loop
+    * run over UTF-8 BYTE sequences instead of letter sequences, so
+    * every word — multilingual, accented, emoji — is representable
+    * with zero UNK tokens: the base alphabet is the 256 byte values
+    * and any string is a byte sequence.
+    *
+    * GPT-2 maps each byte to a printable unicode char so merges
+    * operate on strings; ANY injective byte→printable mapping gives
+    * the identical merge sequence (pair counts only depend on byte
+    * identity). Here each byte is its 2-digit uppercase HEX pair —
+    * `hex(encode(word, 'UTF-8'))` sliced per byte — because Spark and
+    * DuckDB compute that representation with the SAME two builtins,
+    * keeping the oracle twin byte-exact where a 256-entry custom
+    * mapping table would have to be hand-replicated on both sides.
+    * Symbols stay in [0-9A-F], so the `|` wrapping scheme (q231's
+    * boundary-anchored merge primitive) applies verbatim, and NO word
+    * filter is needed — the letter-run convention exists to keep the
+    * char lane's delimiter safe, which hex makes structural. A
+    * multi-byte codepoint starts life SPLIT across symbols (é = C3 A9
+    * as two symbols) and merges back together only if its byte pair
+    * earns it — ByteBpeSpec pins merges straddling codepoint
+    * boundaries from both sides.
+    *
+    * At 100 TB: identical shape to q231 — one corpus scan into the
+    * weighted vocabulary, then vocabulary-sized rounds (pair-explode
+    * aggregate with map-side combine, 1-row broadcast argmax,
+    * codegen'd replace), lineage cut per round.
+    */
+  def q272ByteBpeTrain(s: SparkSession, dir: String,
+      rounds: Int = ByteBpeRounds): DataFrame = {
+    import s.implicits._
+    val (merges, _) = byteBpeTrainFrames(s, dir, rounds)
+    merges.reduce(_ unionByName _).orderBy($"round")
+  }
+
+  private[queries] def byteBpeTrainFrames(s: SparkSession, dir: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
+    val vocab0 = Tables.load(s, dir, "documents")
+      .select(explode(ws).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .select($"word",
+        regexp_replace(hex(encode($"word", "UTF-8")), "(..)", "|$1|").as("s"),
+        $"freq")
+      .localCheckpoint(true) // vocabulary-sized; cuts the corpus lineage
+    bpeMergeLoop(s, vocab0, rounds)
+  }
+
+  def q272ByteBpeTrainSql(rounds: Int = ByteBpeRounds): String = {
+    def roundCtes(r: Int) =
+      s"""p$r AS (
+         |  SELECT ws[i+1] AS lhs, ws[i+2] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq, string_split(trim(s, '|'), '||') AS ws
+         |        FROM u${r - 1}),
+         |    UNNEST(range(0, greatest(len(ws) - 1, 0))) AS t(i)
+         |  GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+         |  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |u$r AS MATERIALIZED (
+         |  SELECT word,
+         |    replace(s, '|' || lhs || '||' || rhs || '|',
+         |      '|' || merged || '|') AS s,
+         |    freq
+         |  FROM u${r - 1}, c$r)""".stripMargin
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, merged, pair_count FROM c$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH u0 AS MATERIALIZED (
+      |  SELECT word, regexp_replace(hex(encode(word)), '(..)', '|\\1|', 'g') AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0
+      |  GROUP BY word),
+      |${(1 to rounds).map(roundCtes).mkString(",\n")}
+      |SELECT * FROM (
+      |  $union)
+      |ORDER BY round""".stripMargin
+  }
 
   /** Default merge-round budget for q255. */
   val WordPieceRounds = 10
