@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStreams
+
+/** Paced-source throughput isolate for the state-heavy streaming lanes
+  * (`transformWithState` + RocksDB): the SERBENCH discipline applied to
+  * streams. The batch suite and the CDC snapshot race already carry
+  * numbers; this gives the stateful streaming story one — rows/s
+  * through a MemoryStream paced into fixed micro-batches, wall-clocked
+  * from first delivery to last commit (per-batch planning and state
+  * commit included, which is exactly what a continuous ingest pays).
+  *
+  * Lanes (two per operator, varying STATE SIZE so the artifact carries
+  * a state-size sensitivity, not one point):
+  *  - dedup_narrow / dedup_wide — [[EventStreams.streamingDedup]] over
+  *    the documents corpus replicated ×R: narrow keeps copies exact
+  *    (state = distinct source texts), wide salts every copy distinct
+  *    (state = every input row — R× the keys at the same row count).
+  *  - hh_evicting / hh_roomy — [[EventStreams.heavyHitters]] over the
+  *    corpus with per-doc word salting widening the vocabulary past
+  *    the evicting capacity (SpaceSaving replacement churn on every
+  *    batch) vs a capacity holding the full vocabulary (pure upserts).
+  *
+  * The synthetic key-space widening is the honest way to exercise
+  * state growth here: the driver corpus' real vocabulary is ~31 words,
+  * far below any useful capacity. Usage:
+  *   runMain graft.tools.StreamBench [sfDir] [nBatches] [replicas]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(20)
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val src = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id".cast("long"), $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stride = src.map(_._1).max + 1
+    def salted(text: String, salt: Long): String =
+      text.split(' ').map(w => s"${w}x$salt").mkString(" ")
+
+    // ×R replication: narrow repeats texts verbatim (dup-heavy — the
+    // dedup index stays at |distinct texts| keys); wide makes every
+    // copy a fresh text (index grows to |rows| keys)
+    val narrow = (0 until replicas).flatMap(k =>
+      src.map { case (id, t) => (id + k * stride, t) })
+    val wide = (0 until replicas).flatMap(k =>
+      src.map { case (id, t) => (id + k * stride, s"$t uq${id + k * stride}") })
+    // per-doc word salting: vocab ×K — past the evicting lane's total
+    // slot budget, inside the roomy lane's
+    val saltK = 3000L
+    val hhDocs = src.map { case (id, t) => (id, salted(t, id % saltK)) }
+
+    def pace(rows: Seq[(Long, String)], mk: DataFrame => DataFrame): (Double, Int) = {
+      val in = MemoryStream[(Long, String)](spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+      val q = mk(in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("noop").option("checkpointLocation", ckpt).start()
+      val per = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
+      val groups = rows.grouped(per).toSeq
+      val t0 = System.nanoTime()
+      groups.foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (sec, groups.size)
+    }
+
+    // JVM/codegen/RocksDB warmup outside every timed window
+    pace(src.take(200).toSeq, df => EventStreams.streamingDedup(df))
+
+    val hhTokens = hhDocs.map(_._2.count(_ == ' ') + 1L).sum
+    // exact salted vocabulary (driver-side: the bench corpus is small);
+    // the evicting lane's live keys are capped by its total slot budget
+    val hhVocab = hhDocs.iterator.flatMap(_._2.split(' ')).toSet.size.toLong
+    val lanes: Seq[(String, Seq[(Long, String)], DataFrame => DataFrame, Long, Long)] = Seq(
+      ("dedup_narrow", narrow, df => EventStreams.streamingDedup(df),
+        narrow.size.toLong, src.size.toLong),
+      ("dedup_wide", wide, df => EventStreams.streamingDedup(df),
+        wide.size.toLong, wide.size.toLong),
+      ("hh_evicting", hhDocs, df => EventStreams.heavyHitters(df, capacity = 1 << 12),
+        hhTokens, math.min(hhVocab, (1L << 12) * 8)),
+      ("hh_roomy", hhDocs, df => EventStreams.heavyHitters(df, capacity = 1 << 17),
+        hhTokens, hhVocab))
+    // interleaved attempts (the SerBench isolate discipline): run-order
+    // and co-located-load drift hit every lane equally; publish min/all
+    val attempts = 2
+    val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Int)]]
+      .withDefaultValue(Vector.empty)
+    (1 to attempts).foreach { _ =>
+      lanes.foreach { case (tag, rows, mk, _, _) =>
+        samples(tag) = samples(tag) :+ pace(rows, mk)
+      }
+    }
+    val results = lanes.map { case (tag, rows, _, units, stateKeys) =>
+      val (sec, batches) = samples(tag).minBy(_._1)
+      println(f"$tag%-14s ${rows.size}%7d docs  $units%8d units  min $sec%7.2f s" +
+        f"  ${units / sec}%9.0f units/s  ($batches batches, ~$stateKeys state keys," +
+        s" attempts ${samples(tag).map(t => f"${t._1}%.1f").mkString("/")})")
+      (tag, rows.size, units, sec, batches, stateKeys)
+    }
+    val laneJson = results.map { case (tag, docs, units, sec, batches, stateKeys) =>
+      f""""$tag":{"docs":$docs,"units":$units,"min_elapsed_sec":$sec%.3f,""" +
+        f""""units_per_sec_min":${units / sec}%.0f,"batches":$batches,""" +
+        f""""state_keys_approx":$stateKeys,""" +
+        s""""attempts_sec":[${samples(tag).map(t => f"${t._1}%.3f").mkString(",")}]}"""
+    }.mkString(",")
+    println(s"""{"metric":"streambench","sf_dir":"$sfDir","paced_batches":$nBatches,""" +
+      s""""replicas":$replicas,"interleaved_attempts":$attempts,"lanes":{$laneJson}}""")
+    spark.stop()
+  }
+}
