@@ -61,7 +61,9 @@ object Metrics {
         .as(s"${QualityMetricPrefix}unknown_op"),
       sum(when(router.resolveColumn(col("tableNamespace"), col("tableName")).isNull,
         1L).otherwise(0L)).as(s"${QualityMetricPrefix}unroutable_table"),
-      sum(when(col("op").isin(graft.model.Op.all: _*) &&
+      // row ops only: a TRUNCATE has no row identity, so its null key
+      // is the contract, not a violation
+      sum(when(col("op").isin(graft.model.Op.rowOps: _*) &&
         element_at(img, keyField).isNull, 1L).otherwise(0L))
         .as(s"${QualityMetricPrefix}null_key"))
   }
@@ -90,7 +92,7 @@ object Metrics {
         .as(s"${QualityMetricPrefix}unknown_op"),
       sum(when(router.resolveColumn(col("tableNamespace"), col("tableName")).isNull,
         1L).otherwise(0L)).as(s"${QualityMetricPrefix}unroutable_table"),
-      sum(when(col("op").isin(graft.model.Op.all: _*) &&
+      sum(when(col("op").isin(graft.model.Op.rowOps: _*) &&
         element_at(img, keyField).isNull, 1L).otherwise(0L))
         .as(s"${QualityMetricPrefix}null_key"))
   }

@@ -53,7 +53,8 @@ class MetricsSpec extends SparkSpec {
     val lines = Seq(
       line("INSERT", "users", """{"id":"1"}"""),      // clean
       line("INSERT", "users", """{"id":"2"}"""),      // clean
-      line("TRUNCATE", "users", """{"id":"3"}"""),    // unknown op → dropped
+      line("UPSERT", "users", """{"id":"3"}"""),      // unknown op → dropped
+      line("TRUNCATE", "users", """{}"""),             // KNOWN op, keyless by contract — no violation
       line("INSERT", "ghosts", """{"id":"4"}"""),     // unroutable table → dropped
       line("INSERT", "users", """{"name":"x"}"""))    // key field absent → null key
     Files.write(src.resolve("b.json"), String.join("\n", lines: _*).getBytes)
