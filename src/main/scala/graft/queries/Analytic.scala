@@ -545,6 +545,19 @@ object Analytic {
     */
   def q271CdcMinMaxMv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val base = replayMinMaxIndex(s, dir)
+    graft.streaming.Materialize.minMaxView(s, s"$base/view")
+      .select($"grp".as("event_type"), $"mn".as("min_event_id"),
+        $"mx".as("max_event_id"), $"n")
+      .orderBy($"event_type")
+  }
+
+  /** The q271/q273 replay: the interleaved q64 change log driven
+    * through `applyBatchCdf` + `applyMinMaxDelta`, leaving the value
+    * index under `<base>/idx` and the min/max view under `<base>/view`.
+    */
+  private def replayMinMaxIndex(s: SparkSession, dir: String): String = {
+    import s.implicits._
     val log = Tables.load(s, dir, "events")
       .withColumn("op",
         when($"event_id" % 10 === 0, "DELETE")
@@ -574,11 +587,60 @@ object Analytic {
         changes, groupField = "event_type", measureField = "event_id",
         s"$base/idx", s"$base/view", nBuckets = 8)
     }
-    graft.streaming.Materialize.minMaxView(s, s"$base/view")
-      .select($"grp".as("event_type"), $"mn".as("min_event_id"),
-        $"mx".as("max_event_id"), $"n")
+    base
+  }
+
+  /** q273 — exact per-group MEDIAN served FROM the maintained value
+    * index (the order statistic a min/max view cannot give and a
+    * count+sum view cannot either): q271's replay leaves the
+    * group-bucketed (grp, v, cnt) index current, and the nearest-rank
+    * median — the smallest v whose cumulative count reaches
+    * ceil(n/2) — is one group-partitioned window over that
+    * INDEX-SIZED frame, never the replica. This is the argument that
+    * the value index is the general maintenance structure for
+    * non-subtractable aggregates: min/max (q271), any quantile (here),
+    * distinct counts — all served from the same incrementally-held
+    * multiset. The oracle restates the median declaratively over final
+    * latest-by-key state with the identical nearest-rank rule.
+    */
+  def q273CdcMedianMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = replayMinMaxIndex(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"v")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"grp")
+    s.read.parquet(s"$base/idx")
+      .select($"grp", $"v", $"cnt")
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .filter($"cum" >= expr("(n + 1) div 2"))
+      .groupBy($"grp")
+      .agg(min($"v").as("median_event_id"))
+      .select($"grp".as("event_type"), $"median_event_id")
       .orderBy($"event_type")
   }
+
+  val q273CdcMedianMvSql: String =
+    """WITH log AS (
+      |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'
+      |                 WHEN event_id % 3 = 0 THEN 'UPDATE'
+      |                 ELSE 'INSERT' END AS op
+      |  FROM events),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM log),
+      |vals AS (
+      |  SELECT event_type, event_id AS v FROM latest
+      |  WHERE rn = 1 AND op <> 'DELETE'),
+      |ranked AS (
+      |  SELECT event_type, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM vals)
+      |SELECT event_type, CAST(MIN(v) AS BIGINT) AS median_event_id
+      |FROM ranked WHERE rk = (n + 1) // 2
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   val q271CdcMinMaxMvSql: String =
     """WITH log AS (

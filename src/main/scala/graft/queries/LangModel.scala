@@ -936,6 +936,55 @@ object LangModel {
       |ORDER BY round""".stripMargin
   }
 
+  /** q274 — byte-level BPE ENCODING (q233's twin for the byte lane): a
+    * trained byte vocabulary is only useful if encoding with it is an
+    * operator too. Per source: word/BYTE/token totals and the
+    * bytes-per-token compression after `rounds` merges. Unlike q233,
+    * the denominators are UTF-8 byte counts (what the byte tokenizer
+    * actually compresses) and EVERY word participates — zero UNK by
+    * construction, which is the lane's whole point. Same scale shape:
+    * merges and vocabulary are tiny; the corpus pays one scan + one
+    * broadcast probe + one per-source aggregate.
+    */
+  def q274ByteBpeEncode(s: SparkSession, dir: String,
+      rounds: Int = ByteBpeRounds): DataFrame = {
+    import s.implicits._
+    val (_, vocab) = byteBpeTrainFrames(s, dir, rounds)
+    val words = Tables.load(s, dir, "documents")
+      .select($"source", explode(ws).as("word"))
+      .filter(length($"word") > 0)
+    words.join(broadcast(vocab.select($"word", $"s")), Seq("word"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(octet_length($"word")).cast("long").as("n_bytes"),
+        // wrapped repr: k symbols → k+2 split slots (leading+trailing "")
+        sum(size(split($"s", "[|]+")) - 2).cast("long").as("n_tokens"))
+      .select($"source", $"n_words", $"n_bytes", $"n_tokens",
+        ($"n_bytes".cast("double") / $"n_tokens").as("bytes_per_token"))
+      .orderBy($"source")
+  }
+
+  def q274ByteBpeEncodeSql(rounds: Int = ByteBpeRounds): String = {
+    // reuse q272's training CTE chain verbatim (u0..u{rounds})
+    val train = q272ByteBpeTrainSql(rounds)
+    val ctes = train.substring(0, train.indexOf("\nSELECT * FROM ("))
+    s"""$ctes,
+      |wrds AS (
+      |  SELECT source, word
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE length(word) > 0),
+      |enc AS (SELECT w.source, w.word, v.s
+      |        FROM wrds w JOIN u$rounds v USING (word))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(octet_length(encode(word))) AS BIGINT) AS n_bytes,
+      |  CAST(SUM(len(string_split(trim(s, '|'), '||'))) AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(SUM(octet_length(encode(word))) AS DOUBLE)
+      |    / SUM(len(string_split(trim(s, '|'), '||'))) AS bytes_per_token
+      |FROM enc GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   /** Default merge-round budget for q255. */
   val WordPieceRounds = 10
 
