@@ -293,6 +293,35 @@ class MaterializeSpec extends SparkSpec {
     assert(asOf(1L) == state(tbl).map { case (k, (v, _)) => k -> v })
   }
 
+  test("time travel across a TRUNCATE: pre-truncate state reconstructs, post-truncate state is cleared") {
+    val base = Files.createTempDirectory("graft-ttrunc").toString
+    val ckpt = Files.createTempDirectory("graft-ttrunc-ckpt").toString
+    val tbl = s"$base/t"; val chg = s"$base/changes"
+    val in = MemoryStream[ChangeEvent](spark)
+    val q = Materialize.applyStreamWithChangelog(
+      in.toDF(), "id", tbl, chg, ckpt, nBuckets = 2)
+    try {
+      in.addData(ev(Op.Insert, 1, 0, "a"), ev(Op.Insert, 2, 1, "b"))
+      q.processAllAvailable()
+      // batch 1: the truncate + a reload — the feed must record the
+      // retraction of 1 and 2 alongside the assertion of 3
+      in.addData(truncEv(10), ev(Op.Insert, 3, 12, "c"))
+      q.processAllAvailable()
+      in.addData(ev(Op.Update, 3, 20, "c2"))
+      q.processAllAvailable()
+      def asOf(b: Long): Map[String, String] =
+        Materialize.replicaAsOf(spark, chg, b).collect()
+          .map(r => r.getString(0) -> r.getMap[String, String](1)("v")).toMap
+      // as-of the pre-truncate batch: the original rows are visible —
+      // the truncate rewrote the TABLE, not history
+      assert(asOf(0L) == Map("1" -> "a", "2" -> "b"))
+      // as-of the truncating batch: cleared keys dead, reload live
+      assert(asOf(1L) == Map("3" -> "c"))
+      assert(asOf(2L) == Map("3" -> "c2"))
+      assert(asOf(2L) == state(tbl).map { case (k, (v, _)) => k -> v })
+    } finally q.stop()
+  }
+
   test("initial snapshot hydrates the replica, CDC keeps it current (connector-driven)") {
     import scala.concurrent.duration._
     val src = Files.createTempDirectory("graft-snaprep-src")
