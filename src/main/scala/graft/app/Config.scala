@@ -263,7 +263,14 @@ final case class ConnectorConfig(
     // with injected operation (example/simple/main.go:110-139);
     // "debezium" = the public Debezium envelope (before/after/op/ts_ms/
     // source) for byte-compatible consumer migration.
-    serializer: String = ConnectorConfig.SerializerDefault) {
+    serializer: String = ConnectorConfig.SerializerDefault,
+    // Emit TRUNCATE events to the sink topic (flat lane: null-key record
+    // with operation=TRUNCATE; debezium lane: op "t"). Default false =
+    // wire parity with the reference (which decodes and silently drops
+    // them, connector.go:140-142) and with Debezium's
+    // skipped.operations=t. The replica sink consumes truncates
+    // UPSTREAM of this knob regardless — this only governs the topic.
+    emitTruncates: Boolean = false) {
   require(ConnectorConfig.supportedSerializers.contains(serializer),
     s"unsupported serializer '$serializer': supported are " +
       ConnectorConfig.supportedSerializers.mkString(", "))

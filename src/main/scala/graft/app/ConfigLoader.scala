@@ -121,7 +121,10 @@ object ConfigLoader {
       replica = ReplicaSinkConfig(
         nBuckets = int(replica.get("nBuckets"), 16),
         seqField = replica.get("seqField").map(_.toString)),
-      serializer = str(kafka.get("serializer"), ConnectorConfig.SerializerDefault))
+      serializer = str(kafka.get("serializer"), ConnectorConfig.SerializerDefault),
+      // kafka.emitTruncates: emit TRUNCATE events to the topic (default
+      // false — reference wire parity / Debezium skipped.operations=t)
+      emitTruncates = bool(kafka.get("emitTruncates"), default = false))
   }
 
   private def asMap(v: Any): Map[String, Any] = v match {

@@ -115,12 +115,14 @@ object CdcPipeline {
       case graft.app.ConnectorConfig.SerializerDebezium =>
         // envelope lane emits string key/value; the sink contract (and
         // the client-side balancers hashing `key`) expect binary
-        Handlers.debeziumEnvelope(watched, router, cfg.keyField)
+        Handlers.debeziumEnvelope(watched, router, cfg.keyField,
+            emitTruncates = cfg.emitTruncates)
           .select(col("topic"),
             col("key").cast("binary").as("key"),
             col("value").cast("binary").as("value"))
       case _ =>
-        Handlers.declarative(watched, router, cfg.keyField)
+        Handlers.declarative(watched, router, cfg.keyField,
+          keepEventTime = false, emitTruncates = cfg.emitTruncates)
     }
     Metrics.observedSink(withPlacement(records, cfg),
       cfg.kafka.tableTopicMapping.values.toSeq)

@@ -138,6 +138,9 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.kafka.requiredAcks == 1)                // config.go:89-91
     assert(cfg.replica.nBuckets == 16 && cfg.replica.seqField.isEmpty)
     assert(cfg.serializer == ConnectorConfig.SerializerDefault)
+    // TRUNCATE emission defaults OFF — reference wire parity even when
+    // the publication publishes TRUNCATE (the ops list above includes it)
+    assert(!cfg.emitTruncates)
   }
 
   test("kafka.serializer selects the Debezium envelope lane; unknown values fail loudly") {
@@ -146,6 +149,12 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.serializer == ConnectorConfig.SerializerDebezium)
     intercept[IllegalArgumentException](
       ConfigLoader.fromYaml("kafka:\n  brokers: [b:9092]\n  serializer: protobuf\n"))
+  }
+
+  test("kafka.emitTruncates opts the sink topic into TRUNCATE records") {
+    val cfg = ConfigLoader.fromYaml(
+      "kafka:\n  brokers: [b:9092]\n  emitTruncates: true\n")
+    assert(cfg.emitTruncates)
   }
 
   test("engine blocks: source/snapshot/replica knobs load and batch bytes parse human sizes") {
