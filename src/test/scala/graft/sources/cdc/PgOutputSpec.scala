@@ -520,6 +520,12 @@ class PgOutputSpec extends SparkSpec {
       Map("cascade" -> "true", "restart_identity" -> "true")))
   }
 
+  test("Truncate of an unknown relation fails loudly, like any row event would") {
+    val s = new PgOutputSession
+    val err = intercept[IllegalStateException](s.feed(truncateMsg(Seq(99))))
+    assert(err.getMessage.contains("unknown relation 99"))
+  }
+
   test("a streamed transaction's Truncate is buffered until Stream Commit") {
     val s = new PgOutputSession
     s.feed(relationMsg(1, "public", "t", 'd', Seq(true -> "id")))

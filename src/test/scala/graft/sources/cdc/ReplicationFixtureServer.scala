@@ -324,6 +324,12 @@ object PgOutputFixtures {
     val b = buf(); b.put('D'.toByte); b.putInt(relId); b.put(kind.toByte)
     tupleBytes(b, cells); fin(b)
   }
+  def truncateMsg(relIds: Seq[Int], cascade: Boolean = false,
+      restartIdentity: Boolean = false): Array[Byte] = {
+    val b = buf(); b.put('T'.toByte); b.putInt(relIds.length)
+    b.put(((if (cascade) 1 else 0) | (if (restartIdentity) 2 else 0)).toByte)
+    relIds.foreach(b.putInt); fin(b)
+  }
 
   /** A simple single-table transaction: Begin, rows, Commit. */
   def txn(commitLsn: Long, micros: Long, xid: Int,

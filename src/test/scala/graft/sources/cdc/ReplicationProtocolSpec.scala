@@ -102,6 +102,33 @@ class ReplicationProtocolSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("TRUNCATE flows through the live tail: one event per relation, commit-stamped, ACKed in order") {
+    // BEGIN; TRUNCATE users; INSERT reload; COMMIT — the pattern the
+    // replica lane's one-commit-timestamp tie convention exists for.
+    // The reference's listener would drop the 'T' on the floor
+    // (connector.go:140-142); the tail must deliver it like any row.
+    val server = new ReplicationFixtureServer(Seq(rel), Seq(
+      txn(0x100L, pg2024, 1, Seq(insertMsg(1, Seq(Some("1"), Some("alice"))))),
+      txn(0x200L, pg2024, 2, Seq(
+        truncateMsg(Seq(1), cascade = true),
+        insertMsg(1, Seq(Some("2"), Some("reload")))))))
+    try {
+      val ckpt = Files.createTempDirectory("repl-trunc").resolve("lsn")
+      val txns = mutable.ArrayBuffer.empty[CommittedTxn]
+      val flushed = tail(server.port, ckpt, txns += _).run(maxTransactions = 2)
+      val events = txns.flatMap(_.events)
+      assert(events.map(_.op) == Seq(Op.Insert, Op.Truncate, Op.Insert))
+      val trunc = events(1)
+      assert(trunc.tableNamespace == "public" && trunc.tableName == "users")
+      assert(trunc.oldData == null)
+      assert(trunc.newData == Map("cascade" -> "true", "restart_identity" -> "false"))
+      // the truncate shares its transaction's commit timestamp with the
+      // reload — exactly the tie the replica's horizon convention covers
+      assert(trunc.eventTime == events(2).eventTime)
+      assert(flushed == 0x208L)
+    } finally server.stop()
+  }
+
   test("protocol v2: interleaved streamed transactions commit atomically through the live tail") {
     // segments of xid 100 and 200 interleave on the wire — the shape a
     // primary produces when two bulk transactions both exceed
