@@ -271,7 +271,10 @@ object PgOutput {
   * mirroring the reference's listener dispatch (`connector.go:129-142`):
   * Relation messages maintain the in-stream schema registry, Begin pins
   * the commit timestamp stamped onto every row event of the transaction,
-  * and Insert/Update/Delete become INSERT/UPDATE/DELETE events. Replica
+  * Insert/Update/Delete become INSERT/UPDATE/DELETE events, and Truncate
+  * becomes one TRUNCATE event per affected relation (where the reference
+  * silently drops it, `connector.go:140-142` — a replica-divergence
+  * hazard this session does not inherit). Replica
   * identity DEFAULT yields PK-only pre-images (the 'K' tuple — the
   * behavior the reference documents at `README.md:237`); FULL yields the
   * whole old row ('O'). Values arrive in the plugin's text format and are
