@@ -294,4 +294,80 @@ object Entity {
       |  member_keys
       |FROM agg JOIN canon ON canon.rep = agg.cluster_rep
       |WHERE n_members >= 2 ORDER BY cluster_rep""".stripMargin
+
+  /** q277: transposition-aware typo pairs — same-length customer names
+    * at UNRESTRICTED Damerau–Levenshtein ≤ 1 (native
+    * [[graft.functions.DamerauLevenshtein]] expression), the metric
+    * that scores an adjacent-character swap (the dominant human typo
+    * class, Damerau 1964) as ONE edit where q108's plain Levenshtein
+    * charges two. Emits both distances; the `lev = 2, dl = 1` rows are
+    * exactly the adjacent-transposition matches the q108 lane cannot
+    * reach (e.g. `…012` vs `…021`).
+    *
+    * Blocking: the q108 wildcard-signature idea widened to ADJACENT
+    * DOUBLE wildcards — signature p = the name with positions p and
+    * p+1 replaced by the sentinel, p ∈ [1, L−1]. Same-length DL ≤ 1 is
+    * exactly {equal, one substitution at some p, one adjacent
+    * transposition at some (p, p+1)} (insert/delete change length),
+    * and each case shares a signature: equal names share all of them,
+    * a substitution at p collides at the 1–2 signatures q ∈
+    * {p−1, p} ∩ [1, L−1], a transposition at (p, p+1) collides at
+    * exactly signature p (at any OTHER double-wildcard both swapped
+    * positions stay visible and differ). So the signature equijoin is
+    * a provably COMPLETE candidate generator; the `dropDuplicates`
+    * collapses the ≤2 collisions per substitution pair (content per
+    * pair is identical — names are functions of the keys), and the
+    * native damerau verify removes the one FALSE-candidate class the
+    * wider wildcard admits (two independent substitutions inside one
+    * adjacent window, DL = 2).
+    *
+    * At 100 TB: same shape as q108 — map-side explode (L−1 signatures
+    * per record), ONE signature-keyed shuffle, blocks bounded by
+    * "agree everywhere except two adjacent positions", dedup is one
+    * pair-keyed shuffle, verify is a codegen'd per-candidate DP. No
+    * all-pairs step; the oracle twin is the quadratic self-join this
+    * lane exists to avoid.
+    */
+  private[queries] def damerauPairsUnordered(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_name")
+    val sigs = c.select($"c_custkey", $"c_name",
+      posexplode(transform(sequence(lit(1), greatest(length($"c_name") - 1, lit(1))),
+        i => concat(length($"c_name").cast("string"), lit(":"),
+          overlay($"c_name", lit("\u0000\u0000"), i)))).as(Seq("pos", "sig")))
+    val pairs = sigs.as("a").join(sigs.as("b"),
+        $"a.sig" === $"b.sig" && $"a.c_custkey" < $"b.c_custkey" &&
+          ($"a.c_name" =!= $"b.c_name" || $"a.pos" === 0))
+      .select($"a.c_custkey".as("id1"), $"b.c_custkey".as("id2"),
+        $"a.c_name".as("name1"), $"b.c_name".as("name2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("dl", call_function("damerau_levenshtein", $"name1", $"name2"))
+      .filter($"dl" <= 1)
+      .withColumn("lev", levenshtein($"name1", $"name2"))
+    pairs
+  }
+
+  def q277DamerauTypos(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // presentation sort over a checkpoint: orderBy's range sampler
+    // would otherwise re-execute the blocking join (the q108 lesson)
+    damerauPairsUnordered(s, dir).localCheckpoint(true).orderBy($"id1", $"id2")
+  }
+
+  /** Oracle: the all-pairs self-join the blocked plan provably equals
+    * (DuckDB's `damerau_levenshtein` is the same unrestricted
+    * Lowrance–Wagner variant the native expression implements;
+    * integer distances → exact compare).
+    */
+  val q277DamerauTyposSql: String =
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |  a.c_name AS name1, b.c_name AS name2,
+      |  CAST(damerau_levenshtein(a.c_name, b.c_name) AS INT) AS dl,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND length(a.c_name) = length(b.c_name)
+      | AND damerau_levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id1, id2""".stripMargin
 }

@@ -1574,4 +1574,122 @@ object TextOps {
       |  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS burstiness
       |FROM dw GROUP BY word
       |ORDER BY cf DESC, word LIMIT $topK""".stripMargin
+
+  /** q278: BLEU-2 contamination scoring — q59 flags WHICH training docs
+    * touch the eval set (any shared word-3-gram); this lane scores HOW
+    * HARD each flagged (train, eval) pair overlaps, with the metric the
+    * eval community actually reports: BLEU (Papineni et al. 2002) at
+    * order 2 — clipped modified n-gram precisions p1/p2 (each train
+    * n-gram credits at most its count in the eval reference), geometric
+    * mean, brevity penalty min(1, e^{1−r/c}). A doc that merely reuses
+    * common trigrams scores near 0; a paraphrase or verbatim inclusion
+    * scores near 1 — the triage signal a decontamination reviewer wants
+    * next to q59's raw shingle counts.
+    *
+    * Candidate pairs are q59's generator verbatim (corpus scan joined
+    * against the BROADCAST eval shingle set — never a corpus self-join;
+    * the q40/q41/q42 oracle gate proves shingle-hash ⇔ shingle-string
+    * equivalence on this corpus). Per-pair clipped counts then join the
+    * train-side n-gram count tables (one shuffle each, keyed on doc)
+    * against BROADCAST eval-side counts. At 100 TB: eval sets are tiny
+    * by definition, the pair table is bounded by actual contamination,
+    * and every corpus-sized stage is a single keyed pass.
+    *
+    * Cross-engine determinism: p1/p2 are single integer→double
+    * divisions (bit-exact both engines); the brevity penalty's exp and
+    * the geometric mean's sqrt may differ in the last double ulp, so
+    * all presented scores are FLOAT (the q132 rounding-grid argument).
+    */
+  def q278BleuContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val loaded = Tables.load(s, dir, "documents")
+    val docs = loaded.select($"doc_id", split($"text", " ").as("ws"))
+    val sh = loaded.select($"doc_id",
+      call_function("word_shingle_hashes", $"text").as("sh"))
+    val evSh = sh.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("eval_doc"), explode($"sh").as("g")).distinct()
+    val pairs = sh.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id".as("train_doc"), explode($"sh").as("g"))
+      .join(broadcast(evSh), "g")
+      .select($"train_doc", $"eval_doc").distinct()
+    // n-gram multiset counts; bigram text via the same slice+join the
+    // oracle uses (array_join(slice(ws,i,2))), so strings agree exactly
+    val uni = docs.select($"doc_id", explode($"ws").as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val big = docs.select($"doc_id", explode(transform(
+        sequence(lit(1), greatest(size($"ws") - 1, lit(1))),
+        i => array_join(slice($"ws", i, lit(2)), " "))).as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+    val lens = docs.select($"doc_id", size($"ws").cast("long").as("len"))
+    val evIds = $"doc_id" % 50 === 0
+    val clip1 = pairs
+      .join(uni.filter(!evIds).withColumnRenamed("doc_id", "train_doc"), Seq("train_doc"))
+      .join(broadcast(uni.filter(evIds).select($"doc_id".as("eval_doc"),
+        $"w", $"c".as("ec"))), Seq("eval_doc", "w"))
+      .groupBy($"train_doc", $"eval_doc")
+      .agg(sum(least($"c", $"ec")).as("m1"))
+    val clip2 = pairs
+      .join(big.filter(!evIds).withColumnRenamed("doc_id", "train_doc"), Seq("train_doc"))
+      .join(broadcast(big.filter(evIds).select($"doc_id".as("eval_doc"),
+        $"b", $"c".as("ec"))), Seq("eval_doc", "b"))
+      .groupBy($"train_doc", $"eval_doc")
+      .agg(sum(least($"c", $"ec")).as("m2"))
+    // a shared 3-gram implies shared unigrams AND bigrams, so both
+    // clipped sums exist for every candidate pair — inner joins
+    val p1 = $"m1".cast("double") / $"ct"
+    val p2 = $"m2".cast("double") / greatest($"ct" - 1, lit(1L))
+    val bp = when($"ct" >= $"re", lit(1.0))
+      .otherwise(exp(lit(1.0) - $"re".cast("double") / $"ct"))
+    pairs
+      .join(clip1, Seq("train_doc", "eval_doc"))
+      .join(clip2, Seq("train_doc", "eval_doc"))
+      .join(lens.select($"doc_id".as("train_doc"), $"len".as("ct")), Seq("train_doc"))
+      .join(broadcast(lens.filter(evIds)
+        .select($"doc_id".as("eval_doc"), $"len".as("re"))), Seq("eval_doc"))
+      .select($"train_doc", $"eval_doc",
+        p1.cast("float").as("p1"), p2.cast("float").as("p2"),
+        (bp * sqrt(p1 * p2)).cast("float").as("bleu2"))
+      .orderBy($"train_doc", $"eval_doc")
+  }
+
+  val q278BleuContaminationSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |pairs AS (SELECT DISTINCT tr.doc_id AS train_doc, ev.doc_id AS eval_doc
+      |          FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0) tr
+      |          JOIN (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 = 0) ev
+      |            USING (g)),
+      |uni AS (SELECT doc_id, w AS t, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY 1, 2),
+      |big AS (SELECT doc_id, b AS t, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM (SELECT doc_id, unnest(list_transform(
+      |                range(1, greatest(len(ws), 2)),
+      |                i -> array_to_string(ws[i:i+1], ' '))) AS b FROM w)
+      |        GROUP BY 1, 2),
+      |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS L FROM w),
+      |c1 AS (SELECT p.train_doc, p.eval_doc, SUM(LEAST(a.c, b.c)) AS m1
+      |       FROM pairs p JOIN uni a ON a.doc_id = p.train_doc
+      |       JOIN uni b ON b.doc_id = p.eval_doc AND b.t = a.t
+      |       GROUP BY 1, 2),
+      |c2 AS (SELECT p.train_doc, p.eval_doc, SUM(LEAST(a.c, b.c)) AS m2
+      |       FROM pairs p JOIN big a ON a.doc_id = p.train_doc
+      |       JOIN big b ON b.doc_id = p.eval_doc AND b.t = a.t
+      |       GROUP BY 1, 2)
+      |SELECT p.train_doc, p.eval_doc,
+      |  CAST(CAST(m1 AS DOUBLE) / ct.L AS FLOAT) AS p1,
+      |  CAST(CAST(m2 AS DOUBLE) / greatest(ct.L - 1, 1) AS FLOAT) AS p2,
+      |  CAST((CASE WHEN ct.L >= re.L THEN 1.0
+      |             ELSE exp(1.0 - CAST(re.L AS DOUBLE) / ct.L) END)
+      |       * sqrt((CAST(m1 AS DOUBLE) / ct.L)
+      |              * (CAST(m2 AS DOUBLE) / greatest(ct.L - 1, 1))) AS FLOAT)
+      |    AS bleu2
+      |FROM pairs p
+      |JOIN c1 USING (train_doc, eval_doc)
+      |JOIN c2 USING (train_doc, eval_doc)
+      |JOIN lens ct ON ct.doc_id = p.train_doc
+      |JOIN lens re ON re.doc_id = p.eval_doc
+      |ORDER BY train_doc, eval_doc""".stripMargin
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.DamerauLevenshtein
+
+/** q277 Damerau–Levenshtein typo pairs + q278 BLEU-2 contamination:
+  * the native distance against DuckDB-anchored values and an
+  * independent BFS edit-search, the double-wildcard blocking against
+  * brute force on real data, and the BLEU score against a hand
+  * computation.
+  */
+class DamerauBleuSpec extends SparkSpec {
+
+  private def dl(a: String, b: String): Int =
+    DamerauLevenshtein.distance(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
+  test("damerau_levenshtein: DuckDB-anchored values (unrestricted variant)") {
+    // every expected value checked against duckdb 1.0.0 damerau_levenshtein
+    assert(dl("ca", "abc") == 2)      // transpose then insert — OSA says 3
+    assert(dl("abc", "ca") == 2)      // symmetric
+    assert(dl("ab", "ba") == 1)       // pure adjacent transposition
+    assert(dl("ab", "bca") == 2)
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("abcdef", "") == 6)
+    assert(dl("", "x") == 1)
+    assert(dl("", "") == 0)
+    assert(dl("same", "same") == 0)
+    assert(dl("abcd", "abdc") == 1)   // mid-string transposition
+  }
+
+  test("damerau_levenshtein agrees with an independent BFS edit search") {
+    // BFS over the true edit graph (insert / delete / substitute /
+    // transpose-adjacent, all over the CURRENT string — exactly the
+    // unrestricted model) to depth 3: an implementation-independent
+    // ground truth for short strings.
+    val alphabet = "abc"
+    def neighbors(s: String): Iterator[String] = {
+      val subs = for (i <- (0 until s.length).iterator; c <- alphabet.iterator
+                      if s(i) != c) yield s.updated(i, c)
+      val ins = for (i <- (0 to s.length).iterator; c <- alphabet.iterator)
+        yield s.substring(0, i) + c + s.substring(i)
+      val del = for (i <- (0 until s.length).iterator)
+        yield s.substring(0, i) + s.substring(i + 1)
+      val tr = for (i <- (0 until s.length - 1).iterator if s(i) != s(i + 1))
+        yield s.substring(0, i) + s(i + 1) + s(i) + s.substring(i + 2)
+      subs ++ ins ++ del ++ tr
+    }
+    def bfs(a: String, b: String, maxD: Int): Option[Int] = {
+      if (a == b) return Some(0)
+      var frontier = Set(a)
+      val seen = mutable.Set(a)
+      var d = 0
+      while (d < maxD) {
+        d += 1
+        val next = frontier.iterator.flatMap(neighbors)
+          .filterNot(seen).toSet
+        if (next.contains(b)) return Some(d)
+        seen ++= next
+        frontier = next
+      }
+      None
+    }
+    val rng = new Random(277)
+    for (_ <- 1 to 60) {
+      val a = Seq.fill(rng.nextInt(5))(alphabet(rng.nextInt(3))).mkString
+      val b = Seq.fill(rng.nextInt(5))(alphabet(rng.nextInt(3))).mkString
+      bfs(a, b, 3) match {
+        case Some(d) => assert(dl(a, b) == d, s"dl($a, $b)")
+        case None    => assert(dl(a, b) > 3, s"dl($a, $b) should exceed 3")
+      }
+    }
+  }
+
+  test("q277: blocked pairs == brute-force DL<=1 pairs on the real sf0.001 customer table") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val blocked = Entity.q277DamerauTypos(spark, dir)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val c = graft.sources.Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_name")
+    val brute = c.as("a").crossJoin(c.as("b"))
+      .filter($"a.c_custkey" < $"b.c_custkey" &&
+        length($"a.c_name") === length($"b.c_name") &&
+        call_function("damerau_levenshtein", $"a.c_name", $"b.c_name") <= 1)
+      .select($"a.c_custkey", $"b.c_custkey").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(blocked == brute)
+  }
+
+  test("q277 finds the adjacent-transposition pair q108's metric double-charges") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dl").toString
+    Seq(
+      (1L, "id-012"), (2L, "id-021"),  // adjacent digit swap: dl 1, lev 2
+      (3L, "id-120"),                  // dl 2 from both — excluded
+      (4L, "xy-999")
+    ).toDF("c_custkey", "c_name").write.mode("overwrite")
+      .parquet(s"$tmp/customer.parquet")
+    val rows = Entity.q277DamerauTypos(spark, tmp).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(r.fieldIndex("dl")), r.getInt(r.fieldIndex("lev")))).toSeq
+    assert(got == Seq((1L, 2L, 1, 2)))
+  }
+
+  test("q278: BLEU-2 matches the hand computation on a two-doc corpus") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-bleu").toString
+    Seq(
+      (0L, "the cat sat on the mat"),  // eval (doc_id % 50 == 0), r = 6
+      (1L, "the cat sat here")         // train, shares "the cat sat"; c = 4
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.q278BleuContamination(spark, tmp).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 0L))
+    val p1 = 3.0 / 4          // the, cat, sat clip to 1 each; "here" unshared
+    val p2 = 2.0 / 3          // "the cat", "cat sat" of 3 train bigrams
+    val bleu = math.exp(1.0 - 6.0 / 4) * math.sqrt(p1 * p2)
+    assert(math.abs(r.getFloat(r.fieldIndex("p1")) - p1) < 1e-6)
+    assert(math.abs(r.getFloat(r.fieldIndex("p2")) - p2) < 1e-6)
+    assert(math.abs(r.getFloat(r.fieldIndex("bleu2")) - bleu) < 1e-6)
+  }
+
+  test("q278: verbatim inclusion scores bleu2 = 1") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-bleu2").toString
+    Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta")   // identical train copy
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val r = TextOps.q278BleuContamination(spark, tmp).collect().head
+    assert(r.getFloat(r.fieldIndex("bleu2")) == 1.0f)
+  }
+}

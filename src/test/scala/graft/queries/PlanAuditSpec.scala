@@ -769,4 +769,32 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the trained segmenter to broadcast onto corpus words:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q277: damerau candidates come from the signature equijoin — never all-pairs") {
+    // same law as q108's: the double-wildcard blocking must reach the
+    // executor as a sig-keyed equijoin; the quadratic self-join exists
+    // only in the oracle twin
+    // pre-checkpoint frame: the registered presentation sort reads the
+    // checkpointed RDD, hiding the join (same split as q108's audit)
+    val df = Entity.damerauPairsUnordered(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q277 blocking must not degrade to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin [sig") || p.contains("ShuffledHashJoin [sig")
+      || p.contains("BroadcastHashJoin [sig"),
+      s"expected the sig-keyed candidate equijoin:\n$p")
+  }
+
+  test("q278: every eval-side contact is a broadcast — the corpus is never on " +
+    "both sides of a join") {
+    // the decontamination scale shape: eval sets are tiny, so the
+    // shingle candidate join and both clipped-count joins broadcast
+    // the eval frames onto single corpus-sided scans
+    val p = plan("q278_bleu_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs contact:\n$p")
+    assert(p.contains("BroadcastHashJoin [g"),
+      s"expected the eval shingle set to broadcast onto the corpus scan:\n$p")
+  }
 }
