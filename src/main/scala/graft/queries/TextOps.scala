@@ -1600,19 +1600,30 @@ object TextOps {
     * the geometric mean's sqrt may differ in the last double ulp, so
     * all presented scores are FLOAT (the q132 rounding-grid argument).
     */
-  def q278BleuContamination(s: SparkSession, dir: String): DataFrame = {
+  /** q278/q279 candidate generator — q59's shape lifted to PAIRS: every
+    * (train, eval) doc pair sharing at least one word-3-gram shingle,
+    * eval set = doc_id % 50 == 0. The eval shingle frame is BROADCAST,
+    * the corpus side is one exploded scan, the pair distinct is one
+    * shuffle bounded by actual contamination.
+    */
+  private def contaminationPairs(s: SparkSession, loaded: DataFrame): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
-    val loaded = Tables.load(s, dir, "documents")
-    val docs = loaded.select($"doc_id", split($"text", " ").as("ws"))
     val sh = loaded.select($"doc_id",
       call_function("word_shingle_hashes", $"text").as("sh"))
     val evSh = sh.filter($"doc_id" % 50 === 0)
       .select($"doc_id".as("eval_doc"), explode($"sh").as("g")).distinct()
-    val pairs = sh.filter($"doc_id" % 50 =!= 0)
+    sh.filter($"doc_id" % 50 =!= 0)
       .select($"doc_id".as("train_doc"), explode($"sh").as("g"))
       .join(broadcast(evSh), "g")
       .select($"train_doc", $"eval_doc").distinct()
+  }
+
+  def q278BleuContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val loaded = Tables.load(s, dir, "documents")
+    val docs = loaded.select($"doc_id", split($"text", " ").as("ws"))
+    val pairs = contaminationPairs(s, loaded)
     // n-gram multiset counts; bigram text via the same slice+join the
     // oracle uses (array_join(slice(ws,i,2))), so strings agree exactly
     val uni = docs.select($"doc_id", explode($"ws").as("w"))
@@ -1692,4 +1703,108 @@ object TextOps {
       |JOIN lens ct ON ct.doc_id = p.train_doc
       |JOIN lens re ON re.doc_id = p.eval_doc
       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  /** q279: chrF contamination scoring (Popović 2015) — the
+    * CHARACTER-level F-score companion to q278's BLEU: q278 breaks on
+    * tokenization differences (an extra space, hyphenation, CJK text
+    * with no spaces); chrF compares space-stripped character n-grams,
+    * so paraphrase-with-reformatting still scores high. Per flagged
+    * (train, eval) pair: clipped character n-gram matches for
+    * n = 1..3, per-order F_β (β = 2, recall-weighted — the paper's
+    * chrF2 convention), macro-averaged. nMax = 3 here (the paper's
+    * default 6 only sharpens long-match credit; 3 keeps the gram
+    * tables proportional to 3 corpus scans).
+    *
+    * Scale shape: ONE tagged gram shuffle for all three orders
+    * ((doc, n, gram) keys), eval side BROADCAST, one pair-keyed
+    * aggregate computes all three clipped sums. Candidate pairs are
+    * the shared contaminationPairs generator (eval shingles
+    * broadcast; pair table bounded by contamination).
+    *
+    * Determinism: a shared word-3-gram is a contiguous ≥3-char
+    * substring of both docs, so every order's clipped sum is ≥ 1 and
+    * no divide-by-zero guard is needed; the score chain is pure
+    * +,*,/ IEEE arithmetic in an identical shape on both engines
+    * (no libm), presented FLOAT by house convention.
+    */
+  def q279ChrfContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val loaded = Tables.load(s, dir, "documents")
+    val pairs = contaminationPairs(s, loaded)
+    val cs = loaded.select($"doc_id", translate($"text", " ", "").as("cs"))
+    val grams = cs.select($"doc_id", explode(flatten(transform(
+        sequence(lit(1), lit(3)),
+        n => transform(sequence(lit(1), greatest(length($"cs") - n + 1, lit(1))),
+          i => struct(n.as("n"), $"cs".substr(i, n).as("g"))))))
+        .as("t"))
+      .select($"doc_id", $"t.n".as("n"), $"t.g".as("g"))
+      .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
+    val evIds = $"doc_id" % 50 === 0
+    val m = pairs
+      .join(grams.filter(!evIds).withColumnRenamed("doc_id", "train_doc"),
+        Seq("train_doc"))
+      .join(broadcast(grams.filter(evIds).select($"doc_id".as("eval_doc"),
+        $"n", $"g", $"c".as("ec"))), Seq("eval_doc", "n", "g"))
+      .groupBy($"train_doc", $"eval_doc")
+      .agg(sum(when($"n" === 1, least($"c", $"ec"))).as("m1"),
+        sum(when($"n" === 2, least($"c", $"ec"))).as("m2"),
+        sum(when($"n" === 3, least($"c", $"ec"))).as("m3"))
+    val lens = cs.select($"doc_id", length($"cs").cast("long").as("clen"))
+    def fScore(n: Int) = {
+      val mm = col(s"m$n").cast("double")
+      val p = mm / greatest($"ct" - (n - 1), lit(1L))
+      val r = mm / greatest($"re" - (n - 1), lit(1L))
+      (lit(5.0) * p * r) / (lit(4.0) * p + r)
+    }
+    m.join(lens.select($"doc_id".as("train_doc"), $"clen".as("ct")), Seq("train_doc"))
+      .join(broadcast(lens.filter(evIds)
+        .select($"doc_id".as("eval_doc"), $"clen".as("re"))), Seq("eval_doc"))
+      .select($"train_doc", $"eval_doc",
+        fScore(1).cast("float").as("f1"),
+        fScore(2).cast("float").as("f2"),
+        fScore(3).cast("float").as("f3"),
+        ((fScore(1) + fScore(2) + fScore(3)) / lit(3.0)).cast("float").as("chrf"))
+      .orderBy($"train_doc", $"eval_doc")
+  }
+
+  val q279ChrfContaminationSql: String = {
+    def f(n: Int) =
+      s"""(5.0 * (CAST(m$n AS DOUBLE) / greatest(ct.L - ${n - 1}, 1))
+         |     * (CAST(m$n AS DOUBLE) / greatest(re.L - ${n - 1}, 1)))
+         |/ (4.0 * (CAST(m$n AS DOUBLE) / greatest(ct.L - ${n - 1}, 1))
+         |     + (CAST(m$n AS DOUBLE) / greatest(re.L - ${n - 1}, 1)))""".stripMargin
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |             replace(text, ' ', '') AS cs FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |pairs AS (SELECT DISTINCT tr.doc_id AS train_doc, ev.doc_id AS eval_doc
+      |          FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0) tr
+      |          JOIN (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 = 0) ev
+      |            USING (g)),
+      |g AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM (SELECT doc_id, n,
+      |              unnest(list_transform(
+      |                range(1, greatest(length(cs) - n + 2, 2)),
+      |                i -> cs[i:i+n-1])) AS g
+      |            FROM w, (SELECT unnest([1, 2, 3]) AS n) t)
+      |      GROUP BY 1, 2, 3),
+      |lens AS (SELECT doc_id, CAST(length(cs) AS BIGINT) AS L FROM w),
+      |m AS (SELECT p.train_doc, p.eval_doc,
+      |        SUM(LEAST(a.c, b.c)) FILTER (WHERE a.n = 1) AS m1,
+      |        SUM(LEAST(a.c, b.c)) FILTER (WHERE a.n = 2) AS m2,
+      |        SUM(LEAST(a.c, b.c)) FILTER (WHERE a.n = 3) AS m3
+      |      FROM pairs p JOIN g a ON a.doc_id = p.train_doc
+      |      JOIN g b ON b.doc_id = p.eval_doc AND b.n = a.n AND b.g = a.g
+      |      GROUP BY 1, 2)
+      |SELECT m.train_doc, m.eval_doc,
+      |  CAST(${f(1)} AS FLOAT) AS f1,
+      |  CAST(${f(2)} AS FLOAT) AS f2,
+      |  CAST(${f(3)} AS FLOAT) AS f3,
+      |  CAST((${f(1)} + ${f(2)} + ${f(3)}) / 3.0 AS FLOAT) AS chrf
+      |FROM m
+      |JOIN lens ct ON ct.doc_id = m.train_doc
+      |JOIN lens re ON re.doc_id = m.eval_doc
+      |ORDER BY train_doc, eval_doc""".stripMargin
+  }
 }

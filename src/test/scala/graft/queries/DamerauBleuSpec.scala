@@ -141,4 +141,63 @@ class DamerauBleuSpec extends SparkSpec {
     val r = TextOps.q278BleuContamination(spark, tmp).collect().head
     assert(r.getFloat(r.fieldIndex("bleu2")) == 1.0f)
   }
+
+  /** Independent chrF ground truth: sliding-window char n-grams over
+    * space-stripped strings, clipped multiset intersection, F_2 per
+    * order, macro mean — straight from the paper's definition.
+    */
+  private def chrfRef(train: String, eval: String): (Double, Double, Double, Double) = {
+    def grams(s: String, n: Int): Map[String, Int] = {
+      val cs = s.replace(" ", "")
+      val slid = if (cs.length < n) Seq(cs) else cs.sliding(n).toSeq
+      slid.groupBy(identity).map { case (g, o) => (g, o.size) }
+    }
+    def f(n: Int): Double = {
+      val t = grams(train, n); val e = grams(eval, n)
+      val m = t.map { case (g, c) => math.min(c, e.getOrElse(g, 0)) }.sum.toDouble
+      val ct = train.replace(" ", "").length
+      val re = eval.replace(" ", "").length
+      val p = m / math.max(ct - (n - 1), 1)
+      val r = m / math.max(re - (n - 1), 1)
+      5.0 * p * r / (4.0 * p + r)
+    }
+    (f(1), f(2), f(3), (f(1) + f(2) + f(3)) / 3.0)
+  }
+
+  test("q279: chrF matches an independent sliding-window computation") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-chrf").toString
+    val evalTxt = "the cat sat on the mat"
+    val trainTxt = "the cat sat here"     // shares "the cat sat"
+    Seq((0L, evalTxt), (1L, trainTxt)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.q279ChrfContamination(spark, tmp).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 0L))
+    val (f1, f2, f3, c) = chrfRef(trainTxt, evalTxt)
+    assert(math.abs(r.getFloat(r.fieldIndex("f1")) - f1) < 1e-6)
+    assert(math.abs(r.getFloat(r.fieldIndex("f2")) - f2) < 1e-6)
+    assert(math.abs(r.getFloat(r.fieldIndex("f3")) - f3) < 1e-6)
+    assert(math.abs(r.getFloat(r.fieldIndex("chrf")) - c) < 1e-6)
+  }
+
+  test("q279: chrF is tokenization-robust where BLEU is not") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-chrf2").toString
+    // same characters, different spacing: word n-grams diverge hard,
+    // char n-grams barely move — the reason chrF rides next to BLEU
+    Seq(
+      (0L, "data base systems are great here"),
+      (1L, "database systems are great here")
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val chrf = TextOps.q279ChrfContamination(spark, tmp).collect()
+      .head.getFloat(4)
+    val bleu = TextOps.q278BleuContamination(spark, tmp).collect()
+      .head.getFloat(4)
+    assert(chrf > 0.95f, s"chrf=$chrf should ignore the spacing change")
+    assert(bleu < 0.8f, s"bleu=$bleu should be hurt by the spacing change")
+    assert(chrf > bleu)
+  }
 }

@@ -797,4 +797,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin [g"),
       s"expected the eval shingle set to broadcast onto the corpus scan:\n$p")
   }
+
+  test("q279: one tagged gram shuffle serves all three chrF orders; eval side broadcasts") {
+    val p = plan("q279_chrf_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs contact:\n$p")
+    assert(p.contains("BroadcastHashJoin [g"),
+      s"expected the eval shingle set to broadcast onto the corpus scan:\n$p")
+    // the (doc, n, gram) counts shuffle exactly once for n = 1..3 —
+    // a per-order shuffle would print three gram-keyed exchanges
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val gramExchanges = "hashpartitioning\\(doc_id#\\d+L?, n#".r
+      .findAllIn(finalPlan).size
+    assert(gramExchanges <= 2,  // train + eval branches of the ONE gram agg
+      s"expected the single tagged gram aggregate, got $gramExchanges gram exchanges:\n$p")
+  }
 }
