@@ -314,19 +314,21 @@ object Entity {
     * {p−1, p} ∩ [1, L−1], a transposition at (p, p+1) collides at
     * exactly signature p (at any OTHER double-wildcard both swapped
     * positions stay visible and differ). So the signature equijoin is
-    * a provably COMPLETE candidate generator; the `dropDuplicates`
-    * collapses the ≤2 collisions per substitution pair (content per
-    * pair is identical — names are functions of the keys), and the
-    * native damerau verify removes the one FALSE-candidate class the
-    * wider wildcard admits (two independent substitutions inside one
-    * adjacent window, DL = 2).
+    * a provably COMPLETE candidate generator; a canonical-collision
+    * predicate (see inline comment) collapses the ≤2 collisions per
+    * substitution pair with NO distinct shuffle, and the native
+    * damerau verify removes the one FALSE-candidate class the wider
+    * wildcard admits (two independent substitutions inside one
+    * adjacent window, DL = 2) map-side, before any exchange.
     *
     * At 100 TB: same shape as q108 — map-side explode (L−1 signatures
     * per record), ONE signature-keyed shuffle, blocks bounded by
-    * "agree everywhere except two adjacent positions", dedup is one
-    * pair-keyed shuffle, verify is a codegen'd per-candidate DP. No
-    * all-pairs step; the oracle twin is the quadratic self-join this
-    * lane exists to avoid.
+    * "agree everywhere except two adjacent positions", dedup and
+    * verify both evaluate inside the join's output projection (a
+    * codegen'd per-candidate DP — the wider window's C(k,2) block
+    * fan-out dies there, never reaching a shuffle). No all-pairs
+    * step; the oracle twin is the quadratic self-join this lane
+    * exists to avoid.
     */
   private[queries] def damerauPairsUnordered(s: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(s)
@@ -336,14 +338,42 @@ object Entity {
       posexplode(transform(sequence(lit(1), greatest(length($"c_name") - 1, lit(1))),
         i => concat(length($"c_name").cast("string"), lit(":"),
           overlay($"c_name", lit("\u0000\u0000"), i)))).as(Seq("pos", "sig")))
+    // duplicate suppression WITHOUT a distinct shuffle (the q108 pos==0
+    // idea, generalized): a DL<=1 pair's diff always sits INSIDE any
+    // window it collides at, so keep only the CANONICAL collision —
+    // the window whose FIRST wildcarded position (1-based pos+1)
+    // differs. A substitution at p collides at windows (p-1,p) and
+    // (p,p+1) and survives only at (p,p+1); a transposition's single
+    // collision has both positions differing (survives); a LAST-char
+    // substitution's only window (L-1,L) differs at its second
+    // position alone, hence the pos == L-2 escape (no later window
+    // exists to catch it). Equal names keep their pos==0 row. The
+    // block self-join's two-substitution false candidates also pass
+    // (first position differs) — the DL verify below is what kills
+    // them, map-side, before any shuffle.
+    // the verify itself is STRUCTURAL, not the DP: window candidates
+    // agree outside (pos+1, pos+2), so DL <= 1 is exactly "one position
+    // differs, or both differ swapped" — four codegen'd substr compares.
+    // Filtering on the DP column instead would let Catalyst push the
+    // predicate into the join and run the O(L^2) DP twice per candidate
+    // (the q108 lesson, measured +50% here); the native damerau rides
+    // the OUTPUT projection only, computed once per survivor, keeping
+    // the declared metric on the emitted rows.
+    val a1 = $"a.c_name".substr($"a.pos" + 1, lit(1))
+    val b1 = $"b.c_name".substr($"a.pos" + 1, lit(1))
+    val a2 = $"a.c_name".substr($"a.pos" + 2, lit(1))
+    val b2 = $"b.c_name".substr($"a.pos" + 2, lit(1))
+    val d1 = a1 =!= b1
+    val d2 = a2 =!= b2
     val pairs = sigs.as("a").join(sigs.as("b"),
         $"a.sig" === $"b.sig" && $"a.c_custkey" < $"b.c_custkey" &&
           ($"a.c_name" =!= $"b.c_name" || $"a.pos" === 0))
+      .filter($"a.c_name" === $"b.c_name" ||          // equal: the pos==0 row
+        (d1 && (!d2 || (a1 === b2 && a2 === b1))) ||  // sub at w1 | transposition
+        (!d1 && d2 && $"a.pos" === length($"a.c_name") - 2)) // last-window sub at w2
       .select($"a.c_custkey".as("id1"), $"b.c_custkey".as("id2"),
         $"a.c_name".as("name1"), $"b.c_name".as("name2"))
-      .dropDuplicates("id1", "id2")
       .withColumn("dl", call_function("damerau_levenshtein", $"name1", $"name2"))
-      .filter($"dl" <= 1)
       .withColumn("lev", levenshtein($"name1", $"name2"))
     pairs
   }
