@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BloomMightContain, CosineSimilarity, DamerauLevenshtein, DotProduct, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MapSetKey, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, Sq8Cos, Sq8Encode, SrpBucket, WordShingleHashes}
+import graft.functions.{BloomMightContain, CharNgrams, CosineSimilarity, DamerauLevenshtein, DotProduct, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MapSetKey, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, Sq8Cos, Sq8Encode, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -111,6 +111,9 @@ object GraftExtensions {
       arity(2, "jaro_winkler")(a => JaroWinkler(a.head, a(1)))),
     ("damerau_levenshtein", DamerauLevenshtein.info,
       arity(2, "damerau_levenshtein")(a => DamerauLevenshtein(a.head, a(1)))),
+    ("char_ngrams", CharNgrams.info,
+      arity(2, "char_ngrams")(a =>
+        CharNgrams(a.head, intLit(a(1), "char_ngrams", "nMax")))),
     ("bloom_might_contain", BloomMightContain.info, args => {
       require(args.length == 2,
         "bloom_might_contain(key, filterBytes) takes 2 arguments")

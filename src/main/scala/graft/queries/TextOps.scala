@@ -1586,12 +1586,13 @@ object TextOps {
     * scores near 1 — the triage signal a decontamination reviewer wants
     * next to q59's raw shingle counts.
     *
-    * Candidate pairs are q59's generator verbatim (corpus scan joined
-    * against the BROADCAST eval shingle set — never a corpus self-join;
+    * Candidate pairs are q59's generator lifted to pairs (corpus scan
+    * joined against the eval shingle set — never a corpus self-join;
     * the q40/q41/q42 oracle gate proves shingle-hash ⇔ shingle-string
     * equivalence on this corpus). Per-pair clipped counts then join the
     * train-side n-gram count tables (one shuffle each, keyed on doc)
-    * against BROADCAST eval-side counts. At 100 TB: eval sets are tiny
+    * against the eval-side counts, strategy AQE-sized (see
+    * contaminationPairs' scale note). At 100 TB: eval sets are tiny
     * by definition, the pair table is bounded by actual contamination,
     * and every corpus-sized stage is a single keyed pass.
     *
@@ -1602,28 +1603,37 @@ object TextOps {
     */
   /** q278/q279 candidate generator — q59's shape lifted to PAIRS: every
     * (train, eval) doc pair sharing at least one word-3-gram shingle,
-    * eval set = doc_id % 50 == 0. The eval shingle frame is BROADCAST,
-    * the corpus side is one exploded scan, the pair distinct is one
-    * shuffle bounded by actual contamination.
+    * eval set = doc_id % 50 == 0. The corpus side is one exploded
+    * scan; the pair distinct is one shuffle bounded by actual
+    * contamination. Eval-side strategy is left to AQE deliberately:
+    * a real eval set is tiny (runtime-sized broadcast), but FORCING
+    * the hint would OOM/degrade when the eval frame grows with the
+    * corpus (the registered %-50 contract ties eval size to corpus
+    * size, so the derived decade grows it 10×). `evalCap` exists for
+    * the deployment-shaped decade probe (tools/ContamProbe): capped
+    * (fixed eval) ≈ uncapped at sf1d post-fix — the lanes are
+    * corpus-scan-bound, the honest linear term.
     */
-  private def contaminationPairs(s: SparkSession, loaded: DataFrame): DataFrame = {
+  private def contaminationPairs(s: SparkSession, loaded: DataFrame,
+      evalCap: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)
     val sh = loaded.select($"doc_id",
       call_function("word_shingle_hashes", $"text").as("sh"))
-    val evSh = sh.filter($"doc_id" % 50 === 0)
+    val evSh = sh.filter($"doc_id" % 50 === 0 && $"doc_id" <= evalCap)
       .select($"doc_id".as("eval_doc"), explode($"sh").as("g")).distinct()
     sh.filter($"doc_id" % 50 =!= 0)
       .select($"doc_id".as("train_doc"), explode($"sh").as("g"))
-      .join(broadcast(evSh), "g")
+      .join(evSh, "g")
       .select($"train_doc", $"eval_doc").distinct()
   }
 
-  def q278BleuContamination(s: SparkSession, dir: String): DataFrame = {
+  def q278BleuContamination(s: SparkSession, dir: String,
+      evalCap: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
     val loaded = Tables.load(s, dir, "documents")
     val docs = loaded.select($"doc_id", split($"text", " ").as("ws"))
-    val pairs = contaminationPairs(s, loaded)
+    val pairs = contaminationPairs(s, loaded, evalCap)
     // n-gram multiset counts; bigram text via the same slice+join the
     // oracle uses (array_join(slice(ws,i,2))), so strings agree exactly
     val uni = docs.select($"doc_id", explode($"ws").as("w"))
@@ -1633,17 +1643,18 @@ object TextOps {
         i => array_join(slice($"ws", i, lit(2)), " "))).as("b"))
       .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
     val lens = docs.select($"doc_id", size($"ws").cast("long").as("len"))
-    val evIds = $"doc_id" % 50 === 0
+    val evIds = $"doc_id" % 50 === 0 && $"doc_id" <= evalCap
+    val trIds = $"doc_id" % 50 =!= 0
     val clip1 = pairs
-      .join(uni.filter(!evIds).withColumnRenamed("doc_id", "train_doc"), Seq("train_doc"))
-      .join(broadcast(uni.filter(evIds).select($"doc_id".as("eval_doc"),
-        $"w", $"c".as("ec"))), Seq("eval_doc", "w"))
+      .join(uni.filter(trIds).withColumnRenamed("doc_id", "train_doc"), Seq("train_doc"))
+      .join(uni.filter(evIds).select($"doc_id".as("eval_doc"),
+        $"w", $"c".as("ec")), Seq("eval_doc", "w"))
       .groupBy($"train_doc", $"eval_doc")
       .agg(sum(least($"c", $"ec")).as("m1"))
     val clip2 = pairs
-      .join(big.filter(!evIds).withColumnRenamed("doc_id", "train_doc"), Seq("train_doc"))
-      .join(broadcast(big.filter(evIds).select($"doc_id".as("eval_doc"),
-        $"b", $"c".as("ec"))), Seq("eval_doc", "b"))
+      .join(big.filter(trIds).withColumnRenamed("doc_id", "train_doc"), Seq("train_doc"))
+      .join(big.filter(evIds).select($"doc_id".as("eval_doc"),
+        $"b", $"c".as("ec")), Seq("eval_doc", "b"))
       .groupBy($"train_doc", $"eval_doc")
       .agg(sum(least($"c", $"ec")).as("m2"))
     // a shared 3-gram implies shared unigrams AND bigrams, so both
@@ -1656,8 +1667,8 @@ object TextOps {
       .join(clip1, Seq("train_doc", "eval_doc"))
       .join(clip2, Seq("train_doc", "eval_doc"))
       .join(lens.select($"doc_id".as("train_doc"), $"len".as("ct")), Seq("train_doc"))
-      .join(broadcast(lens.filter(evIds)
-        .select($"doc_id".as("eval_doc"), $"len".as("re"))), Seq("eval_doc"))
+      .join(lens.filter(evIds)
+        .select($"doc_id".as("eval_doc"), $"len".as("re")), Seq("eval_doc"))
       .select($"train_doc", $"eval_doc",
         p1.cast("float").as("p1"), p2.cast("float").as("p2"),
         (bp * sqrt(p1 * p2)).cast("float").as("bleu2"))
@@ -1716,10 +1727,11 @@ object TextOps {
     * tables proportional to 3 corpus scans).
     *
     * Scale shape: ONE tagged gram shuffle for all three orders
-    * ((doc, n, gram) keys), eval side BROADCAST, one pair-keyed
-    * aggregate computes all three clipped sums. Candidate pairs are
-    * the shared contaminationPairs generator (eval shingles
-    * broadcast; pair table bounded by contamination).
+    * ((doc, n, gram) keys), eval side AQE-sized (broadcast when the
+    * eval set is tiny — the deployment case; keyed join when it is
+    * not), one pair-keyed aggregate computes all three clipped sums.
+    * Candidate pairs are the shared contaminationPairs generator
+    * (pair table bounded by contamination).
     *
     * Determinism: a shared word-3-gram is a contiguous ≥3-char
     * substring of both docs, so every order's clipped sum is ≥ 1 and
@@ -1727,28 +1739,31 @@ object TextOps {
     * +,*,/ IEEE arithmetic in an identical shape on both engines
     * (no libm), presented FLOAT by house convention.
     */
-  def q279ChrfContamination(s: SparkSession, dir: String): DataFrame = {
+  def q279ChrfContamination(s: SparkSession, dir: String,
+      evalCap: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
     val loaded = Tables.load(s, dir, "documents")
-    val pairs = contaminationPairs(s, loaded)
+    val pairs = contaminationPairs(s, loaded, evalCap)
     val cs = loaded.select($"doc_id", translate($"text", " ", "").as("cs"))
-    val grams = cs.select($"doc_id", explode(flatten(transform(
-        sequence(lit(1), lit(3)),
-        n => transform(sequence(lit(1), greatest(length($"cs") - n + 1, lit(1))),
-          i => struct(n.as("n"), $"cs".substr(i, n).as("g"))))))
-        .as("t"))
-      .select($"doc_id", $"t.n".as("n"), $"t.g".as("g"))
-      .groupBy($"doc_id", $"n", $"g").agg(count(lit(1)).as("c"))
-    val evIds = $"doc_id" % 50 === 0
+    // tagged grams ride the native char_ngrams scan (one fused loop per
+    // row; the declarative nested-transform spelling evaluates its
+    // lambdas INTERPRETED — measured ~90% of the lane's runtime at the
+    // derived decade). The order tag is the gram's first char, so one
+    // array carries all three orders through ONE (doc, gram) aggregate.
+    val grams = cs.select($"doc_id",
+        explode(call_function("char_ngrams", $"cs", lit(3))).as("tg"))
+      .groupBy($"doc_id", $"tg").agg(count(lit(1)).as("c"))
+    val evIds = $"doc_id" % 50 === 0 && $"doc_id" <= evalCap
+    val trIds = $"doc_id" % 50 =!= 0
     val m = pairs
-      .join(grams.filter(!evIds).withColumnRenamed("doc_id", "train_doc"),
+      .join(grams.filter(trIds).withColumnRenamed("doc_id", "train_doc"),
         Seq("train_doc"))
-      .join(broadcast(grams.filter(evIds).select($"doc_id".as("eval_doc"),
-        $"n", $"g", $"c".as("ec"))), Seq("eval_doc", "n", "g"))
+      .join(grams.filter(evIds).select($"doc_id".as("eval_doc"),
+        $"tg", $"c".as("ec")), Seq("eval_doc", "tg"))
       .groupBy($"train_doc", $"eval_doc")
-      .agg(sum(when($"n" === 1, least($"c", $"ec"))).as("m1"),
-        sum(when($"n" === 2, least($"c", $"ec"))).as("m2"),
-        sum(when($"n" === 3, least($"c", $"ec"))).as("m3"))
+      .agg(sum(when(substring($"tg", 1, 1) === "1", least($"c", $"ec"))).as("m1"),
+        sum(when(substring($"tg", 1, 1) === "2", least($"c", $"ec"))).as("m2"),
+        sum(when(substring($"tg", 1, 1) === "3", least($"c", $"ec"))).as("m3"))
     val lens = cs.select($"doc_id", length($"cs").cast("long").as("clen"))
     def fScore(n: Int) = {
       val mm = col(s"m$n").cast("double")
@@ -1757,8 +1772,8 @@ object TextOps {
       (lit(5.0) * p * r) / (lit(4.0) * p + r)
     }
     m.join(lens.select($"doc_id".as("train_doc"), $"clen".as("ct")), Seq("train_doc"))
-      .join(broadcast(lens.filter(evIds)
-        .select($"doc_id".as("eval_doc"), $"clen".as("re"))), Seq("eval_doc"))
+      .join(lens.filter(evIds)
+        .select($"doc_id".as("eval_doc"), $"clen".as("re")), Seq("eval_doc"))
       .select($"train_doc", $"eval_doc",
         fScore(1).cast("float").as("f1"),
         fScore(2).cast("float").as("f2"),

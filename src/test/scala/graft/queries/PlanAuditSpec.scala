@@ -807,7 +807,7 @@ class PlanAuditSpec extends SparkSpec {
     // the (doc, n, gram) counts shuffle exactly once for n = 1..3 —
     // a per-order shuffle would print three gram-keyed exchanges
     val finalPlan = p.split("== Initial Plan ==")(0)
-    val gramExchanges = "hashpartitioning\\(doc_id#\\d+L?, n#".r
+    val gramExchanges = "hashpartitioning\\(doc_id#\\d+L?, tg#".r
       .findAllIn(finalPlan).size
     assert(gramExchanges <= 2,  // train + eval branches of the ONE gram agg
       s"expected the single tagged gram aggregate, got $gramExchanges gram exchanges:\n$p")
