@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BloomMightContain, CharNgrams, CosineSimilarity, DamerauLevenshtein, DotProduct, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MapSetKey, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, Sq8Cos, Sq8Encode, SrpBucket, WordShingleHashes}
+import graft.functions.{BlocklistHits, BloomMightContain, CharNgrams, CosineSimilarity, DamerauLevenshtein, DotProduct, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MapSetKey, MinHashSignature, MinShingleMd5, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, Sq8Cos, Sq8Encode, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -38,6 +38,13 @@ object GraftExtensions {
     case Literal(data: ArrayData, ArrayType(FloatType, _)) => data.toFloatArray()
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be an array<float> literal, got $other")
+  }
+
+  private def stringArrayLit(e: Expression, fn: String, what: String): Seq[String] = e match {
+    case Literal(data: ArrayData, ArrayType(st, _)) if st == org.apache.spark.sql.types.StringType =>
+      data.toArray[org.apache.spark.unsafe.types.UTF8String](st).toSeq.map(_.toString)
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an array<string> literal, got $other")
   }
 
   private def arity(n: Int, name: String)(
@@ -111,9 +118,15 @@ object GraftExtensions {
       arity(2, "jaro_winkler")(a => JaroWinkler(a.head, a(1)))),
     ("damerau_levenshtein", DamerauLevenshtein.info,
       arity(2, "damerau_levenshtein")(a => DamerauLevenshtein(a.head, a(1)))),
-    ("char_ngrams", CharNgrams.info,
-      arity(2, "char_ngrams")(a =>
-        CharNgrams(a.head, intLit(a(1), "char_ngrams", "nMax")))),
+    ("char_ngrams", CharNgrams.info, args => {
+      require(args.length == 2 || args.length == 3,
+        "char_ngrams(text, nMax[, nMin]) takes 2 or 3 arguments")
+      CharNgrams(args.head, intLit(args(1), "char_ngrams", "nMax"),
+        args.lift(2).map(intLit(_, "char_ngrams", "nMin")).getOrElse(1))
+    }),
+    ("blocklist_hits", BlocklistHits.info,
+      arity(2, "blocklist_hits")(a =>
+        BlocklistHits(a.head, stringArrayLit(a(1), "blocklist_hits", "patterns")))),
     ("bloom_might_contain", BloomMightContain.info, args => {
       require(args.length == 2,
         "bloom_might_contain(key, filterBytes) takes 2 arguments")

@@ -22,25 +22,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * derived decade. This is one fused per-row loop, codegen-callable,
   * allocation-exact.
   */
-case class CharNgrams(child: Expression, nMax: Int) extends UnaryExpression {
+case class CharNgrams(child: Expression, nMax: Int, nMin: Int = 1)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if nMax >= 1 && nMax <= 9 => TypeCheckResult.TypeCheckSuccess
+    case StringType if nMin >= 1 && nMin <= nMax && nMax <= 9 =>
+      TypeCheckResult.TypeCheckSuccess
     case StringType => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName: nMax must be in 1..9 (one-char tags), got $nMax")
+      s"$prettyName: need 1 <= nMin <= nMax <= 9 (one-char tags), got ($nMin, $nMax)")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string input, got ${t.catalogString}")
   }
 
   override def nullSafeEval(input: Any): Any =
-    CharNgrams.grams(input.asInstanceOf[UTF8String], nMax)
+    CharNgrams.grams(input.asInstanceOf[UTF8String], nMax, nMin)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.CharNgrams.grams($c, $nMax)")
+      s"graft.functions.CharNgrams.grams($c, $nMax, $nMin)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -50,11 +52,13 @@ object CharNgrams {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CharNgrams].getName, "char_ngrams")
 
-  def grams(s: UTF8String, nMax: Int): GenericArrayData = {
+  def grams(s: UTF8String, nMax: Int): GenericArrayData = grams(s, nMax, 1)
+
+  def grams(s: UTF8String, nMax: Int, nMin: Int): GenericArrayData = {
     val str = s.toString
     val len = str.length
     var total = 0
-    var n = 1
+    var n = nMin
     while (n <= nMax) {
       total += (if (len < n) 1 else len - n + 1)
       n += 1
@@ -62,7 +66,7 @@ object CharNgrams {
     val out = new Array[Any](total)
     val sb = new java.lang.StringBuilder(nMax + 1)
     var idx = 0
-    n = 1
+    n = nMin
     while (n <= nMax) {
       val tag = ('0' + n).toChar
       if (len < n) {

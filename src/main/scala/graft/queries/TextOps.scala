@@ -1822,4 +1822,129 @@ object TextOps {
       |JOIN lens re ON re.doc_id = m.eval_doc
       |ORDER BY train_doc, eval_doc""".stripMargin
   }
+
+  /** q280's blocklist — ONE definition drives both twins (the q268 tau
+    * lesson): multi-word phrases and deliberate substring overlaps
+    * ("ash" ⊂ "hash" ⊂ "hash join") so the automaton's failure links
+    * carry real traffic on the registered corpus.
+    */
+  val Blocklist: Seq[String] = Seq(
+    "hash join", "hash", "ash", "scan", "merge batch", "slow", "row", "order")
+
+  /** q280: blocklist screening — per-document occurrence counts of a
+    * pattern lexicon (the profanity/PII/license-header filter every
+    * pretraining pipeline runs before quality scoring), via the native
+    * Aho–Corasick expression [[graft.functions.BlocklistHits]]: ONE
+    * byte walk per document for the whole lexicon, where the naive
+    * plan is |patterns| regex passes or a patterns×corpus join. All
+    * match positions count (overlapping included), which is exactly
+    * the per-position substring-compare semantics the oracle states.
+    *
+    * At 100 TB: the blocklist is CONFIG — an array literal compiled
+    * into the automaton at plan time and shipped as a codegen
+    * reference object; the corpus pays one scan, no join, no shuffle
+    * except the presentation sort; output is bounded by
+    * |patterns|·docs-with-hits. Growing the lexicon changes the
+    * automaton, not the plan shape.
+    */
+  def q280BlocklistHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", posexplode(call_function("blocklist_hits",
+        $"text", typedLit(Blocklist))).as(Seq("pid", "hits")))
+      .filter($"hits" > 0)
+      .select($"doc_id",
+        element_at(typedLit(Blocklist), $"pid" + 1).as("pattern"), $"hits")
+      .orderBy($"doc_id", $"pattern")
+  }
+
+  /** Oracle: the quadratic patterns×positions scan the automaton
+    * provably equals (overlapping occurrences counted on both sides).
+    */
+  val q280BlocklistHitsSql: String = {
+    val vals = Blocklist.map(p => s"('$p')").mkString(", ")
+    s"""WITH p(pattern) AS (VALUES $vals),
+      |h AS (SELECT d.doc_id, p.pattern,
+      |  CAST(list_sum(list_transform(
+      |    range(1, length(d.text) - length(p.pattern) + 2),
+      |    i -> CASE WHEN substr(d.text, i, length(p.pattern)) = p.pattern
+      |         THEN 1 ELSE 0 END)) AS INT) AS hits
+      |  FROM documents d, p
+      |  WHERE length(d.text) >= length(p.pattern))
+      |SELECT doc_id, pattern, hits FROM h WHERE hits > 0
+      |ORDER BY doc_id, pattern""".stripMargin
+  }
+
+  /** q281: winnowing fingerprint selection (Schleimer, Wilkerson &
+    * Aiken 2003 — the MOSS scheme): over the space-stripped character
+    * stream, hash every k-gram (k = 5) and in each window of w = 4
+    * consecutive hashes keep the minimum, rightmost on ties. The
+    * selected (hash, position) set carries winnowing's GUARANTEE —
+    * any shared substring of length ≥ w + k − 1 = 8 yields a shared
+    * fingerprint — with expected density 2/(w+1), the property-bearing
+    * alternative to q31's one-per-doc min-shingle when matches must
+    * be localizable.
+    *
+    * Mechanics shared with the oracle exactly: grams ride the native
+    * char_ngrams kernel (nMin = nMax = 5, positional), the hash is the
+    * native fnv1a32 read unsigned (DuckDB reproduces FNV-1a 32
+    * bit-exactly as a list_reduce byte fold — probed; md5-prefix
+    * hashing here cost ~3× the whole lane at the derived decade), and
+    * the rightmost-tie rule is encoded arithmetically — key =
+    * h·2³¹ + (2³¹−1 − pos), so among equal hashes the larger position
+    * is the smaller key and one integer window-MIN implements the
+    * paper's rule. Docs shorter than w + k − 1 select nothing (the
+    * rn ≥ w gate) on both engines.
+    *
+    * At 100 TB: one scan, one per-DOC window (never unpartitioned),
+    * one distinct on the selected set — all integer ops; key < 2⁶³
+    * needs pos < 2³¹, i.e. docs under 2 GiB of text. Output density
+    * ~2/(w+1) per gram.
+    */
+  def q281Winnowing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val W = org.apache.spark.sql.expressions.Window
+    val cs = Tables.load(s, dir, "documents")
+      .select($"doc_id", translate($"text", " ", "").as("cs"))
+    val grams = cs.select($"doc_id",
+      posexplode(call_function("char_ngrams", $"cs", lit(5), lit(5)))
+        .as(Seq("pos", "tg")))
+    val keyed = grams.select($"doc_id", $"pos",
+      ((call_function("fnv1a32", encode($"tg", "UTF-8")).cast("long")
+        .bitwiseAND(0xffffffffL))
+        * 2147483648L + (lit(2147483647L) - $"pos")).as("key"))
+    val win = W.partitionBy($"doc_id").orderBy($"pos")
+    keyed
+      .withColumn("rn", row_number().over(win))
+      .withColumn("wmin", min($"key").over(win.rowsBetween(-3, 0)))
+      .filter($"rn" >= 4)
+      .select($"doc_id", $"wmin").distinct()
+      .select($"doc_id",
+        expr("wmin div 2147483648").as("fp"),
+        (lit(2147483647L) - ($"wmin" % 2147483648L)).as("pos"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val q281WinnowingSql: String =
+    """WITH c AS (SELECT doc_id, replace(text, ' ', '') AS cs FROM documents),
+      |g AS (SELECT doc_id, i - 1 AS pos, '5' || substr(cs, i, 5) AS tg
+      |      FROM c, LATERAL (SELECT unnest(range(1, greatest(length(cs) - 3, 2))) AS i) t),
+      |k AS (SELECT doc_id, pos,
+      |        list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+      |            list_transform(range(1, length(tg) + 1),
+      |                           i -> ord(substr(tg, i, 1)))),
+      |          (h, b) -> (xor(h, b) * 16777619) % 4294967296)
+      |          * 2147483648 + (2147483647 - pos) AS key
+      |      FROM g),
+      |w1 AS (SELECT doc_id, pos, key,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+      |         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+      |       FROM k),
+      |sel AS (SELECT DISTINCT doc_id, wmin FROM w1 WHERE rn >= 4)
+      |SELECT doc_id, CAST(wmin // 2147483648 AS BIGINT) AS fp,
+      |  CAST(2147483647 - (wmin % 2147483648) AS BIGINT) AS pos
+      |FROM sel ORDER BY doc_id, pos""".stripMargin
 }

@@ -812,4 +812,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(gramExchanges <= 2,  // train + eval branches of the ONE gram agg
       s"expected the single tagged gram aggregate, got $gramExchanges gram exchanges:\n$p")
   }
+
+  test("q280: the blocklist scan has NO join and no exchange except the presentation sort") {
+    // the whole point of the automaton: the lexicon is compiled into
+    // the expression, so the naive patterns×corpus join never exists
+    val df = graft.SparkEntry.queries("q280_blocklist_hits")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    assert(logical.toString().contains("blocklist_hits"),
+      s"expected the native automaton expression:\n$logical")
+    val joins = logical.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"q280 must never join the lexicon:\n$logical")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the presentation sort exchange:\n$p")
+  }
 }
