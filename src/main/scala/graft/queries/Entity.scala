@@ -334,48 +334,58 @@ object Entity {
     graft.GraftExtensions.register(s)
     import s.implicits._
     val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_name")
+    // TWO signature families in ONE exploded frame / ONE shuffle,
+    // partitioning same-length DL <= 1 EXACTLY by edit kind:
+    //  - positions 0..L-1: q108's single-wildcard signatures -- two
+    //    unequal names collide iff they differ by exactly one
+    //    substitution, at exactly that position's signature;
+    //  - positions L..2L-2: SORTED-WINDOW signatures (adjacent window
+    //    (p, p+1) replaced by its two chars in sorted order) -- two
+    //    unequal names collide iff chars (x,y)/(y,x) swap at that
+    //    window and all else agrees, i.e. exactly one adjacent
+    //    transposition, at exactly that window's signature (a
+    //    substitution inside the window changes the MULTISET, so it
+    //    cannot collide here; at any other window a swapped position
+    //    stays visible and differs).
+    // So every unequal DL<=1 pair collides EXACTLY ONCE across the
+    // union, candidates are at DL <= 1 BY CONSTRUCTION (no verify, no
+    // dedup, no distinct), and blocks are "agree everywhere except one
+    // position / one unordered adjacent pair" -- tiny, unlike the
+    // earlier double-wildcard blocks whose C(k,2) fan-out this
+    // replaced (the sf0.1 digit blocks reached 100 members). Equal
+    // names collide at every signature; the pos == 0 gate keeps one
+    // row. Family strings cannot cross-collide: single-wildcard sigs
+    // contain the \u0000 sentinel, sorted-window sigs cannot.
+    val single = transform(sequence(lit(1), length($"c_name")),
+      i => concat(length($"c_name").cast("string"), lit(":"),
+        overlay($"c_name", lit("\u0000"), i)))
+    val sortedWin = transform(sequence(lit(1), greatest(length($"c_name") - 1, lit(1))),
+      p => {
+        val x = $"c_name".substr(p, lit(1))
+        val y = $"c_name".substr(p + 1, lit(1))
+        // the WINDOW POSITION is part of the signature: the wildcard
+        // family gets positional disjointness for free from the
+        // sentinel (a name never contains \u0000, so sigs wildcarded
+        // at different positions cannot align), but a sorted window is
+        // made of ordinary characters -- without the p prefix,
+        // "baab"@1 and "abba"@3 both sort to "abab" and a DL-2
+        // double-transposition pair would slip in as a candidate
+        concat(length($"c_name").cast("string"), lit(":"), p.cast("string"),
+          lit(":"), overlay($"c_name", concat(least(x, y), greatest(x, y)), p))
+      })
     val sigs = c.select($"c_custkey", $"c_name",
-      posexplode(transform(sequence(lit(1), greatest(length($"c_name") - 1, lit(1))),
-        i => concat(length($"c_name").cast("string"), lit(":"),
-          overlay($"c_name", lit("\u0000\u0000"), i)))).as(Seq("pos", "sig")))
-    // duplicate suppression WITHOUT a distinct shuffle (the q108 pos==0
-    // idea, generalized): a DL<=1 pair's diff always sits INSIDE any
-    // window it collides at, so keep only the CANONICAL collision —
-    // the window whose FIRST wildcarded position (1-based pos+1)
-    // differs. A substitution at p collides at windows (p-1,p) and
-    // (p,p+1) and survives only at (p,p+1); a transposition's single
-    // collision has both positions differing (survives); a LAST-char
-    // substitution's only window (L-1,L) differs at its second
-    // position alone, hence the pos == L-2 escape (no later window
-    // exists to catch it). Equal names keep their pos==0 row. The
-    // block self-join's two-substitution false candidates also pass
-    // (first position differs) — the DL verify below is what kills
-    // them, map-side, before any shuffle.
-    // the verify itself is STRUCTURAL, not the DP: window candidates
-    // agree outside (pos+1, pos+2), so DL <= 1 is exactly "one position
-    // differs, or both differ swapped" — four codegen'd substr compares.
-    // Filtering on the DP column instead would let Catalyst push the
-    // predicate into the join and run the O(L^2) DP twice per candidate
-    // (the q108 lesson, measured +50% here); the native damerau rides
-    // the OUTPUT projection only, computed once per survivor, keeping
-    // the declared metric on the emitted rows.
-    val a1 = $"a.c_name".substr($"a.pos" + 1, lit(1))
-    val b1 = $"b.c_name".substr($"a.pos" + 1, lit(1))
-    val a2 = $"a.c_name".substr($"a.pos" + 2, lit(1))
-    val b2 = $"b.c_name".substr($"a.pos" + 2, lit(1))
-    val d1 = a1 =!= b1
-    val d2 = a2 =!= b2
-    val pairs = sigs.as("a").join(sigs.as("b"),
+      posexplode(concat(single, sortedWin)).as(Seq("pos", "sig")))
+    // dl/lev are OUTPUT columns only (never join-condition predicates --
+    // the q108 lesson: Catalyst would push them into the join and run
+    // the DP twice per candidate); dl is 0 or 1 by construction, the
+    // native expression keeps the declared metric on the emitted rows
+    sigs.as("a").join(sigs.as("b"),
         $"a.sig" === $"b.sig" && $"a.c_custkey" < $"b.c_custkey" &&
           ($"a.c_name" =!= $"b.c_name" || $"a.pos" === 0))
-      .filter($"a.c_name" === $"b.c_name" ||          // equal: the pos==0 row
-        (d1 && (!d2 || (a1 === b2 && a2 === b1))) ||  // sub at w1 | transposition
-        (!d1 && d2 && $"a.pos" === length($"a.c_name") - 2)) // last-window sub at w2
       .select($"a.c_custkey".as("id1"), $"b.c_custkey".as("id2"),
         $"a.c_name".as("name1"), $"b.c_name".as("name2"))
       .withColumn("dl", call_function("damerau_levenshtein", $"name1", $"name2"))
       .withColumn("lev", levenshtein($"name1", $"name2"))
-    pairs
   }
 
   def q277DamerauTypos(s: SparkSession, dir: String): DataFrame = {
