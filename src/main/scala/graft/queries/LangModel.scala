@@ -1803,4 +1803,91 @@ object LangModel {
       |         / CAST(SUM(COALESCE(nw, 0)) AS BIGINT) END AS fertility
       |FROM det2 LEFT JOIN tok2 USING (doc_id)
       |GROUP BY detected ORDER BY detected""".stripMargin
+
+  /** q282: interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form, fixed discount
+    * D = 0.75) — the smoothing every serious n-gram perplexity filter
+    * actually uses where q104 deliberately ships the add-one
+    * baseline. The KN idea: backoff mass goes to words by how many
+    * DISTINCT contexts they follow (continuation probability), not by
+    * raw frequency — "Francisco" is frequent but only ever follows
+    * "San", so KN (correctly) scores it near-impossible after any
+    * other history.
+    *
+    *   P(w2|w1) = (max(c(w1w2) − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+    *   Pcont(w2) = N1+(·w2) / N1+(··)
+    *
+    * Per-document total/mean log-probability under the corpus-trained
+    * model, exactly q104's presentation contract (position-ordered
+    * double fold, FLOAT presentation for the libm-ln ulp rule).
+    *
+    * At 100 TB: the model is three vocabulary-sized count tables (the
+    * bigram-type table and its two marginals) built in ONE corpus
+    * shuffle; scoring joins them back onto the bigram stream (b- and
+    * w1-keyed; AQE broadcasts the vocabulary-sized sides at deployment
+    * scale) and the only full-corpus aggregate is the per-doc fold.
+    * All probabilities derive from exact BIGINT counts through one
+    * fixed-shape double chain (the q53 determinism recipe).
+    */
+  def q282KneserNey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
+    val bi = docs.select($"doc_id",
+      zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat(a, lit(" "), b)).as("bs"))
+    val big = bi.select(explode($"bs").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split($"b", " ").getItem(0))
+      .withColumn("w2", split($"b", " ").getItem(1))
+    // history marginals: token count as a history + distinct followers
+    val hist = big.groupBy($"w1")
+      .agg(sum($"c2").cast("long").as("ch"), count(lit(1)).as("n1f"))
+    // continuation marginal: distinct predecessors, and the type total
+    val cont = big.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+    val tot = big.agg(count(lit(1)).as("nbb"))
+    val terms = bi.select($"doc_id", posexplode($"bs").as(Seq("pos", "b")))
+      .join(big.select($"b", $"c2", $"w1", $"w2"), "b")
+      .join(hist, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"pos",
+        log((greatest($"c2".cast("double") - lit(0.75), lit(0.0)) +
+          lit(0.75) * $"n1f" * ($"n1b".cast("double") / $"nbb")) / $"ch").as("t"))
+    terms.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        orderedSum($"pos", $"t").as("sum_lp"))
+      .select($"doc_id", $"n_bigrams",
+        $"sum_lp".cast("float").as("sum_logprob_kn"),
+        ($"sum_lp" / $"n_bigrams").cast("float").as("avg_logprob_kn"))
+      .orderBy($"doc_id")
+  }
+
+  val q282KneserNeySql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bi AS (SELECT doc_id,
+      |         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bs
+      |       FROM d),
+      |bg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2,
+      |         string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+      |       FROM (SELECT unnest(bs) AS b FROM bi) GROUP BY b),
+      |hist AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS ch,
+      |           CAST(COUNT(*) AS BIGINT) AS n1f FROM bg GROUP BY w1),
+      |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY w2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM bg),
+      |t AS (SELECT u.doc_id, u.pos,
+      |        ln((greatest(CAST(bg.c2 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |            0.75 * hist.n1f * (CAST(cont.n1b AS DOUBLE) / tot.nbb)) / hist.ch) AS t
+      |      FROM (SELECT doc_id, unnest(bs) AS b,
+      |              generate_subscripts(bs, 1) AS pos FROM bi) u
+      |      JOIN bg ON bg.b = u.b
+      |      JOIN hist ON hist.w1 = bg.w1
+      |      JOIN cont ON cont.w2 = bg.w2
+      |      CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(list_sum(list(t ORDER BY pos)) AS FLOAT) AS sum_logprob_kn,
+      |  CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT)
+      |    AS avg_logprob_kn
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
