@@ -271,4 +271,58 @@ object Sampling {
       |SELECT from_shard, to_shard, CAST(COUNT(*) AS BIGINT) AS n_docs
       |FROM a GROUP BY 1, 2 ORDER BY from_shard, to_shard""".stripMargin
   }
+
+  /** q283: rendezvous / highest-random-weight sharding (Thaler &
+    * Ravishankar 1996) — q204's consistent-hash ring trades exactness
+    * for vnode machinery; HRW needs neither: each key goes to the
+    * shard with the highest hash(key, shard), and on growing S → S+1
+    * a key moves IFF the new shard wins its rendezvous — the
+    * minimal-movement property holds EXACTLY (expected moved fraction
+    * = 1/(S+1)), not approximately-via-vnodes. The law is visible in
+    * the registered output: assignment under 8 and under 9 shards
+    * side by side with the moved flag, and `moved ⇒ shard9 = 8` is
+    * spec-pinned row-by-row.
+    *
+    * At 100 TB this is the ideal shape: a PURE MAP — the shard set is
+    * a literal, the argmax folds over a 9-element array per row
+    * (bounded, the interpreted-lambda caveat does not bite), no join,
+    * no aggregate, no shuffle except the presentation sort. Hash =
+    * the md5-prefix 32-bit idiom both engines share; ties break to
+    * the smaller shard id (never observed under md5, deterministic
+    * anyway).
+    */
+  def q283HrwSharding(s: SparkSession, dir: String,
+      shards: Int = 8): DataFrame = {
+    import s.implicits._
+    val hs = transform(sequence(lit(0), lit(shards)), sc => struct(
+      conv(substring(md5(concat(lit("hrw:"), $"doc_id".cast("string"),
+        lit(":"), sc.cast("string"))), 1, 8), 16, 10).cast("long").as("h"),
+      (-sc).as("ns")))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", hs.as("hs"))
+      .select($"doc_id",
+        (-array_max(filter($"hs", x => x.getField("ns") > lit(-shards)))
+          .getField("ns")).cast("long").as("shard8"),
+        (-array_max($"hs").getField("ns")).cast("long").as("shard9"))
+      .withColumn("moved", $"shard8" =!= $"shard9")
+      .orderBy($"doc_id")
+  }
+
+  def q283HrwShardingSql(shards: Int = 8): String =
+    s"""WITH h AS (SELECT doc_id, s,
+      |  CAST(('0x' || substring(md5('hrw:' || CAST(doc_id AS VARCHAR)
+      |    || ':' || CAST(s AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM documents, (SELECT unnest(range(0, ${shards + 1})) AS s) t),
+      |a9 AS (SELECT doc_id, s AS shard9 FROM
+      |        (SELECT doc_id, s, row_number() OVER
+      |           (PARTITION BY doc_id ORDER BY h DESC, s) AS rn FROM h)
+      |       WHERE rn = 1),
+      |a8 AS (SELECT doc_id, s AS shard8 FROM
+      |        (SELECT doc_id, s, row_number() OVER
+      |           (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+      |         FROM h WHERE s < $shards)
+      |       WHERE rn = 1)
+      |SELECT doc_id, CAST(shard8 AS BIGINT) AS shard8,
+      |  CAST(shard9 AS BIGINT) AS shard9, shard8 <> shard9 AS moved
+      |FROM a8 JOIN a9 USING (doc_id) ORDER BY doc_id""".stripMargin
 }
