@@ -78,6 +78,27 @@ class DamerauBleuSpec extends SparkSpec {
     }
   }
 
+  test("damerau_levenshtein is a metric: symmetric, dl <= lev, triangle inequality") {
+    val rng = new Random(278)
+    val alphabet = "abcd"
+    def rs() = Seq.fill(rng.nextInt(7))(alphabet(rng.nextInt(4))).mkString
+    for (_ <- 1 to 80) {
+      val (a, b, c) = (rs(), rs(), rs())
+      assert(dl(a, b) == dl(b, a), s"symmetry ($a, $b)")
+      val lev = {  // reference Levenshtein for the upper bound
+        val m = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      assert(dl(a, b) <= lev, s"dl must never exceed levenshtein ($a, $b)")
+      assert(dl(a, c) <= dl(a, b) + dl(b, c), s"triangle ($a, $b, $c)")
+      assert((dl(a, b) == 0) == (a == b), s"identity ($a, $b)")
+    }
+  }
+
   test("q277: blocked pairs == brute-force DL<=1 pairs on the real sf0.001 customer table") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
