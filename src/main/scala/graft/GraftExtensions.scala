@@ -42,7 +42,10 @@ object GraftExtensions {
 
   private def stringArrayLit(e: Expression, fn: String, what: String): Seq[String] = e match {
     case Literal(data: ArrayData, ArrayType(st, _)) if st == org.apache.spark.sql.types.StringType =>
-      data.toArray[org.apache.spark.unsafe.types.UTF8String](st).toSeq.map(_.toString)
+      val elems = data.toArray[org.apache.spark.unsafe.types.UTF8String](st).toSeq
+      if (elems.exists(_ == null)) throw new IllegalArgumentException(
+        s"$fn: $what must not contain null elements")
+      elems.map(_.toString)
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be an array<string> literal, got $other")
   }

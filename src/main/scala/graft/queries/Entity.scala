@@ -304,29 +304,29 @@ object Entity {
     * exactly the adjacent-transposition matches the q108 lane cannot
     * reach (e.g. `…012` vs `…021`).
     *
-    * Blocking: the q108 wildcard-signature idea widened to ADJACENT
-    * DOUBLE wildcards — signature p = the name with positions p and
-    * p+1 replaced by the sentinel, p ∈ [1, L−1]. Same-length DL ≤ 1 is
-    * exactly {equal, one substitution at some p, one adjacent
-    * transposition at some (p, p+1)} (insert/delete change length),
-    * and each case shares a signature: equal names share all of them,
-    * a substitution at p collides at the 1–2 signatures q ∈
-    * {p−1, p} ∩ [1, L−1], a transposition at (p, p+1) collides at
-    * exactly signature p (at any OTHER double-wildcard both swapped
-    * positions stay visible and differ). So the signature equijoin is
-    * a provably COMPLETE candidate generator; a canonical-collision
-    * predicate (see inline comment) collapses the ≤2 collisions per
-    * substitution pair with NO distinct shuffle, and the native
-    * damerau verify removes the one FALSE-candidate class the wider
-    * wildcard admits (two independent substitutions inside one
-    * adjacent window, DL = 2) map-side, before any exchange.
+    * Blocking: TWO signature families, partitioning same-length
+    * DL ≤ 1 exactly by edit kind. Same-length DL ≤ 1 is exactly
+    * {equal, one substitution at some p, one adjacent transposition
+    * at some (p, p+1)} (insert/delete change length). Family one is
+    * q108's single-wildcard signature (position p replaced by a
+    * sentinel): two unequal names collide iff they differ by exactly
+    * one substitution, at exactly that position's signature. Family
+    * two is the position-prefixed SORTED-WINDOW signature (adjacent
+    * window (p, p+1) replaced by its two chars in sorted order): two
+    * unequal names collide iff exactly those two chars swap at that
+    * window — a substitution inside the window changes the multiset,
+    * so it cannot collide here, and at any other window a swapped
+    * position stays visible and differs. So every unequal DL ≤ 1
+    * pair collides EXACTLY ONCE across the union: the equijoin is
+    * complete, candidates are at DL ≤ 1 by construction, and NO
+    * verify filter, NO dedup, NO distinct is needed. Equal names
+    * collide at every signature; a pos == 0 gate keeps one row.
     *
-    * At 100 TB: same shape as q108 — map-side explode (L−1 signatures
-    * per record), ONE signature-keyed shuffle, blocks bounded by
-    * "agree everywhere except two adjacent positions", dedup and
-    * verify both evaluate inside the join's output projection (a
-    * codegen'd per-candidate DP — the wider window's C(k,2) block
-    * fan-out dies there, never reaching a shuffle). No all-pairs
+    * At 100 TB: same shape as q108 — map-side explode (2L−1
+    * signatures per record), ONE signature-keyed shuffle, blocks
+    * bounded by "agree everywhere except one position / one
+    * unordered adjacent pair". The codegen'd DP runs only to EMIT
+    * both distances per emitted pair, never to filter. No all-pairs
     * step; the oracle twin is the quadratic self-join this lane
     * exists to avoid.
     */

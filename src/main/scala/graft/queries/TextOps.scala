@@ -1769,7 +1769,9 @@ object TextOps {
       val mm = col(s"m$n").cast("double")
       val p = mm / greatest($"ct" - (n - 1), lit(1L))
       val r = mm / greatest($"re" - (n - 1), lit(1L))
-      (lit(5.0) * p * r) / (lit(4.0) * p + r)
+      // m = 0 (or null: no shared gram of this order survives the
+      // joins) would make 5pr/(4p+r) = 0/0 = NaN; the score is 0.
+      when(mm > 0, (lit(5.0) * p * r) / (lit(4.0) * p + r)).otherwise(0.0)
     }
     m.join(lens.select($"doc_id".as("train_doc"), $"clen".as("ct")), Seq("train_doc"))
       .join(lens.filter(evIds)
@@ -1784,10 +1786,12 @@ object TextOps {
 
   val q279ChrfContaminationSql: String = {
     def f(n: Int) =
-      s"""(5.0 * (CAST(m$n AS DOUBLE) / greatest(ct.L - ${n - 1}, 1))
-         |     * (CAST(m$n AS DOUBLE) / greatest(re.L - ${n - 1}, 1)))
-         |/ (4.0 * (CAST(m$n AS DOUBLE) / greatest(ct.L - ${n - 1}, 1))
-         |     + (CAST(m$n AS DOUBLE) / greatest(re.L - ${n - 1}, 1)))""".stripMargin
+      s"""CASE WHEN coalesce(m$n, 0) > 0 THEN
+         |  (5.0 * (CAST(m$n AS DOUBLE) / greatest(ct.L - ${n - 1}, 1))
+         |       * (CAST(m$n AS DOUBLE) / greatest(re.L - ${n - 1}, 1)))
+         |  / (4.0 * (CAST(m$n AS DOUBLE) / greatest(ct.L - ${n - 1}, 1))
+         |       + (CAST(m$n AS DOUBLE) / greatest(re.L - ${n - 1}, 1)))
+         |ELSE 0.0 END""".stripMargin
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
       |             replace(text, ' ', '') AS cs FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -1863,7 +1867,7 @@ object TextOps {
     * provably equals (overlapping occurrences counted on both sides).
     */
   val q280BlocklistHitsSql: String = {
-    val vals = Blocklist.map(p => s"('$p')").mkString(", ")
+    val vals = Blocklist.map(p => s"('${p.replace("'", "''")}')").mkString(", ")
     s"""WITH p(pattern) AS (VALUES $vals),
       |h AS (SELECT d.doc_id, p.pattern,
       |  CAST(list_sum(list_transform(
@@ -1931,13 +1935,15 @@ object TextOps {
     """WITH c AS (SELECT doc_id, replace(text, ' ', '') AS cs FROM documents),
       |g AS (SELECT doc_id, i - 1 AS pos, '5' || substr(cs, i, 5) AS tg
       |      FROM c, LATERAL (SELECT unnest(range(1, greatest(length(cs) - 3, 2))) AS i) t),
+      |gb AS (SELECT doc_id, pos, hex(encode(tg)) AS hx FROM g),
       |k AS (SELECT doc_id, pos,
       |        list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
-      |            list_transform(range(1, length(tg) + 1),
-      |                           i -> ord(substr(tg, i, 1)))),
+      |            list_transform(range(1, length(hx) // 2 + 1),
+      |              i -> 16 * (strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1)
+      |                   + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1))),
       |          (h, b) -> (xor(h, b) * 16777619) % 4294967296)
       |          * 2147483648 + (2147483647 - pos) AS key
-      |      FROM g),
+      |      FROM gb),
       |w1 AS (SELECT doc_id, pos, key,
       |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
       |         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos

@@ -34,6 +34,39 @@ class BlocklistHitsSpec extends SparkSpec {
     assert(hits("x", "x") == Seq(1))
   }
 
+  test("sparse fallback engages above the dense-state limit and equals the dense walk") {
+    val textbook = Seq("he", "she", "his", "hers").map(_.getBytes("UTF-8")).toArray
+    val dense = new AcAutomaton(textbook)
+    val sparse = new AcAutomaton(textbook, denseStateLimit = 1)
+    assert(dense.isDense && !sparse.isDense)
+    for (t <- Seq("ushers", "banana", "", "shehishehers", "x" * 1000)) {
+      val u = UTF8String.fromString(t)
+      assert(sparse.run(u).toIntArray().toSeq == dense.run(u).toIntArray().toSeq)
+    }
+  }
+
+  test("large synthetic lexicon: states exceed the limit, sparse equals dense and a naive count") {
+    val rng = new scala.util.Random(42)
+    val alpha = "abcd"
+    def word(n: Int) = Array.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
+    val lexicon = (Array.fill(2000)(word(3 + rng.nextInt(6))) ++
+      Seq("a", "aa", "aaa", "ab", "dcba")).distinct
+    val bytes = lexicon.map(_.getBytes("UTF-8"))
+    // force the fallback with a limit far below the trie's state count
+    val sparse = new AcAutomaton(bytes, denseStateLimit = 16)
+    val dense = new AcAutomaton(bytes, denseStateLimit = Int.MaxValue)
+    assert(!sparse.isDense && dense.isDense)
+    val text = word(20000)
+    val u = UTF8String.fromString(text)
+    val got = sparse.run(u).toIntArray().toSeq
+    assert(got == dense.run(u).toIntArray().toSeq)
+    // spot-check a slice against the quadratic oracle definition
+    lexicon.take(50).zipWithIndex.foreach { case (p, i) =>
+      val naive = (0 to text.length - p.length).count(text.startsWith(p, _))
+      assert(got(i) == naive, s"pattern $p")
+    }
+  }
+
   test("q280 equals an independent per-position count on the real sf0.001 corpus") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
