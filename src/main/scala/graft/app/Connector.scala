@@ -44,7 +44,24 @@ final class Connector(
     * source-connectivity equivalent).
     */
   val metrics = new graft.streaming.MetricsRegistry(cfg.slotName)
-  private val metricsCollector = new graft.streaming.Metrics.Collector(Some(metrics))
+  /** Fused O17 metrics probe: counters ride the serializer stage as
+    * codegen'd accumulator bumps (a CollectMetrics observe node halved
+    * serializer throughput — see [[graft.streaming.PipelineProbe]]);
+    * the collector drains per-batch deltas into the registry.
+    */
+  val pipelineProbe = new graft.streaming.PipelineProbe(
+    spark.sparkContext,
+    graft.route.TopicRouter(cfg.kafka.tableTopicMapping),
+    cfg.keyField, s"graft.${cfg.slotName}")
+  private val metricsCollector =
+    new graft.streaming.Metrics.Collector(Some(metrics), Some(pipelineProbe))
+
+  /** Per-batch pipeline metrics collected so far (events, latency,
+    * batch duration) — the listener-facing read surface.
+    */
+  def batchMetrics: Seq[graft.streaming.Metrics.BatchMetrics] = metricsCollector.snapshot
+  /** Total events processed (pre-handler count, all ops). */
+  def totalProcessedEvents: Long = metricsCollector.totalEvents
   @volatile private var metricsServer: graft.streaming.MetricsServer = _
 
   // live replication lane (source.format = graft-replication): the
@@ -160,11 +177,12 @@ final class Connector(
     }
     if (cfg.sourceFormat == "graft-replication") startReplicationTail()
     query =
-      if (sink == "parquet") CdcPipeline.startToParquet(spark, cfg, parquetOutDir)
+      if (sink == "parquet")
+        CdcPipeline.startToParquet(spark, cfg, parquetOutDir, Some(pipelineProbe))
       else if (sink == "replica")
         // parquetOutDir doubles as the replica table path for this sink
         CdcPipeline.startToReplica(spark, cfg, parquetOutDir)
-      else CdcPipeline.startToKafka(spark, cfg)
+      else CdcPipeline.startToKafka(spark, cfg, Some(pipelineProbe))
     query
   }
 

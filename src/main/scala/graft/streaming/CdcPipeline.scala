@@ -102,15 +102,28 @@ object CdcPipeline {
     * contract (topic/key/value/headers), with per-batch observed metrics
     * (O17) riding the plan.
     */
-  def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame = {
+  def defaultTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
+    defaultTransform(events, cfg, None)
+
+  /** As above; when a [[PipelineProbe]] is supplied the O17 metrics ride
+    * as fused codegen'd accumulator bumps instead of a CollectMetrics
+    * node — the node alone cost ~50% of serializer-lane throughput
+    * (SerBench isolate, sf0.1; even a bare `observe(count(1))` split
+    * the whole-stage-codegen span). The probe attaches PRE-handler so
+    * records the handler's filters silently drop surface as quality
+    * counters, and post-handler for the per-topic success counts.
+    */
+  def defaultTransform(events: DataFrame, cfg: ConnectorConfig,
+      probe: Option[PipelineProbe]): DataFrame = {
     val router = TopicRouter(cfg.kafka.tableTopicMapping)
-    // ONE pre-handler observation carrying pipeline metrics AND quality
-    // counters (before the handler's filters, so silently dropped
-    // records surface). One CollectMetrics node, not two: each node
-    // costs ~2µs/row of stage-break overhead regardless of its
-    // expressions (SerBench isolate, sf0.1) — stacking observed ∘
-    // observedQuality doubled the serializer lane.
-    val watched = Metrics.observedAll(events, router, cfg.keyField)
+    val watched = probe match {
+      case Some(pr) => pr.attach(events)
+      // observe fallback: ONE pre-handler CollectMetrics node carrying
+      // pipeline metrics AND quality counters (not two — each node
+      // costs ~2µs/row of stage-break overhead regardless of its
+      // expressions)
+      case None => Metrics.observedAll(events, router, cfg.keyField)
+    }
     val records = cfg.serializer match {
       case graft.app.ConnectorConfig.SerializerDebezium =>
         // envelope lane emits string key/value; the sink contract (and
@@ -124,8 +137,12 @@ object CdcPipeline {
         Handlers.declarative(watched, router, cfg.keyField,
           keepEventTime = false, emitTruncates = cfg.emitTruncates)
     }
-    Metrics.observedSink(withPlacement(records, cfg),
-      cfg.kafka.tableTopicMapping.values.toSeq)
+    val placed = withPlacement(records, cfg)
+    probe match {
+      case Some(pr) => pr.attachSink(placed)
+      case None =>
+        Metrics.observedSink(placed, cfg.kafka.tableTopicMapping.values.toSeq)
+    }
   }
 
   /** Client-side balancer placement (reference `config.go:48-51`):
@@ -204,12 +221,14 @@ object CdcPipeline {
       .option("path", outDir)
 
   /** Wire the full pipeline to a parquet sink and start it. */
-  def startToParquet(spark: SparkSession, cfg: ConnectorConfig, outDir: String): StreamingQuery =
-    parquetSink(defaultTransform(source(spark, cfg), cfg), cfg, outDir).start()
+  def startToParquet(spark: SparkSession, cfg: ConnectorConfig, outDir: String,
+      probe: Option[PipelineProbe] = None): StreamingQuery =
+    parquetSink(defaultTransform(source(spark, cfg), cfg, probe), cfg, outDir).start()
 
   /** Wire the full pipeline to the Kafka sink and start it. */
-  def startToKafka(spark: SparkSession, cfg: ConnectorConfig): StreamingQuery =
-    kafkaSink(defaultTransform(source(spark, cfg), cfg), cfg).start()
+  def startToKafka(spark: SparkSession, cfg: ConnectorConfig,
+      probe: Option[PipelineProbe] = None): StreamingQuery =
+    kafkaSink(defaultTransform(source(spark, cfg), cfg, probe), cfg).start()
 
   /** Wire the source straight into a queryable replica table
     * ([[Materialize]]): the self-contained deployment shape — source →

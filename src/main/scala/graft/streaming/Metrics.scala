@@ -122,8 +122,16 @@ object Metrics {
     * When a [[MetricsRegistry]] is supplied, each progress event also
     * updates the exposition state: the two latency gauges and — from the
     * sink-side observation — the per-topic success counters.
+    *
+    * Two delivery paths coexist: the legacy `observe` observations
+    * (read from `progress.observedMetrics` by name) and — when a
+    * [[PipelineProbe]] is supplied — per-batch accumulator-delta drains
+    * from the fused probe, which is how the production pipeline now
+    * ships its counters (the CollectMetrics node cost ~50% of
+    * serializer-lane throughput; see [[PipelineProbe]]).
     */
-  final class Collector(registry: Option[MetricsRegistry] = None)
+  final class Collector(registry: Option[MetricsRegistry] = None,
+      probe: Option[PipelineProbe] = None)
       extends StreamingQueryListener {
     private val batches = new ConcurrentLinkedQueue[BatchMetrics]()
 
@@ -157,6 +165,24 @@ object Metrics {
       } m.schema.fieldNames.filter(_.startsWith(QualityMetricPrefix)).foreach { f =>
         Option(m.getAs[Any](f)).map(_.asInstanceOf[Long]).filter(_ > 0)
           .foreach(n => r.incrementQualityViolation(f.stripPrefix(QualityMetricPrefix), n))
+      }
+      // fused-probe path: drain accumulator deltas once per progress
+      // event (counters are never reset, so a drain racing a running
+      // batch splits counts across drains — never loses or duplicates)
+      probe.foreach { pr =>
+        val d = pr.drain()
+        if (d.events > 0)
+          batches.add(BatchMetrics(p.batchId, d.events,
+            if (d.latencyAdvanced) d.latencyMs else 0L, p.batchDuration))
+        registry.foreach { r =>
+          if (d.latencyAdvanced) r.setProcessLatency(d.latencyMs)
+          r.setBulkRequestLatency(p.batchDuration)
+          if (d.unknownOp > 0) r.incrementQualityViolation("unknown_op", d.unknownOp)
+          if (d.unroutableTable > 0)
+            r.incrementQualityViolation("unroutable_table", d.unroutableTable)
+          if (d.nullKey > 0) r.incrementQualityViolation("null_key", d.nullKey)
+          d.topicDeltas.foreach { case (t, n) => r.incrementSuccess(t, n) }
+        }
       }
     }
 

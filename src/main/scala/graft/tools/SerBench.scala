@@ -63,7 +63,16 @@ object SerBench {
           router, "l_orderkey")),
         "env+merged-observe" -> (() => Handlers.debeziumEnvelope(
           graft.streaming.Metrics.observedAll(events, router, "l_orderkey"),
-          router, "l_orderkey")))
+          router, "l_orderkey")),
+        // the fused accumulator probe (production path since r14): the
+        // FULL metric set — pipeline + quality PRE-handler and per-topic
+        // success counts POST-handler — with zero CollectMetrics nodes
+        "env+probe" -> (() => {
+          val probe = new graft.streaming.PipelineProbe(
+            spark.sparkContext, router, "l_orderkey", "serbench")
+          probe.attachSink(Handlers.debeziumEnvelope(
+            probe.attach(events), router, "l_orderkey"))
+        }))
       lanes.foreach { case (_, mk) => run(mk()) } // warm all lanes first
       val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
         .withDefaultValue(Vector.empty)

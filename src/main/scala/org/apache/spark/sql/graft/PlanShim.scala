@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSpark
 object PlanShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** Column over a custom Expression (`ExpressionUtils.column` is
+    * `private[sql]` — same auditable-crossing rationale as `ofRows`).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -7,8 +7,11 @@ import graft.app.{Connector, ConnectorConfig, KafkaSinkConfig}
 
 import scala.concurrent.duration._
 
-/** Observed pipeline metrics (O17): per-batch event counts and process
-  * latency surface through the listener while the pipeline runs.
+/** Pipeline metrics (O17) through the fused accumulator probe — the
+  * production path since the CollectMetrics observe node was measured
+  * at ~50% of serializer-lane throughput: per-batch event counts,
+  * process latency, per-topic successes and quality violations all
+  * surface through the connector's collector while the pipeline runs.
   */
 class MetricsSpec extends SparkSpec {
 
@@ -21,8 +24,6 @@ class MetricsSpec extends SparkSpec {
     }
     Files.write(src.resolve("b.json"), String.join("\n", lines: _*).getBytes)
 
-    val collector = new Metrics.Collector
-    spark.streams.addListener(collector)
     val conn = new Connector(spark,
       ConnectorConfig(
         sourceDir = src.toString, checkpointDir = chk.toString,
@@ -32,16 +33,18 @@ class MetricsSpec extends SparkSpec {
       sink = "parquet", parquetOutDir = out.toString)
     conn.start()
     val deadline = System.currentTimeMillis() + 60000
-    while (collector.totalEvents < 7 && System.currentTimeMillis() < deadline)
+    while (conn.totalProcessedEvents < 7 && System.currentTimeMillis() < deadline)
       Thread.sleep(200)
     conn.close()
-    spark.streams.removeListener(collector)
 
-    assert(collector.totalEvents == 7)
-    val withData = collector.snapshot.filter(_.events > 0)
+    assert(conn.totalProcessedEvents == 7)
+    val withData = conn.batchMetrics.filter(_.events > 0)
     // event-time is 2024 → latency is large and positive; duration sane
     assert(withData.forall(_.maxProcessLatencyMs > 0))
     assert(withData.forall(_.batchDurationMs >= 0))
+    // per-topic success counters flow from the sink-side probe: the 7
+    // clean inserts all route to topic "t"
+    assert(conn.metrics.successCount("t") == 7)
   }
 
   test("inline quality counters: dropped and null-key records surface, good ones don't") {
@@ -59,9 +62,6 @@ class MetricsSpec extends SparkSpec {
       line("INSERT", "users", """{"name":"x"}"""))    // key field absent → null key
     Files.write(src.resolve("b.json"), String.join("\n", lines: _*).getBytes)
 
-    val registry = new MetricsRegistry("quality-spec")
-    val collector = new Metrics.Collector(Some(registry))
-    spark.streams.addListener(collector)
     val conn = new Connector(spark,
       ConnectorConfig(
         sourceDir = src.toString, checkpointDir = chk.toString,
@@ -71,12 +71,11 @@ class MetricsSpec extends SparkSpec {
       sink = "parquet", parquetOutDir = out.toString)
     conn.start()
     val deadline = System.currentTimeMillis() + 60000
-    while (collector.totalEvents < 5 && System.currentTimeMillis() < deadline)
+    while (conn.totalProcessedEvents < 6 && System.currentTimeMillis() < deadline)
       Thread.sleep(200)
     conn.close()
-    spark.streams.removeListener(collector)
 
-    val text = registry.render
+    val text = conn.metrics.render
     def metric(c: String): Double =
       text.linesIterator
         .find(l => l.startsWith("graft_cdc_quality_violations_total") &&
@@ -85,5 +84,9 @@ class MetricsSpec extends SparkSpec {
     assert(metric("unknown_op") == 1.0, s"unknown_op missing:\n$text")
     assert(metric("unroutable_table") == 1.0, s"unroutable_table missing:\n$text")
     assert(metric("null_key") == 1.0, s"null_key missing:\n$text")
+    // every record carries a KNOWN op except the UPSERT, and TRUNCATE
+    // is dropped by default (emitTruncates off) — so exactly 3 reach
+    // the sink-side topic counter (2 clean + the null-key one)
+    assert(conn.metrics.successCount("t") == 3)
   }
 }
