@@ -750,6 +750,85 @@ object Analytic {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q284 — the q271 min/max maintenance over a DECIMAL measure
+    * (`o_totalprice`, the literal example from every warehouse): the
+    * orders table becomes a CDC log keyed by CUSTOMER (each customer
+    * has ~10 orders, so latest-by-key is a real merge and deletes and
+    * updates withdraw live extrema), replayed in three interleaved
+    * batches through `applyBatchCdf` + `applyMinMaxDelta` at
+    * `measureScale = 2`. The index carries value × 100 as exact scaled
+    * longs — compares and sums exact under any accumulation order —
+    * and a value NOT representable at the scale fails the batch loudly
+    * (MaterializeSpec pins the reject path; the pre-r14 lane silently
+    * truncated "1234.56" to 1234). The oracle restates the view
+    * declaratively with the money-cents recipe
+    * (`round(o_totalprice*100)` — both engines' doubles are within
+    * 1e-9 of 2-decimal values, so rounding modes agree).
+    *
+    * At 100 TB: identical shape to q271 — per-batch cost is (touched
+    * group buckets) × (bucket size), independent of table size; the
+    * decimal path adds one fixed-point scale per measure read, no new
+    * shuffle, no type widening of the index.
+    */
+  def q284CdcDecimalMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.load(s, dir, "orders")
+      .withColumn("op",
+        when($"o_orderkey" % 10 === 0, "DELETE")
+          .when($"o_orderkey" % 3 === 0, "UPDATE")
+          .otherwise("INSERT"))
+    val payload = map(
+      lit("o_custkey"), $"o_custkey".cast("string"),
+      lit("o_orderkey"), $"o_orderkey".cast("string"),
+      lit("o_orderpriority"), $"o_orderpriority",
+      lit("o_totalprice"), $"o_totalprice".cast("string"))
+    val events = log.select(
+      $"o_orderkey".as("batch_src"),
+      $"o_orderdate".cast("timestamp").as("eventTime"),
+      lit("public").as("tableNamespace"), lit("orders").as("tableName"),
+      when($"op" === "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("oldData"),
+      when($"op" =!= "DELETE", payload)
+        .otherwise(map().cast("map<string,string>")).as("newData"),
+      $"op")
+      .localCheckpoint(true) // one scan feeds all three replay batches
+    val base = java.nio.file.Files.createTempDirectory("graft_q284_mv").toString
+    (0 until 3).foreach { i =>
+      val changes = graft.streaming.Materialize.applyBatchCdf(
+        events.filter(pmod($"batch_src", lit(3)) === i).drop("batch_src"),
+        keyField = "o_custkey", s"$base/t", nBuckets = 8,
+        seqCol = Some("o_orderkey"))
+      graft.streaming.Materialize.applyMinMaxDelta(
+        changes, groupField = "o_orderpriority", measureField = "o_totalprice",
+        s"$base/idx", s"$base/view", nBuckets = 8, measureScale = 2)
+    }
+    graft.streaming.Materialize.minMaxView(s, s"$base/view")
+      .select($"grp".as("o_orderpriority"),
+        $"mn".as("min_totalprice_cents"), $"mx".as("max_totalprice_cents"), $"n")
+      .orderBy($"o_orderpriority")
+  }
+
+  val q284CdcDecimalMvSql: String =
+    """WITH log AS (
+      |  SELECT *, CASE WHEN o_orderkey % 10 = 0 THEN 'DELETE'
+      |                 WHEN o_orderkey % 3 = 0 THEN 'UPDATE'
+      |                 ELSE 'INSERT' END AS op
+      |  FROM orders),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM log),
+      |vals AS (
+      |  SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM latest WHERE rn = 1 AND op <> 'DELETE')
+      |SELECT o_orderpriority,
+      |  MIN(cents) AS min_totalprice_cents,
+      |  MAX(cents) AS max_totalprice_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM vals GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val q65IncrMvSql: String =
     """WITH log AS (
       |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'DELETE'

@@ -486,6 +486,31 @@ object Materialize {
     changes
   }
 
+  /** Exact scaled-long encoding of a string measure from the replica's
+    * row-image map: value × 10^scale, required to be an integer in long
+    * range. Anything not exactly representable — extra fractional
+    * digits, overflow — fails the batch with `raise_error` naming the
+    * field and offending value; NEVER a silent truncation. The decimal
+    * staging type is DECIMAL(38,18): inputs with more than 18
+    * fractional digits are outside the lane's contract (and real CDC
+    * money/measure columns are ≤ 6). Comparisons and sums on the scaled
+    * longs are exact, so the same value-count index serves decimal
+    * measures unchanged.
+    */
+  private def scaledLongMeasure(raw: Column, measureField: String, scale: Int): Column = {
+    require(scale >= 0 && scale <= 18, s"measureScale must be in [0, 18], got $scale")
+    val exact = raw.cast(org.apache.spark.sql.types.DecimalType(38, 18))
+    val scaled = exact * lit(java.math.BigDecimal.TEN.pow(scale))
+    val bad = (scaled % lit(1) =!= lit(0)) ||
+      abs(scaled) > lit(new java.math.BigDecimal(Long.MaxValue))
+    when(scaled.isNotNull && bad,
+      raise_error(concat(
+        lit(s"measure '$measureField' value '"), raw,
+        lit(s"' is not exactly representable as a scaled long at scale $scale")))
+        .cast("long"))
+      .otherwise(scaled.cast("long"))
+  }
+
   /** Incrementally maintain a grouped-aggregate table (count + an exact
     * integer sum per group) from a change feed — the materialized-view
     * half of CDC apply: instead of recomputing `SELECT grp, count(*),
@@ -498,17 +523,33 @@ object Materialize {
     * full rewrite matters, shard it with the replica's bucket pattern.
     */
   def applyAggregateDelta(changes: DataFrame, groupField: String,
-      measureField: String, aggPath: String): Unit = {
+      measureField: String, aggPath: String): Unit =
+    applyAggregateDelta(changes, groupField, measureField, aggPath, measureScale = 0)
+
+  /** As above with a DECIMAL measure: `measureScale` fixed-point digits
+    * are carried exactly as scaled longs (value × 10^scale), so sums
+    * stay exact under any accumulation order — decode the view with
+    * `m / 10^scale`. A measure not exactly representable at the given
+    * scale (extra fractional digits, |scaled| > Long.Max) FAILS THE
+    * BATCH LOUDLY instead of truncating (the pre-r14 lane cast straight
+    * to long, so the first `totalprice`-style decimal a warehouse user
+    * tried silently lost its cents). scale = 0 keeps integer measures
+    * byte-identical — and now rejects fractional input too.
+    */
+  def applyAggregateDelta(changes: DataFrame, groupField: String,
+      measureField: String, aggPath: String, measureScale: Int): Unit = {
     val s = changes.sparkSession
     import s.implicits._
     val minus = changes.filter($"before".isNotNull).select(
       element_at($"before", groupField).as("grp"),
       lit(-1L).as("dn"),
-      (-element_at($"before", measureField).cast("long")).as("dm"))
+      (-scaledLongMeasure(element_at($"before", measureField),
+        measureField, measureScale)).as("dm"))
     val plus = changes.filter($"after".isNotNull).select(
       element_at($"after", groupField).as("grp"),
       lit(1L).as("dn"),
-      element_at($"after", measureField).cast("long").as("dm"))
+      scaledLongMeasure(element_at($"after", measureField),
+        measureField, measureScale).as("dm"))
     val deltas = minus.unionByName(plus)
     val fs = new Path(aggPath).getFileSystem(s.sparkContext.hadoopConfiguration)
     val current =
@@ -560,16 +601,18 @@ object Materialize {
     */
   def applyMinMaxDelta(changes: DataFrame, groupField: String,
       measureField: String, indexPath: String, viewPath: String,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, measureScale: Int = 0): Unit = {
     val s = changes.sparkSession
     import s.implicits._
     val minus = changes.filter($"before".isNotNull).select(
       element_at($"before", groupField).as("grp"),
-      element_at($"before", measureField).cast("long").as("v"),
+      scaledLongMeasure(element_at($"before", measureField),
+        measureField, measureScale).as("v"),
       lit(-1L).as("cnt"))
     val plus = changes.filter($"after".isNotNull).select(
       element_at($"after", groupField).as("grp"),
-      element_at($"after", measureField).cast("long").as("v"),
+      scaledLongMeasure(element_at($"after", measureField),
+        measureField, measureScale).as("v"),
       lit(1L).as("cnt"))
     val deltas = minus.unionByName(plus)
       .groupBy($"grp", $"v").agg(sum($"cnt").as("cnt"))

@@ -631,6 +631,61 @@ class MaterializeSpec extends SparkSpec {
     assert(gbDir.listFiles().map(f => f.getName -> f.length()).toMap == snapshot)
   }
 
+  private def evD(op: String, id: Int, min: Int, grp: String, m: String): ChangeEvent = {
+    val data = Map("id" -> id.toString, "g" -> grp, "m" -> m)
+    if (op == Op.Delete) ChangeEvent(ts(min), "public", "t", data, Map.empty, op)
+    else ChangeEvent(ts(min), "public", "t", Map.empty, data, op)
+  }
+
+  test("min/max view over a DECIMAL measure: exact scaled-long cents, extremum withdrawal") {
+    val base = Files.createTempDirectory("graft-minmaxdec").toString
+    def view(): Map[String, (Long, Long, Long)] =
+      Materialize.minMaxView(spark, s"$base/view").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def apply(evs: ChangeEvent*): Unit =
+      Materialize.applyMinMaxDelta(
+        Materialize.applyBatchCdf(evs.toDF(), "id", s"$base/t", nBuckets = 4),
+        "g", "m", s"$base/idx", s"$base/view", nBuckets = 4, measureScale = 2)
+    // "10.5" has fewer fractional digits than the scale — representable
+    apply(evD(Op.Insert, 1, 0, "a", "10.05"), evD(Op.Insert, 2, 1, "a", "9.99"),
+      evD(Op.Insert, 3, 2, "a", "10.5"))
+    assert(view() == Map("a" -> (999L, 1050L, 3L)))
+    // deleting the live minimum surfaces the runner-up, exactly, in cents
+    apply(evD(Op.Delete, 2, 10, "a", "9.99"))
+    assert(view() == Map("a" -> (1005L, 1050L, 2L)))
+  }
+
+  test("a measure not representable at the scale fails the batch loudly, never truncates") {
+    def rootMessages(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = t
+      while (cur != null) { sb ++= Option(cur.getMessage).getOrElse(""); cur = cur.getCause }
+      sb.result()
+    }
+    def applyAt(scale: Int, m: String): Unit = {
+      val base = Files.createTempDirectory("graft-minmaxrej").toString
+      Materialize.applyMinMaxDelta(
+        Materialize.applyBatchCdf(
+          Seq(evD(Op.Insert, 1, 0, "a", m)).toDF(), "id", s"$base/t", nBuckets = 4),
+        "g", "m", s"$base/idx", s"$base/view", nBuckets = 4, measureScale = scale)
+    }
+    // three fractional digits at scale 2
+    val e1 = intercept[Exception](applyAt(2, "1.005"))
+    assert(rootMessages(e1).contains("not exactly representable"), rootMessages(e1))
+    // the pre-r14 silent-truncation case: fractional input at scale 0
+    val e2 = intercept[Exception](applyAt(0, "12.5"))
+    assert(rootMessages(e2).contains("not exactly representable"), rootMessages(e2))
+    // and the count+sum lane guards identically
+    val e3 = intercept[Exception] {
+      val base = Files.createTempDirectory("graft-aggrej").toString
+      Materialize.applyAggregateDelta(
+        Materialize.applyBatchCdf(
+          Seq(evD(Op.Insert, 1, 0, "a", "12.5")).toDF(), "id", s"$base/t", nBuckets = 4),
+        "g", "m", s"$base/agg")
+    }
+    assert(rootMessages(e3).contains("not exactly representable"), rootMessages(e3))
+  }
+
   test("applyStreamWithMinMaxView keeps the min/max view current per batch") {
     val base = Files.createTempDirectory("graft-minmax3").toString
     val ckpt = Files.createTempDirectory("graft-minmax3-ckpt").toString
