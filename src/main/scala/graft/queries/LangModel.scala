@@ -1864,6 +1864,141 @@ object LangModel {
       .orderBy($"doc_id")
   }
 
+  /** q285: interpolated Kneser–Ney TRIGRAM scoring with recursive
+    * backoff (Chen & Goodman 1999's interpolated form at order 3,
+    * fixed D = 0.75 at every order) — q282's bigram model extended the
+    * way real perplexity filters run (KenLM is 4-5-gram; order 3 is
+    * where the recursion becomes generic, every further order repeats
+    * the same shape). The highest order discounts RAW counts; each
+    * lower order discounts CONTINUATION counts (distinct left
+    * extensions), with the backoff weights taken from the SAME table
+    * the level is estimated from — the Chen–Goodman discipline that
+    * makes every level sum to exactly 1 over the vocabulary
+    * (spec-pinned at order 3):
+    *
+    *   P3(w3|w1w2) = (max(c(w1w2w3)−D, 0) + D·N1+(w1w2·)·P2c(w3|w2)) / c(w1w2·)
+    *   P2c(w3|w2)  = (max(N1+(·w2w3)−D, 0) + D·N1+(w2·*)·Pc(w3)) / N1+(·w2·)
+    *   Pc(w3)      = N1+(·w3) / N1+(··)
+    *
+    * where N1+(w2·*) counts distinct w3 with N1+(·w2w3) > 0 (types in
+    * the continuation table, NOT raw bigram types — a bigram seen only
+    * document-initially has no trigram, and using the raw count would
+    * leak its mass). No sentence padding: positions 3..n score against
+    * history (w−2, w−1), q282's convention.
+    *
+    * At 100 TB: five count tables, ALL bounded by distinct trigram
+    * types ≤ corpus tokens (never vocabulary²), built from one trigram
+    * shuffle + the q282 bigram shuffle; scoring joins them back onto
+    * the trigram stream by (t), (w1,w2), (w2,w3), (w2), (w3) — AQE
+    * broadcasts the marginal tables at deployment scale — and the only
+    * full-corpus aggregate is the per-doc ordered fold. Production
+    * KenLM prunes singleton trigrams to shrink the model; the tables
+    * here stay exact (the oracle demands it) and corpus-bounded.
+    */
+  def q285KneserNeyTrigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
+    val n3 = greatest(size($"ws") - 2, lit(0))
+    val tri = docs.select($"doc_id",
+      zip_with(
+        zip_with(slice($"ws", lit(1), n3), slice($"ws", lit(2), n3),
+          (a, b) => concat(a, lit(" "), b)),
+        slice($"ws", lit(3), n3),
+        (ab, c) => concat(ab, lit(" "), c)).as("ts"))
+    val bi = docs.select($"doc_id",
+      zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat(a, lit(" "), b)).as("bs"))
+    val tg = tri.select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c3"))
+      .withColumn("w1", split($"t", " ").getItem(0))
+      .withColumn("w2", split($"t", " ").getItem(1))
+      .withColumn("w3", split($"t", " ").getItem(2))
+      // feeds three marginal tables AND the scoring join
+      .localCheckpoint(true)
+    val h3 = tg.groupBy($"w1", $"w2")
+      .agg(sum($"c3").cast("long").as("ch3"), count(lit(1)).as("n3f"))
+    val c3t = tg.groupBy($"w2", $"w3").agg(count(lit(1)).as("n1b3"))
+    val mid = c3t.groupBy($"w2")
+      .agg(sum($"n1b3").cast("long").as("nmid"), count(lit(1)).as("n2f3"))
+    val bg = bi.select(explode($"bs").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+      .withColumn("bw2", split($"b", " ").getItem(1))
+    val cont = bg.groupBy($"bw2".as("w3")).agg(count(lit(1)).as("n1b"))
+    val tot = bg.agg(count(lit(1)).as("nbb"))
+    val pc = $"n1b".cast("double") / $"nbb"
+    val p2c = (greatest($"n1b3".cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * $"n2f3" * pc) / $"nmid"
+    val p3 = (greatest($"c3".cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * $"n3f" * p2c) / $"ch3"
+    val terms = tri.select($"doc_id", posexplode($"ts").as(Seq("pos", "t")))
+      .join(tg.select($"t", $"c3", $"w1", $"w2", $"w3"), "t")
+      .join(h3, Seq("w1", "w2"))
+      .join(c3t, Seq("w2", "w3"))
+      .join(mid, Seq("w2"))
+      .join(cont, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"pos", log(p3).as("t"))
+    terms.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        orderedSum($"pos", $"t").as("sum_lp"))
+      .select($"doc_id", $"n_trigrams",
+        $"sum_lp".cast("float").as("sum_logprob_kn3"),
+        ($"sum_lp" / $"n_trigrams").cast("float").as("avg_logprob_kn3"))
+      .orderBy($"doc_id")
+  }
+
+  /** The multiply-referenced count tables are AS MATERIALIZED: DuckDB's
+    * default CTE inlining re-derives tg once per consumer (h3, c3t,
+    * mid, and the scoring join each re-unnest the corpus) and the
+    * optimizer's plan for the five-way join over the inlined trees ran
+    * minutes where the materialized form runs in 0.2s (the q215
+    * lesson).
+    */
+  val q285KneserNeyTrigramSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT doc_id,
+      |          list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ts
+      |        FROM d),
+      |bi AS (SELECT doc_id,
+      |         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bs
+      |       FROM d),
+      |tg AS MATERIALIZED (SELECT t, CAST(COUNT(*) AS BIGINT) AS c3,
+      |         string_split(t, ' ')[1] AS w1, string_split(t, ' ')[2] AS w2,
+      |         string_split(t, ' ')[3] AS w3
+      |       FROM (SELECT unnest(ts) AS t FROM tri) GROUP BY t),
+      |h3 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ch3,
+      |         CAST(COUNT(*) AS BIGINT) AS n3f FROM tg GROUP BY w1, w2),
+      |c3t AS MATERIALIZED (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n1b3 FROM tg GROUP BY w2, w3),
+      |mid AS (SELECT w2, CAST(SUM(n1b3) AS BIGINT) AS nmid,
+      |          CAST(COUNT(*) AS BIGINT) AS n2f3 FROM c3t GROUP BY w2),
+      |bg AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2,
+      |         string_split(b, ' ')[2] AS bw2
+      |       FROM (SELECT unnest(bs) AS b FROM bi) GROUP BY b),
+      |cont AS (SELECT bw2 AS w3, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY bw2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM bg),
+      |t AS (SELECT u.doc_id, u.pos,
+      |        ln((greatest(CAST(tg.c3 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |            0.75 * h3.n3f *
+      |              ((greatest(CAST(c3t.n1b3 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |                0.75 * mid.n2f3 * (CAST(cont.n1b AS DOUBLE) / tot.nbb)) / mid.nmid))
+      |           / h3.ch3) AS t
+      |      FROM (SELECT doc_id, unnest(ts) AS t,
+      |              generate_subscripts(ts, 1) AS pos FROM tri) u
+      |      JOIN tg ON tg.t = u.t
+      |      JOIN h3 ON h3.w1 = tg.w1 AND h3.w2 = tg.w2
+      |      JOIN c3t ON c3t.w2 = tg.w2 AND c3t.w3 = tg.w3
+      |      JOIN mid ON mid.w2 = tg.w2
+      |      JOIN cont ON cont.w3 = tg.w3
+      |      CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      |  CAST(list_sum(list(t ORDER BY pos)) AS FLOAT) AS sum_logprob_kn3,
+      |  CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT)
+      |    AS avg_logprob_kn3
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val q282KneserNeySql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |bi AS (SELECT doc_id,
