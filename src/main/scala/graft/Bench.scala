@@ -190,11 +190,28 @@ object Bench {
       if (dbzSecs.nonEmpty && dbzSecs.min > 0) cdcRows / dbzSecs.min else -1.0
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Full per-query JSON (the complete "queries" + "attempts" maps) goes
+    // to a FILE: the round driver keeps only the last ~2000 chars of
+    // stdout, so a 285-query line can never land whole in the artifact
+    // (BENCH_r11-r13 all carried "parsed": null tails). stdout gets ONE
+    // compact line — headline metrics, the slowest queries, and the
+    // pointer — that fits the window completely and parses.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""attempts":$attemptsJson,""" +
       s""""cdc_rows":$cdcRows,"cdc_sec":$cdcSec,"cdc_rows_per_sec":$cdcRps,""" +
       s""""cdc_debezium_rows_per_sec":$dbzRps,""" +
-      s""""errors":$errsJson,"sf":"$sfDir"}""")
+      s""""errors":$errsJson,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
+    java.nio.file.Files.write(fullPath,
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(8)
+      .map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},""" +
+      s""""cdc_rows":$cdcRows,"cdc_sec":$cdcSec,"cdc_rows_per_sec":$cdcRps,""" +
+      s""""cdc_debezium_rows_per_sec":$dbzRps,""" +
+      s""""errors":$errsJson,"slowest":$slowest,""" +
+      s""""queries_file":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
