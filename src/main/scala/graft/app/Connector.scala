@@ -160,7 +160,8 @@ final class Connector(
     val mode = if (snap.enabled) snap.mode else SnapshotConfig.ModeNever
 
     if (mode == SnapshotConfig.ModeSnapshotOnly) {
-      CdcPipeline.runSnapshotPhase(spark, cfg, sink, parquetOutDir, Some(metrics))
+      CdcPipeline.runSnapshotPhase(spark, cfg, sink, parquetOutDir, Some(metrics),
+        Some(pipelineProbe))
       ready.countDown() // no CDC to wait for (connector.go:88-89)
       return null
     }

@@ -185,17 +185,25 @@ object CdcPipeline {
     * producer retries, pair with `kafka.enable.idempotence=true`
     * (else a retried batch can overtake an in-flight one).
     */
-  def orderedTransform(events: DataFrame, cfg: ConnectorConfig): DataFrame =
-    Metrics.observedSink(
-      withPlacement(
-        Handlers.declarative(
-            Metrics.observed(events),
-            TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField, keepEventTime = true)
-          .repartition(col("key"))
-          .sortWithinPartitions(col("key"), col("eventTime"))
-          .drop("eventTime"), // narrow projection: keeps the sort, drops the column
-        cfg),
-      cfg.kafka.tableTopicMapping.values.toSeq)
+  def orderedTransform(events: DataFrame, cfg: ConnectorConfig,
+      probe: Option[PipelineProbe] = None): DataFrame = {
+    val watched = probe match {
+      case Some(pr) => pr.attach(events)
+      case None => Metrics.observed(events)
+    }
+    val placed = withPlacement(
+      Handlers.declarative(watched,
+          TopicRouter(cfg.kafka.tableTopicMapping), cfg.keyField, keepEventTime = true)
+        .repartition(col("key"))
+        .sortWithinPartitions(col("key"), col("eventTime"))
+        .drop("eventTime"), // narrow projection: keeps the sort, drops the column
+      cfg)
+    probe match {
+      case Some(pr) => pr.attachSink(placed)
+      case None =>
+        Metrics.observedSink(placed, cfg.kafka.tableTopicMapping.values.toSeq)
+    }
+  }
 
   /** Production sink: Spark's Kafka writer with the reference's producer
     * options; trigger interval ≙ batch ticker (O13); checkpoint ≙ LSN ACK
@@ -288,7 +296,8 @@ object CdcPipeline {
     */
   def runSnapshotPhase(
       spark: SparkSession, cfg: ConnectorConfig, sink: String, outDir: String,
-      registry: Option[MetricsRegistry] = None): Unit = {
+      registry: Option[MetricsRegistry] = None,
+      probe: Option[PipelineProbe] = None): Unit = {
     val snap = snapshotEventStream(spark, cfg).getOrElse(
       throw new IllegalArgumentException("snapshot mode requires snapshot.tables"))
     val ckpt = s"${cfg.checkpointDir}/snapshot"
@@ -325,14 +334,15 @@ object CdcPipeline {
       }
     }
     try runSnapshotPhaseInner(spark, cfg, sink, outDir, snap, ckpt,
-      q => qid.set(q.id))
+      q => qid.set(q.id), probe)
     finally finish()
   }
 
   private def runSnapshotPhaseInner(
       spark: SparkSession, cfg: ConnectorConfig, sink: String, outDir: String,
       snap: DataFrame, ckpt: String,
-      onStart: org.apache.spark.sql.streaming.StreamingQuery => Unit): Unit = {
+      onStart: org.apache.spark.sql.streaming.StreamingQuery => Unit,
+      probe: Option[PipelineProbe]): Unit = {
     if (sink == "replica") {
       // the replica sink consumes raw ChangeEvents (its merge IS the
       // handler); SNAPSHOT ops upsert like inserts
@@ -343,7 +353,9 @@ object CdcPipeline {
       q.processAllAvailable(); q.stop()
       return
     }
-    val records = defaultTransform(snap, cfg)
+    // the snapshot race is the throughput-critical path: same fused
+    // probe as the CDC stream (the observe fallback costs ~46% there)
+    val records = defaultTransform(snap, cfg, probe)
     val writer = sink match {
       case "parquet" =>
         records.writeStream.format("parquet")
