@@ -1380,6 +1380,78 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q286: duplicate-SEGMENT removal with document reconstruction —
+    * the CCNet preprocessing step (Wenzek et al. 2019) that runs
+    * BEFORE document-level dedup: hash every paragraph across the
+    * whole dump, drop duplicated paragraphs keeping one occurrence,
+    * and emit the CLEANED documents (boilerplate headers/footers/menus
+    * die here; the doc-level lanes q31/q33/q59 then see prose). Every
+    * other dedup lane in this engine reports pairs or stats — this one
+    * rewrites the corpus, order preserved.
+    *
+    * This corpus has no newlines, so non-overlapping W = 16-word
+    * windows stand in for paragraphs (the sf0.01 corpus: 1,843 distinct
+    * segments, 69 duplicated types, 147 duplicate instances — ~8% of
+    * the corpus drops). CCNet keeps whichever copy its shard order sees
+    * first; here the keeper is DETERMINISTIC — the globally first
+    * instance by (doc_id, segment_no) — so the result is reproducible
+    * and exactly oracle-checkable.
+    *
+    * At 100 TB: ONE corpus shuffle keyed on md5(segment) (fixed
+    * 32-byte key, never the text — the q170 discipline) computes the
+    * per-hash keeper + count; the reassembly is one doc-keyed
+    * aggregate whose per-group state is the document itself. No joins
+    * beyond the hash-keyed one, no windows, no driver-side anything;
+    * both shuffles are corpus-sized and embarrassingly partitioned.
+    */
+  def q286SegmentDedup(s: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+    val seg = docs.select($"doc_id", posexplode(
+        transform(
+          sequence(lit(1), ceil(size($"ws") / lit(w.toDouble)).cast("int")),
+          i => array_join(slice($"ws", (i - 1) * w + 1, lit(w)), " ")))
+        .as(Seq("p", "s")))
+      .select($"doc_id", ($"p" + 1).cast("long").as("seg_no"), $"s",
+        md5($"s").as("h"))
+    // keeper = globally first instance; the packed (doc_id, seg_no)
+    // long keeps the argmin a plain MIN (seg_no < 100000 ≙ docs under
+    // 1.6M words — far above this corpus, loud overflow far beyond it)
+    val winners = seg.groupBy($"h")
+      .agg(min($"doc_id" * 100000L + $"seg_no").as("wk"))
+    seg.join(winners, "h")
+      .select($"doc_id", $"seg_no", $"s",
+        (($"doc_id" * 100000L + $"seg_no") === $"wk").as("keep"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"keep", struct($"seg_no", $"s")))),
+            x => x.getField("s")), " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  def q286SegmentDedupSql(w: Int = 16): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+      |          array_to_string(ws[(i-1)*$w+1 : i*$w], ' ') AS s
+      |        FROM d, LATERAL (SELECT unnest(range(1,
+      |          CAST(ceil(len(ws) / $w.0) AS INT) + 1)) AS i) t),
+      |sh AS (SELECT doc_id, seg_no, s, md5(s) AS h FROM seg),
+      |w AS (SELECT h, MIN(doc_id * 100000 + seg_no) AS wk FROM sh GROUP BY h),
+      |f AS (SELECT sh.doc_id, sh.seg_no, sh.s,
+      |        (sh.doc_id * 100000 + sh.seg_no) = w.wk AS keep
+      |      FROM sh JOIN w USING (h))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COALESCE(array_to_string(list_transform(
+      |    list_sort(list(struct_pack(seg_no := seg_no, s := s)) FILTER (WHERE keep)),
+      |    x -> x.s), ' '), '') AS clean_text
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val q228ClusterSplitSql: String =
     s"""$dupComponentCtes,
       |cl AS (
