@@ -1999,6 +1999,139 @@ object LangModel {
       |    AS avg_logprob_kn3
       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q287: Stupid Backoff trigram scoring (Brants, Popat, Xu, Och &
+    * Dean 2007, "Large Language Models in Machine Translation") — the
+    * scheme Google built for MapReduce over 2-trillion-token corpora
+    * when Kneser–Ney's continuation counts were too expensive to
+    * distribute: NO discounting, NO normalization, a fixed backoff
+    * multiplier α = 0.4, relative frequencies only:
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)        if c(w1w2w3) > 0
+    *              = 0.4 · S(w3|w2)            otherwise
+    *   S(w3|w2)   = c(w2w3)/c(w2)             if c(w2w3) > 0
+    *              = 0.4 · c(w3)/N             otherwise
+    *
+    * (a SCORE, not a probability — the paper's point is that at web
+    * scale the normalization buys nothing). Scored over the corpus's
+    * own trigrams the top case always fires for the count lookup, so
+    * the lane registers the held-out-shaped variant every real
+    * pipeline runs: documents ending in 0 mod 10 are the EVAL fold,
+    * the model trains on the other nine tenths, and eval trigrams
+    * exercise all three backoff tiers (plus the unseen-everywhere
+    * floor 0.4²·1/N — Brants' out-of-vocabulary convention folded to
+    * count 1). ln at the end, FLOAT presentation (the libm rule).
+    *
+    * At 100 TB: this is the algorithm DESIGNED for this engine's
+    * shape — the model is plain count tables (no continuation pass),
+    * built in one trigram + one bigram + one unigram aggregate over
+    * the train fold; scoring is three LEFT joins (AQE-broadcast at
+    * deployment vocabulary sizes) and a fixed-shape per-row double
+    * chain; the per-doc fold is the only corpus-wide aggregate.
+    */
+  def q287StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+    val evalD = docs.filter($"doc_id" % 10 === 0)
+    val n3 = greatest(size($"ws") - 2, lit(0))
+    def tris(d: DataFrame) = d.select($"doc_id",
+      zip_with(
+        zip_with(slice($"ws", lit(1), n3), slice($"ws", lit(2), n3),
+          (a, b) => concat(a, lit(" "), b)),
+        slice($"ws", lit(3), n3),
+        (ab, c) => concat(ab, lit(" "), c)).as("ts"))
+    val tg = tris(train).select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c3"))
+    val bg = train.select(explode(zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+    val ug = train.select(explode($"ws").as("u"))
+      .groupBy($"u").agg(count(lit(1)).as("c1"))
+    val nTok = train.select(explode($"ws").as("u")).count()
+    val ev = tris(evalD)
+      .select($"doc_id", posexplode($"ts").as(Seq("pos", "t")))
+      .withColumn("parts", split($"t", " "))
+      .withColumn("b12", concat($"parts".getItem(0), lit(" "), $"parts".getItem(1)))
+      .withColumn("b23", concat($"parts".getItem(1), lit(" "), $"parts".getItem(2)))
+      .withColumn("w2", $"parts".getItem(1))
+      .withColumn("w3", $"parts".getItem(2))
+    val score = ev
+      .join(tg, Seq("t"), "left")
+      .join(bg.select($"b".as("b12"), $"c2".as("ch2")), Seq("b12"), "left")
+      .join(bg.select($"b".as("b23"), $"c2".as("c23")), Seq("b23"), "left")
+      .join(ug.select($"u".as("w2"), $"c1".as("cw2")), Seq("w2"), "left")
+      .join(ug.select($"u".as("w3"), $"c1".as("cw3")), Seq("w3"), "left")
+      .select($"doc_id", $"pos",
+        log(
+          when($"c3".isNotNull && $"ch2".isNotNull,
+            $"c3".cast("double") / $"ch2")
+          .otherwise(lit(0.4) * (
+            when($"c23".isNotNull && $"cw2".isNotNull,
+              $"c23".cast("double") / $"cw2")
+            .otherwise(lit(0.4) *
+              (coalesce($"cw3", lit(1L)).cast("double") / lit(nTok.toDouble)))))
+        ).as("t"))
+    score.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        orderedSum($"pos", $"t").as("sum_lp"))
+      .select($"doc_id", $"n_trigrams",
+        $"sum_lp".cast("float").as("sum_score_sb"),
+        ($"sum_lp" / $"n_trigrams").cast("float").as("avg_score_sb"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle note: nTok is folded into the SQL as a literal-free
+    * cross-join scalar so both engines divide by the identical BIGINT;
+    * the tier predicates test the SAME left-join nullability on both
+    * sides. Count tables AS MATERIALIZED (the q285/q215 lesson).
+    */
+  val q287StupidBackoffSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tr AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+      |evd AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+      |tg AS MATERIALIZED (SELECT t, CAST(COUNT(*) AS BIGINT) AS c3
+      |      FROM (SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t FROM tr)
+      |      GROUP BY t),
+      |bg AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2
+      |      FROM (SELECT unnest(list_transform(range(1, len(ws)),
+      |              i -> ws[i] || ' ' || ws[i+1])) AS b FROM tr)
+      |      GROUP BY b),
+      |ug AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS c1
+      |      FROM (SELECT unnest(ws) AS u FROM tr) GROUP BY u),
+      |ntok AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n FROM tr),
+      |evt AS (SELECT doc_id,
+      |          list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ts
+      |        FROM evd),
+      |ev AS (SELECT doc_id, pos, t,
+      |         string_split(t, ' ')[1] || ' ' || string_split(t, ' ')[2] AS b12,
+      |         string_split(t, ' ')[2] || ' ' || string_split(t, ' ')[3] AS b23,
+      |         string_split(t, ' ')[2] AS w2, string_split(t, ' ')[3] AS w3
+      |       FROM (SELECT doc_id, unnest(ts) AS t,
+      |               generate_subscripts(ts, 1) AS pos FROM evt)),
+      |sc AS (SELECT ev.doc_id, ev.pos,
+      |         ln(CASE WHEN tg.c3 IS NOT NULL AND h2.c2 IS NOT NULL
+      |              THEN CAST(tg.c3 AS DOUBLE) / h2.c2
+      |            ELSE 0.4 * (CASE WHEN b23.c2 IS NOT NULL AND u2.c1 IS NOT NULL
+      |              THEN CAST(b23.c2 AS DOUBLE) / u2.c1
+      |              ELSE 0.4 * (CAST(COALESCE(u3.c1, 1) AS DOUBLE)
+      |                          / CAST(ntok.n AS DOUBLE)) END) END) AS t
+      |       FROM ev
+      |       LEFT JOIN tg ON tg.t = ev.t
+      |       LEFT JOIN bg h2 ON h2.b = ev.b12
+      |       LEFT JOIN bg b23 ON b23.b = ev.b23
+      |       LEFT JOIN ug u2 ON u2.u = ev.w2
+      |       LEFT JOIN ug u3 ON u3.u = ev.w3
+      |       CROSS JOIN ntok)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      |  CAST(list_sum(list(t ORDER BY pos)) AS FLOAT) AS sum_score_sb,
+      |  CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT)
+      |    AS avg_score_sb
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val q282KneserNeySql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |bi AS (SELECT doc_id,
