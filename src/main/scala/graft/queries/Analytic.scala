@@ -818,9 +818,67 @@ object Analytic {
       graft.streaming.Materialize.applyMinMaxDelta(
         changes, groupField = "o_orderpriority", measureField = "o_totalprice",
         s"$base/idx", s"$base/view", nBuckets = 8, measureScale = 2)
+      // the q288 moments view rides the SAME replay (one maintained
+      // family per table, several views — the q271 deployment model)
+      graft.streaming.Materialize.applyMomentsDelta(
+        changes, groupField = "o_orderpriority", measureField = "o_totalprice",
+        s"$base/moments", measureScale = 2)
     }
     base
   }
+
+  /** q288 — exact incremental MEAN/VARIANCE view over the decimal
+    * measure (the subtractable second-moment completion of the MV
+    * family): maintained as (n, Σcents, Σcents²) deltas on q284's
+    * replay — the second moment a BIGINT cannot hold (Σcents² passes
+    * 2⁶³ already at sf0.01) lives in an exact DECIMAL(38,0) sum, and
+    * the variance derives at read time from exact integers through one
+    * fixed-shape double chain, FLOAT-presented (the q165/q205
+    * wide-decimal→double ulp rule). The oracle restates mean/variance
+    * declaratively over final latest-by-key state with the identical
+    * integer-moment expression.
+    *
+    * At 100 TB: [[graft.streaming.Materialize.applyAggregateDelta]]'s
+    * shape exactly — per-batch cost is batch-sized deltas merged into
+    * an output-sized (one row per group) table; exactness under
+    * redelivery is inherited from the feed because integer deltas
+    * cancel exactly where floating-point accumulation could not.
+    */
+  def q288CdcMomentsMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = decimalMvReplayCache.getOrElseUpdate((s, dir),
+      replayDecimalMvUncached(s, dir))
+    graft.streaming.Materialize.momentsView(s, s"$base/moments")
+      .select($"grp".as("o_orderpriority"), $"n",
+        $"s1".as("sum_totalprice_cents"), $"mean".as("mean_cents"),
+        $"var_pop".as("var_pop_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q288CdcMomentsMvSql: String =
+    """WITH log AS (
+      |  SELECT *, CASE WHEN o_orderkey % 10 = 0 THEN 'DELETE'
+      |                 WHEN o_orderkey % 3 = 0 THEN 'UPDATE'
+      |                 ELSE 'INSERT' END AS op
+      |  FROM orders),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM log),
+      |vals AS (
+      |  SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM latest WHERE rn = 1 AND op <> 'DELETE'),
+      |m AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s1,
+      |    SUM(CAST(cents AS HUGEINT) * cents) AS s2
+      |  FROM vals GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n, s1 AS sum_totalprice_cents,
+      |  CAST(CAST(s1 AS DOUBLE) / n AS FLOAT) AS mean_cents,
+      |  CAST(CAST(s2 * n - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |       / CAST(n * n AS DOUBLE) AS FLOAT) AS var_pop_cents
+      |FROM m ORDER BY o_orderpriority""".stripMargin
 
   val q284CdcDecimalMvSql: String =
     """WITH log AS (

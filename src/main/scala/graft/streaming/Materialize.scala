@@ -564,6 +564,64 @@ object Materialize {
       .write.mode("overwrite").parquet(aggPath)
   }
 
+  /** Incrementally maintain grouped MOMENTS (n, Σv, Σv²) — the exact
+    * mean/variance/stddev view. Second moments are SUBTRACTABLE, so
+    * this is [[applyAggregateDelta]]'s pattern with one more column;
+    * the subtlety is exactness: Σv² of cents-scaled measures overflows
+    * BIGINT already at sf0.01 (the q85 lesson), so the second moment
+    * is a DECIMAL(38,0) sum — exact under any accumulation order — and
+    * the variance is derived at READ time from exact integers through
+    * one fixed-shape double chain (never accumulated in floating
+    * point, where deltas could not cancel exactly under redelivery).
+    * Measures encode via [[scaledLongMeasure]]: decimal-exact, loud on
+    * non-representable input.
+    */
+  def applyMomentsDelta(changes: DataFrame, groupField: String,
+      measureField: String, aggPath: String, measureScale: Int = 0): Unit = {
+    val s = changes.sparkSession
+    import s.implicits._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def moments(img: Column, sign: Int) = {
+      val v = scaledLongMeasure(element_at(img, measureField), measureField, measureScale)
+      Seq(lit(sign.toLong).as("dn"),
+        (v * sign).as("ds1"),
+        (v.cast(dec38) * v * sign).as("ds2"))
+    }
+    val minus = changes.filter($"before".isNotNull).select(
+      element_at($"before", groupField).as("grp") +: moments($"before", -1): _*)
+    val plus = changes.filter($"after".isNotNull).select(
+      element_at($"after", groupField).as("grp") +: moments($"after", 1): _*)
+    val deltas = minus.unionByName(plus)
+    val fs = new Path(aggPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(new Path(aggPath)))
+        s.read.parquet(aggPath)
+          .select($"grp", $"n".as("dn"), $"s1".as("ds1"), $"s2".as("ds2"))
+          .localCheckpoint(true) // lineage cut: we overwrite what we read
+      else deltas.limit(0)
+    current.unionByName(deltas)
+      .groupBy($"grp")
+      .agg(sum($"dn").as("n"), sum($"ds1").as("s1"),
+        sum($"ds2").cast(dec38).as("s2"))
+      .filter($"n" =!= 0)
+      .write.mode("overwrite").parquet(aggPath)
+  }
+
+  /** The maintained moments view with derived mean/variance (population):
+    * m2 = n·Σv² − (Σv)² computed in exact decimals, one double chain at
+    * the end, FLOAT presentation (wide-decimal→double casts differ in
+    * the last ulp across engines — the q165/q205 rule).
+    */
+  def momentsView(s: SparkSession, aggPath: String): DataFrame = {
+    import s.implicits._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m2 = ($"s2" * $"n") - ($"s1".cast(dec38) * $"s1")
+    s.read.parquet(aggPath)
+      .select($"grp", $"n", $"s1",
+        ($"s1".cast("double") / $"n").cast("float").as("mean"),
+        (m2.cast("double") / ($"n" * $"n").cast("double")).cast("float").as("var_pop"))
+  }
+
   /** Incrementally maintain a MIN/MAX (+count) grouped view — the first
     * NON-SUBTRACTABLE aggregate a warehouse user asks for after
     * count+sum ([[applyAggregateDelta]]): a delete of the current

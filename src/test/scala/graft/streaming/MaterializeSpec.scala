@@ -655,6 +655,37 @@ class MaterializeSpec extends SparkSpec {
     assert(view() == Map("a" -> (1005L, 1050L, 2L)))
   }
 
+  test("moments view: exact integer deltas retract under updates/deletes; redelivery cancels") {
+    val base = Files.createTempDirectory("graft-moments").toString
+    def view(): Map[String, (Long, Long, Float, Float)] =
+      Materialize.momentsView(spark, s"$base/m").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getFloat(3), r.getFloat(4))).toMap
+    def apply(evs: ChangeEvent*): Unit =
+      Materialize.applyMomentsDelta(
+        Materialize.applyBatchCdf(evs.toDF(), "id", s"$base/t", nBuckets = 4),
+        "g", "m", s"$base/m", measureScale = 2)
+    apply(evD(Op.Insert, 1, 0, "a", "1.00"), evD(Op.Insert, 2, 1, "a", "3.00"),
+      evD(Op.Insert, 3, 2, "b", "5.00"))
+    // cents 100 and 300: n=2, s1=400, mean=200, var=((100-200)²+(300-200)²)/2=10000
+    assert(view() == Map("a" -> (2L, 400L, 200.0f, 10000.0f),
+      "b" -> (1L, 500L, 500.0f, 0.0f)))
+    // update moves key 3 into group a with a new value; b vanishes
+    val b2 = Seq(evD(Op.Update, 3, 10, "a", "2.00"))
+    apply(b2: _*)
+    // cents 100, 300, 200: mean 200, var = (10000+0+10000)/3
+    val a = view()("a")
+    assert(a._1 == 3L && a._2 == 600L && a._3 == 200.0f)
+    assert(math.abs(a._4 - 20000.0 / 3.0) < 1e-2)
+    assert(!view().contains("b"))
+    // redelivery: CDF nets before == after, deltas cancel exactly
+    apply(b2: _*)
+    assert(view()("a") == a)
+    // deleting the update retracts its moments exactly
+    apply(evD(Op.Delete, 3, 20, "a", "2.00"))
+    assert(view() == Map("a" -> (2L, 400L, 200.0f, 10000.0f)))
+  }
+
   test("a measure not representable at the scale fails the batch loudly, never truncates") {
     def rootMessages(t: Throwable): String = {
       val sb = new StringBuilder
