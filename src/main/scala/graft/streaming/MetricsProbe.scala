@@ -144,13 +144,23 @@ final class PipelineProbe(
     cacheRoutable
   }
 
+  // rows of one table share a map layout (the image maps come from one
+  // projection), so the key sits at the same slot — probe the cached
+  // slot first, scan only on a layout change
+  @transient private var keySlot: Int = 0
+
   private def keyIsNull(img: MapData): Boolean = {
     if (img == null) return true
     val keys = img.keyArray()
     val n = img.numElements()
+    if (keySlot < n && keyU8.equals(keys.getUTF8String(keySlot)))
+      return img.valueArray().isNullAt(keySlot)
     var i = 0
     while (i < n) {
-      if (keyU8.equals(keys.getUTF8String(i))) return img.valueArray().isNullAt(i)
+      if (keyU8.equals(keys.getUTF8String(i))) {
+        keySlot = i
+        return img.valueArray().isNullAt(i)
+      }
       i += 1
     }
     true // absent ≙ element_at(img, keyField) IS NULL
