@@ -830,4 +830,37 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange ".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected only the presentation sort exchange:\n$p")
   }
+
+  test("q286: segment dedup shuffles on the fixed-width md5 key, no window, no cartesian") {
+    val df = graft.SparkEntry.queries("q286_segment_dedup")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    val windows = logical.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"the keeper must be a MIN aggregate, not a window:\n$logical")
+    val joins = logical.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.forall(_.condition.isDefined), s"no cartesian products:\n$logical")
+    // the one join keys on the md5 hash, never the segment text
+    assert(joins.size == 1 &&
+      joins.head.condition.get.toString().contains("h"),
+      s"expected one hash-keyed equijoin:\n$logical")
+  }
+
+  test("q287: stupid backoff's model contacts are all equijoins; tiers never fork the scan") {
+    val df = graft.SparkEntry.queries("q287_stupid_backoff")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    val joins = logical.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty && joins.forall(_.condition.isDefined),
+      s"all model lookups must be equijoins:\n$logical")
+    // the backoff is a per-row CASE over left-join nullability — the
+    // eval stream must appear ONCE (no union of tier branches)
+    val unions = logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.isEmpty, s"tiers must not fork the eval scan:\n$logical")
+  }
 }
