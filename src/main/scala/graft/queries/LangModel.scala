@@ -2049,7 +2049,9 @@ object LangModel {
       .groupBy($"b").agg(count(lit(1)).as("c2"))
     val ug = train.select(explode($"ws").as("u"))
       .groupBy($"u").agg(count(lit(1)).as("c1"))
-    val nTok = train.select(explode($"ws").as("u")).count()
+    // token total as a 1-row broadcast frame, not an eager .count()
+    // job at build time — the plan stays self-contained
+    val tot = train.select(sum(size($"ws")).as("ntok"))
     val ev = tris(evalD)
       .select($"doc_id", posexplode($"ts").as(Seq("pos", "t")))
       .withColumn("parts", split($"t", " "))
@@ -2063,6 +2065,7 @@ object LangModel {
       .join(bg.select($"b".as("b23"), $"c2".as("c23")), Seq("b23"), "left")
       .join(ug.select($"u".as("w2"), $"c1".as("cw2")), Seq("w2"), "left")
       .join(ug.select($"u".as("w3"), $"c1".as("cw3")), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
       .select($"doc_id", $"pos",
         log(
           when($"c3".isNotNull && $"ch2".isNotNull,
@@ -2071,7 +2074,7 @@ object LangModel {
             when($"c23".isNotNull && $"cw2".isNotNull,
               $"c23".cast("double") / $"cw2")
             .otherwise(lit(0.4) *
-              (coalesce($"cw3", lit(1L)).cast("double") / lit(nTok.toDouble)))))
+              (coalesce($"cw3", lit(1L)).cast("double") / $"ntok".cast("double")))))
         ).as("t"))
     score.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_trigrams"),

@@ -764,6 +764,28 @@ object Materialize {
       .start()
   }
 
+  /** Streamed CDC apply + per-batch exact moments maintenance —
+    * [[applyStreamWithView]] with the (n, Σv, Σv²) table, for the
+    * continuously-served mean/variance view ([[momentsView]]).
+    */
+  def applyStreamWithMomentsView(events: DataFrame, keyField: String,
+      tablePath: String, aggPath: String,
+      groupField: String, measureField: String, checkpoint: String,
+      nBuckets: Int = 16, seqCol: Option[String] = None,
+      measureScale: Int = 0,
+      instanceId: String = null): StreamingQuery = {
+    val lease = new WriterLease(events.sparkSession, tablePath,
+      WriterLease.identity(instanceId, checkpoint)).acquire()
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        lease.renew()
+        val changes = applyBatchCdf(batch.toDF(), keyField, tablePath, nBuckets, seqCol)
+        applyMomentsDelta(changes, groupField, measureField, aggPath, measureScale)
+      }
+      .start()
+  }
+
   /** The stored replica frame, robust to a FULLY-TRUNCATED table: a
     * truncate with no reload deletes every bucket directory, and a bare
     * `read.parquet` over a dir holding only the horizon/lease markers

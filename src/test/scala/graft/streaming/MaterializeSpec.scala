@@ -737,6 +737,27 @@ class MaterializeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyStreamWithMomentsView keeps the moments view current per batch") {
+    val base = Files.createTempDirectory("graft-moments2").toString
+    val ckpt = Files.createTempDirectory("graft-moments2-ckpt").toString
+    val in = MemoryStream[ChangeEvent](spark)
+    val q = Materialize.applyStreamWithMomentsView(in.toDF(), "id", s"$base/t",
+      s"$base/m", groupField = "g", measureField = "m",
+      checkpoint = ckpt, nBuckets = 2, measureScale = 2)
+    def view(): Map[String, (Long, Long, Float, Float)] =
+      Materialize.momentsView(spark, s"$base/m").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getFloat(3), r.getFloat(4))).toMap
+    try {
+      in.addData(evD(Op.Insert, 1, 0, "a", "1.00"), evD(Op.Insert, 2, 1, "a", "3.00"))
+      q.processAllAvailable()
+      assert(view() == Map("a" -> (2L, 400L, 200.0f, 10000.0f)))
+      in.addData(evD(Op.Delete, 2, 5, "a", "3.00"))
+      q.processAllAvailable()
+      assert(view() == Map("a" -> (1L, 100L, 100.0f, 0.0f)))
+    } finally q.stop()
+  }
+
   test("streamed apply handles a mid-stream TRUNCATE and keeps serving") {
     val tablePath = Files.createTempDirectory("graft-trunc6").toString + "/t"
     val ckpt = Files.createTempDirectory("graft-trunc6-ckpt").toString
