@@ -854,8 +854,16 @@ class PlanAuditSpec extends SparkSpec {
     val joins = logical.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    assert(joins.nonEmpty && joins.forall(_.condition.isDefined),
-      s"all model lookups must be equijoins:\n$logical")
+    // the ONE allowed condition-less join is the broadcast of the
+    // 1-row token-total scalar (a global, groupless aggregate)
+    def isScalar(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.isEmpty => a
+      }.isDefined
+    assert(joins.nonEmpty && joins.forall(j =>
+      j.condition.isDefined || isScalar(j.right) || isScalar(j.left)),
+      s"all model lookups must be equijoins (scalar totals aside):\n$logical")
     // the backoff is a per-row CASE over left-join nullability — the
     // eval stream must appear ONCE (no union of tier branches)
     val unions = logical.collect {
