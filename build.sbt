@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW: sbt's default logger
+// prefixes every line with "[info] ", which breaks the driver's JSON
+// parse of Bench's one-line summary (BENCH_r01-r14 all carried
+// "parsed": null because the tail's summary line read
+// `[info] {"metric":...}`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

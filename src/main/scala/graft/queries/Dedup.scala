@@ -1415,14 +1415,16 @@ object Dedup {
         .as(Seq("p", "s")))
       .select($"doc_id", ($"p" + 1).cast("long").as("seg_no"), $"s",
         md5($"s").as("h"))
-    // keeper = globally first instance; the packed (doc_id, seg_no)
-    // long keeps the argmin a plain MIN (seg_no < 100000 ≙ docs under
-    // 1.6M words — far above this corpus, loud overflow far beyond it)
+    // keeper = globally first instance: a lexicographic struct MIN over
+    // (doc_id, seg_no). (An earlier spelling packed the pair into
+    // doc_id*100000+seg_no, whose non-ANSI long arithmetic would WRAP
+    // SILENTLY for a ≥100k-segment document and corrupt keeper
+    // selection — the struct min has no bounds at all.)
     val winners = seg.groupBy($"h")
-      .agg(min($"doc_id" * 100000L + $"seg_no").as("wk"))
+      .agg(min(struct($"doc_id", $"seg_no")).as("wk"))
     seg.join(winners, "h")
       .select($"doc_id", $"seg_no", $"s",
-        (($"doc_id" * 100000L + $"seg_no") === $"wk").as("keep"))
+        ($"doc_id" === $"wk.doc_id" && $"seg_no" === $"wk.seg_no").as("keep"))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
@@ -1441,9 +1443,11 @@ object Dedup {
       |        FROM d, LATERAL (SELECT unnest(range(1,
       |          CAST(ceil(len(ws) / $w.0) AS INT) + 1)) AS i) t),
       |sh AS (SELECT doc_id, seg_no, s, md5(s) AS h FROM seg),
-      |w AS (SELECT h, MIN(doc_id * 100000 + seg_no) AS wk FROM sh GROUP BY h),
+      |w AS (SELECT h, MIN(struct_pack(doc_id := doc_id, seg_no := seg_no)) AS wk
+      |      FROM sh GROUP BY h),
       |f AS (SELECT sh.doc_id, sh.seg_no, sh.s,
-      |        (sh.doc_id * 100000 + sh.seg_no) = w.wk AS keep
+      |        (sh.doc_id = struct_extract(w.wk, 'doc_id')
+      |         AND sh.seg_no = struct_extract(w.wk, 'seg_no')) AS keep
       |      FROM sh JOIN w USING (h))
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

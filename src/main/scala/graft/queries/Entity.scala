@@ -204,6 +204,12 @@ object Entity {
       |$steps
       |SELECT a AS even_custkey, b AS odd_custkey, jw
       |FROM ($union)
+      |-- convergence assertion: the Spark side RAISES when edges remain
+      |-- past the round cap; the unrolled twin must fail identically
+      |-- rather than silently return the partial matching
+      |WHERE (SELECT CASE WHEN COUNT(*) > 0
+      |         THEN error('dominant-edge matching did not converge in $rounds rounds')
+      |         ELSE TRUE END FROM e$rounds)
       |ORDER BY even_custkey""".stripMargin
   }
 

@@ -2135,6 +2135,193 @@ object LangModel {
       |    AS avg_score_sb
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q290: interpolated Kneser–Ney 4-GRAM scoring with KenLM-style
+    * min-count pruning (Chen & Goodman 1999 at order 4; Heafield 2011's
+    * production convention of shipping PRUNED top orders) — q285's
+    * recursion extended one level, plus the part real deployments
+    * cannot skip: 4-gram types below `minCount` (default 2 — the
+    * singleton prune) are dropped from the top-order table, and the
+    * mass they carried must flow to the backoff level or conditionals
+    * stop summing to 1. Per history h = (w1,w2,w3):
+    *
+    *   P4(w4|h) = ([c4 ≥ mc]·(c4 − D) + M(h)·P3c(w4|w2w3)) / c(h·)
+    *   M(h)     = D·N_kept(h·) + Σ_{pruned types of h} c4
+    *
+    * — a kept type contributes its discounted count; a pruned type
+    * contributes its WHOLE count to the backoff mass M(h) (not just
+    * the discount), so Σ_kept(c4−D) + M(h) = c(h·) and the conditional
+    * sums to exactly 1 (spec-pinned at order 4 under the min-count-2
+    * prune). The history marginal c(h·) keeps the FULL count — KenLM
+    * prunes stored probabilities, never the normalizer. Backoff levels
+    * follow q285's Chen–Goodman discipline unchanged: order-3/2
+    * continuation counts from the full 4-gram/trigram type tables
+    * (pruning shrinks what a model STORES, not the evidence the
+    * smoothing is estimated from — SRILM's convention), unigram
+    * continuation from raw bigram types. A corpus 4-gram whose type
+    * was pruned scores M(h)·P3c/c(h·) — the interpolated form's
+    * backoff-only path; `n_pruned` counts those positions per doc.
+    *
+    * At 100 TB: seven count tables, all bounded by distinct n-gram
+    * TYPES ≤ corpus tokens, built from one 4-gram + one trigram + one
+    * bigram shuffle; scoring joins them back onto the 4-gram stream by
+    * (q), (w1w2w3), (w2w3w4), (w2w3), (w3w4), (w3), (w4) — AQE
+    * broadcasts the marginals at deployment scale — and the only
+    * corpus-wide aggregate is the per-doc ordered fold. Pruning is the
+    * SCALE feature: a web-corpus 4-gram table is ~80% singletons, so
+    * the kept top-order table a serving system materializes shrinks
+    * ~5×, while this scoring pass keeps the full tables in flight for
+    * exactness (the oracle demands it).
+    */
+  def q290KneserNey4Pruned(s: SparkSession, dir: String,
+      minCount: Int = 2): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
+    val n4 = greatest(size($"ws") - 3, lit(0))
+    val quad = docs.select($"doc_id",
+      zip_with(
+        zip_with(
+          zip_with(slice($"ws", lit(1), n4), slice($"ws", lit(2), n4),
+            (a, b) => concat(a, lit(" "), b)),
+          slice($"ws", lit(3), n4),
+          (ab, c) => concat(ab, lit(" "), c)),
+        slice($"ws", lit(4), n4),
+        (abc, e) => concat(abc, lit(" "), e)).as("qs"))
+    val n3 = greatest(size($"ws") - 2, lit(0))
+    val tri = docs.select($"doc_id",
+      zip_with(
+        zip_with(slice($"ws", lit(1), n3), slice($"ws", lit(2), n3),
+          (a, b) => concat(a, lit(" "), b)),
+        slice($"ws", lit(3), n3),
+        (ab, c) => concat(ab, lit(" "), c)).as("ts"))
+    val qg = quad.select(explode($"qs").as("q"))
+      .groupBy($"q").agg(count(lit(1)).as("c4"))
+      .withColumn("w1", split($"q", " ").getItem(0))
+      .withColumn("w2", split($"q", " ").getItem(1))
+      .withColumn("w3", split($"q", " ").getItem(2))
+      .withColumn("w4", split($"q", " ").getItem(3))
+      // feeds three marginal tables AND the scoring join
+      .localCheckpoint(true)
+    val mc = lit(minCount.toLong)
+    // full normalizer + kept-type discount inventory + pruned mass
+    val h4 = qg.groupBy($"w1", $"w2", $"w3").agg(
+      sum($"c4").cast("long").as("ch4"),
+      sum(when($"c4" >= mc, 1L).otherwise(0L)).cast("long").as("nk4"),
+      sum(when($"c4" >= mc, $"c4").otherwise(0L)).cast("long").as("ck4"))
+    val c4t = qg.groupBy($"w2", $"w3", $"w4").agg(count(lit(1)).as("n1b4"))
+    val mid3 = c4t.groupBy($"w2", $"w3")
+      .agg(sum($"n1b4").cast("long").as("nmid3"), count(lit(1)).as("n3f4"))
+    val tg3 = tri.select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("cc3"))
+      .select(split($"t", " ").getItem(1).as("w3"),
+        split($"t", " ").getItem(2).as("w4"))
+      .groupBy($"w3", $"w4").agg(count(lit(1)).as("n1b3"))
+      // feeds mid2 AND the scoring join
+      .localCheckpoint(true)
+    val mid2 = tg3.groupBy($"w3")
+      .agg(sum($"n1b3").cast("long").as("nmid2"), count(lit(1)).as("n2f3"))
+    val bg = docs.select(explode(zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+      .withColumn("bw2", split($"b", " ").getItem(1))
+    val cont = bg.groupBy($"bw2".as("w4")).agg(count(lit(1)).as("n1b"))
+    val tot = bg.agg(count(lit(1)).as("nbb"))
+    val pc = $"n1b".cast("double") / $"nbb"
+    val p2c = (greatest($"n1b3".cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * $"n2f3" * pc) / $"nmid2"
+    val p3c = (greatest($"n1b4".cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * $"n3f4" * p2c) / $"nmid3"
+    val m = lit(0.75) * $"nk4" + ($"ch4" - $"ck4").cast("double")
+    val p4 = (when($"c4" >= mc, $"c4".cast("double") - lit(0.75))
+      .otherwise(lit(0.0)) + m * p3c) / $"ch4"
+    val terms = quad.select($"doc_id", posexplode($"qs").as(Seq("pos", "q")))
+      .join(qg.select($"q", $"c4", $"w1", $"w2", $"w3", $"w4"), "q")
+      .join(h4, Seq("w1", "w2", "w3"))
+      .join(c4t, Seq("w2", "w3", "w4"))
+      .join(mid3, Seq("w2", "w3"))
+      .join(tg3, Seq("w3", "w4"))
+      .join(mid2, Seq("w3"))
+      .join(cont, Seq("w4"))
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"pos", log(p4).as("t"),
+        when($"c4" < mc, 1L).otherwise(0L).as("pruned"))
+    terms.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_4grams"),
+        sum($"pruned").cast("long").as("n_pruned"),
+        orderedSum($"pos", $"t").as("sum_lp"))
+      .select($"doc_id", $"n_4grams", $"n_pruned",
+        $"sum_lp".cast("float").as("sum_logprob_kn4"),
+        ($"sum_lp" / $"n_4grams").cast("float").as("avg_logprob_kn4"))
+      .orderBy($"doc_id")
+  }
+
+  /** Multiply-referenced tables AS MATERIALIZED (the q285/q215 lesson);
+    * expression SHAPES mirror the Spark side term-for-term so the
+    * double chain is bit-identical (the q53 rule).
+    */
+  def q290KneserNey4PrunedSql(minCount: Int = 2): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |quad AS (SELECT doc_id,
+      |           list_transform(range(1, greatest(len(ws) - 2, 1)),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS qs
+      |         FROM d),
+      |tri AS (SELECT doc_id,
+      |          list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ts
+      |        FROM d),
+      |qg AS MATERIALIZED (SELECT q, CAST(COUNT(*) AS BIGINT) AS c4,
+      |         string_split(q, ' ')[1] AS w1, string_split(q, ' ')[2] AS w2,
+      |         string_split(q, ' ')[3] AS w3, string_split(q, ' ')[4] AS w4
+      |       FROM (SELECT unnest(qs) AS q FROM quad) GROUP BY q),
+      |h4 AS (SELECT w1, w2, w3, CAST(SUM(c4) AS BIGINT) AS ch4,
+      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN 1 ELSE 0 END) AS BIGINT) AS nk4,
+      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN c4 ELSE 0 END) AS BIGINT) AS ck4
+      |       FROM qg GROUP BY w1, w2, w3),
+      |c4t AS MATERIALIZED (SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b4
+      |       FROM qg GROUP BY w2, w3, w4),
+      |mid3 AS (SELECT w2, w3, CAST(SUM(n1b4) AS BIGINT) AS nmid3,
+      |           CAST(COUNT(*) AS BIGINT) AS n3f4 FROM c4t GROUP BY w2, w3),
+      |tg3 AS MATERIALIZED (SELECT w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b3
+      |       FROM (SELECT string_split(t, ' ')[2] AS w3, string_split(t, ' ')[3] AS w4
+      |             FROM (SELECT t FROM (SELECT unnest(ts) AS t FROM tri) GROUP BY t))
+      |       GROUP BY w3, w4),
+      |mid2 AS (SELECT w3, CAST(SUM(n1b3) AS BIGINT) AS nmid2,
+      |           CAST(COUNT(*) AS BIGINT) AS n2f3 FROM tg3 GROUP BY w3),
+      |bg AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2,
+      |         string_split(b, ' ')[2] AS bw2
+      |       FROM (SELECT unnest(list_transform(range(1, len(ws)),
+      |               i -> ws[i] || ' ' || ws[i+1])) AS b FROM d) GROUP BY b),
+      |cont AS (SELECT bw2 AS w4, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY bw2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM bg),
+      |t AS (SELECT u.doc_id, u.pos,
+      |        ln((CASE WHEN qg.c4 >= $minCount
+      |              THEN CAST(qg.c4 AS DOUBLE) - 0.75 ELSE CAST(0.0 AS DOUBLE) END +
+      |            (0.75 * h4.nk4 + CAST(h4.ch4 - h4.ck4 AS DOUBLE)) *
+      |              ((greatest(CAST(c4t.n1b4 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |                0.75 * mid3.n3f4 *
+      |                  ((greatest(CAST(tg3.n1b3 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |                    0.75 * mid2.n2f3 * (CAST(cont.n1b AS DOUBLE) / tot.nbb))
+      |                   / mid2.nmid2)) / mid3.nmid3))
+      |           / h4.ch4) AS t,
+      |        CASE WHEN qg.c4 < $minCount THEN 1 ELSE 0 END AS pruned
+      |      FROM (SELECT doc_id, unnest(qs) AS q,
+      |              generate_subscripts(qs, 1) AS pos FROM quad) u
+      |      JOIN qg ON qg.q = u.q
+      |      JOIN h4 ON h4.w1 = qg.w1 AND h4.w2 = qg.w2 AND h4.w3 = qg.w3
+      |      JOIN c4t ON c4t.w2 = qg.w2 AND c4t.w3 = qg.w3 AND c4t.w4 = qg.w4
+      |      JOIN mid3 ON mid3.w2 = qg.w2 AND mid3.w3 = qg.w3
+      |      JOIN tg3 ON tg3.w3 = qg.w3 AND tg3.w4 = qg.w4
+      |      JOIN mid2 ON mid2.w3 = qg.w3
+      |      JOIN cont ON cont.w4 = qg.w4
+      |      CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_4grams,
+      |  CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+      |  CAST(list_sum(list(t ORDER BY pos)) AS FLOAT) AS sum_logprob_kn4,
+      |  CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT)
+      |    AS avg_logprob_kn4
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val q282KneserNeySql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |bi AS (SELECT doc_id,

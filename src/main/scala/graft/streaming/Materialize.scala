@@ -488,27 +488,57 @@ object Materialize {
 
   /** Exact scaled-long encoding of a string measure from the replica's
     * row-image map: value × 10^scale, required to be an integer in long
-    * range. Anything not exactly representable — extra fractional
-    * digits, overflow — fails the batch with `raise_error` naming the
-    * field and offending value; NEVER a silent truncation. The decimal
-    * staging type is DECIMAL(38,18): inputs with more than 18
-    * fractional digits are outside the lane's contract (and real CDC
-    * money/measure columns are ≤ 6). Comparisons and sums on the scaled
-    * longs are exact, so the same value-count index serves decimal
-    * measures unchanged.
+    * range. Anything not exactly representable — non-numeric text,
+    * extra NONZERO fractional digits, overflow — fails the batch with
+    * `raise_error` naming the field and offending value; NEVER a silent
+    * truncation, under BOTH ANSI settings (staging uses `try_cast`, so
+    * the reject is this lane's own message, not a mode-dependent null).
+    *
+    * Two lanes, split by a per-row regex on the rendering:
+    *   - FAST: a plain integral rendering with few enough digits that
+    *     the scaled value provably fits a long — real CDC integer
+    *     measures wholesale — takes one codegen'd regex + a long cast
+    *     + a long multiply, no BigDecimal staging at all. The digit cap
+    *     (18−scale) matters twice: the long multiply cannot wrap, and
+    *     the non-ANSI string→long cast TRUNCATES fractional strings
+    *     ('3.5' → 3), so it must never see a string the regex did not
+    *     clear as integral.
+    *   - SLOW (anything else): DECIMAL(38,18) staging; integrality is
+    *     checked by EXACT remainder against 10^-scale on the staged
+    *     value BEFORE any scaling multiply (the scaled product's type
+    *     loses fractional precision under allowPrecisionLoss, so a
+    *     post-multiply `% 1` check could pass values the lane must
+    *     reject), and the long-range bound compares against
+    *     Long.Max/10^scale pre-multiply for the same reason. A plain
+    *     rendering with nonzero digits past the 18 staging places is
+    *     rejected by inspection of the STRING (the cast alone would
+    *     round it away silently). Exponent renderings ('1e-19') are
+    *     outside the contract — PostgreSQL renders numeric columns
+    *     plain — and surface as a reject via the staging cast only
+    *     when they exceed DECIMAL(38,18) range.
     */
   private def scaledLongMeasure(raw: Column, measureField: String, scale: Int): Column = {
     require(scale >= 0 && scale <= 18, s"measureScale must be in [0, 18], got $scale")
-    val exact = raw.cast(org.apache.spark.sql.types.DecimalType(38, 18))
-    val scaled = exact * lit(java.math.BigDecimal.TEN.pow(scale))
-    val bad = (scaled % lit(1) =!= lit(0)) ||
-      abs(scaled) > lit(new java.math.BigDecimal(Long.MaxValue))
-    when(scaled.isNotNull && bad,
-      raise_error(concat(
-        lit(s"measure '$measureField' value '"), raw,
-        lit(s"' is not exactly representable as a scaled long at scale $scale")))
-        .cast("long"))
-      .otherwise(scaled.cast("long"))
+    def err(why: String) = raise_error(concat(
+      lit(s"measure '$measureField' value '"), raw,
+      lit(s"' $why at scale $scale"))).cast("long")
+    val exact = raw.try_cast(org.apache.spark.sql.types.DecimalType(38, 18))
+    val unit = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, scale)) // 10^-scale
+    val bound = lit(new java.math.BigDecimal(Long.MaxValue).movePointLeft(scale))
+    val slow =
+      when(exact.isNull, err("is not numeric (or beyond DECIMAL(38,18)) — cannot encode"))
+        .when(raw.rlike("\\.[0-9]{18}[0-9]*[1-9]"),
+          err("has nonzero digits past 18 fractional places — cannot encode"))
+        .when((exact % unit) =!= lit(java.math.BigDecimal.ZERO) || abs(exact) > bound,
+          err("is not exactly representable as a scaled long"))
+        .otherwise((exact * lit(java.math.BigDecimal.TEN.pow(scale))).cast("long"))
+    val fastDigits = 18 - scale
+    val withFast =
+      if (fastDigits < 1) slow
+      else when(raw.rlike(s"^[+-]?[0-9]{1,$fastDigits}$$"),
+        raw.cast("long") * lit(java.math.BigInteger.TEN.pow(scale).longValueExact()))
+        .otherwise(slow)
+    when(raw.isNull, lit(null).cast("long")).otherwise(withFast)
   }
 
   /** Incrementally maintain a grouped-aggregate table (count + an exact

@@ -43,6 +43,20 @@ import graft.route.TopicRouter
   * driver-side accumulators at each StreamingQueryProgress and feeds
   * the [[MetricsRegistry]] — same metric families as the observe lane
   * (events, process latency, quality violations, per-topic successes).
+  *
+  * Counter semantics — AT-LEAST-ONCE, inflate-never-lose (pinned by
+  * MetricsSpec's retry-injection test): updates from FAILED task
+  * attempts are dropped by Spark's accumulator protocol (user
+  * accumulators don't countFailedValues), so a plain task retry counts
+  * each row exactly once. What CAN inflate the counters is a re-run of
+  * a previously SUCCESSFUL task — stage resubmission after a lost
+  * shuffle output, or speculative twins that both complete. That
+  * matches the reference connector's own counters, which re-count a
+  * message whenever the process reprocesses it after a restart
+  * (`metric.go` bumps per handled message, and redelivered WAL entries
+  * are handled again); treat absolute counter values as throughput
+  * telemetry, not an exactly-once ledger — the exactly-once ledger is
+  * the sink itself.
   */
 final class PipelineProbe(
     @transient private val sc: SparkContext,
@@ -194,7 +208,7 @@ final class PipelineProbe(
   @transient private var lastUnknown = 0L
   @transient private var lastUnroutable = 0L
   @transient private var lastNullKey = 0L
-  @transient private var lastLatStamp = 0L
+  @transient private var lastLatObs = 0L
   @transient private var lastTopicCounts: Map[String, Long] = _
 
   /** Counter deltas (and the latest-latency gauge) accumulated since
@@ -207,9 +221,9 @@ final class PipelineProbe(
     val uo = unknownOp.value - lastUnknown; lastUnknown += uo
     val ut = unroutableTable.value - lastUnroutable; lastUnroutable += ut
     val nk = nullKey.value - lastNullKey; lastNullKey += nk
-    val (stamp, lat) = latency.value
-    val latAdvanced = stamp > lastLatStamp
-    if (latAdvanced) lastLatStamp = stamp
+    val (latObs, _, lat) = latency.value
+    val latAdvanced = latObs > lastLatObs
+    if (latAdvanced) lastLatObs = latObs
     val tc = topics.value
     val prev = if (lastTopicCounts == null) Map.empty[String, Long] else lastTopicCounts
     val td = tc.iterator
@@ -239,38 +253,44 @@ object PipelineProbe {
   * process-latency gauge semantics (set per message,
   * `kafka/producer/metric.go`). Per task: the wall clock is read once
   * (first row), each row overwrites (stamp, latency) — two field
-  * writes. Merge keeps the entry with the newest stamp (max latency on
-  * a tie), so the driver value is always the latest-processed row's
-  * latency, monotone stamps making per-batch "did any row arrive"
-  * detection exact.
+  * writes plus a count bump. Merge keeps the entry with the newest
+  * stamp (max latency on a tie) and SUMS the observation count.
+  *
+  * The stamp is `System.currentTimeMillis` — the one clock comparable
+  * across executor JVMs (nanoTime origins are per-JVM-arbitrary, so a
+  * nanoTime-stamped "latest" winner would be meaningless on a real
+  * cluster; ms resolution is exactly the fidelity a latest-row GAUGE
+  * needs). Per-batch "did any row arrive" detection does NOT lean on
+  * clock resolution at all: the summed observation count is exact, so
+  * two batches landing in the same millisecond still both advance.
   */
-final class LatestLatencyAccumulator extends AccumulatorV2[java.lang.Long, (Long, Long)] {
-  private var stamp = 0L // nanoTime captured once per task copy
+final class LatestLatencyAccumulator
+    extends AccumulatorV2[java.lang.Long, (Long, Long, Long)] {
+  private var obs = 0L // rows observed (merge: sum — exact advance detection)
+  private var stamp = 0L // currentTimeMillis captured once per task copy
   private var latencyMs = 0L
-  @transient private var taskNowNanos = 0L
   @transient private var taskNowMs = 0L
 
   def observe(eventTimeMicros: Long): Unit = {
-    if (taskNowNanos == 0L) {
-      taskNowNanos = System.nanoTime()
-      taskNowMs = System.currentTimeMillis()
-    }
-    stamp = taskNowNanos
+    if (taskNowMs == 0L) taskNowMs = System.currentTimeMillis()
+    obs += 1L
+    stamp = taskNowMs
     latencyMs = taskNowMs - eventTimeMicros / 1000L
   }
 
-  override def isZero: Boolean = stamp == 0L
+  override def isZero: Boolean = obs == 0L
   override def copy(): LatestLatencyAccumulator = {
     val c = new LatestLatencyAccumulator
-    c.stamp = stamp; c.latencyMs = latencyMs
+    c.obs = obs; c.stamp = stamp; c.latencyMs = latencyMs
     c
   }
-  override def reset(): Unit = { stamp = 0L; latencyMs = 0L; taskNowNanos = 0L }
+  override def reset(): Unit = { obs = 0L; stamp = 0L; latencyMs = 0L; taskNowMs = 0L }
   override def add(v: java.lang.Long): Unit = observe(v.longValue())
-  override def merge(other: AccumulatorV2[java.lang.Long, (Long, Long)]): Unit =
+  override def merge(other: AccumulatorV2[java.lang.Long, (Long, Long, Long)]): Unit =
     synchronized {
       other match {
         case o: LatestLatencyAccumulator =>
+          obs += o.obs
           if (o.stamp > stamp || (o.stamp == stamp && o.latencyMs > latencyMs)) {
             stamp = o.stamp; latencyMs = o.latencyMs
           }
@@ -278,7 +298,7 @@ final class LatestLatencyAccumulator extends AccumulatorV2[java.lang.Long, (Long
           s"cannot merge ${other.getClass.getName}")
       }
     }
-  override def value: (Long, Long) = synchronized((stamp, latencyMs))
+  override def value: (Long, Long, Long) = synchronized((obs, stamp, latencyMs))
 }
 
 /** Distinct "namespace.table" census — exact, bounded by the source's

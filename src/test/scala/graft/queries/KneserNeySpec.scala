@@ -137,6 +137,126 @@ class KneserNeySpec extends SparkSpec {
     }
   }
 
+  // --- order 4 + min-count pruning (q290) --------------------------
+
+  /** Order-4 model tables incl. the pruning inventory: per history the
+    * full normalizer ch4, kept-type count nk4 and kept mass ck4 at the
+    * given min-count — built the way the query builds them.
+    */
+  private def model4(texts: Seq[String]): (
+      Map[(String, String, String, String), Long],          // c4
+      Map[(String, String, String), (Long, Long)],          // h -> (ch4, ·)
+      Map[(String, String, String), Long],                  // (w2,w3,w4) -> n1b4
+      Map[(String, String), (Long, Long)],                  // (w2,w3) -> (nmid3, n3f4)
+      Map[(String, String), Long],                          // (w3,w4) -> n1b3
+      Map[String, (Long, Long)]) = {                        // w3 -> (nmid2, n2f3)
+    val quads = texts.flatMap { t =>
+      val w = t.split(" ")
+      (0 until w.length - 3).map(i => (w(i), w(i + 1), w(i + 2), w(i + 3)))
+    }
+    val c4 = quads.groupBy(identity).map { case (q, o) => (q, o.size.toLong) }
+    val h4 = c4.groupBy(q => (q._1._1, q._1._2, q._1._3)).map { case (h, m) =>
+      (h, (m.values.sum, m.size.toLong))
+    }
+    val c4t = c4.groupBy(q => (q._1._2, q._1._3, q._1._4))
+      .map { case (k, m) => (k, m.size.toLong) }
+    val mid3 = c4t.groupBy(k => (k._1._1, k._1._2)).map { case (k, m) =>
+      (k, (m.values.sum, m.size.toLong))
+    }
+    val tris = texts.flatMap { t =>
+      val w = t.split(" ")
+      (0 until w.length - 2).map(i => (w(i), w(i + 1), w(i + 2)))
+    }.distinct
+    val tg3 = tris.groupBy(t => (t._2, t._3)).map { case (k, o) => (k, o.size.toLong) }
+    val mid2 = tg3.groupBy(_._1._1).map { case (w3, m) =>
+      (w3, (m.values.sum, m.size.toLong))
+    }
+    (c4, h4, c4t, mid3, tg3, mid2)
+  }
+
+  private def pKn4(texts: Seq[String], mc: Int)(
+      w1: String, w2: String, w3: String, w4: String): Double = {
+    val (c4, h4, c4t, mid3, tg3, mid2) = model4(texts)
+    val (_, _, cont, nbb) = model(texts)
+    val (ch4, _) = h4((w1, w2, w3))
+    val kept = c4.filter { case (q, c) =>
+      (q._1, q._2, q._3) == ((w1, w2, w3)) && c >= mc
+    }
+    val nk4 = kept.size.toLong
+    val ck4 = kept.values.sum
+    val (nmid3, n3f4) = mid3((w2, w3))
+    val (nmid2, n2f3) = mid2(w3)
+    val pc = cont.getOrElse(w4, 0L).toDouble / nbb
+    val p2c = (math.max(tg3.getOrElse((w3, w4), 0L) - D, 0.0) + D * n2f3 * pc) / nmid2
+    val p3c = (math.max(c4t.getOrElse((w2, w3, w4), 0L) - D, 0.0) + D * n3f4 * p2c) / nmid3
+    val c = c4.getOrElse((w1, w2, w3, w4), 0L)
+    val top = if (c >= mc) c - D else 0.0
+    val m = D * nk4 + (ch4 - ck4)
+    (top + m * p3c) / ch4
+  }
+
+  // corpus with a REPEATED 4-gram ("a b c d" twice) so min-count 2
+  // keeps at least one type while singletons prune
+  private val texts4 = Seq("a b c d a b c d e", "b c d e a b c a", "c a b c d b a e")
+
+  test("order-4 KN probabilities sum to 1 for every history, UNPRUNED (min-count 1)") {
+    val vocab = texts4.flatMap(_.split(" ")).distinct
+    val (_, h4, _, _, _, _) = model4(texts4)
+    for (h <- h4.keys) {
+      val total = vocab.map(w4 => pKn4(texts4, 1)(h._1, h._2, h._3, w4)).sum
+      assert(math.abs(total - 1.0) < 1e-12, s"sum over vocab for '$h' = $total")
+    }
+  }
+
+  test("order-4 KN probabilities sum to 1 under the min-count-2 prune " +
+    "(a pruned type's WHOLE count funds the backoff, not just its discount)") {
+    val vocab = texts4.flatMap(_.split(" ")).distinct
+    val (c4, h4, _, _, _, _) = model4(texts4)
+    // the prune must be LIVE in this corpus: some type kept, some pruned
+    assert(c4.values.exists(_ >= 2) && c4.values.exists(_ < 2))
+    for (h <- h4.keys) {
+      val total = vocab.map(w4 => pKn4(texts4, 2)(h._1, h._2, h._3, w4)).sum
+      assert(math.abs(total - 1.0) < 1e-12, s"sum over vocab for '$h' = $total")
+    }
+    // and the NAIVE prune (drop the type but fund backoff with only the
+    // kept discounts D·N_kept, losing the pruned counts) must MISS 1 —
+    // the mass-redistribution subtlety the lane exists to get right
+    val prunedHists = c4.collect {
+      case (q, c) if c < 2 => (q._1, q._2, q._3)
+    }.toSet
+    for (h <- prunedHists) {
+      val kept = c4.filter { case (q, c) => (q._1, q._2, q._3) == h && c >= 2 }
+      val prunedMass = (h4(h)._1 - kept.values.sum).toDouble
+      assert(prunedMass > 0, s"history $h should carry pruned mass")
+      // naive total = correct total − prunedMass·ΣP3c/ch4 = 1 − prunedMass/ch4
+      val naiveTotal = 1.0 - prunedMass / h4(h)._1
+      assert(naiveTotal < 1.0 - 1e-9, s"naive prune at $h should leak mass")
+    }
+  }
+
+  test("q290 matches the hand model (probabilities AND per-doc pruned-hit counts)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-kn4").toString
+    val docs = texts4.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val (c4, _, _, _, _, _) = model4(texts4)
+    val p = pKn4(texts4, 2) _
+    val got = LangModel.q290KneserNey4Pruned(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (
+        r.getLong(r.fieldIndex("n_pruned")),
+        r.getFloat(r.fieldIndex("avg_logprob_kn4")))).toMap
+    for ((id, text) <- docs) {
+      val w = text.split(" ")
+      val qs = (0 until w.length - 3).map(i => (w(i), w(i + 1), w(i + 2), w(i + 3)))
+      val lps = qs.map(q => math.log(p(q._1, q._2, q._3, q._4)))
+      val want = lps.sum / lps.length
+      val wantPruned = qs.count(q => c4(q) < 2).toLong
+      assert(got(id)._1 == wantPruned, s"doc $id pruned: ${got(id)._1} vs $wantPruned")
+      assert(math.abs(got(id)._2 - want) < 1e-6, s"doc $id: ${got(id)._2} vs $want")
+    }
+  }
+
   test("q282 matches the hand model on the constructed corpus") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-kn").toString

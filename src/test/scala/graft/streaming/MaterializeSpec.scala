@@ -715,6 +715,37 @@ class MaterializeSpec extends SparkSpec {
         "g", "m", s"$base/agg")
     }
     assert(rootMessages(e3).contains("not exactly representable"), rootMessages(e3))
+    // NON-NUMERIC text must be this lane's own loud reject, not a
+    // mode-dependent cast null that lets count move while sum skips
+    val e4 = intercept[Exception](applyAt(2, "not-a-number"))
+    assert(rootMessages(e4).contains("is not numeric"), rootMessages(e4))
+    // nonzero digits past the DECIMAL(38,18) staging places would round
+    // away silently in the cast — rejected by string inspection
+    val e5 = intercept[Exception](applyAt(2, "0.0000000000000000001"))
+    assert(rootMessages(e5).contains("past 18 fractional places"), rootMessages(e5))
+    // overflow: |value×10^scale| beyond long range
+    val e6 = intercept[Exception](applyAt(2, "92233720368547758.08"))
+    assert(rootMessages(e6).contains("not exactly representable"), rootMessages(e6))
+  }
+
+  test("integral fast lane and decimal slow lane agree on the same value") {
+    // '3' rides the regex-guarded long lane, '3.00' the DECIMAL staging
+    // lane — both must encode to 300 cents at scale 2 and land in ONE
+    // index row (the lanes are an optimization split, not a semantic one)
+    val base = Files.createTempDirectory("graft-minmaxfast").toString
+    Materialize.applyMinMaxDelta(
+      Materialize.applyBatchCdf(
+        Seq(evD(Op.Insert, 1, 0, "a", "3"), evD(Op.Insert, 2, 1, "a", "3.00"),
+          evD(Op.Insert, 3, 2, "a", "-41.95")).toDF(),
+        "id", s"$base/t", nBuckets = 4),
+      "g", "m", s"$base/idx", s"$base/view", nBuckets = 4, measureScale = 2)
+    val v = Materialize.minMaxView(spark, s"$base/view").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(v == Map("a" -> (-4195L, 300L, 3L)))
+    val idx = spark.read.parquet(s"$base/idx")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("v")) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(idx == Map(("a", 300L) -> 2L, ("a", -4195L) -> 1L))
   }
 
   test("applyStreamWithMinMaxView keeps the min/max view current per batch") {

@@ -89,4 +89,47 @@ class MetricsSpec extends SparkSpec {
     // the sink-side topic counter (2 clean + the null-key one)
     assert(conn.metrics.successCount("t") == 3)
   }
+
+  test("probe counters under a task retry: failed-attempt updates dropped, nothing lost") {
+    // The probe bumps Spark accumulators from a TRANSFORMATION. Spark's
+    // accumulator protocol drops updates from FAILED task attempts
+    // (user accumulators don't countFailedValues), so a one-shot fault
+    // injected downstream of the probe — the retried task re-counts its
+    // whole partition, the failed attempt's partial counts are
+    // discarded — must land on the EXACT row count. The semantics that
+    // remain at-least-once are re-runs of SUCCESSFUL tasks (stage
+    // resubmission after a lost shuffle output, speculative twins that
+    // both commit): counters inflate, never lose. Pinned here with the
+    // TaskContext.attemptNumber one-shot-fault pattern (the session is
+    // local[4, 2] — two task attempts).
+    import org.apache.spark.sql.functions._
+    import graft.route.TopicRouter
+    val s = spark
+    import s.implicits._
+    val n = 40
+    val base = s.sparkContext.parallelize(0 until n, 2).toDF("id").select(
+      lit("INSERT").as("op"),
+      lit("public").as("tableNamespace"),
+      lit("users").as("tableName"),
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("eventTime"),
+      lit(null).cast("map<string,string>").as("oldData"),
+      map(lit("id"), $"id".cast("string")).as("newData"))
+    val probe = new PipelineProbe(
+      s.sparkContext, TopicRouter(Map("public.users" -> "t")), "id", "retryspec")
+    val oneShot = udf { (_: Int) =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
+        throw new RuntimeException("injected one-shot fault (retry spec)")
+      true
+    }.asNondeterministic() // must not be pushed below the probe projection
+    probe.attach(base).filter(oneShot(spark_partition_id()))
+      .write.format("noop").mode("overwrite").save()
+    // partition 0's first attempt probed ≥1 row before the fault fired,
+    // then failed — those updates were dropped; the successful retry
+    // counted the partition once. Exact, not inflated:
+    assert(probe.events.value == n,
+      s"expected exactly $n events after a retried task, got ${probe.events.value}")
+    val d = probe.drain()
+    assert(d.events == n && d.latencyAdvanced && d.nullKey == 0)
+  }
 }
