@@ -641,6 +641,109 @@ object EventStreams {
       .toDF("doc_id", "split", "pos")
   }
 
+  /** Per-segment first-occurrence flag for [[streamingSegmentDedup]]:
+    * state exists iff SOME earlier batch (or an earlier row of this
+    * batch) carried this segment hash — one RocksDB flag per distinct
+    * segment, the CCNet fingerprint index as stream state. Within a
+    * batch, rows sort by (doc_id, seg_no) so the keeper is the same
+    * globally-first instance q286 picks when batches replay the corpus
+    * in doc_id order; every instance is emitted with its keep verdict
+    * so the per-batch reassembly sees all segments of every document.
+    */
+  private class SegmentDedupProcessor
+      extends StatefulProcessor[String, (String, Long, Long, String), (Long, Long, String, Boolean)] {
+
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        h: String,
+        rows: Iterator[(String, Long, Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, String, Boolean)] = {
+      val rs = rows.toSeq.sortBy(r => (r._2, r._3)) // deterministic keeper
+      val known = seen.exists()
+      if (!known) seen.update(1L)
+      rs.iterator.zipWithIndex.map { case (r, i) =>
+        (r._2, r._3, r._4, !known && i == 0)
+      }
+    }
+  }
+
+  /** Streaming CCNet duplicate-SEGMENT removal — the ingest twin of
+    * q286 (`graft.queries.Dedup.q286SegmentDedup`): documents arrive as
+    * an unbounded stream, each is cut into non-overlapping W-word
+    * segments, and every segment probes a PERSISTED first-occurrence
+    * index (md5(segment) → flag in `transformWithState` RocksDB state —
+    * never the text) AT ARRIVAL. Output is one row per segment
+    * instance (doc_id, seg_no, s, keep); [[reassembleSegments]] folds a
+    * micro-batch of these back into cleaned documents — documents
+    * arrive whole, so reconstruction is batch-local and rides
+    * foreachBatch ([[streamSegmentDedupToParquet]] is the composed
+    * end-to-end query). Batch ≡ stream law (EventStreamsSpec):
+    * replaying the corpus in doc_id order reproduces q286's cleaned
+    * documents exactly. Inherently prospective, like
+    * [[streamingContamination]]: the keeper is the first ARRIVAL, which
+    * equals q286's global (doc_id, seg_no) min whenever arrival order
+    * respects doc_id.
+    *
+    * At 100 TB: per-batch cost is O(batch segments) with ONE shuffle
+    * keyed by segment hash (fixed 32-byte keys); state is bounded by
+    * distinct segments, sharded across executors in RocksDB — the
+    * [[streamingDedup]] shape one granularity down, which is exactly
+    * how CCNet ran it (hash shards over the dump, Wenzek et al. 2019
+    * §2.1, streamed here instead of re-scanned).
+    */
+  def streamingSegmentDedup(docs: DataFrame, w: Int = 16): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("ws"))
+      .select($"doc_id", posexplode(
+          transform(
+            sequence(lit(1), ceil(size($"ws") / lit(w.toDouble)).cast("int")),
+            i => array_join(slice($"ws", (i - 1) * w + 1, lit(w)), " ")))
+          .as(Seq("p", "s")))
+      .select(md5($"s").as("h"), $"doc_id",
+        ($"p" + 1).cast("long").as("seg_no"), $"s")
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new SegmentDedupProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("doc_id", "seg_no", "s", "keep")
+  }
+
+  /** Fold per-segment keep verdicts back into cleaned documents —
+    * q286's reassembly aggregate, applied per micro-batch (documents
+    * arrive whole, so this is batch-local: one doc-keyed aggregate,
+    * no streaming state).
+    */
+  def reassembleSegments(segments: DataFrame): DataFrame =
+    segments.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("seg_no"), col("s"))))),
+            x => x.getField("s")), " ").as("clean_text"))
+
+  /** The composed end-to-end query: stream in documents, dedup
+    * segments against the persisted index, land cleaned documents as
+    * parquet — reconstruction inside foreachBatch, so a batch commits
+    * only after its cleaned docs are durable.
+    */
+  def streamSegmentDedupToParquet(docs: DataFrame, outPath: String,
+      checkpoint: String, w: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingSegmentDedup(docs, w).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        reassembleSegments(batch.toDF()).write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Per-shard space-saving table for [[heavyHitters]] — Metwally et
     * al. 2005's bounded-memory top-k summary as `MapState`: at most
     * `capacity` (word → (count, overcount)) entries per shard in

@@ -80,6 +80,11 @@ object StreamBench {
     pace(src.take(200).toSeq, df => EventStreams.streamingDedup(df))
 
     val hhTokens = hhDocs.map(_._2.count(_ == ' ') + 1L).sum
+    def segs(rows: Seq[(Long, String)]): Long =
+      rows.map(r => math.ceil((r._2.count(_ == ' ') + 1.0) / 16).toLong).sum
+    val segDistinct = src.iterator.flatMap { case (_, t) =>
+      t.split(' ').grouped(16).map(_.mkString(" "))
+    }.toSet.size.toLong
     // exact salted vocabulary (driver-side: the bench corpus is small);
     // the evicting lane's live keys are capped by its total slot budget
     val hhVocab = hhDocs.iterator.flatMap(_._2.split(' ')).toSet.size.toLong
@@ -91,7 +96,18 @@ object StreamBench {
       ("hh_evicting", hhDocs, df => EventStreams.heavyHitters(df, capacity = 1 << 12),
         hhTokens, math.min(hhVocab, (1L << 12) * 8)),
       ("hh_roomy", hhDocs, df => EventStreams.heavyHitters(df, capacity = 1 << 17),
-        hhTokens, hhVocab))
+        hhTokens, hhVocab),
+      // CCNet segment dedup (q286's ingest twin): narrow replays the
+      // corpus verbatim ×R (state = distinct SOURCE segments, every
+      // replica batch pure index probes); wide salts each copy's text
+      // unique (state grows to every ingested segment). Units are
+      // SEGMENTS — the per-row state-op count, one probe per segment.
+      ("segdedup_narrow", narrow,
+        df => EventStreams.streamingSegmentDedup(df),
+        segs(narrow), segDistinct),
+      ("segdedup_wide", wide,
+        df => EventStreams.streamingSegmentDedup(df),
+        segs(wide), segs(wide)))
     // interleaved attempts (the SerBench isolate discipline): run-order
     // and co-located-load drift hit every lane equally; publish min/all
     val attempts = 2

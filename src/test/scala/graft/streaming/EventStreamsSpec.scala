@@ -396,6 +396,65 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming segment dedup: doc_id-ordered replay equals q286's one-shot " +
+    "cleaned corpus (batch ≡ stream)") {
+    withRocksDb {
+      import java.nio.file.Files
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).as[Doc]
+        .collect().toSeq.sortBy(_.doc_id)
+      val want = graft.queries.Dedup.q286SegmentDedup(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+      val in = MemoryStream[Doc](spark)
+      val out = Files.createTempDirectory("graft-segdedup-out").toString
+      val ckpt = Files.createTempDirectory("graft-segdedup-ckpt").toString
+      val q = EventStreams.streamSegmentDedupToParquet(in.toDF(), out, ckpt)
+      // five batches in doc_id order — the arrival order under which
+      // the stream's first-occurrence keeper IS q286's global
+      // (doc_id, seg_no)-min keeper
+      docs.grouped(math.max(1, docs.size / 5)).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+
+      val got = spark.read.parquet(out).collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_segments"),
+          r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+      assert(got.size == want.size)
+      assert(got == want)
+    }
+  }
+
+  test("streaming segment dedup: the segment index survives a kill/restart — " +
+    "a re-crawled boilerplate segment is still dropped") {
+    withRocksDb {
+      import java.nio.file.Files
+      import org.apache.spark.sql.functions.col
+      val in = MemoryStream[Doc](spark)
+      val out = Files.createTempDirectory("graft-segdd2-out").toString
+      val ckpt = Files.createTempDirectory("graft-segdd2-ckpt").toString
+      val w = 2
+      def start() = EventStreams.streamSegmentDedupToParquet(in.toDF(), out, ckpt, w)
+      val q1 = start()
+      in.addData(Doc(1, "the header menu body one two"))
+      q1.processAllAvailable(); q1.stop()
+      val q2 = start() // index restored from the checkpoint
+      in.addData(Doc(2, "the header menu body three four"))
+      q2.processAllAvailable(); q2.stop()
+
+      val got = spark.read.parquet(out).collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"))).toMap
+      // doc 1 keeps all 3 segments; doc 2's first two ("the header",
+      // "menu body") were indexed before the restart and stay dropped
+      assert(got(1L) == (3L, "the header menu body one two"))
+      assert(got(2L) == (1L, "three four"))
+    }
+  }
+
   test("heavy hitters: full capacity ⇒ exact streaming word count (batch ≡ stream)") {
     withRocksDb {
       import org.apache.spark.sql.functions.{col, explode, split, count => cnt, lit, max}
