@@ -2322,6 +2322,152 @@ object LangModel {
       |    AS avg_logprob_kn4
       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q291: the PRUNED model table q290's deployment ships — the
+    * ARPA-file content (Jurafsky & Martin's backoff representation;
+    * what KenLM/SRILM write) for the top order: one row per KEPT
+    * 4-gram type carrying its full interpolated probability, plus the
+    * history's backoff weight γ(h) = M(h)/c(h·). Serving equivalence
+    * (spec-pinned against the hand model): score(w4|h) = stored prob
+    * if the 4-gram is stored, else γ(h)·P3c(w4|w2w3) — EXACTLY
+    * q290's interpolated formula, rearranged into the stored/backoff
+    * split, so the export loses nothing. Lower orders export the same
+    * pattern one level down; the top order is where the prune bites
+    * (94% of this corpus's 4-gram types are singletons at sf0.01, 82%
+    * at sf0.1 — the stored table is the small survivor).
+    *
+    * At 100 TB: the export is q290's count tables MINUS the
+    * corpus-sized scoring join — kept-type-bounded output, one 4-gram
+    * shuffle dominates; probabilities and γ go through the identical
+    * fixed-shape double chain (float presentation, the libm rule).
+    */
+  def q291Kn4ModelExport(s: SparkSession, dir: String,
+      minCount: Int = 2): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
+    val n4 = greatest(size($"ws") - 3, lit(0))
+    val quad = docs.select($"doc_id",
+      zip_with(
+        zip_with(
+          zip_with(slice($"ws", lit(1), n4), slice($"ws", lit(2), n4),
+            (a, b) => concat(a, lit(" "), b)),
+          slice($"ws", lit(3), n4),
+          (ab, c) => concat(ab, lit(" "), c)),
+        slice($"ws", lit(4), n4),
+        (abc, e) => concat(abc, lit(" "), e)).as("qs"))
+    val n3 = greatest(size($"ws") - 2, lit(0))
+    val tri = docs.select($"doc_id",
+      zip_with(
+        zip_with(slice($"ws", lit(1), n3), slice($"ws", lit(2), n3),
+          (a, b) => concat(a, lit(" "), b)),
+        slice($"ws", lit(3), n3),
+        (ab, c) => concat(ab, lit(" "), c)).as("ts"))
+    val qg = quad.select(explode($"qs").as("q"))
+      .groupBy($"q").agg(count(lit(1)).as("c4"))
+      .withColumn("w1", split($"q", " ").getItem(0))
+      .withColumn("w2", split($"q", " ").getItem(1))
+      .withColumn("w3", split($"q", " ").getItem(2))
+      .withColumn("w4", split($"q", " ").getItem(3))
+      .localCheckpoint(true)
+    val mc = lit(minCount.toLong)
+    val h4 = qg.groupBy($"w1", $"w2", $"w3").agg(
+      sum($"c4").cast("long").as("ch4"),
+      sum(when($"c4" >= mc, 1L).otherwise(0L)).cast("long").as("nk4"),
+      sum(when($"c4" >= mc, $"c4").otherwise(0L)).cast("long").as("ck4"))
+    val c4t = qg.groupBy($"w2", $"w3", $"w4").agg(count(lit(1)).as("n1b4"))
+    val mid3 = c4t.groupBy($"w2", $"w3")
+      .agg(sum($"n1b4").cast("long").as("nmid3"), count(lit(1)).as("n3f4"))
+    val tg3 = tri.select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("cc3"))
+      .select(split($"t", " ").getItem(1).as("w3"),
+        split($"t", " ").getItem(2).as("w4"))
+      .groupBy($"w3", $"w4").agg(count(lit(1)).as("n1b3"))
+    val mid2 = tg3.groupBy($"w3")
+      .agg(sum($"n1b3").cast("long").as("nmid2"), count(lit(1)).as("n2f3"))
+    val bg = docs.select(explode(zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+      .withColumn("bw2", split($"b", " ").getItem(1))
+    val cont = bg.groupBy($"bw2".as("w4")).agg(count(lit(1)).as("n1b"))
+    val tot = bg.agg(count(lit(1)).as("nbb"))
+    val pc = $"n1b".cast("double") / $"nbb"
+    val p2c = (greatest($"n1b3".cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * $"n2f3" * pc) / $"nmid2"
+    val p3c = (greatest($"n1b4".cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * $"n3f4" * p2c) / $"nmid3"
+    val m = lit(0.75) * $"nk4" + ($"ch4" - $"ck4").cast("double")
+    val prob = (($"c4".cast("double") - lit(0.75)) + m * p3c) / $"ch4"
+    qg.filter($"c4" >= mc)
+      .join(h4, Seq("w1", "w2", "w3"))
+      .join(c4t, Seq("w2", "w3", "w4"))
+      .join(mid3, Seq("w2", "w3"))
+      .join(tg3, Seq("w3", "w4"))
+      .join(mid2, Seq("w3"))
+      .join(cont, Seq("w4"))
+      .crossJoin(broadcast(tot))
+      .select($"w1", $"w2", $"w3", $"w4", $"c4",
+        prob.cast("float").as("prob"),
+        (m / $"ch4").cast("float").as("backoff"))
+      .orderBy($"w1", $"w2", $"w3", $"w4")
+  }
+
+  def q291Kn4ModelExportSql(minCount: Int = 2): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |quad AS (SELECT doc_id,
+      |           list_transform(range(1, greatest(len(ws) - 2, 1)),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS qs
+      |         FROM d),
+      |tri AS (SELECT doc_id,
+      |          list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ts
+      |        FROM d),
+      |qg AS MATERIALIZED (SELECT q, CAST(COUNT(*) AS BIGINT) AS c4,
+      |         string_split(q, ' ')[1] AS w1, string_split(q, ' ')[2] AS w2,
+      |         string_split(q, ' ')[3] AS w3, string_split(q, ' ')[4] AS w4
+      |       FROM (SELECT unnest(qs) AS q FROM quad) GROUP BY q),
+      |h4 AS (SELECT w1, w2, w3, CAST(SUM(c4) AS BIGINT) AS ch4,
+      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN 1 ELSE 0 END) AS BIGINT) AS nk4,
+      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN c4 ELSE 0 END) AS BIGINT) AS ck4
+      |       FROM qg GROUP BY w1, w2, w3),
+      |c4t AS MATERIALIZED (SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b4
+      |       FROM qg GROUP BY w2, w3, w4),
+      |mid3 AS (SELECT w2, w3, CAST(SUM(n1b4) AS BIGINT) AS nmid3,
+      |           CAST(COUNT(*) AS BIGINT) AS n3f4 FROM c4t GROUP BY w2, w3),
+      |tg3 AS MATERIALIZED (SELECT w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b3
+      |       FROM (SELECT string_split(t, ' ')[2] AS w3, string_split(t, ' ')[3] AS w4
+      |             FROM (SELECT t FROM (SELECT unnest(ts) AS t FROM tri) GROUP BY t))
+      |       GROUP BY w3, w4),
+      |mid2 AS (SELECT w3, CAST(SUM(n1b3) AS BIGINT) AS nmid2,
+      |           CAST(COUNT(*) AS BIGINT) AS n2f3 FROM tg3 GROUP BY w3),
+      |bg AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2,
+      |         string_split(b, ' ')[2] AS bw2
+      |       FROM (SELECT unnest(list_transform(range(1, len(ws)),
+      |               i -> ws[i] || ' ' || ws[i+1])) AS b FROM d) GROUP BY b),
+      |cont AS (SELECT bw2 AS w4, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY bw2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM bg)
+      |SELECT qg.w1, qg.w2, qg.w3, qg.w4, qg.c4,
+      |  CAST(((CAST(qg.c4 AS DOUBLE) - 0.75) +
+      |        (0.75 * h4.nk4 + CAST(h4.ch4 - h4.ck4 AS DOUBLE)) *
+      |          ((greatest(CAST(c4t.n1b4 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |            0.75 * mid3.n3f4 *
+      |              ((greatest(CAST(tg3.n1b3 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |                0.75 * mid2.n2f3 * (CAST(cont.n1b AS DOUBLE) / tot.nbb))
+      |               / mid2.nmid2)) / mid3.nmid3))
+      |       / h4.ch4 AS FLOAT) AS prob,
+      |  CAST((0.75 * h4.nk4 + CAST(h4.ch4 - h4.ck4 AS DOUBLE)) / h4.ch4 AS FLOAT)
+      |    AS backoff
+      |FROM qg
+      |JOIN h4 ON h4.w1 = qg.w1 AND h4.w2 = qg.w2 AND h4.w3 = qg.w3
+      |JOIN c4t ON c4t.w2 = qg.w2 AND c4t.w3 = qg.w3 AND c4t.w4 = qg.w4
+      |JOIN mid3 ON mid3.w2 = qg.w2 AND mid3.w3 = qg.w3
+      |JOIN tg3 ON tg3.w3 = qg.w3 AND tg3.w4 = qg.w4
+      |JOIN mid2 ON mid2.w3 = qg.w3
+      |JOIN cont ON cont.w4 = qg.w4
+      |CROSS JOIN tot
+      |WHERE qg.c4 >= $minCount
+      |ORDER BY qg.w1, qg.w2, qg.w3, qg.w4""".stripMargin
+
   val q282KneserNeySql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |bi AS (SELECT doc_id,

@@ -600,4 +600,93 @@ object Validation {
       |  MIN(lk) AS min_l,
       |  CAST(SUM(CASE WHEN lk < $l THEN ck ELSE 0 END) AS BIGINT) AS n_exposed_records
       |FROM classes GROUP BY 1 ORDER BY level""".stripMargin
+
+  /** q292: t-closeness audit — the third member of the standard
+    * privacy-audit trio (Li, Li & Venkatasubramanian 2007): k-anonymity
+    * (q219) bounds class size, l-diversity (q232) bounds value
+    * homogeneity, but a class can satisfy both and still leak — e.g.
+    * all its balances in the top band while the table spans all bands
+    * (the skewness attack). t-closeness requires each class's
+    * SENSITIVE-VALUE DISTRIBUTION to sit within t of the global one
+    * under Earth-Mover's Distance; for an ORDERED attribute (the
+    * $2000 account-balance band here; QI = nation × market segment)
+    * the paper's EMD is the cumulative-difference form
+    * EMD(P,Q) = Σᵢ|Σ_{j≤i}(pⱼ−qⱼ)| / (m−1).
+    *
+    * Cross-engine exactness: pⱼ−qⱼ = cntⱼ/ck − gⱼ/N is held as the
+    * INTEGER numerator cntⱼ·N − gⱼ·ck over the common denominator
+    * ck·N; the cumulative sums and their absolute values stay BIGINT
+    * and one fixed-shape double division lands the EMD at the end
+    * (float presentation; the violation flag compares the
+    * float-rounded value on both sides — the q132 rounding-grid rule).
+    * Missing (class, band) cells matter (p = 0 where q > 0 still moves
+    * earth), so classes cross-join the GLOBAL band list and left-join
+    * their own counts.
+    *
+    * At 100 TB: one record-level (QI, band) aggregate with map-side
+    * partials; everything after is class-count × band-count sized
+    * (bounded by the released taxonomy, never the corpus). The BIGINT
+    * numerators are bounded by ck·N — past ~3·10⁹ records per release
+    * audit, lift the numerator to DECIMAL(38,0), same shape.
+    */
+  def q292TCloseness(s: SparkSession, dir: String, t: Double = 0.2): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val banded = Tables.load(s, dir, "customer")
+      .select($"c_nationkey".as("nation"), $"c_mktsegment".as("segment"),
+        floor($"c_acctbal" / 2000.0).cast("long").as("band"))
+    val global = banded.groupBy($"band").agg(count(lit(1)).as("g"))
+      .localCheckpoint(true) // tiny; feeds the bin list AND the totals
+    val nBins = global.agg(count(lit(1)).as("m"), sum($"g").cast("long").as("nn"))
+    val cells = banded.groupBy($"nation", $"segment", $"band")
+      .agg(count(lit(1)).as("cnt"))
+    val classes = cells.groupBy($"nation", $"segment")
+      .agg(sum($"cnt").cast("long").as("ck"))
+    val grid = classes.crossJoin(global) // class × band, bounded
+      .join(cells, Seq("nation", "segment", "band"), "left")
+      .crossJoin(broadcast(nBins))
+      .select($"nation", $"segment", $"band", $"ck", $"m", $"nn",
+        (coalesce($"cnt", lit(0L)) * $"nn" - $"g" * $"ck").as("num"))
+    val w = W.partitionBy($"nation", $"segment").orderBy($"band")
+    grid.withColumn("cum", sum($"num").over(w))
+      .groupBy($"nation", $"segment")
+      .agg(max($"ck").as("class_k"),
+        (sum(abs($"cum")).cast("double") /
+          (max($"ck" * $"nn").cast("double") * (max($"m") - lit(1))))
+          .cast("float").as("emd"))
+      .select($"nation", $"segment", $"class_k", $"emd",
+        ($"emd" > lit(t.toFloat)).as("violates_t"))
+      .orderBy($"nation", $"segment")
+  }
+
+  def q292TClosenessSql(t: Double = 0.2): String =
+    s"""WITH banded AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS band
+      |  FROM customer),
+      |global AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS g FROM banded GROUP BY band),
+      |nbins AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |            CAST(SUM(g) AS BIGINT) AS nn FROM global),
+      |cells AS (SELECT nation, segment, band, CAST(COUNT(*) AS BIGINT) AS cnt
+      |          FROM banded GROUP BY 1, 2, 3),
+      |classes AS (SELECT nation, segment, CAST(SUM(cnt) AS BIGINT) AS ck
+      |            FROM cells GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT cl.nation, cl.segment, gb.band, cl.ck, nb.m, nb.nn,
+      |    COALESCE(ce.cnt, 0) * nb.nn - gb.g * cl.ck AS num
+      |  FROM classes cl CROSS JOIN global gb
+      |  LEFT JOIN cells ce ON ce.nation = cl.nation
+      |    AND ce.segment = cl.segment AND ce.band = gb.band
+      |  CROSS JOIN nbins nb),
+      |cum AS (
+      |  SELECT nation, segment, ck, m, nn,
+      |    SUM(num) OVER (PARTITION BY nation, segment ORDER BY band) AS cum
+      |  FROM grid)
+      |SELECT nation, segment, MAX(ck) AS class_k,
+      |  CAST(CAST(SUM(abs(cum)) AS DOUBLE)
+      |       / (CAST(MAX(ck * nn) AS DOUBLE) * (MAX(m) - 1)) AS FLOAT) AS emd,
+      |  CAST(CAST(SUM(abs(cum)) AS DOUBLE)
+      |       / (CAST(MAX(ck * nn) AS DOUBLE) * (MAX(m) - 1)) AS FLOAT)
+      |    > CAST($t AS FLOAT) AS violates_t
+      |FROM cum GROUP BY nation, segment ORDER BY nation, segment""".stripMargin
 }

@@ -257,6 +257,46 @@ class KneserNeySpec extends SparkSpec {
     }
   }
 
+  test("q291 model export: stored probs equal the interpolated model on kept types; " +
+    "backoff·P3c reproduces it on pruned ones (serving equivalence)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-kn4x").toString
+    texts4.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val (c4, _, c4t, mid3, tg3, mid2) = model4(texts4)
+    val (_, _, cont, nbb) = model(texts4)
+    def p3c(w2: String, w3: String, w4: String): Double = {
+      val (nmid3, n3f4) = mid3((w2, w3))
+      val (nmid2, n2f3) = mid2(w3)
+      val pcv = cont.getOrElse(w4, 0L).toDouble / nbb
+      val p2c = (math.max(tg3.getOrElse((w3, w4), 0L) - D, 0.0) + D * n2f3 * pcv) / nmid2
+      (math.max(c4t.getOrElse((w2, w3, w4), 0L) - D, 0.0) + D * n3f4 * p2c) / nmid3
+    }
+    val rows = LangModel.q291Kn4ModelExport(spark, tmp).collect()
+    val stored = rows.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3)) -> (r.getAs[Float]("prob"), r.getAs[Float]("backoff"))).toMap
+    // exactly the kept types are stored
+    assert(stored.keySet == c4.filter(_._2 >= 2).keySet.map(q => (q._1, q._2, q._3, q._4)))
+    for ((q, (prob, _)) <- stored)
+      assert(math.abs(prob - pKn4(texts4, 2)(q._1, q._2, q._3, q._4)) < 1e-6, s"$q")
+    // serving a PRUNED 4-gram: backoff(h)·P3c — the exported γ when the
+    // history has kept siblings, γ = 1 (the ARPA absent-history
+    // convention, which M(h)=c(h·) makes EXACT here) when it has none
+    val gammaOf = stored.toSeq.groupBy { case (q, _) => (q._1, q._2, q._3) }
+      .map { case (h, g) => h -> g.head._2._2.toDouble }
+    for ((q, c) <- c4 if c < 2) {
+      val gamma = gammaOf.getOrElse((q._1, q._2, q._3), 1.0)
+      val served = gamma * p3c(q._2, q._3, q._4)
+      val want = pKn4(texts4, 2)(q._1, q._2, q._3, q._4)
+      assert(math.abs(served - want) < 1e-6, s"$q: $served vs $want")
+    }
+    // both gamma sources exercised: some pruned type's history has kept
+    // siblings, some has none
+    val prunedHists = c4.collect { case (q, c) if c < 2 => (q._1, q._2, q._3) }.toSet
+    assert(prunedHists.exists(gammaOf.contains) && !prunedHists.forall(gammaOf.contains))
+  }
+
   test("q282 matches the hand model on the constructed corpus") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-kn").toString

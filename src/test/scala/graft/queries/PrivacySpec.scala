@@ -59,4 +59,30 @@ class PrivacySpec extends SparkSpec {
     val k5 = Validation.q219KAnonymity(spark, tmp).collect()
     assert(!k5.exists(r => r.getAs[Int]("nation") == 1))
   }
+
+  test("q292 t-closeness: hand-computed ordered EMD; the skewed-but-large class " +
+    "is flagged while the representative one passes") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // class A (nation 1): 10 members ALL in the top $2000 band — k-safe
+    // at k=5, yet its balance distribution sits far from the global one
+    // (the skewness attack t-closeness exists to close). class B
+    // (nation 2): 30 members spread 15/10/5 across bands 0/1/2.
+    // Global: 40 records, bands (15, 10, 15), m = 3.
+    //   EMD(A) = (|0-.375| + |0-.375-.25| + 0) / (3-1) = 0.5
+    //   EMD(B) = (.125 + .2083 + 0) / 2 = 1/6
+    val rows =
+      (1 to 10).map(i => (i.toLong, 1, "AUTOMOBILE", 4500.0)) ++
+      (11 to 25).map(i => (i.toLong, 2, "AUTOMOBILE", 500.0)) ++
+      (26 to 35).map(i => (i.toLong, 2, "AUTOMOBILE", 2500.0)) ++
+      (36 to 40).map(i => (i.toLong, 2, "AUTOMOBILE", 4500.0))
+    val tmp = Files.createTempDirectory("graft-tclose").toString
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = Validation.q292TCloseness(spark, tmp).collect()
+      .map(r => r.getAs[Int]("nation") -> (r.getAs[Long]("class_k"),
+        r.getAs[Float]("emd"), r.getAs[Boolean]("violates_t"))).toMap
+    assert(got(1) == ((10L, 0.5f, true)))
+    assert(got(2) == ((30L, (400.0 / 2400.0).toFloat, false)))
+  }
 }
