@@ -121,6 +121,9 @@ object GraftExtensions {
       arity(2, "jaro_winkler")(a => JaroWinkler(a.head, a(1)))),
     ("damerau_levenshtein", DamerauLevenshtein.info,
       arity(2, "damerau_levenshtein")(a => DamerauLevenshtein(a.head, a(1)))),
+    ("word_ngrams", graft.functions.WordNgrams.info,
+      arity(2, "word_ngrams")(a => graft.functions.WordNgrams(a.head,
+        intLit(a(1), "word_ngrams", "n")))),
     ("char_ngrams", CharNgrams.info, args => {
       require(args.length == 2 || args.length == 3,
         "char_ngrams(text, nMax[, nMin]) takes 2 or 3 arguments")

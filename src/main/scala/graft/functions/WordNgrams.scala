@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** word_ngrams(text, n): every space-delimited word n-gram of `text`,
+  * in position order, each gram joined by single spaces — EXACTLY the
+  * array the declarative spelling builds with
+  * `zip_with(slice(split(text,' '),1,L-n+1), …, concat)` (and the
+  * DuckDB twin with `list_transform(range(…), i -> ws[i]||' '||…)`),
+  * including the empty-token behavior of regex split with limit -1:
+  * a doc with fewer than n words emits an EMPTY array.
+  *
+  * Exists because the nested `zip_with` gram builders evaluate
+  * INTERPRETED per row (the q41/q279 lesson — they were ~90% of a
+  * scoring lane's runtime at the derived decade): this is one fused
+  * per-row byte scan, codegen-callable. The key observation making it
+  * allocation-exact: joining consecutive words with ' ' reproduces a
+  * SUBSTRING of the original text (words are the segments between
+  * space bytes), so each gram is one UTF8String.fromBytes over the
+  * shared byte array — no tokenization, no StringBuilder, no per-word
+  * garbage. Space is ASCII 0x20 and UTF-8 multibyte sequences never
+  * contain it, so the byte scan is correct on any input.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: need n >= 1, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.grams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.grams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WordNgrams].getName, "word_ngrams")
+
+  /** All word n-grams as substrings of the input's byte array. Word
+    * boundaries are every 0x20 byte (regex-split-on-" " semantics:
+    * consecutive spaces delimit empty words, trailing empties kept).
+    */
+  def grams(s: UTF8String, n: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // starts(i) = byte offset of word i; one more sentinel start at len+1
+    // conceptually (each word w spans [starts(w), starts(w+1) - 2])
+    var words = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) words += 1; i += 1 }
+    if (words < n) return new GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](words + 1)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(words) = len + 1
+    val out = new Array[Any](words - n + 1)
+    var g = 0
+    while (g <= words - n) {
+      val from = starts(g)
+      val until = starts(g + n) - 1 // drop the delimiter after the last word
+      out(g) = UTF8String.fromBytes(bytes, from, until - from)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -2175,26 +2175,18 @@ object LangModel {
   def q290KneserNey4Pruned(s: SparkSession, dir: String,
       minCount: Int = 2): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
-    val n4 = greatest(size($"ws") - 3, lit(0))
-    val quad = docs.select($"doc_id",
-      zip_with(
-        zip_with(
-          zip_with(slice($"ws", lit(1), n4), slice($"ws", lit(2), n4),
-            (a, b) => concat(a, lit(" "), b)),
-          slice($"ws", lit(3), n4),
-          (ab, c) => concat(ab, lit(" "), c)),
-        slice($"ws", lit(4), n4),
-        (abc, e) => concat(abc, lit(" "), e)).as("qs"))
-    val n3 = greatest(size($"ws") - 2, lit(0))
-    val tri = docs.select($"doc_id",
-      zip_with(
-        zip_with(slice($"ws", lit(1), n3), slice($"ws", lit(2), n3),
-          (a, b) => concat(a, lit(" "), b)),
-        slice($"ws", lit(3), n3),
-        (ab, c) => concat(ab, lit(" "), c)).as("ts"))
-    val qg = quad.select(explode($"qs").as("q"))
-      .groupBy($"q").agg(count(lit(1)).as("c4"))
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    // gram builders are the native word_ngrams expression (one fused
+    // byte scan per row emitting substring-backed grams) — the
+    // interpreted zip_with spelling was the lane's dominant per-row
+    // cost (the q41/q279 lesson); the positional 4-gram stream is
+    // built ONCE and checkpointed: the count table aggregates it and
+    // the scoring join re-reads it
+    val quadStream = docs.select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(4))).as(Seq("pos", "q")))
+      .localCheckpoint(true)
+    val qg = quadStream.groupBy($"q").agg(count(lit(1)).as("c4"))
       .withColumn("w1", split($"q", " ").getItem(0))
       .withColumn("w2", split($"q", " ").getItem(1))
       .withColumn("w3", split($"q", " ").getItem(2))
@@ -2210,7 +2202,7 @@ object LangModel {
     val c4t = qg.groupBy($"w2", $"w3", $"w4").agg(count(lit(1)).as("n1b4"))
     val mid3 = c4t.groupBy($"w2", $"w3")
       .agg(sum($"n1b4").cast("long").as("nmid3"), count(lit(1)).as("n3f4"))
-    val tg3 = tri.select(explode($"ts").as("t"))
+    val tg3 = docs.select(explode(call_function("word_ngrams", $"text", lit(3))).as("t"))
       .groupBy($"t").agg(count(lit(1)).as("cc3"))
       .select(split($"t", " ").getItem(1).as("w3"),
         split($"t", " ").getItem(2).as("w4"))
@@ -2219,10 +2211,7 @@ object LangModel {
       .localCheckpoint(true)
     val mid2 = tg3.groupBy($"w3")
       .agg(sum($"n1b3").cast("long").as("nmid2"), count(lit(1)).as("n2f3"))
-    val bg = docs.select(explode(zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b))).as("b"))
+    val bg = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
       .withColumn("bw2", split($"b", " ").getItem(1))
     val cont = bg.groupBy($"bw2".as("w4")).agg(count(lit(1)).as("n1b"))
@@ -2235,7 +2224,7 @@ object LangModel {
     val m = lit(0.75) * $"nk4" + ($"ch4" - $"ck4").cast("double")
     val p4 = (when($"c4" >= mc, $"c4".cast("double") - lit(0.75))
       .otherwise(lit(0.0)) + m * p3c) / $"ch4"
-    val terms = quad.select($"doc_id", posexplode($"qs").as(Seq("pos", "q")))
+    val terms = quadStream
       .join(qg.select($"q", $"c4", $"w1", $"w2", $"w3", $"w4"), "q")
       .join(h4, Seq("w1", "w2", "w3"))
       .join(c4t, Seq("w2", "w3", "w4"))
@@ -2343,25 +2332,9 @@ object LangModel {
   def q291Kn4ModelExport(s: SparkSession, dir: String,
       minCount: Int = 2): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
-    val n4 = greatest(size($"ws") - 3, lit(0))
-    val quad = docs.select($"doc_id",
-      zip_with(
-        zip_with(
-          zip_with(slice($"ws", lit(1), n4), slice($"ws", lit(2), n4),
-            (a, b) => concat(a, lit(" "), b)),
-          slice($"ws", lit(3), n4),
-          (ab, c) => concat(ab, lit(" "), c)),
-        slice($"ws", lit(4), n4),
-        (abc, e) => concat(abc, lit(" "), e)).as("qs"))
-    val n3 = greatest(size($"ws") - 2, lit(0))
-    val tri = docs.select($"doc_id",
-      zip_with(
-        zip_with(slice($"ws", lit(1), n3), slice($"ws", lit(2), n3),
-          (a, b) => concat(a, lit(" "), b)),
-        slice($"ws", lit(3), n3),
-        (ab, c) => concat(ab, lit(" "), c)).as("ts"))
-    val qg = quad.select(explode($"qs").as("q"))
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val qg = docs.select(explode(call_function("word_ngrams", $"text", lit(4))).as("q"))
       .groupBy($"q").agg(count(lit(1)).as("c4"))
       .withColumn("w1", split($"q", " ").getItem(0))
       .withColumn("w2", split($"q", " ").getItem(1))
@@ -2376,17 +2349,14 @@ object LangModel {
     val c4t = qg.groupBy($"w2", $"w3", $"w4").agg(count(lit(1)).as("n1b4"))
     val mid3 = c4t.groupBy($"w2", $"w3")
       .agg(sum($"n1b4").cast("long").as("nmid3"), count(lit(1)).as("n3f4"))
-    val tg3 = tri.select(explode($"ts").as("t"))
+    val tg3 = docs.select(explode(call_function("word_ngrams", $"text", lit(3))).as("t"))
       .groupBy($"t").agg(count(lit(1)).as("cc3"))
       .select(split($"t", " ").getItem(1).as("w3"),
         split($"t", " ").getItem(2).as("w4"))
       .groupBy($"w3", $"w4").agg(count(lit(1)).as("n1b3"))
     val mid2 = tg3.groupBy($"w3")
       .agg(sum($"n1b3").cast("long").as("nmid2"), count(lit(1)).as("n2f3"))
-    val bg = docs.select(explode(zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b))).as("b"))
+    val bg = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
       .withColumn("bw2", split($"b", " ").getItem(1))
     val cont = bg.groupBy($"bw2".as("w4")).agg(count(lit(1)).as("n1b"))

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** word_ngrams must be BIT-IDENTICAL to the declarative zip_with
+  * spelling it replaces (the KN lanes' oracle twins state that form in
+  * DuckDB), including the regex-split-on-" " empty-token semantics.
+  */
+class WordNgramsSpec extends SparkSpec {
+
+  private def declarative(n: Int) = {
+    val ws = split(col("text"), " ")
+    val len = greatest(size(ws) - (n - 1), lit(0))
+    (1 to n).map(i => slice(ws, lit(i), len))
+      .reduceLeft((acc, next) => zip_with(acc, next,
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
+  test("equals the zip_with spelling on the real corpus for n = 2, 3, 4") {
+    graft.GraftExtensions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(2, 3, 4)) {
+      val diff = docs.select(
+          call_function("word_ngrams", col("text"), lit(n)).as("got"),
+          declarative(n).as("want"))
+        .filter(col("got") =!= col("want"))
+      assert(diff.isEmpty, s"n=$n: ${diff.take(1).mkString}")
+    }
+  }
+
+  test("edge cases: short docs, empty string, consecutive/trailing spaces, multibyte") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val cases = Seq(
+      "a b c",            // shorter than 4 words -> empty at n=4
+      "",                  // split("", " ") = [""] -> one 1-gram, none at n>=2
+      "a  b",              // consecutive spaces: empty middle token kept
+      "a b ",              // trailing space: trailing empty token kept
+      "héllo wörld über tokens naïve") // multibyte never contains 0x20
+    val df = cases.toDF("text")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val rows = df.select(col("text"),
+          call_function("word_ngrams", col("text"), lit(n)).as("got"),
+          declarative(n).as("want"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n text='${r.getString(0)}': ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+    // and the hand-stated facts the corpus law can't pin:
+    val g = (t: String, n: Int) =>
+      WordNgrams.grams(org.apache.spark.unsafe.types.UTF8String.fromString(t), n)
+        .array.map(_.toString).toSeq
+    assert(g("a b c", 4) == Seq.empty)
+    assert(g("", 1) == Seq(""))
+    assert(g("a  b", 2) == Seq("a ", " b"))
+    assert(g("a b ", 2) == Seq("a b", "b "))
+    assert(g("héllo wörld über", 2) == Seq("héllo wörld", "wörld über"))
+  }
+}
