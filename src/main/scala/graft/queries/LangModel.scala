@@ -1831,13 +1831,16 @@ object LangModel {
     */
   def q282KneserNey(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
-    val bi = docs.select($"doc_id",
-      zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b)).as("bs"))
-    val big = bi.select(explode($"bs").as("b"))
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    // bigram builder is the native word_ngrams scan (r15: the
+    // interpreted zip_with builder was the per-row cost — the q41/q279
+    // lesson). Built lazily on each side: the count side prunes the
+    // position column entirely, and re-scanning the corpus with the
+    // native expression is cheaper than materializing a corpus-sized
+    // positional stream (measured — the trigram/4-gram lanes DO
+    // checkpoint their streams, where the join side is wider)
+    val big = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
       .withColumn("w1", split($"b", " ").getItem(0))
       .withColumn("w2", split($"b", " ").getItem(1))
@@ -1847,7 +1850,8 @@ object LangModel {
     // continuation marginal: distinct predecessors, and the type total
     val cont = big.groupBy($"w2").agg(count(lit(1)).as("n1b"))
     val tot = big.agg(count(lit(1)).as("nbb"))
-    val terms = bi.select($"doc_id", posexplode($"bs").as(Seq("pos", "b")))
+    val terms = docs.select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(2))).as(Seq("pos", "b")))
       .join(big.select($"b", $"c2", $"w1", $"w2"), "b")
       .join(hist, "w1")
       .join(cont, "w2")
@@ -1897,20 +1901,11 @@ object LangModel {
     */
   def q285KneserNeyTrigram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
-    val n3 = greatest(size($"ws") - 2, lit(0))
-    val tri = docs.select($"doc_id",
-      zip_with(
-        zip_with(slice($"ws", lit(1), n3), slice($"ws", lit(2), n3),
-          (a, b) => concat(a, lit(" "), b)),
-        slice($"ws", lit(3), n3),
-        (ab, c) => concat(ab, lit(" "), c)).as("ts"))
-    val bi = docs.select($"doc_id",
-      zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b)).as("bs"))
-    val tg = tri.select(explode($"ts").as("t"))
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    // native word_ngrams gram builders (r15 — the q41/q279
+    // interpreted-lambda lesson); built lazily on each side like q282
+    val tg = docs.select(explode(call_function("word_ngrams", $"text", lit(3))).as("t"))
       .groupBy($"t").agg(count(lit(1)).as("c3"))
       .withColumn("w1", split($"t", " ").getItem(0))
       .withColumn("w2", split($"t", " ").getItem(1))
@@ -1922,7 +1917,7 @@ object LangModel {
     val c3t = tg.groupBy($"w2", $"w3").agg(count(lit(1)).as("n1b3"))
     val mid = c3t.groupBy($"w2")
       .agg(sum($"n1b3").cast("long").as("nmid"), count(lit(1)).as("n2f3"))
-    val bg = bi.select(explode($"bs").as("b"))
+    val bg = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
       .withColumn("bw2", split($"b", " ").getItem(1))
     val cont = bg.groupBy($"bw2".as("w3")).agg(count(lit(1)).as("n1b"))
@@ -1932,7 +1927,8 @@ object LangModel {
       lit(0.75) * $"n2f3" * pc) / $"nmid"
     val p3 = (greatest($"c3".cast("double") - lit(0.75), lit(0.0)) +
       lit(0.75) * $"n3f" * p2c) / $"ch3"
-    val terms = tri.select($"doc_id", posexplode($"ts").as(Seq("pos", "t")))
+    val terms = docs.select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(3))).as(Seq("pos", "t")))
       .join(tg.select($"t", $"c3", $"w1", $"w2", $"w3"), "t")
       .join(h3, Seq("w1", "w2"))
       .join(c3t, Seq("w2", "w3"))
@@ -2030,30 +2026,24 @@ object LangModel {
     */
   def q287StupidBackoff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
     val train = docs.filter($"doc_id" % 10 =!= 0)
     val evalD = docs.filter($"doc_id" % 10 === 0)
-    val n3 = greatest(size($"ws") - 2, lit(0))
-    def tris(d: DataFrame) = d.select($"doc_id",
-      zip_with(
-        zip_with(slice($"ws", lit(1), n3), slice($"ws", lit(2), n3),
-          (a, b) => concat(a, lit(" "), b)),
-        slice($"ws", lit(3), n3),
-        (ab, c) => concat(ab, lit(" "), c)).as("ts"))
-    val tg = tris(train).select(explode($"ts").as("t"))
+    // gram builders are the native word_ngrams scan (r15 — the
+    // q41/q279 interpreted-lambda lesson)
+    val tg = train.select(explode(call_function("word_ngrams", $"text", lit(3))).as("t"))
       .groupBy($"t").agg(count(lit(1)).as("c3"))
-    val bg = train.select(explode(zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b))).as("b"))
+    val bg = train.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
-    val ug = train.select(explode($"ws").as("u"))
+    val ug = train.select(explode(split($"text", " ")).as("u"))
       .groupBy($"u").agg(count(lit(1)).as("c1"))
     // token total as a 1-row broadcast frame, not an eager .count()
     // job at build time — the plan stays self-contained
-    val tot = train.select(sum(size($"ws")).as("ntok"))
-    val ev = tris(evalD)
-      .select($"doc_id", posexplode($"ts").as(Seq("pos", "t")))
+    val tot = train.select(sum(size(split($"text", " "))).as("ntok"))
+    val ev = evalD
+      .select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(3))).as(Seq("pos", "t")))
       .withColumn("parts", split($"t", " "))
       .withColumn("b12", concat($"parts".getItem(0), lit(" "), $"parts".getItem(1)))
       .withColumn("b23", concat($"parts".getItem(1), lit(" "), $"parts".getItem(2)))
@@ -2180,13 +2170,12 @@ object LangModel {
     // gram builders are the native word_ngrams expression (one fused
     // byte scan per row emitting substring-backed grams) — the
     // interpreted zip_with spelling was the lane's dominant per-row
-    // cost (the q41/q279 lesson); the positional 4-gram stream is
-    // built ONCE and checkpointed: the count table aggregates it and
-    // the scoring join re-reads it
-    val quadStream = docs.select($"doc_id",
-        posexplode(call_function("word_ngrams", $"text", lit(4))).as(Seq("pos", "q")))
-      .localCheckpoint(true)
-    val qg = quadStream.groupBy($"q").agg(count(lit(1)).as("c4"))
+    // cost (the q41/q279 lesson). Each side builds its stream lazily:
+    // re-scanning the corpus with the native expression measured
+    // cheaper than materializing a corpus-sized positional stream,
+    // and recompute-over-materialize is also the cluster-honest shape
+    val qg = docs.select(explode(call_function("word_ngrams", $"text", lit(4))).as("q"))
+      .groupBy($"q").agg(count(lit(1)).as("c4"))
       .withColumn("w1", split($"q", " ").getItem(0))
       .withColumn("w2", split($"q", " ").getItem(1))
       .withColumn("w3", split($"q", " ").getItem(2))
@@ -2224,7 +2213,8 @@ object LangModel {
     val m = lit(0.75) * $"nk4" + ($"ch4" - $"ck4").cast("double")
     val p4 = (when($"c4" >= mc, $"c4".cast("double") - lit(0.75))
       .otherwise(lit(0.0)) + m * p3c) / $"ch4"
-    val terms = quadStream
+    val terms = docs.select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(4))).as(Seq("pos", "q")))
       .join(qg.select($"q", $"c4", $"w1", $"w2", $"w3", $"w4"), "q")
       .join(h4, Seq("w1", "w2", "w3"))
       .join(c4t, Seq("w2", "w3", "w4"))
