@@ -1340,17 +1340,12 @@ object Analytic {
   def q242HllDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = 64
-    val docs = Tables.load(s, dir, "documents")
-      .select(split($"text", " ").as("ws"))
-    // trigram shingles; string shape identical to the oracle's
-    // ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-    val n2 = size($"ws") - 2
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"text")
+    // trigram shingles via the native word_ngrams scan (r15); string
+    // shape identical to the oracle's ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
     val sh = docs
-      .select(explode(zip_with(
-        slice($"ws", lit(1), n2),
-        zip_with(slice($"ws", lit(2), n2), slice($"ws", lit(3), n2),
-          (b, c) => concat(b, lit(" "), c)),
-        (a, bc) => concat(a, lit(" "), bc))).as("g"))
+      .select(explode(call_function("word_ngrams", $"text", lit(3))).as("g"))
       .localCheckpoint(true) // sketch lane + exact baseline
     val hv = conv(substring(md5($"g"), 1, 15), 16, 10).cast("long")
     val withRho = sh.select((hv % m).as("idx"),
@@ -1400,15 +1395,11 @@ object Analytic {
   def q247HllSetops(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = 64
-    val docs = Tables.load(s, dir, "documents")
-      .select($"source", split($"text", " ").as("ws"))
-    val n2 = size($"ws") - 2
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"source", $"text")
     val sh = docs
-      .select($"source", explode(zip_with(
-        slice($"ws", lit(1), n2),
-        zip_with(slice($"ws", lit(2), n2), slice($"ws", lit(3), n2),
-          (b, c) => concat(b, lit(" "), c)),
-        (a, bc) => concat(a, lit(" "), bc))).as("g"))
+      .select($"source",
+        explode(call_function("word_ngrams", $"text", lit(3))).as("g"))
       .localCheckpoint(true) // sketch lane + the two exact baselines
     val hv = conv(substring(md5($"g"), 1, 15), 16, 10).cast("long")
     val withRho = sh.select($"source", (hv % m).as("idx"),

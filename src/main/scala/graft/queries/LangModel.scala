@@ -51,19 +51,17 @@ object LangModel {
     */
   def q104BigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
-    // bigrams in reading order, as one array column (no early explode)
-    val bi = docs.select($"doc_id",
-      zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b)).as("bs"))
-    val uni = docs.select(explode($"ws").as("w"))
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    // bigrams via the native word_ngrams scan (r15 — the q41/q279
+    // interpreted-lambda lesson), built lazily per consumer
+    val uni = docs.select(explode(split($"text", " ")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c1"))
     val voc = uni.agg(count(lit(1)).as("v"))
-    val big = bi.select(explode($"bs").as("b"))
+    val big = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
-    val terms = bi.select($"doc_id", posexplode($"bs").as(Seq("pos", "b")))
+    val terms = docs.select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(2))).as(Seq("pos", "b")))
       .join(big, "b")
       .withColumn("w1", split($"b", " ").getItem(0))
       .join(uni.withColumnRenamed("w", "w1"), "w1")
@@ -131,19 +129,16 @@ object LangModel {
     */
   def q258CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val docs = Tables.load(s, dir, "documents")
-      .select($"doc_id", $"source", ws.as("ws"))
-    val bi = docs.select($"doc_id",
-      zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b)).as("bs"))
+      .select($"doc_id", $"source", $"text", ws.as("ws"))
     val uni = docs.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c1"))
     val voc = uni.agg(count(lit(1)).as("v"))
-    val big = bi.select(explode($"bs").as("b"))
+    val big = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
-    val scored = bi.select($"doc_id", posexplode($"bs").as(Seq("pos", "b")))
+    val scored = docs.select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(2))).as(Seq("pos", "b")))
       .join(big, "b")
       .withColumn("w1", split($"b", " ").getItem(0))
       .join(uni.withColumnRenamed("w", "w1"), "w1")
@@ -460,14 +455,12 @@ object LangModel {
     */
   def q129Pmi(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", ws.as("ws"))
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text", ws.as("ws"))
     val uni = docs.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c1"))
     val m = uni.agg(sum($"c1").as("m"))
-    val bi = docs.select(explode(zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b))).as("b"))
+    val bi = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
     val n = bi.agg(sum($"c2").as("n"))
     bi.filter($"c2" >= 5)

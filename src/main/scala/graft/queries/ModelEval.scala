@@ -272,22 +272,19 @@ object ModelEval {
     */
   def q196Perplexity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val docs = Tables.load(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"text", split($"text", " ").as("ws"))
     val train = docs.filter($"doc_id" % 5 =!= 0)
     val test = docs.filter($"doc_id" % 5 === 0)
-    def bigrams(df: DataFrame) = df.select($"doc_id",
-      zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b)).as("bs"))
     val uni = train.select(explode($"ws").as("w1"))
       .groupBy($"w1").agg(count(lit(1)).as("c1"))
     val voc = uni.agg(count(lit(1)).as("v"))
-    val big = bigrams(train).select(explode($"bs").as("b"))
+    val big = train.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
-    val terms = bigrams(test)
-      .select($"doc_id", posexplode($"bs").as(Seq("pos", "b")))
+    val terms = test
+      .select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(2))).as(Seq("pos", "b")))
       .join(big, Seq("b"), "left")
       .withColumn("w1", split($"b", " ").getItem(0))
       .join(uni, Seq("w1"), "left")

@@ -123,13 +123,11 @@ object Ranking {
   def q140TfidfPairs(s: SparkSession, dir: String,
       tauCos: Double = 0.9, dfCap: Long = 100L): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val docs = Tables.load(s, dir, "documents")
     val toks = docs
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .select($"doc_id", explode(zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .select($"doc_id",
+        explode(call_function("word_ngrams", $"text", lit(2))).as("g"))
     val tf = toks.groupBy($"doc_id", $"g").agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfc = tf.groupBy($"g").agg(count(lit(1)).as("df")).filter($"df" <= dfCap)
