@@ -124,6 +124,9 @@ object GraftExtensions {
     ("word_ngrams", graft.functions.WordNgrams.info,
       arity(2, "word_ngrams")(a => graft.functions.WordNgrams(a.head,
         intLit(a(1), "word_ngrams", "n")))),
+    ("word_windows", graft.functions.WordWindows.info,
+      arity(2, "word_windows")(a => graft.functions.WordWindows(a.head,
+        intLit(a(1), "word_windows", "w")))),
     ("char_ngrams", CharNgrams.info, args => {
       require(args.length == 2 || args.length == 3,
         "char_ngrams(text, nMax[, nMin]) takes 2 or 3 arguments")

@@ -49,6 +49,43 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_windows(text, w): NON-OVERLAPPING w-word windows of `text` —
+  * the segmentation shape (CCNet paragraphs q286, span dedup q81) —
+  * including the truncated tail window, so the count is exactly
+  * ⌈words/w⌉, matching the declarative
+  * `transform(sequence(1, ceil(size(ws)/w)), i -> array_join(slice(ws,
+  * (i-1)*w+1, w), ' '))` spelling (and its concat_ws twin: slice
+  * beyond the array truncates). Same substring-backed zero-copy
+  * emission as [[WordNgrams]].
+  */
+case class WordWindows(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_windows"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: need w >= 1, got $w")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.windows(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.windows($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordWindows {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WordWindows].getName, "word_windows")
+}
+
 object WordNgrams {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[WordNgrams].getName, "word_ngrams")
@@ -80,6 +117,37 @@ object WordNgrams {
     while (g <= words - n) {
       val from = starts(g)
       val until = starts(g + n) - 1 // drop the delimiter after the last word
+      out(g) = UTF8String.fromBytes(bytes, from, until - from)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Non-overlapping w-word windows with truncated tail — see
+    * [[graft.functions.WordWindows]].
+    */
+  def windows(s: UTF8String, w: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var words = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) words += 1; i += 1 }
+    val starts = new Array[Int](words + 1)
+    starts(0) = 0
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(words) = len + 1
+    val nWin = (words + w - 1) / w
+    val out = new Array[Any](nWin)
+    var g = 0
+    while (g < nWin) {
+      val from = starts(g * w)
+      val endWord = math.min(g * w + w, words)
+      val until = starts(endWord) - 1
       out(g) = UTF8String.fromBytes(bytes, from, until - from)
       g += 1
     }

@@ -655,15 +655,14 @@ object Dedup {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"span_text").orderBy($"doc_id", $"span_idx")
-    val spans = Tables.load(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .select($"doc_id", explode(transform(
-        sequence(lit(0L),
-          ceil(size($"ws").cast("double") / SpanWords).cast("long") - 1),
-        i => struct(i.as("span_idx"),
-          concat_ws(" ", slice($"ws", (i * SpanWords + 1).cast("int"), lit(SpanWords)))
-            .as("span_text")))).as("sp"))
-      .select($"doc_id", $"sp.span_idx", $"sp.span_text")
+    val spans = {
+      graft.GraftExtensions.register(s)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          posexplode(call_function("word_windows", $"text", lit(SpanWords)))
+            .as(Seq("p", "span_text")))
+        .select($"doc_id", $"p".cast("long").as("span_idx"), $"span_text")
+    }
     spans
       .withColumn("rn", row_number().over(w))
       .groupBy($"doc_id")
@@ -740,16 +739,17 @@ object Dedup {
     */
   def q230SubstrDedup(s: SparkSession, dir: String, L: Int = SubstrL): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val ws = Tables.load(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"text", split($"text", " ").as("ws"))
       .cache() // feeds the gram lane and the token-reassembly lane
-    val grams = ws.filter(size($"ws") >= L)
-      .select($"doc_id", explode(transform(
-        sequence(lit(0L), (size($"ws") - L).cast("long")),
-        i => struct(i.as("pos"),
-          md5(concat_ws(" ", slice($"ws", (i + 1).cast("int"), lit(L)))).as("h"))))
-        .as("g"))
-      .select($"doc_id", $"g.pos", $"g.h")
+    // L-grams via the native word_ngrams scan (r15), md5-keyed: the
+    // hash bytes are identical to md5(concat_ws(' ', slice(...)))
+    // because the gram IS that joined string
+    val grams = ws
+      .select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(L))).as(Seq("p", "g")))
+      .select($"doc_id", $"p".cast("long").as("pos"), md5($"g").as("h"))
     val cw = Window.partitionBy($"h")
     val seeds = grams
       .withColumn("cnt", count(lit(1)).over(cw))
@@ -810,21 +810,19 @@ object Dedup {
     */
   def q246SplitContamination(s: SparkSession, dir: String, L: Int = SubstrL): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val ws = Tables.load(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", $"text")
       .withColumn("bucket",
         conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 8),
           16, 10).cast("long") % 100)
-      .select($"doc_id", $"ws",
+      .select($"doc_id", $"text",
         when($"bucket" < 80, "train").when($"bucket" < 90, "val")
           .otherwise("test").as("split"))
-    val grams = ws.filter(size($"ws") >= L)
-      .select($"doc_id", $"split", explode(transform(
-        sequence(lit(0L), (size($"ws") - L).cast("long")),
-        i => struct(i.as("pos"),
-          md5(concat_ws(" ", slice($"ws", (i + 1).cast("int"), lit(L)))).as("h"))))
-        .as("g"))
-      .select($"doc_id", $"split", $"g.pos", $"g.h")
+    val grams = ws
+      .select($"doc_id", $"split",
+        posexplode(call_function("word_ngrams", $"text", lit(L))).as(Seq("p", "g")))
+      .select($"doc_id", $"split", $"p".cast("long").as("pos"), md5($"g").as("h"))
     val cw = Window.partitionBy($"h")
     val evalSeeds = grams
       .withColumn("has_train",
@@ -1406,13 +1404,13 @@ object Dedup {
     */
   def q286SegmentDedup(s: SparkSession, dir: String, w: Int = 16): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("ws"))
-    val seg = docs.select($"doc_id", posexplode(
-        transform(
-          sequence(lit(1), ceil(size($"ws") / lit(w.toDouble)).cast("int")),
-          i => array_join(slice($"ws", (i - 1) * w + 1, lit(w)), " ")))
-        .as(Seq("p", "s")))
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    // segments via the native word_windows scan (r15 — one fused byte
+    // pass emitting substring-backed windows; the interpreted
+    // transform/slice/array_join spelling was the per-row cost)
+    val seg = docs.select($"doc_id",
+        posexplode(call_function("word_windows", $"text", lit(w))).as(Seq("p", "s")))
       .select($"doc_id", ($"p" + 1).cast("long").as("seg_no"), $"s",
         md5($"s").as("h"))
     // keeper = globally first instance: a lexicographic struct MIN over

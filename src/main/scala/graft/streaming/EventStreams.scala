@@ -624,16 +624,13 @@ object EventStreams {
     */
   def streamingContamination(docs: DataFrame, L: Int = 8): DataFrame = {
     import docs.sparkSession.implicits._
+    graft.GraftExtensions.register(docs.sparkSession)
     docs
       .select(col("doc_id").cast("long").as("doc_id"), col("split"),
-        split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= L)
-      .select(col("doc_id"), col("split"), explode(transform(
-        sequence(lit(0L), (size(col("ws")) - L).cast("long")),
-        i => struct(i.as("pos"),
-          md5(concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(L)))).as("h"))))
-        .as("g"))
-      .select(col("g.h"), col("doc_id"), col("split"), col("g.pos"))
+        posexplode(call_function("word_ngrams", col("text"), lit(L)))
+          .as(Seq("p", "g")))
+      .select(md5(col("g")).as("h"), col("doc_id"), col("split"),
+        col("p").cast("long").as("pos"))
       .as[(String, Long, String, Long)]
       .groupByKey(_._1)
       .transformWithState(new ContamIndexProcessor,
@@ -697,13 +694,10 @@ object EventStreams {
     */
   def streamingSegmentDedup(docs: DataFrame, w: Int = 16): DataFrame = {
     import docs.sparkSession.implicits._
+    graft.GraftExtensions.register(docs.sparkSession)
     docs
       .select(col("doc_id").cast("long").as("doc_id"),
-        split(col("text"), " ").as("ws"))
-      .select($"doc_id", posexplode(
-          transform(
-            sequence(lit(1), ceil(size($"ws") / lit(w.toDouble)).cast("int")),
-            i => array_join(slice($"ws", (i - 1) * w + 1, lit(w)), " ")))
+        posexplode(call_function("word_windows", col("text"), lit(w)))
           .as(Seq("p", "s")))
       .select(md5($"s").as("h"), $"doc_id",
         ($"p" + 1).cast("long").as("seg_no"), $"s")

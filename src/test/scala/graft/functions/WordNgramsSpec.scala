@@ -30,6 +30,31 @@ class WordNgramsSpec extends SparkSpec {
     }
   }
 
+  private def declarativeWindows(w: Int) = {
+    val ws = split(col("text"), " ")
+    transform(sequence(lit(1), ceil(size(ws) / lit(w.toDouble)).cast("int")),
+      i => array_join(slice(ws, (i - 1) * w + 1, lit(w)), " "))
+  }
+
+  test("word_windows equals the transform/slice/array_join spelling on the real corpus") {
+    graft.GraftExtensions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (w <- Seq(2, 16, 50)) {
+      val diff = docs.select(
+          call_function("word_windows", col("text"), lit(w)).as("got"),
+          declarativeWindows(w).as("want"))
+        .filter(col("got") =!= col("want"))
+      assert(diff.isEmpty, s"w=$w: ${diff.take(1).mkString}")
+    }
+    // hand-pinned: truncated tail, exact fit, single short doc
+    val win = (t: String, w: Int) =>
+      WordNgrams.windows(org.apache.spark.unsafe.types.UTF8String.fromString(t), w)
+        .array.map(_.toString).toSeq
+    assert(win("a b c d e", 2) == Seq("a b", "c d", "e"))
+    assert(win("a b c d", 2) == Seq("a b", "c d"))
+    assert(win("a", 16) == Seq("a"))
+  }
+
   test("edge cases: short docs, empty string, consecutive/trailing spaces, multibyte") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._
