@@ -55,6 +55,30 @@ class WordNgramsSpec extends SparkSpec {
     assert(win("a", 16) == Seq("a"))
   }
 
+  test("property: word_ngrams/word_windows match a Scala reference model on " +
+    "random texts (incl. empty words and multibyte)") {
+    import org.scalacheck.Gen
+    val word = Gen.frequency(
+      (8, Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))),
+      (1, Gen.const("")),                 // consecutive/edge spaces
+      (1, Gen.oneOf("héllo", "über", "naïve", "日本語")))
+    val text = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = Gen.listOfN(200, text).sample.get
+    def u(t: String) = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+    for (t <- texts; n <- Seq(1, 2, 3, 4, 7)) {
+      val w = t.split(" ", -1) // regex split, limit -1: keep trailing empties
+      val wantN = if (w.length < n) Seq.empty
+        else w.sliding(n).map(_.mkString(" ")).toSeq
+      val gotN = WordNgrams.grams(u(t), n).array.map(_.toString).toSeq
+      assert(gotN == wantN, s"ngrams n=$n text='$t'")
+      val wantW = w.grouped(n).map(_.mkString(" ")).toSeq
+      val gotW = WordNgrams.windows(u(t), n).array.map(_.toString).toSeq
+      assert(gotW == wantW, s"windows w=$n text='$t'")
+    }
+  }
+
   test("edge cases: short docs, empty string, consecutive/trailing spaces, multibyte") {
     graft.GraftExtensions.register(spark)
     import spark.implicits._

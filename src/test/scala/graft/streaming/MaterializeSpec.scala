@@ -728,6 +728,42 @@ class MaterializeSpec extends SparkSpec {
     assert(rootMessages(e6).contains("not exactly representable"), rootMessages(e6))
   }
 
+  test("property: measure encoding equals a BigDecimal reference across random " +
+    "integral and decimal renderings at scales 0/2/6") {
+    import org.scalacheck.Gen
+    for (scale <- Seq(0, 2, 6)) {
+      val rendering = for {
+        mantissa <- Gen.chooseNum(-1000000000L, 1000000000L)
+        frac <- Gen.chooseNum(0, scale) // ≤ scale fractional digits: representable
+        plus <- Gen.oneOf("", "+")
+        zeros <- Gen.chooseNum(0, 2) // trailing fractional zeros
+      } yield {
+        val bd = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(mantissa), frac)
+        val s = bd.toPlainString
+        val withZeros =
+          if (zeros == 0) s
+          else if (frac == 0) s + "." + ("0" * zeros)
+          else s + ("0" * zeros)
+        (if (bd.signum() >= 0) plus + withZeros else withZeros, bd)
+      }
+      val vals = Gen.listOfN(150, rendering).sample.get
+      val expected = vals.map { case (_, bd) =>
+        bd.movePointRight(scale).longValueExact()
+      }.sum
+      val base = Files.createTempDirectory(s"graft-aggprop$scale").toString
+      Materialize.applyAggregateDelta(
+        Materialize.applyBatchCdf(
+          vals.zipWithIndex.map { case ((r, _), i) =>
+            evD(Op.Insert, i, i, "g", r)
+          }.toDF(), "id", s"$base/t", nBuckets = 4),
+        "g", "m", s"$base/agg", measureScale = scale)
+      val got = spark.read.parquet(s"$base/agg").collect()
+        .map(r => (r.getAs[Long]("n"), r.getAs[Long]("m"))).head
+      assert(got == ((vals.size.toLong, expected)), s"scale=$scale")
+    }
+  }
+
   test("integral fast lane and decimal slow lane agree on the same value") {
     // '3' rides the regex-guarded long lane, '3.00' the DECIMAL staging
     // lane — both must encode to 300 cents at scale 2 and land in ONE
