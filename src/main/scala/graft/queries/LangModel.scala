@@ -2421,6 +2421,161 @@ object LangModel {
       |WHERE qg.c4 >= $minCount
       |ORDER BY qg.w1, qg.w2, qg.w3, qg.w4""".stripMargin
 
+  /** q293: HELD-OUT interpolated Kneser–Ney with a CLOSED vocabulary —
+    * the piece q282/q285/q290 (which score the training corpus, where
+    * every n-gram is seen) deliberately defer, and the form a deployed
+    * perplexity filter actually runs: train on nine tenths of the
+    * corpus, replace SINGLETON train tokens by `<unk>` (the KenLM/
+    * SRILM closed-vocab convention — the vocabulary is train types
+    * with count ≥ 2 plus `<unk>`), map eval tokens through the same
+    * vocabulary, and score eval bigrams against the mapped model with
+    * the interpolation TERMINATED AT UNIFORM so no probability is ever
+    * zero:
+    *
+    *   P(w2|w1) = (max(c(w1w2)−D,0) + D·N1+(w1·)·Pc(w2)) / c(w1·)
+    *   Pc(w2)   = (max(N1+(·w2)−D,0) + D·T·(1/V)) / N1+(··)
+    *
+    * with T = distinct continuation types, V = |vocab| (kept + unk).
+    * Both sums are exactly 1 (spec-pinned over the closed vocabulary,
+    * including `<unk>` as history and continuation). A history absent
+    * from the model (a vocab token that never starts a train bigram —
+    * c(w1·) = 0) backs off to Pc outright, the γ = 1 convention; an
+    * unseen bigram of seen words takes the discount-funded Pc mass; an
+    * OOV eval token scores as `<unk>` wherever it stands. `n_oov`
+    * counts eval token positions mapped to `<unk>`.
+    *
+    * At 100 TB: vocabulary mapping is two LEFT equijoins of the bigram
+    * stream against the kept-vocab table (AQE broadcasts it at
+    * deployment scale) — no self-joins, no stream re-keying; the model
+    * tables are q282's, built from the MAPPED stream; scoring is three
+    * LEFT joins + the per-doc ordered fold. Null-handling is semantic:
+    * left-join nullability IS the backoff tier selector (the q287
+    * discipline).
+    */
+  def q293KnHeldOut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+    val evalD = docs.filter($"doc_id" % 10 === 0)
+    val ug = train.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val kept = ug.filter($"c1" >= 2).select($"w")
+      .localCheckpoint(true) // four join consumers (train + eval, both slots)
+    val vsize = kept.agg((count(lit(1)) + lit(1L)).as("v")) // + <unk>
+    def mapped(bi: DataFrame): DataFrame = bi
+      .join(kept.select($"w".as("r1"), lit(1L).as("k1")), Seq("r1"), "left")
+      .join(kept.select($"w".as("r2"), lit(1L).as("k2")), Seq("r2"), "left")
+    val rawTrain = train
+      .select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
+      .select(split($"b", " ").getItem(0).as("r1"),
+        split($"b", " ").getItem(1).as("r2"))
+    val bg = mapped(rawTrain)
+      .select(when($"k1".isNotNull, $"r1").otherwise(lit("<unk>")).as("w1"),
+        when($"k2".isNotNull, $"r2").otherwise(lit("<unk>")).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val hist = bg.groupBy($"w1")
+      .agg(sum($"c2").cast("long").as("ch"), count(lit(1)).as("n1f"))
+    val cont = bg.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+    val tot = cont.agg(sum($"n1b").cast("long").as("nbb"), count(lit(1)).as("tt"))
+    val ev = mapped(evalD
+        .select($"doc_id",
+          posexplode(call_function("word_ngrams", $"text", lit(2))).as(Seq("pos", "b")))
+        .select($"doc_id", $"pos", split($"b", " ").getItem(0).as("r1"),
+          split($"b", " ").getItem(1).as("r2")))
+      .select($"doc_id", $"pos",
+        when($"k1".isNotNull, $"r1").otherwise(lit("<unk>")).as("w1"),
+        when($"k2".isNotNull, $"r2").otherwise(lit("<unk>")).as("w2"),
+        // every token counted once: w2 of every bigram + w1 of the first
+        (when($"k2".isNull, 1L).otherwise(0L) +
+          when($"k1".isNull && $"pos" === 0, 1L).otherwise(0L)).as("oov"))
+    val pc = (greatest(coalesce($"n1b", lit(0L)).cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * $"tt" * (lit(1.0) / $"v")) / $"nbb"
+    val p = when($"ch".isNotNull,
+      (greatest(coalesce($"c2", lit(0L)).cast("double") - lit(0.75), lit(0.0)) +
+        lit(0.75) * $"n1f" * pc) / $"ch").otherwise(pc)
+    val terms = ev
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(vsize))
+      .select($"doc_id", $"pos", $"oov", log(p).as("t"))
+    terms.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"oov").cast("long").as("n_oov"),
+        orderedSum($"pos", $"t").as("sum_lp"))
+      .select($"doc_id", $"n_bigrams", $"n_oov",
+        $"sum_lp".cast("float").as("sum_logprob_kn_ho"),
+        ($"sum_lp" / $"n_bigrams").cast("float").as("avg_logprob_kn_ho"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle note: DuckDB's generate_subscripts is 1-based where Spark's
+    * posexplode is 0-based — pos only orders the fold, except the
+    * first-bigram OOV credit, which tests pos = 1 here and pos = 0 in
+    * Spark. Left-join nullability selects tiers identically; count
+    * tables AS MATERIALIZED (the q285/q215 lesson); double shapes
+    * mirrored term-for-term.
+    */
+  val q293KnHeldOutSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |             list_transform(range(1, len(string_split(text, ' '))),
+      |               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS bs
+      |           FROM documents),
+      |tr AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+      |evd AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+      |ug AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      |       FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY w),
+      |kept AS MATERIALIZED (SELECT w FROM ug WHERE c1 >= 2),
+      |vs AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS v FROM kept),
+      |rawbi AS (SELECT string_split(b, ' ')[1] AS r1, string_split(b, ' ')[2] AS r2
+      |          FROM (SELECT unnest(bs) AS b FROM tr)),
+      |bg AS MATERIALIZED (
+      |  SELECT CASE WHEN k1.w IS NOT NULL THEN rawbi.r1 ELSE '<unk>' END AS w1,
+      |         CASE WHEN k2.w IS NOT NULL THEN rawbi.r2 ELSE '<unk>' END AS w2,
+      |         CAST(COUNT(*) AS BIGINT) AS c2
+      |  FROM rawbi
+      |  LEFT JOIN kept k1 ON k1.w = rawbi.r1
+      |  LEFT JOIN kept k2 ON k2.w = rawbi.r2
+      |  GROUP BY 1, 2),
+      |hist AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS ch,
+      |           CAST(COUNT(*) AS BIGINT) AS n1f FROM bg GROUP BY w1),
+      |cont AS MATERIALIZED (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY w2),
+      |tot AS (SELECT CAST(SUM(n1b) AS BIGINT) AS nbb,
+      |          CAST(COUNT(*) AS BIGINT) AS tt FROM cont),
+      |evb AS (SELECT doc_id, pos,
+      |          string_split(b, ' ')[1] AS r1, string_split(b, ' ')[2] AS r2
+      |        FROM (SELECT doc_id, unnest(bs) AS b,
+      |                generate_subscripts(bs, 1) AS pos FROM evd)),
+      |ev AS (SELECT doc_id, pos,
+      |         CASE WHEN k1.w IS NOT NULL THEN evb.r1 ELSE '<unk>' END AS w1,
+      |         CASE WHEN k2.w IS NOT NULL THEN evb.r2 ELSE '<unk>' END AS w2,
+      |         (CASE WHEN k2.w IS NULL THEN 1 ELSE 0 END +
+      |          CASE WHEN k1.w IS NULL AND pos = 1 THEN 1 ELSE 0 END) AS oov
+      |       FROM evb
+      |       LEFT JOIN kept k1 ON k1.w = evb.r1
+      |       LEFT JOIN kept k2 ON k2.w = evb.r2),
+      |t AS (SELECT ev.doc_id, ev.pos, ev.oov,
+      |        ln(CASE WHEN hist.ch IS NOT NULL
+      |             THEN (greatest(CAST(COALESCE(bg.c2, 0) AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |                   0.75 * hist.n1f *
+      |                     ((greatest(CAST(COALESCE(cont.n1b, 0) AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |                       0.75 * tot.tt * (CAST(1.0 AS DOUBLE) / vs.v)) / tot.nbb)) / hist.ch
+      |             ELSE (greatest(CAST(COALESCE(cont.n1b, 0) AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |                   0.75 * tot.tt * (CAST(1.0 AS DOUBLE) / vs.v)) / tot.nbb END) AS t
+      |      FROM ev
+      |      LEFT JOIN bg ON bg.w1 = ev.w1 AND bg.w2 = ev.w2
+      |      LEFT JOIN hist ON hist.w1 = ev.w1
+      |      LEFT JOIN cont ON cont.w2 = ev.w2
+      |      CROSS JOIN tot CROSS JOIN vs)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+      |  CAST(list_sum(list(t ORDER BY pos)) AS FLOAT) AS sum_logprob_kn_ho,
+      |  CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT)
+      |    AS avg_logprob_kn_ho
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val q282KneserNeySql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |bi AS (SELECT doc_id,

@@ -297,6 +297,89 @@ class KneserNeySpec extends SparkSpec {
     assert(prunedHists.exists(gammaOf.contains) && !prunedHists.forall(gammaOf.contains))
   }
 
+  // --- held-out closed-vocab KN (q293) -----------------------------
+
+  /** Closed-vocab model: singleton train tokens → <unk>, bigram tables
+    * from the MAPPED stream, continuation level terminated at uniform
+    * over the closed vocabulary.
+    */
+  private def modelHo(train: Seq[String]): (
+      Set[String],                        // kept vocab (excl. unk)
+      Map[(String, String), Long],        // mapped c2
+      Map[String, (Long, Long)],          // w1 -> (ch, n1f)
+      Map[String, Long],                  // w2 -> n1b
+      Long, Long, Long) = {               // nbb, tt, V
+    val toks = train.flatMap(_.split(" "))
+    val kept = toks.groupBy(identity).collect {
+      case (w, o) if o.size >= 2 => w
+    }.toSet
+    def m(w: String) = if (kept(w)) w else "<unk>"
+    val bigrams = train.flatMap { t =>
+      val w = t.split(" "); w.dropRight(1).zip(w.drop(1)).map { case (a, b) => (m(a), m(b)) }
+    }
+    val c2 = bigrams.groupBy(identity).map { case (b, o) => (b, o.size.toLong) }
+    val hist = c2.groupBy(_._1._1).map { case (w1, g) => (w1, (g.values.sum, g.size.toLong)) }
+    val cont = c2.groupBy(_._1._2).map { case (w2, g) => (w2, g.size.toLong) }
+    (kept, c2, hist, cont, c2.size.toLong, cont.size.toLong, kept.size.toLong + 1)
+  }
+
+  private def pHo(train: Seq[String])(w1: String, w2: String): Double = {
+    val (kept, c2, hist, cont, nbb, tt, v) = modelHo(train)
+    def m(w: String) = if (kept(w)) w else "<unk>"
+    val (a, b) = (m(w1), m(w2))
+    val pc = (math.max(cont.getOrElse(b, 0L) - D, 0.0) + D * tt * (1.0 / v)) / nbb
+    hist.get(a) match {
+      case Some((ch, n1f)) =>
+        (math.max(c2.getOrElse((a, b), 0L) - D, 0.0) + D * n1f * pc) / ch
+      case None => pc
+    }
+  }
+
+  private val trainHo = Seq("a b a c a b d", "b c a a c e", "c a b b a")
+  // singletons d, e → <unk>; vocab = {a, b, c} ∪ {<unk>}
+
+  test("held-out closed-vocab KN sums to 1 over the vocabulary INCLUDING <unk>, " +
+    "for model histories and for the absent-history fallback") {
+    val (kept, _, hist, _, _, _, _) = modelHo(trainHo)
+    val vocab = kept.toSeq :+ "zzz" // zzz maps to <unk>
+    for (h <- hist.keys) {
+      val total = vocab.map(w2 => pHo(trainHo)(h, w2)).sum
+      assert(math.abs(total - 1.0) < 1e-12, s"sum for history '$h' = $total")
+    }
+    // a history outside the model (never starts a train bigram) falls
+    // back to the continuation distribution — also sums to 1
+    val total = vocab.map(w2 => pHo(trainHo)("never-seen", w2)).sum
+    assert(math.abs(total - 1.0) < 1e-12, s"fallback sum = $total")
+  }
+
+  test("q293 matches the hand model, counts OOV tokens, and never scores -inf") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-knho").toString
+    // doc_ids: train = 1..9 mod-10 nonzero; eval = 10, 20 (mod-10 zero)
+    // eval exercises: seen bigram, unseen bigram of seen words, OOV
+    // tokens (xyz/qqq → <unk>) at first and interior positions
+    val docs = Seq(
+      (1L, trainHo(0)), (2L, trainHo(1)), (3L, trainHo(2)),
+      (10L, "a b c xyz a"), (20L, "qqq a c b"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val p = pHo(trainHo) _
+    val got = LangModel.q293KnHeldOut(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getFloat(r.fieldIndex("avg_logprob_kn_ho")))).toMap
+    for ((id, text) <- docs.filter(_._1 % 10 == 0)) {
+      val w = text.split(" ")
+      val lps = w.dropRight(1).zip(w.drop(1)).map { case (a, b) => math.log(p(a, b)) }
+      assert(lps.forall(v => !v.isInfinite && !v.isNaN))
+      val (kept, _, _, _, _, _, _) = modelHo(trainHo)
+      val wantOov = w.count(t => !kept(t)).toLong
+      val want = lps.sum / lps.length
+      assert(got(id)._1 == lps.length.toLong)
+      assert(got(id)._2 == wantOov, s"doc $id oov: ${got(id)._2} vs $wantOov")
+      assert(math.abs(got(id)._3 - want) < 1e-6, s"doc $id: ${got(id)._3} vs $want")
+    }
+  }
+
   test("q282 matches the hand model on the constructed corpus") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-kn").toString
