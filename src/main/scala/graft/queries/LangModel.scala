@@ -2576,6 +2576,147 @@ object LangModel {
       |    AS avg_logprob_kn_ho
       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q294: per-SEGMENT LM quality filtering with document
+    * reconstruction — the step CCNet actually runs after segment dedup
+    * (Wenzek et al. 2019 §2.3: score each paragraph under a corpus LM,
+    * drop the bad ones, keep the document): every 16-word segment is
+    * scored under the corpus add-one bigram model (q104's tables),
+    * segments below the corpus-wide MEDIAN segment score are dropped,
+    * and documents reassemble in order — the second lane (after q286)
+    * that REWRITES the corpus rather than reporting on it. Segments too
+    * short to score (a 1-word tail has no bigram) are kept: no
+    * evidence, no drop. The threshold is the exact nearest-rank median
+    * of the FLOAT-presented scores (the libm-ln rule: double sums fold
+    * per segment in position order, one float rounding before any
+    * cross-engine comparison), computed with the q148/q164b DISTRIBUTED
+    * prefix pattern — range-partition the distinct-score counts,
+    * per-partition cumulative + broadcast partition offsets — so no
+    * unpartitioned window touches a data-sized frame at any scale.
+    *
+    * At 100 TB: model tables are vocabulary-bounded; segments and
+    * their bigrams are one corpus-linear pass each (native
+    * word_windows / word_ngrams scans); the median works on DISTINCT
+    * float scores (≤ segment count, heavily collapsed by the float
+    * grid); reassembly is q286's doc-keyed aggregate.
+    */
+  def q294SegmentQualityFilter(s: SparkSession, dir: String,
+      w: Int = 16): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val uni = docs.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val voc = uni.agg(count(lit(1)).as("v"))
+    val big = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+    val seg = docs.select($"doc_id",
+        posexplode(call_function("word_windows", $"text", lit(w))).as(Seq("p", "s")))
+      .select($"doc_id", ($"p" + 1).cast("long").as("seg_no"), $"s")
+      .localCheckpoint(true) // feeds scoring AND reassembly
+    // a segment's bigrams are consecutive word pairs of the source doc,
+    // so the corpus-trained model contains every one: inner joins
+    val segBi = seg.select($"doc_id", $"seg_no",
+        posexplode(call_function("word_ngrams", $"s", lit(2))).as(Seq("pos", "b")))
+      .join(big, "b")
+      .withColumn("w1", split($"b", " ").getItem(0))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(voc))
+      .select($"doc_id", $"seg_no", $"pos",
+        log(($"c2" + lit(1.0)) / ($"c1" + $"v")).as("t"))
+    val scored = segBi.groupBy($"doc_id", $"seg_no")
+      .agg(count(lit(1)).as("nb"), orderedSum($"pos", $"t").as("sl"))
+      .select($"doc_id", $"seg_no", ($"sl" / $"nb").cast("float").as("sc"))
+      .localCheckpoint(true) // feeds the median AND the keep join
+    val n1 = scored.agg(count(lit(1)).as("n"))
+    // exact nearest-rank median via the distributed prefix pattern:
+    // distinct-score counts, range-partitioned; per-partition running
+    // sums + broadcast partition offsets give the global cumulative
+    val grouped = scored.groupBy($"sc").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // range partitioner samples its child
+    val ranged = grouped.repartitionByRange(32, $"sc".asc)
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy($"pid").agg(sum($"c").as("pc"))
+      .select($"pid", coalesce(sum($"pc").over(W.orderBy($"pid")
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val med = ranged
+      .withColumn("cum",
+        sum($"c").over(W.partitionBy($"pid").orderBy($"sc")))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(n1))
+      .filter($"cum" + $"off" >= ($"n" + 1) / 2)
+      .agg(min($"sc").as("med"))
+    val flagged = seg.join(scored, Seq("doc_id", "seg_no"), "left")
+      .crossJoin(broadcast(med))
+      .select($"doc_id", $"seg_no", $"s", $"sc",
+        ($"sc".isNull || $"sc" >= $"med").as("keep"))
+    flagged.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when($"sc".isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"keep", struct($"seg_no", $"s")))),
+            x => x.getField("s")), " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle note: the rank threshold compares the BIGINT cumulative
+    * against (n+1)/2 in DOUBLE on BOTH sides (Spark Column `/` on
+    * longs IS double division; the SQL writes `(n+1)/2.0` to match) —
+    * same reals, same row set. Count tables AS MATERIALIZED; the
+    * oracle's median uses a plain cumulative window (single-node
+    * DuckDB), the Spark side the distributed prefix pattern — they
+    * select the identical value.
+    */
+  def q294SegmentQualityFilterSql(w: Int = 16): String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      |        FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+      |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      |bg AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2
+      |      FROM (SELECT unnest(list_transform(range(1, len(ws)),
+      |              i -> ws[i] || ' ' || ws[i+1])) AS b FROM d) GROUP BY b),
+      |seg AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+      |    array_to_string(ws[(i-1)*$w+1 : i*$w], ' ') AS s
+      |  FROM d, LATERAL (SELECT unnest(range(1,
+      |    CAST(ceil(len(ws) / $w.0) AS INT) + 1)) AS i) t),
+      |segbi AS (SELECT doc_id, seg_no, pos, b FROM (
+      |  SELECT doc_id, seg_no, unnest(bs) AS b, generate_subscripts(bs, 1) AS pos
+      |  FROM (SELECT doc_id, seg_no,
+      |          list_transform(range(1, len(string_split(s, ' '))),
+      |            i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1]) AS bs
+      |        FROM seg))),
+      |t AS (SELECT sb.doc_id, sb.seg_no, sb.pos,
+      |        ln((bg.c2 + CAST(1.0 AS DOUBLE)) / (uni.c1 + voc.v)) AS t
+      |      FROM segbi sb
+      |      JOIN bg ON bg.b = sb.b
+      |      JOIN uni ON uni.w = string_split(sb.b, ' ')[1]
+      |      CROSS JOIN voc),
+      |scored AS MATERIALIZED (
+      |  SELECT doc_id, seg_no,
+      |    CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT) AS sc
+      |  FROM t GROUP BY doc_id, seg_no),
+      |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+      |med AS (SELECT MIN(sc) AS med FROM (
+      |  SELECT sc, SUM(c) OVER (ORDER BY sc) AS cum FROM (
+      |    SELECT sc, CAST(COUNT(*) AS BIGINT) AS c FROM scored GROUP BY sc))
+      |  CROSS JOIN n1 WHERE cum >= (n + 1) / 2.0),
+      |flagged AS (
+      |  SELECT seg.doc_id, seg.seg_no, seg.s, sc.sc,
+      |    (sc.sc IS NULL OR sc.sc >= med.med) AS keep
+      |  FROM seg LEFT JOIN scored sc
+      |    ON sc.doc_id = seg.doc_id AND sc.seg_no = seg.seg_no
+      |  CROSS JOIN med)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |  CAST(SUM(CASE WHEN sc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COALESCE(array_to_string(list_transform(
+      |    list_sort(list(struct_pack(seg_no := seg_no, s := s)) FILTER (WHERE keep)),
+      |    x -> x.s), ' '), '') AS clean_text
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val q282KneserNeySql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |bi AS (SELECT doc_id,
