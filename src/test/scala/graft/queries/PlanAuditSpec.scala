@@ -871,4 +871,67 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(unions.isEmpty, s"tiers must not fork the eval scan:\n$logical")
   }
+
+  private def scalarOrEqui(logical: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tag: String): Unit = {
+    val joins = logical.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    def isScalar(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.isEmpty => a
+      }.isDefined
+    assert(joins.nonEmpty && joins.forall(j =>
+      j.condition.isDefined || isScalar(j.right) || isScalar(j.left)),
+      s"$tag: every join must be an equijoin (1-row scalar totals aside):\n$logical")
+  }
+
+  test("q290: gram builders are the native word_ngrams scan; every model contact " +
+    "is an equijoin (1-row totals aside)") {
+    val df = graft.SparkEntry.queries("q290_kneser_ney_4gram_pruned")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    assert(logical.toString().contains("word_ngrams"),
+      s"expected the native gram expression:\n$logical")
+    assert(!logical.toString().contains("zip_with"),
+      s"interpreted gram lambda resurfaced:\n$logical")
+    scalarOrEqui(logical, "q290")
+  }
+
+  test("q293: vocabulary mapping and model lookups are all equijoins; the eval " +
+    "stream is never forked into tier branches") {
+    val df = graft.SparkEntry.queries("q293_kn_heldout")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    scalarOrEqui(logical, "q293")
+    val unions = logical.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.isEmpty, s"tiers must not fork the eval scan:\n$logical")
+  }
+
+  test("q294: the median's windows are partition-local or bounded — never a " +
+    "window over a data-sized frame") {
+    // (the native word_windows/word_ngrams builders sit BELOW the
+    // lane's eager localCheckpoints, so they are invisible in this
+    // plan — the q290 audit and WordNgramsSpec pin them)
+    val df = graft.SparkEntry.queries("q294_segment_quality_filter")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    // the distributed-prefix median: its per-partition cumulative window
+    // partitions by pid; the only unpartitioned windows run over the
+    // 32-row partition-offset frame (bounded by the partition count) —
+    // assert every unpartitioned window sits above a pid AGGREGATE, so
+    // its input is partition-count-sized, never segments-sized
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = logical.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val groupedBelow = w.collectFirst {
+        case a: Aggregate if a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.mkString(",").contains("pid") => a
+      }
+      assert(groupedBelow.isDefined,
+        s"unpartitioned window not over the bounded pid-offset frame:\n$w")
+    }
+    scalarOrEqui(logical, "q294")
+  }
 }
