@@ -2118,6 +2118,146 @@ object LangModel {
       |    AS avg_score_sb
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The seven KN-4 model tables shared by q290 (scoring), q291
+    * (export), and q295 (serving): the 4-gram type table with its
+    * split words, the per-history normalizer/kept inventory, the
+    * order-3/2 continuation tables, and the unigram continuation
+    * denominator. One builder so a smoothing fix can never drift
+    * between the lanes (they are the SAME model by construction).
+    * `qg` and `tg3` are eagerly checkpointed: both feed two consumers
+    * in every caller (marginals + the scoring/export join), and the
+    * tables are TYPE-bounded, the only frames worth materializing
+    * under the recompute-over-materialize rule.
+    */
+  private[queries] final case class Kn4Frames(qg: DataFrame, h4: DataFrame,
+      c4t: DataFrame, mid3: DataFrame, tg3: DataFrame, mid2: DataFrame,
+      cont: DataFrame, tot: DataFrame)
+
+  private def kn4Frames(s: SparkSession, dir: String, minCount: Int): Kn4Frames = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    // gram builders are the native word_ngrams expression (one fused
+    // byte scan per row emitting substring-backed grams) — the
+    // interpreted zip_with spelling was the lane's dominant per-row
+    // cost (the q41/q279 lesson). Each side builds its stream lazily:
+    // re-scanning the corpus with the native expression measured
+    // cheaper than materializing a corpus-sized positional stream,
+    // and recompute-over-materialize is also the cluster-honest shape
+    val qg = docs.select(explode(call_function("word_ngrams", $"text", lit(4))).as("q"))
+      .groupBy($"q").agg(count(lit(1)).as("c4"))
+      .withColumn("w1", split($"q", " ").getItem(0))
+      .withColumn("w2", split($"q", " ").getItem(1))
+      .withColumn("w3", split($"q", " ").getItem(2))
+      .withColumn("w4", split($"q", " ").getItem(3))
+      // feeds three marginal tables AND the scoring/export join
+      .localCheckpoint(true)
+    val mc = lit(minCount.toLong)
+    // full normalizer + kept-type discount inventory + pruned mass
+    val h4 = qg.groupBy($"w1", $"w2", $"w3").agg(
+      sum($"c4").cast("long").as("ch4"),
+      sum(when($"c4" >= mc, 1L).otherwise(0L)).cast("long").as("nk4"),
+      sum(when($"c4" >= mc, $"c4").otherwise(0L)).cast("long").as("ck4"))
+    val c4t = qg.groupBy($"w2", $"w3", $"w4").agg(count(lit(1)).as("n1b4"))
+    val mid3 = c4t.groupBy($"w2", $"w3")
+      .agg(sum($"n1b4").cast("long").as("nmid3"), count(lit(1)).as("n3f4"))
+    val tg3 = docs.select(explode(call_function("word_ngrams", $"text", lit(3))).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("cc3"))
+      .select(split($"t", " ").getItem(1).as("w3"),
+        split($"t", " ").getItem(2).as("w4"))
+      .groupBy($"w3", $"w4").agg(count(lit(1)).as("n1b3"))
+      // feeds mid2 AND the scoring/export join
+      .localCheckpoint(true)
+    val mid2 = tg3.groupBy($"w3")
+      .agg(sum($"n1b3").cast("long").as("nmid2"), count(lit(1)).as("n2f3"))
+    val bg = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+      .withColumn("bw2", split($"b", " ").getItem(1))
+    val cont = bg.groupBy($"bw2".as("w4")).agg(count(lit(1)).as("n1b"))
+    val tot = bg.agg(count(lit(1)).as("nbb"))
+    Kn4Frames(qg, h4, c4t, mid3, tg3, mid2, cont, tot)
+  }
+
+  /** The interpolated continuation chain P3c(w4|w2w3) — and the
+    * backoff mass M(h) — as column expressions over a joined
+    * [[Kn4Frames]] row; ONE definition so the double chain is
+    * bit-identical across q290/q291/q295 (the q53 shape rule).
+    */
+  private def kn4P3c: Column = {
+    val pc = col("n1b").cast("double") / col("nbb")
+    val p2c = (greatest(col("n1b3").cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * col("n2f3") * pc) / col("nmid2")
+    (greatest(col("n1b4").cast("double") - lit(0.75), lit(0.0)) +
+      lit(0.75) * col("n3f4") * p2c) / col("nmid3")
+  }
+
+  private def kn4M: Column =
+    lit(0.75) * col("nk4") + (col("ch4") - col("ck4")).cast("double")
+
+  /** The shared DuckDB CTE prefix building the same seven tables
+    * (multiply-referenced ones AS MATERIALIZED — the q285/q215
+    * lesson); q290/q291/q295 append their own scoring/export tail.
+    * Expression SHAPES mirror the Spark side term-for-term so the
+    * double chain is bit-identical (the q53 rule).
+    */
+  private def kn4CtePrefix(minCount: Int): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |quad AS (SELECT doc_id,
+      |           list_transform(range(1, greatest(len(ws) - 2, 1)),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS qs
+      |         FROM d),
+      |tri AS (SELECT doc_id,
+      |          list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ts
+      |        FROM d),
+      |qg AS MATERIALIZED (SELECT q, CAST(COUNT(*) AS BIGINT) AS c4,
+      |         string_split(q, ' ')[1] AS w1, string_split(q, ' ')[2] AS w2,
+      |         string_split(q, ' ')[3] AS w3, string_split(q, ' ')[4] AS w4
+      |       FROM (SELECT unnest(qs) AS q FROM quad) GROUP BY q),
+      |h4 AS (SELECT w1, w2, w3, CAST(SUM(c4) AS BIGINT) AS ch4,
+      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN 1 ELSE 0 END) AS BIGINT) AS nk4,
+      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN c4 ELSE 0 END) AS BIGINT) AS ck4
+      |       FROM qg GROUP BY w1, w2, w3),
+      |c4t AS MATERIALIZED (SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b4
+      |       FROM qg GROUP BY w2, w3, w4),
+      |mid3 AS (SELECT w2, w3, CAST(SUM(n1b4) AS BIGINT) AS nmid3,
+      |           CAST(COUNT(*) AS BIGINT) AS n3f4 FROM c4t GROUP BY w2, w3),
+      |tg3 AS MATERIALIZED (SELECT w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b3
+      |       FROM (SELECT string_split(t, ' ')[2] AS w3, string_split(t, ' ')[3] AS w4
+      |             FROM (SELECT t FROM (SELECT unnest(ts) AS t FROM tri) GROUP BY t))
+      |       GROUP BY w3, w4),
+      |mid2 AS (SELECT w3, CAST(SUM(n1b3) AS BIGINT) AS nmid2,
+      |           CAST(COUNT(*) AS BIGINT) AS n2f3 FROM tg3 GROUP BY w3),
+      |bg AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2,
+      |         string_split(b, ' ')[2] AS bw2
+      |       FROM (SELECT unnest(list_transform(range(1, len(ws)),
+      |               i -> ws[i] || ' ' || ws[i+1])) AS b FROM d) GROUP BY b),
+      |cont AS (SELECT bw2 AS w4, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY bw2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM bg)""".stripMargin
+
+  /** The shared scoring-join SQL fragment: the corpus 4-gram stream
+    * (or the kept-type table) joined to all seven model tables — the
+    * FROM/JOIN tail every KN-4 oracle repeats.
+    */
+  private val kn4JoinTail: String =
+    """JOIN h4 ON h4.w1 = qg.w1 AND h4.w2 = qg.w2 AND h4.w3 = qg.w3
+      |      JOIN c4t ON c4t.w2 = qg.w2 AND c4t.w3 = qg.w3 AND c4t.w4 = qg.w4
+      |      JOIN mid3 ON mid3.w2 = qg.w2 AND mid3.w3 = qg.w3
+      |      JOIN tg3 ON tg3.w3 = qg.w3 AND tg3.w4 = qg.w4
+      |      JOIN mid2 ON mid2.w3 = qg.w3
+      |      JOIN cont ON cont.w4 = qg.w4
+      |      CROSS JOIN tot""".stripMargin
+
+  /** The interpolated continuation chain as a SQL expression — the
+    * textual twin of [[kn4P3c]], shared by every KN-4 oracle tail.
+    */
+  private val kn4P3cSql: String =
+    """((greatest(CAST(c4t.n1b4 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |                0.75 * mid3.n3f4 *
+      |                  ((greatest(CAST(tg3.n1b3 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
+      |                    0.75 * mid2.n2f3 * (CAST(cont.n1b AS DOUBLE) / tot.nbb))
+      |                   / mid2.nmid2)) / mid3.nmid3)""".stripMargin
+
   /** q290: interpolated Kneser–Ney 4-GRAM scoring with KenLM-style
     * min-count pruning (Chen & Goodman 1999 at order 4; Heafield 2011's
     * production convention of shipping PRUNED top orders) — q285's
@@ -2158,64 +2298,21 @@ object LangModel {
   def q290KneserNey4Pruned(s: SparkSession, dir: String,
       minCount: Int = 2): DataFrame = {
     import s.implicits._
-    graft.GraftExtensions.register(s)
+    val f = kn4Frames(s, dir, minCount)
     val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-    // gram builders are the native word_ngrams expression (one fused
-    // byte scan per row emitting substring-backed grams) — the
-    // interpreted zip_with spelling was the lane's dominant per-row
-    // cost (the q41/q279 lesson). Each side builds its stream lazily:
-    // re-scanning the corpus with the native expression measured
-    // cheaper than materializing a corpus-sized positional stream,
-    // and recompute-over-materialize is also the cluster-honest shape
-    val qg = docs.select(explode(call_function("word_ngrams", $"text", lit(4))).as("q"))
-      .groupBy($"q").agg(count(lit(1)).as("c4"))
-      .withColumn("w1", split($"q", " ").getItem(0))
-      .withColumn("w2", split($"q", " ").getItem(1))
-      .withColumn("w3", split($"q", " ").getItem(2))
-      .withColumn("w4", split($"q", " ").getItem(3))
-      // feeds three marginal tables AND the scoring join
-      .localCheckpoint(true)
     val mc = lit(minCount.toLong)
-    // full normalizer + kept-type discount inventory + pruned mass
-    val h4 = qg.groupBy($"w1", $"w2", $"w3").agg(
-      sum($"c4").cast("long").as("ch4"),
-      sum(when($"c4" >= mc, 1L).otherwise(0L)).cast("long").as("nk4"),
-      sum(when($"c4" >= mc, $"c4").otherwise(0L)).cast("long").as("ck4"))
-    val c4t = qg.groupBy($"w2", $"w3", $"w4").agg(count(lit(1)).as("n1b4"))
-    val mid3 = c4t.groupBy($"w2", $"w3")
-      .agg(sum($"n1b4").cast("long").as("nmid3"), count(lit(1)).as("n3f4"))
-    val tg3 = docs.select(explode(call_function("word_ngrams", $"text", lit(3))).as("t"))
-      .groupBy($"t").agg(count(lit(1)).as("cc3"))
-      .select(split($"t", " ").getItem(1).as("w3"),
-        split($"t", " ").getItem(2).as("w4"))
-      .groupBy($"w3", $"w4").agg(count(lit(1)).as("n1b3"))
-      // feeds mid2 AND the scoring join
-      .localCheckpoint(true)
-    val mid2 = tg3.groupBy($"w3")
-      .agg(sum($"n1b3").cast("long").as("nmid2"), count(lit(1)).as("n2f3"))
-    val bg = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
-      .groupBy($"b").agg(count(lit(1)).as("c2"))
-      .withColumn("bw2", split($"b", " ").getItem(1))
-    val cont = bg.groupBy($"bw2".as("w4")).agg(count(lit(1)).as("n1b"))
-    val tot = bg.agg(count(lit(1)).as("nbb"))
-    val pc = $"n1b".cast("double") / $"nbb"
-    val p2c = (greatest($"n1b3".cast("double") - lit(0.75), lit(0.0)) +
-      lit(0.75) * $"n2f3" * pc) / $"nmid2"
-    val p3c = (greatest($"n1b4".cast("double") - lit(0.75), lit(0.0)) +
-      lit(0.75) * $"n3f4" * p2c) / $"nmid3"
-    val m = lit(0.75) * $"nk4" + ($"ch4" - $"ck4").cast("double")
     val p4 = (when($"c4" >= mc, $"c4".cast("double") - lit(0.75))
-      .otherwise(lit(0.0)) + m * p3c) / $"ch4"
+      .otherwise(lit(0.0)) + kn4M * kn4P3c) / $"ch4"
     val terms = docs.select($"doc_id",
         posexplode(call_function("word_ngrams", $"text", lit(4))).as(Seq("pos", "q")))
-      .join(qg.select($"q", $"c4", $"w1", $"w2", $"w3", $"w4"), "q")
-      .join(h4, Seq("w1", "w2", "w3"))
-      .join(c4t, Seq("w2", "w3", "w4"))
-      .join(mid3, Seq("w2", "w3"))
-      .join(tg3, Seq("w3", "w4"))
-      .join(mid2, Seq("w3"))
-      .join(cont, Seq("w4"))
-      .crossJoin(broadcast(tot))
+      .join(f.qg.select($"q", $"c4", $"w1", $"w2", $"w3", $"w4"), "q")
+      .join(f.h4, Seq("w1", "w2", "w3"))
+      .join(f.c4t, Seq("w2", "w3", "w4"))
+      .join(f.mid3, Seq("w2", "w3"))
+      .join(f.tg3, Seq("w3", "w4"))
+      .join(f.mid2, Seq("w3"))
+      .join(f.cont, Seq("w4"))
+      .crossJoin(broadcast(f.tot))
       .select($"doc_id", $"pos", log(p4).as("t"),
         when($"c4" < mc, 1L).otherwise(0L).as("pruned"))
     terms.groupBy($"doc_id")
@@ -2228,65 +2325,19 @@ object LangModel {
       .orderBy($"doc_id")
   }
 
-  /** Multiply-referenced tables AS MATERIALIZED (the q285/q215 lesson);
-    * expression SHAPES mirror the Spark side term-for-term so the
-    * double chain is bit-identical (the q53 rule).
-    */
   def q290KneserNey4PrunedSql(minCount: Int = 2): String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |quad AS (SELECT doc_id,
-      |           list_transform(range(1, greatest(len(ws) - 2, 1)),
-      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS qs
-      |         FROM d),
-      |tri AS (SELECT doc_id,
-      |          list_transform(range(1, greatest(len(ws) - 1, 1)),
-      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ts
-      |        FROM d),
-      |qg AS MATERIALIZED (SELECT q, CAST(COUNT(*) AS BIGINT) AS c4,
-      |         string_split(q, ' ')[1] AS w1, string_split(q, ' ')[2] AS w2,
-      |         string_split(q, ' ')[3] AS w3, string_split(q, ' ')[4] AS w4
-      |       FROM (SELECT unnest(qs) AS q FROM quad) GROUP BY q),
-      |h4 AS (SELECT w1, w2, w3, CAST(SUM(c4) AS BIGINT) AS ch4,
-      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN 1 ELSE 0 END) AS BIGINT) AS nk4,
-      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN c4 ELSE 0 END) AS BIGINT) AS ck4
-      |       FROM qg GROUP BY w1, w2, w3),
-      |c4t AS MATERIALIZED (SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b4
-      |       FROM qg GROUP BY w2, w3, w4),
-      |mid3 AS (SELECT w2, w3, CAST(SUM(n1b4) AS BIGINT) AS nmid3,
-      |           CAST(COUNT(*) AS BIGINT) AS n3f4 FROM c4t GROUP BY w2, w3),
-      |tg3 AS MATERIALIZED (SELECT w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b3
-      |       FROM (SELECT string_split(t, ' ')[2] AS w3, string_split(t, ' ')[3] AS w4
-      |             FROM (SELECT t FROM (SELECT unnest(ts) AS t FROM tri) GROUP BY t))
-      |       GROUP BY w3, w4),
-      |mid2 AS (SELECT w3, CAST(SUM(n1b3) AS BIGINT) AS nmid2,
-      |           CAST(COUNT(*) AS BIGINT) AS n2f3 FROM tg3 GROUP BY w3),
-      |bg AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2,
-      |         string_split(b, ' ')[2] AS bw2
-      |       FROM (SELECT unnest(list_transform(range(1, len(ws)),
-      |               i -> ws[i] || ' ' || ws[i+1])) AS b FROM d) GROUP BY b),
-      |cont AS (SELECT bw2 AS w4, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY bw2),
-      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM bg),
+    s"""${kn4CtePrefix(minCount)},
       |t AS (SELECT u.doc_id, u.pos,
       |        ln((CASE WHEN qg.c4 >= $minCount
       |              THEN CAST(qg.c4 AS DOUBLE) - 0.75 ELSE CAST(0.0 AS DOUBLE) END +
       |            (0.75 * h4.nk4 + CAST(h4.ch4 - h4.ck4 AS DOUBLE)) *
-      |              ((greatest(CAST(c4t.n1b4 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
-      |                0.75 * mid3.n3f4 *
-      |                  ((greatest(CAST(tg3.n1b3 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
-      |                    0.75 * mid2.n2f3 * (CAST(cont.n1b AS DOUBLE) / tot.nbb))
-      |                   / mid2.nmid2)) / mid3.nmid3))
+      |              $kn4P3cSql)
       |           / h4.ch4) AS t,
       |        CASE WHEN qg.c4 < $minCount THEN 1 ELSE 0 END AS pruned
       |      FROM (SELECT doc_id, unnest(qs) AS q,
       |              generate_subscripts(qs, 1) AS pos FROM quad) u
       |      JOIN qg ON qg.q = u.q
-      |      JOIN h4 ON h4.w1 = qg.w1 AND h4.w2 = qg.w2 AND h4.w3 = qg.w3
-      |      JOIN c4t ON c4t.w2 = qg.w2 AND c4t.w3 = qg.w3 AND c4t.w4 = qg.w4
-      |      JOIN mid3 ON mid3.w2 = qg.w2 AND mid3.w3 = qg.w3
-      |      JOIN tg3 ON tg3.w3 = qg.w3 AND tg3.w4 = qg.w4
-      |      JOIN mid2 ON mid2.w3 = qg.w3
-      |      JOIN cont ON cont.w4 = qg.w4
-      |      CROSS JOIN tot)
+      |      $kn4JoinTail)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_4grams,
       |  CAST(SUM(pruned) AS BIGINT) AS n_pruned,
       |  CAST(list_sum(list(t ORDER BY pos)) AS FLOAT) AS sum_logprob_kn4,
@@ -2315,111 +2366,158 @@ object LangModel {
   def q291Kn4ModelExport(s: SparkSession, dir: String,
       minCount: Int = 2): DataFrame = {
     import s.implicits._
-    graft.GraftExtensions.register(s)
-    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-    val qg = docs.select(explode(call_function("word_ngrams", $"text", lit(4))).as("q"))
-      .groupBy($"q").agg(count(lit(1)).as("c4"))
-      .withColumn("w1", split($"q", " ").getItem(0))
-      .withColumn("w2", split($"q", " ").getItem(1))
-      .withColumn("w3", split($"q", " ").getItem(2))
-      .withColumn("w4", split($"q", " ").getItem(3))
-      .localCheckpoint(true)
-    val mc = lit(minCount.toLong)
-    val h4 = qg.groupBy($"w1", $"w2", $"w3").agg(
-      sum($"c4").cast("long").as("ch4"),
-      sum(when($"c4" >= mc, 1L).otherwise(0L)).cast("long").as("nk4"),
-      sum(when($"c4" >= mc, $"c4").otherwise(0L)).cast("long").as("ck4"))
-    val c4t = qg.groupBy($"w2", $"w3", $"w4").agg(count(lit(1)).as("n1b4"))
-    val mid3 = c4t.groupBy($"w2", $"w3")
-      .agg(sum($"n1b4").cast("long").as("nmid3"), count(lit(1)).as("n3f4"))
-    val tg3 = docs.select(explode(call_function("word_ngrams", $"text", lit(3))).as("t"))
-      .groupBy($"t").agg(count(lit(1)).as("cc3"))
-      .select(split($"t", " ").getItem(1).as("w3"),
-        split($"t", " ").getItem(2).as("w4"))
-      .groupBy($"w3", $"w4").agg(count(lit(1)).as("n1b3"))
-    val mid2 = tg3.groupBy($"w3")
-      .agg(sum($"n1b3").cast("long").as("nmid2"), count(lit(1)).as("n2f3"))
-    val bg = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
-      .groupBy($"b").agg(count(lit(1)).as("c2"))
-      .withColumn("bw2", split($"b", " ").getItem(1))
-    val cont = bg.groupBy($"bw2".as("w4")).agg(count(lit(1)).as("n1b"))
-    val tot = bg.agg(count(lit(1)).as("nbb"))
-    val pc = $"n1b".cast("double") / $"nbb"
-    val p2c = (greatest($"n1b3".cast("double") - lit(0.75), lit(0.0)) +
-      lit(0.75) * $"n2f3" * pc) / $"nmid2"
-    val p3c = (greatest($"n1b4".cast("double") - lit(0.75), lit(0.0)) +
-      lit(0.75) * $"n3f4" * p2c) / $"nmid3"
-    val m = lit(0.75) * $"nk4" + ($"ch4" - $"ck4").cast("double")
-    val prob = (($"c4".cast("double") - lit(0.75)) + m * p3c) / $"ch4"
-    qg.filter($"c4" >= mc)
-      .join(h4, Seq("w1", "w2", "w3"))
-      .join(c4t, Seq("w2", "w3", "w4"))
-      .join(mid3, Seq("w2", "w3"))
-      .join(tg3, Seq("w3", "w4"))
-      .join(mid2, Seq("w3"))
-      .join(cont, Seq("w4"))
-      .crossJoin(broadcast(tot))
+    val f = kn4Frames(s, dir, minCount)
+    val prob = (($"c4".cast("double") - lit(0.75)) + kn4M * kn4P3c) / $"ch4"
+    f.qg.filter($"c4" >= lit(minCount.toLong))
+      .join(f.h4, Seq("w1", "w2", "w3"))
+      .join(f.c4t, Seq("w2", "w3", "w4"))
+      .join(f.mid3, Seq("w2", "w3"))
+      .join(f.tg3, Seq("w3", "w4"))
+      .join(f.mid2, Seq("w3"))
+      .join(f.cont, Seq("w4"))
+      .crossJoin(broadcast(f.tot))
       .select($"w1", $"w2", $"w3", $"w4", $"c4",
         prob.cast("float").as("prob"),
-        (m / $"ch4").cast("float").as("backoff"))
+        (kn4M / $"ch4").cast("float").as("backoff"))
       .orderBy($"w1", $"w2", $"w3", $"w4")
   }
 
   def q291Kn4ModelExportSql(minCount: Int = 2): String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |quad AS (SELECT doc_id,
-      |           list_transform(range(1, greatest(len(ws) - 2, 1)),
-      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS qs
-      |         FROM d),
-      |tri AS (SELECT doc_id,
-      |          list_transform(range(1, greatest(len(ws) - 1, 1)),
-      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS ts
-      |        FROM d),
-      |qg AS MATERIALIZED (SELECT q, CAST(COUNT(*) AS BIGINT) AS c4,
-      |         string_split(q, ' ')[1] AS w1, string_split(q, ' ')[2] AS w2,
-      |         string_split(q, ' ')[3] AS w3, string_split(q, ' ')[4] AS w4
-      |       FROM (SELECT unnest(qs) AS q FROM quad) GROUP BY q),
-      |h4 AS (SELECT w1, w2, w3, CAST(SUM(c4) AS BIGINT) AS ch4,
-      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN 1 ELSE 0 END) AS BIGINT) AS nk4,
-      |         CAST(SUM(CASE WHEN c4 >= $minCount THEN c4 ELSE 0 END) AS BIGINT) AS ck4
-      |       FROM qg GROUP BY w1, w2, w3),
-      |c4t AS MATERIALIZED (SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b4
-      |       FROM qg GROUP BY w2, w3, w4),
-      |mid3 AS (SELECT w2, w3, CAST(SUM(n1b4) AS BIGINT) AS nmid3,
-      |           CAST(COUNT(*) AS BIGINT) AS n3f4 FROM c4t GROUP BY w2, w3),
-      |tg3 AS MATERIALIZED (SELECT w3, w4, CAST(COUNT(*) AS BIGINT) AS n1b3
-      |       FROM (SELECT string_split(t, ' ')[2] AS w3, string_split(t, ' ')[3] AS w4
-      |             FROM (SELECT t FROM (SELECT unnest(ts) AS t FROM tri) GROUP BY t))
-      |       GROUP BY w3, w4),
-      |mid2 AS (SELECT w3, CAST(SUM(n1b3) AS BIGINT) AS nmid2,
-      |           CAST(COUNT(*) AS BIGINT) AS n2f3 FROM tg3 GROUP BY w3),
-      |bg AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2,
-      |         string_split(b, ' ')[2] AS bw2
-      |       FROM (SELECT unnest(list_transform(range(1, len(ws)),
-      |               i -> ws[i] || ' ' || ws[i+1])) AS b FROM d) GROUP BY b),
-      |cont AS (SELECT bw2 AS w4, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY bw2),
-      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM bg)
+    s"""${kn4CtePrefix(minCount)}
       |SELECT qg.w1, qg.w2, qg.w3, qg.w4, qg.c4,
       |  CAST(((CAST(qg.c4 AS DOUBLE) - 0.75) +
       |        (0.75 * h4.nk4 + CAST(h4.ch4 - h4.ck4 AS DOUBLE)) *
-      |          ((greatest(CAST(c4t.n1b4 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
-      |            0.75 * mid3.n3f4 *
-      |              ((greatest(CAST(tg3.n1b3 AS DOUBLE) - 0.75, CAST(0.0 AS DOUBLE)) +
-      |                0.75 * mid2.n2f3 * (CAST(cont.n1b AS DOUBLE) / tot.nbb))
-      |               / mid2.nmid2)) / mid3.nmid3))
+      |          $kn4P3cSql)
       |       / h4.ch4 AS FLOAT) AS prob,
       |  CAST((0.75 * h4.nk4 + CAST(h4.ch4 - h4.ck4 AS DOUBLE)) / h4.ch4 AS FLOAT)
       |    AS backoff
       |FROM qg
-      |JOIN h4 ON h4.w1 = qg.w1 AND h4.w2 = qg.w2 AND h4.w3 = qg.w3
-      |JOIN c4t ON c4t.w2 = qg.w2 AND c4t.w3 = qg.w3 AND c4t.w4 = qg.w4
-      |JOIN mid3 ON mid3.w2 = qg.w2 AND mid3.w3 = qg.w3
-      |JOIN tg3 ON tg3.w3 = qg.w3 AND tg3.w4 = qg.w4
-      |JOIN mid2 ON mid2.w3 = qg.w3
-      |JOIN cont ON cont.w4 = qg.w4
-      |CROSS JOIN tot
+      |$kn4JoinTail
       |WHERE qg.c4 >= $minCount
       |ORDER BY qg.w1, qg.w2, qg.w3, qg.w4""".stripMargin
+
+  /** q295: score documents against a LOADED persisted model — the
+    * serving half q291 only produces. q291 exports the stored/backoff
+    * split; no lane yet CONSUMED a persisted model, and the deployable
+    * perplexity-filter path is exactly: load the ARPA tables from disk,
+    * let AQE broadcast them (they are type-bounded), and score a
+    * document stream in ONE pass with the stored-else-backoff rule
+    *
+    *   score(w4|h) = stored4(q)            if the 4-gram is stored
+    *               | γ(h) · P3c(w4|w2w3)   if the history is stored
+    *               | P3c(w4|w2w3)          otherwise (γ = 1, the
+    *                                        absent-history convention)
+    *
+    * (Jurafsky & Martin's backoff evaluation; KenLM's query path.)
+    * Three tables are persisted and read back as parquet: the kept
+    * top-order probabilities keyed by the 4-gram string, the
+    * per-history backoff pieces, and the level-3 continuation store
+    * (the ARPA file's lower-order block). The backoff weight is
+    * carried as its exact pieces (M(h), c(h·)) rather than the
+    * collapsed γ: serving recomputes (0 + M·P3c)/c(h·) in the SAME
+    * double shape q290 evaluates in-plan, so the oracle law is
+    * bit-for-bit — loaded-model scores ≡ q290's interpolated scores
+    * on the eval fold (doc_id % 10 = 0), `n_backoff` ≡ q290's
+    * `n_pruned` there. Tier selection is LEFT-join nullability (the
+    * q293/q287 discipline).
+    *
+    * At 100 TB: model tables are bounded by kept/level-3 TYPES —
+    * the broadcastable side at deployment scale (strategy left to
+    * AQE per the q278/q279 lesson: at test sf the tables share the
+    * corpus dimension, and forcing broadcast would be a latent decade
+    * term); the document stream is scored in one map-side pass plus
+    * the per-doc ordered fold. Unlike q290, model CONSTRUCTION cost
+    * is amortized across every corpus this model ever scores.
+    */
+  def q295Kn4ModelServe(s: SparkSession, dir: String,
+      minCount: Int = 2): DataFrame = {
+    import s.implicits._
+    val f = kn4Frames(s, dir, minCount)
+    val base = java.nio.file.Files.createTempDirectory("graft_q295_arpa").toString
+    // ---- EXPORT (q291's artifact, plus the lower-order block) ----
+    val prob = (($"c4".cast("double") - lit(0.75)) + kn4M * kn4P3c) / $"ch4"
+    f.qg.filter($"c4" >= lit(minCount.toLong))
+      .join(f.h4, Seq("w1", "w2", "w3"))
+      .join(f.c4t, Seq("w2", "w3", "w4"))
+      .join(f.mid3, Seq("w2", "w3"))
+      .join(f.tg3, Seq("w3", "w4"))
+      .join(f.mid2, Seq("w3"))
+      .join(f.cont, Seq("w4"))
+      .crossJoin(broadcast(f.tot))
+      .select($"q", prob.as("p"))
+      .write.mode("overwrite").parquet(base + "/stored4")
+    f.h4.select(concat_ws(" ", $"w1", $"w2", $"w3").as("h"),
+        kn4M.as("m"), $"ch4")
+      .write.mode("overwrite").parquet(base + "/hist")
+    f.c4t
+      .join(f.mid3, Seq("w2", "w3"))
+      .join(f.tg3, Seq("w3", "w4"))
+      .join(f.mid2, Seq("w3"))
+      .join(f.cont, Seq("w4"))
+      .crossJoin(broadcast(f.tot))
+      .select(concat_ws(" ", $"w2", $"w3", $"w4").as("t3"), kn4P3c.as("p3"))
+      .write.mode("overwrite").parquet(base + "/stored3")
+    // ---- LOAD + SERVE (what a deployed filter runs per corpus) ----
+    val stored4 = s.read.parquet(base + "/stored4")
+      .withColumnRenamed("p", "stored_p")
+    val hist = s.read.parquet(base + "/hist")
+    val stored3 = s.read.parquet(base + "/stored3")
+    val evalD = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" % 10 === 0)
+    val grams = evalD.select($"doc_id",
+        posexplode(call_function("word_ngrams", $"text", lit(4))).as(Seq("pos", "q")))
+      .withColumn("qw", split($"q", " "))
+      .select($"doc_id", $"pos", $"q",
+        array_join(slice($"qw", 1, 3), " ").as("h"),
+        array_join(slice($"qw", 2, 3), " ").as("t3"))
+    val terms = grams
+      .join(stored4, Seq("q"), "left")
+      .join(hist, Seq("h"), "left")
+      .join(stored3, Seq("t3"), "left")
+      .select($"doc_id", $"pos",
+        $"stored_p".isNull.as("backed_off"),
+        when($"stored_p".isNotNull, log($"stored_p"))
+          .when($"m".isNotNull,
+            // (0 + M·P3c)/c(h·): the exact double shape of q290's
+            // pruned-type branch, reassembled from the stored pieces
+            log((lit(0.0) + $"m" * $"p3") / $"ch4"))
+          .otherwise(log($"p3")).as("t"))
+    terms.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_4grams"),
+        sum(when($"backed_off", 0L).otherwise(1L)).cast("long").as("n_stored"),
+        sum(when($"backed_off", 1L).otherwise(0L)).cast("long").as("n_backoff"),
+        orderedSum($"pos", $"t").as("sum_lp"))
+      .select($"doc_id", $"n_4grams", $"n_stored", $"n_backoff",
+        $"sum_lp".cast("float").as("sum_logprob_kn4"),
+        ($"sum_lp" / $"n_4grams").cast("float").as("avg_logprob_kn4"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: q290's scoring tail restricted to the eval fold — the
+    * serving-equivalence statement ITSELF: the loaded-model path must
+    * reproduce the in-plan interpolated scores exactly.
+    */
+  def q295Kn4ModelServeSql(minCount: Int = 2): String =
+    s"""${kn4CtePrefix(minCount)},
+      |t AS (SELECT u.doc_id, u.pos,
+      |        ln((CASE WHEN qg.c4 >= $minCount
+      |              THEN CAST(qg.c4 AS DOUBLE) - 0.75 ELSE CAST(0.0 AS DOUBLE) END +
+      |            (0.75 * h4.nk4 + CAST(h4.ch4 - h4.ck4 AS DOUBLE)) *
+      |              $kn4P3cSql)
+      |           / h4.ch4) AS t,
+      |        CASE WHEN qg.c4 < $minCount THEN 1 ELSE 0 END AS pruned
+      |      FROM (SELECT doc_id, unnest(qs) AS q,
+      |              generate_subscripts(qs, 1) AS pos FROM quad
+      |            WHERE doc_id % 10 = 0) u
+      |      JOIN qg ON qg.q = u.q
+      |      $kn4JoinTail)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_4grams,
+      |  CAST(SUM(1 - pruned) AS BIGINT) AS n_stored,
+      |  CAST(SUM(pruned) AS BIGINT) AS n_backoff,
+      |  CAST(list_sum(list(t ORDER BY pos)) AS FLOAT) AS sum_logprob_kn4,
+      |  CAST(list_sum(list(t ORDER BY pos)) / CAST(COUNT(*) AS BIGINT) AS FLOAT)
+      |    AS avg_logprob_kn4
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q293: HELD-OUT interpolated Kneser–Ney with a CLOSED vocabulary —
     * the piece q282/q285/q290 (which score the training corpus, where

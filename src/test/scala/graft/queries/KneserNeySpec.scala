@@ -297,6 +297,40 @@ class KneserNeySpec extends SparkSpec {
     assert(prunedHists.exists(gammaOf.contains) && !prunedHists.forall(gammaOf.contains))
   }
 
+  test("q295 serving a persisted model reproduces q290's in-plan scores " +
+    "EXACTLY on the eval fold (stored-else-backoff loses nothing)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-kn4s").toString
+    // 20 docs recycling the corpus so the doc_id % 10 = 0 fold has two
+    // members and the model sees repeated 4-gram types across docs; a
+    // unique letter-only tail per doc makes its last 4-grams singletons
+    // so the fold genuinely takes the backoff path too
+    val docs = (0 until 20).map(i =>
+      (i.toLong, texts4(i % texts4.length) + " q" + ('a' + i).toChar))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val want = LangModel.q290KneserNey4Pruned(spark, tmp)
+      .filter($"doc_id" % 10 === 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getFloat(3), r.getFloat(4))).toMap
+    val got = LangModel.q295Kn4ModelServe(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(r.fieldIndex("n_4grams")),
+        r.getLong(r.fieldIndex("n_stored")),
+        r.getLong(r.fieldIndex("n_backoff")),
+        r.getFloat(r.fieldIndex("sum_logprob_kn4")),
+        r.getFloat(r.fieldIndex("avg_logprob_kn4")))).toMap
+    assert(got.keySet == want.keySet && got.keySet == Set(0L, 10L))
+    for ((id, (n4, np, sum, avg)) <- want) {
+      val (gn4, gStored, gBack, gSum, gAvg) = got(id)
+      assert(gn4 == n4 && gBack == np && gStored == n4 - np, s"doc $id counts")
+      // float EQUALITY, not tolerance: the serving double chain is the
+      // same shape as q290's, so the presented floats must be identical
+      assert(gSum == sum && gAvg == avg, s"doc $id: $gSum/$gAvg vs $sum/$avg")
+    }
+    // the fold genuinely exercises the backoff tier
+    assert(want.values.exists(_._2 > 0))
+  }
+
   // --- held-out closed-vocab KN (q293) -----------------------------
 
   /** Closed-vocab model: singleton train tokens → <unk>, bigram tables
