@@ -1164,11 +1164,8 @@ object Dedup {
       // q148 decade ratio from x16.5 to ~linear). The q108 orderBy
       // lesson, repartitionByRange edition.
       .localCheckpoint(true)
-    val ranged = keyed.repartitionByRange(parts, $"k".asc, $"doc_id".asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
-      .select($"pid", coalesce(sum($"pn").over(W.orderBy($"pid")
-        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val (ranged, offsets) =
+      Prefix.boundedPrefix(keyed, parts, lit(1L), $"k".asc, $"doc_id".asc)
     // scratch-cached: lower AND upper probe this frame — uncached, the
     // key extraction (an interpreted string-shingle lambda) and the
     // rank assembly would execute once per branch

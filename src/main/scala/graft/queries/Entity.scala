@@ -276,11 +276,8 @@ object Entity {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
     val names = Tables.load(s, dir, "part").select($"p_name").distinct()
-    val ranged = names.repartitionByRange(parts, $"p_name".asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
-      .select($"pid", coalesce(sum($"pn").over(W.orderBy($"pid")
-        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val (ranged, offsets) =
+      Prefix.boundedPrefix(names, parts, lit(1L), $"p_name".asc)
     // checkpointed: both band-join branches probe the rank frame; the
     // cut also stops the offsets sub-job re-running per branch
     val ranked = ranged

@@ -2732,11 +2732,7 @@ object LangModel {
     // sums + broadcast partition offsets give the global cumulative
     val grouped = scored.groupBy($"sc").agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // range partitioner samples its child
-    val ranged = grouped.repartitionByRange(32, $"sc".asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = ranged.groupBy($"pid").agg(sum($"c").as("pc"))
-      .select($"pid", coalesce(sum($"pc").over(W.orderBy($"pid")
-        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val (ranged, offsets) = Prefix.boundedPrefix(grouped, 32, $"c", $"sc".asc)
     val med = ranged
       .withColumn("cum",
         sum($"c").over(W.partitionBy($"pid").orderBy($"sc")))
