@@ -2811,6 +2811,113 @@ object LangModel {
       |    x -> x.s), ' '), '') AS clean_text
       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Frozen CCNet segment-quality model — q294's add-one bigram tables
+    * and its corpus median threshold, trained ONCE and then applied to
+    * any document stream (CCNet's deployment form: "score incoming
+    * documents against a frozen reference-corpus LM", Wenzek et al.
+    * 2019 §2.3 — the reference model there is trained on Wikipedia,
+    * here on the supplied corpus). `uni`/`big` are TYPE-bounded count
+    * frames (eagerly checkpointed); `v` and `med` are collected
+    * scalars. Join strategy against a scored stream is left to AQE:
+    * at deployment scale a SHIPPED model is pruned/bounded (the
+    * q291 discipline), but the raw bigram table grows with training
+    * corpus vocabulary, so forcing broadcast here would be a latent
+    * decade term (the q278/q279 lesson).
+    */
+  final case class SegQualityModel(uni: DataFrame, big: DataFrame,
+      v: Long, med: Float)
+
+  /** Train the frozen model: exactly q294's tables and its exact
+    * nearest-rank median (the distributed prefix pattern), so a
+    * stream scored against the frozen model reproduces q294's
+    * one-shot verdicts bit-for-bit (EventStreamsSpec law).
+    */
+  def segQualityTrain(s: SparkSession, dir: String, w: Int = 16): SegQualityModel = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val uni = docs.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
+    val big = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val v = uni.count()
+    val seg = docs.select($"doc_id",
+        posexplode(call_function("word_windows", $"text", lit(w))).as(Seq("p", "s")))
+      .select($"doc_id", ($"p" + 1).cast("long").as("seg_no"), $"s")
+    val scored = scoreSegments(seg, uni, big, v)
+      .localCheckpoint(true) // feeds the count AND the median
+    val n1 = scored.agg(count(lit(1)).as("n"))
+    val grouped = scored.groupBy($"sc").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val (ranged, offsets) = Prefix.boundedPrefix(grouped, 32, $"c", $"sc".asc)
+    val med = ranged
+      .withColumn("cum",
+        sum($"c").over(W.partitionBy($"pid").orderBy($"sc")))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(n1))
+      .filter($"cum" + $"off" >= ($"n" + 1) / 2)
+      .agg(min($"sc").as("med"))
+      .head().getFloat(0)
+    SegQualityModel(uni, big, v, med)
+  }
+
+  /** Score W-word segments against frozen model tables: the q294
+    * per-segment add-one bigram mean log-probability, with LEFT joins
+    * so an UNSEEN stream bigram/word takes the add-one floor
+    * ((0+1)/(0+V)) instead of vanishing — on replay of the training
+    * corpus every join hits and the scores are bit-identical to
+    * q294's inner-join spelling (coalesce feeds the same operands to
+    * the same double chain).
+    */
+  private def scoreSegments(seg: DataFrame, uni: DataFrame, big: DataFrame,
+      v: Long): DataFrame = {
+    import seg.sparkSession.implicits._
+    seg.select($"doc_id", $"seg_no",
+        posexplode(call_function("word_ngrams", $"s", lit(2))).as(Seq("pos", "b")))
+      .join(big, Seq("b"), "left")
+      .withColumn("w1", split($"b", " ").getItem(0))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .select($"doc_id", $"seg_no", $"pos",
+        log((coalesce($"c2", lit(0L)) + lit(1.0)) /
+          (coalesce($"c1", lit(0L)) + lit(v))).as("t"))
+      .groupBy($"doc_id", $"seg_no")
+      .agg(count(lit(1)).as("nb"), orderedSum($"pos", $"t").as("sl"))
+      .select($"doc_id", $"seg_no", ($"sl" / $"nb").cast("float").as("sc"))
+  }
+
+  /** Apply the frozen model to a (bounded) batch of documents — the
+    * per-micro-batch body of the streaming twin
+    * (`EventStreams.streamSegmentQualityToParquet`). Stateless given
+    * the model: segments are scored against the frozen tables, dropped
+    * below the frozen median, and reassembled per document (documents
+    * arrive whole, so reconstruction is batch-local). Output schema ≡
+    * q294's.
+    */
+  def segmentQualityFilterBatch(model: SegQualityModel, docs: DataFrame,
+      w: Int = 16): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val seg = docs.select($"doc_id".cast("long").as("doc_id"),
+        posexplode(call_function("word_windows", $"text", lit(w))).as(Seq("p", "s")))
+      .select($"doc_id", ($"p" + 1).cast("long").as("seg_no"), $"s")
+    val scored = scoreSegments(seg, model.uni, model.big, model.v)
+    val flagged = seg.join(scored, Seq("doc_id", "seg_no"), "left")
+      .select($"doc_id", $"seg_no", $"s", $"sc",
+        ($"sc".isNull || $"sc" >= lit(model.med)).as("keep"))
+    flagged.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when($"sc".isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"keep", struct($"seg_no", $"s")))),
+            x => x.getField("s")), " ").as("clean_text"))
+  }
+
   val q282KneserNeySql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |bi AS (SELECT doc_id,

@@ -738,6 +738,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CCNet per-segment LM quality filtering — q294's ingest
+    * twin, and CCNet's actual deployment form (Wenzek et al. 2019
+    * §2.3: score incoming documents against a FROZEN reference-corpus
+    * LM, not a model retrained per batch). The frozen
+    * [[graft.queries.LangModel.SegQualityModel]] (bigram tables +
+    * median threshold) is trained once via `segQualityTrain`; each
+    * micro-batch is then scored STATELESSLY — per-segment add-one
+    * bigram log-probability against the frozen tables, drop below the
+    * frozen median, reassemble per document — inside foreachBatch, so
+    * a batch commits only after its cleaned docs are durable. No
+    * streaming state at all (unlike [[streamingSegmentDedup]]'s
+    * first-occurrence index): given the model, a document's verdicts
+    * depend on nothing outside the document, which is what makes the
+    * lane embarrassingly shardable at 100 TB ingest. Batch ≡ stream
+    * law (EventStreamsSpec): replaying the training corpus through
+    * this query reproduces q294's one-shot output exactly.
+    */
+  def streamSegmentQualityToParquet(docs: DataFrame,
+      model: graft.queries.LangModel.SegQualityModel, outPath: String,
+      checkpoint: String, w: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.queries.LangModel.segmentQualityFilterBatch(model, batch.toDF(), w)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Per-shard space-saving table for [[heavyHitters]] — Metwally et
     * al. 2005's bounded-memory top-k summary as `MapState`: at most
     * `capacity` (word → (count, overcount)) entries per shard in

@@ -76,26 +76,64 @@ object StreamBench {
       (sec, groups.size)
     }
 
+    /** foreachBatch pacer for lanes whose transform is batch-local
+      * (the frozen-model segment quality filter): same pacing window,
+      * body applied per micro-batch, results discarded into the batch
+      * noop sink.
+      */
+    def paceFB(rows: Seq[(Long, String)], body: DataFrame => DataFrame): (Double, Int) = {
+      val in = MemoryStream[(Long, String)](spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+      val q = in.toDF().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          body(b.toDF()).write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      val per = math.max(1, math.ceil(rows.size.toDouble / nBatches).toInt)
+      val groups = rows.grouped(per).toSeq
+      val t0 = System.nanoTime()
+      groups.foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (sec, groups.size)
+    }
+
+    // frozen CCNet segment-quality model (q294's tables + median),
+    // trained ONCE outside every timed window — the deployment shape
+    val segModel = graft.queries.LangModel.segQualityTrain(spark, sfDir)
+
     // JVM/codegen/RocksDB warmup outside every timed window
     pace(src.take(200).toSeq, df => EventStreams.streamingDedup(df))
+    paceFB(src.take(200).toSeq,
+      df => graft.queries.LangModel.segmentQualityFilterBatch(segModel, df))
 
     val hhTokens = hhDocs.map(_._2.count(_ == ' ') + 1L).sum
+    // split(" ", -1) everywhere a unit count mirrors word_windows:
+    // limit -1 keeps trailing empty tokens exactly as the native
+    // expression's regex-split semantics do
     def segs(rows: Seq[(Long, String)]): Long =
-      rows.map(r => math.ceil((r._2.count(_ == ' ') + 1.0) / 16).toLong).sum
+      rows.map(r => math.ceil(r._2.split(" ", -1).length / 16.0).toLong).sum
     val segDistinct = src.iterator.flatMap { case (_, t) =>
-      t.split(' ').grouped(16).map(_.mkString(" "))
+      t.split(" ", -1).grouped(16).map(_.mkString(" "))
     }.toSet.size.toLong
     // exact salted vocabulary (driver-side: the bench corpus is small);
     // the evicting lane's live keys are capped by its total slot budget
     val hhVocab = hhDocs.iterator.flatMap(_._2.split(' ')).toSet.size.toLong
-    val lanes: Seq[(String, Seq[(Long, String)], DataFrame => DataFrame, Long, Long)] = Seq(
-      ("dedup_narrow", narrow, df => EventStreams.streamingDedup(df),
+    val segModelBigrams = segModel.big.count()
+    type Runner = Seq[(Long, String)] => (Double, Int)
+    val lanes: Seq[(String, Seq[(Long, String)], Runner, Long, Long)] = Seq(
+      ("dedup_narrow", narrow,
+        rows => pace(rows, df => EventStreams.streamingDedup(df)),
         narrow.size.toLong, src.size.toLong),
-      ("dedup_wide", wide, df => EventStreams.streamingDedup(df),
+      ("dedup_wide", wide,
+        rows => pace(rows, df => EventStreams.streamingDedup(df)),
         wide.size.toLong, wide.size.toLong),
-      ("hh_evicting", hhDocs, df => EventStreams.heavyHitters(df, capacity = 1 << 12),
+      ("hh_evicting", hhDocs,
+        rows => pace(rows, df => EventStreams.heavyHitters(df, capacity = 1 << 12)),
         hhTokens, math.min(hhVocab, (1L << 12) * 8)),
-      ("hh_roomy", hhDocs, df => EventStreams.heavyHitters(df, capacity = 1 << 17),
+      ("hh_roomy", hhDocs,
+        rows => pace(rows, df => EventStreams.heavyHitters(df, capacity = 1 << 17)),
         hhTokens, hhVocab),
       // CCNet segment dedup (q286's ingest twin): narrow replays the
       // corpus verbatim ×R (state = distinct SOURCE segments, every
@@ -103,19 +141,34 @@ object StreamBench {
       // unique (state grows to every ingested segment). Units are
       // SEGMENTS — the per-row state-op count, one probe per segment.
       ("segdedup_narrow", narrow,
-        df => EventStreams.streamingSegmentDedup(df),
+        rows => pace(rows, df => EventStreams.streamingSegmentDedup(df)),
         segs(narrow), segDistinct),
       ("segdedup_wide", wide,
-        df => EventStreams.streamingSegmentDedup(df),
-        segs(wide), segs(wide)))
+        rows => pace(rows, df => EventStreams.streamingSegmentDedup(df)),
+        segs(wide), segs(wide)),
+      // CCNet segment QUALITY filter (q294's ingest twin): STATELESS
+      // given the frozen model — state_keys column carries the frozen
+      // model's bigram-table size instead (the join build side).
+      // seen replays the training corpus (every bigram join hits);
+      // unseen salts every copy's text so ~every bigram takes the
+      // add-one floor through the left-join miss path. Units are
+      // SEGMENTS scored.
+      ("segquality_seen", narrow,
+        rows => paceFB(rows,
+          df => graft.queries.LangModel.segmentQualityFilterBatch(segModel, df)),
+        segs(narrow), segModelBigrams),
+      ("segquality_unseen", wide,
+        rows => paceFB(rows,
+          df => graft.queries.LangModel.segmentQualityFilterBatch(segModel, df)),
+        segs(wide), segModelBigrams))
     // interleaved attempts (the SerBench isolate discipline): run-order
     // and co-located-load drift hit every lane equally; publish min/all
     val attempts = 2
     val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Int)]]
       .withDefaultValue(Vector.empty)
     (1 to attempts).foreach { _ =>
-      lanes.foreach { case (tag, rows, mk, _, _) =>
-        samples(tag) = samples(tag) :+ pace(rows, mk)
+      lanes.foreach { case (tag, rows, runner, _, _) =>
+        samples(tag) = samples(tag) :+ runner(rows)
       }
     }
     val results = lanes.map { case (tag, rows, _, units, stateKeys) =>

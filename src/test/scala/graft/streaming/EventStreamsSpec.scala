@@ -455,6 +455,71 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming segment quality filter: replaying the corpus against the " +
+    "frozen model equals q294's one-shot output (batch ≡ stream)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val want = graft.queries.LangModel.q294SegmentQualityFilter(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val model = graft.queries.LangModel.segQualityTrain(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).as[Doc]
+      .collect().toSeq.sortBy(_.doc_id)
+
+    val in = MemoryStream[Doc](spark)
+    val out = Files.createTempDirectory("graft-segq-out").toString
+    val ckpt = Files.createTempDirectory("graft-segq-ckpt").toString
+    val q = EventStreams.streamSegmentQualityToParquet(in.toDF(), model, out, ckpt)
+    docs.grouped(math.max(1, docs.size / 5)).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.read.parquet(out).collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_segments"),
+        r.getAs[Long]("n_scored"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("clean_text"))).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("streaming segment quality filter: kill/restart loses and duplicates " +
+    "nothing, and an UNSEEN word takes the add-one floor instead of vanishing") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val model = graft.queries.LangModel.segQualityTrain(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).as[Doc]
+      .collect().toSeq.sortBy(_.doc_id).take(40)
+    val (b1, b2) = docs.splitAt(20)
+    // a doc whose words the corpus has never seen: every bigram scores
+    // the same add-one floor, the doc still flows through scored+kept
+    // bookkeeping (never dropped by a join)
+    val alien = Doc(999999L, Seq.fill(20)("zzzunseenzzz").mkString(" "))
+
+    val in = MemoryStream[Doc](spark)
+    val out = Files.createTempDirectory("graft-segq2-out").toString
+    val ckpt = Files.createTempDirectory("graft-segq2-ckpt").toString
+    def start() = EventStreams.streamSegmentQualityToParquet(in.toDF(), model, out, ckpt)
+    val q1 = start()
+    in.addData(b1: _*); q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    in.addData((b2 :+ alien): _*); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out).collect()
+    val ids = got.map(_.getAs[Long]("doc_id"))
+    assert(ids.length == ids.distinct.length, "restart duplicated a document")
+    assert(ids.toSet == (docs.map(_.doc_id).toSet + alien.doc_id))
+    val arow = got.find(_.getAs[Long]("doc_id") == alien.doc_id).get
+    // 20 words -> a 16-word segment + a 4-word tail; both have bigrams,
+    // so both are scored (against the add-one floor), none lost
+    assert(arow.getAs[Long]("n_segments") == 2L)
+    assert(arow.getAs[Long]("n_scored") == 2L)
+  }
+
   test("heavy hitters: full capacity ⇒ exact streaming word count (batch ≡ stream)") {
     withRocksDb {
       import org.apache.spark.sql.functions.{col, explode, split, count => cnt, lit, max}
