@@ -508,8 +508,10 @@ object Materialize {
     *     value BEFORE any scaling multiply (the scaled product's type
     *     loses fractional precision under allowPrecisionLoss, so a
     *     post-multiply `% 1` check could pass values the lane must
-    *     reject), and the long-range bound compares against
-    *     Long.Max/10^scale pre-multiply for the same reason. A plain
+    *     reject), and the long-range bounds compare against
+    *     Long.Min/Max/10^scale pre-multiply for the same reason —
+    *     asymmetrically, since Long.MinValue/10^scale is itself
+    *     encodable. A plain
     *     rendering with nonzero digits past the 18 staging places is
     *     rejected by inspection of the STRING (the cast alone would
     *     round it away silently). Exponent renderings ('1e-19') are
@@ -524,12 +526,16 @@ object Materialize {
       lit(s"' $why at scale $scale"))).cast("long")
     val exact = raw.try_cast(org.apache.spark.sql.types.DecimalType(38, 18))
     val unit = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, scale)) // 10^-scale
-    val bound = lit(new java.math.BigDecimal(Long.MaxValue).movePointLeft(scale))
+    // asymmetric long range: Long.MinValue/10^scale IS representable,
+    // so the lower bound admits exactly one more ulp than |MaxValue|
+    val ubound = lit(new java.math.BigDecimal(Long.MaxValue).movePointLeft(scale))
+    val lbound = lit(new java.math.BigDecimal(Long.MinValue).movePointLeft(scale))
     val slow =
       when(exact.isNull, err("is not numeric (or beyond DECIMAL(38,18)) — cannot encode"))
         .when(raw.rlike("\\.[0-9]{18}[0-9]*[1-9]"),
           err("has nonzero digits past 18 fractional places — cannot encode"))
-        .when((exact % unit) =!= lit(java.math.BigDecimal.ZERO) || abs(exact) > bound,
+        .when((exact % unit) =!= lit(java.math.BigDecimal.ZERO) ||
+            exact > ubound || exact < lbound,
           err("is not exactly representable as a scaled long"))
         .otherwise((exact * lit(java.math.BigDecimal.TEN.pow(scale))).cast("long"))
     val fastDigits = 18 - scale

@@ -65,7 +65,7 @@ class WordNgramsSpec extends SparkSpec {
       (1, Gen.oneOf("héllo", "über", "naïve", "日本語")))
     val text = Gen.choose(0, 30).flatMap(n =>
       Gen.listOfN(n, word).map(_.mkString(" ")))
-    val texts = Gen.listOfN(200, text).sample.get
+    val texts = graft.GenUtil.sampled(Gen.listOfN(200, text))
     def u(t: String) = org.apache.spark.unsafe.types.UTF8String.fromString(t)
     for (t <- texts; n <- Seq(1, 2, 3, 4, 7)) {
       val w = t.split(" ", -1) // regex split, limit -1: keep trailing empties

@@ -15,7 +15,7 @@ class PropertiesSpec extends SparkSpec {
 
   test("property: repartition preserves the multiset (chunking law)") {
     import spark.implicits._
-    val data = Gen.listOfN(500, Gen.chooseNum(-1000L, 1000L)).sample.get
+    val data = graft.GenUtil.sampled(Gen.listOfN(500, Gen.chooseNum(-1000L, 1000L)))
     val df = data.toDF("v")
     for (n <- Seq(1, 3, 7, 32)) {
       val got = df.repartition(n).as[Long].collect().sorted.toSeq
@@ -25,11 +25,11 @@ class PropertiesSpec extends SparkSpec {
 
   test("property: latestByKey matches the groupBy-max reference model") {
     import spark.implicits._
-    val rows = Gen.listOfN(300, for {
+    val rows = graft.GenUtil.sampled(Gen.listOfN(300, for {
       k  <- Gen.chooseNum(0, 20)
       t  <- Gen.chooseNum(0L, 50L)
       id <- Gen.chooseNum(0L, 1000000L)
-    } yield (k, t, id)).sample.get.distinct
+    } yield (k, t, id))).distinct
     val df = rows.toDF("k", "t", "id")
     val got = latestByKey(df, Seq("k"), Seq("t", "id"))
       .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap

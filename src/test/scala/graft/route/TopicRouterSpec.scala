@@ -60,7 +60,7 @@ class TopicRouterSpec extends SparkSpec {
     import spark.implicits._
     val part = Gen.oneOf("users", "orders", "metrics", "x", "2024", "01", "p0")
     val nameGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, part)).map(_.mkString("_"))
-    val names = Gen.listOfN(300, nameGen).sample.get.distinct
+    val names = graft.GenUtil.sampled(Gen.listOfN(300, nameGen)).distinct
     val got = names.toDF("t")
       .withColumn("topic", router.resolveColumn(org.apache.spark.sql.functions.lit("public"), $"t"))
       .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap

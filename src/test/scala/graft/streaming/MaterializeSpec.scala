@@ -726,6 +726,12 @@ class MaterializeSpec extends SparkSpec {
     // overflow: |value×10^scale| beyond long range
     val e6 = intercept[Exception](applyAt(2, "92233720368547758.08"))
     assert(rootMessages(e6).contains("not exactly representable"), rootMessages(e6))
+    // the range bounds are ASYMMETRIC: Long.MinValue/10^2 is itself
+    // encodable (scaled value exactly Long.MinValue) ...
+    applyAt(2, "-92233720368547758.08")
+    // ... while one cent below is not
+    val e7 = intercept[Exception](applyAt(2, "-92233720368547758.09"))
+    assert(rootMessages(e7).contains("not exactly representable"), rootMessages(e7))
   }
 
   test("property: measure encoding equals a BigDecimal reference across random " +
@@ -747,7 +753,7 @@ class MaterializeSpec extends SparkSpec {
           else s + ("0" * zeros)
         (if (bd.signum() >= 0) plus + withZeros else withZeros, bd)
       }
-      val vals = Gen.listOfN(150, rendering).sample.get
+      val vals = graft.GenUtil.sampled(Gen.listOfN(150, rendering))
       val expected = vals.map { case (_, bd) =>
         bd.movePointRight(scale).longValueExact()
       }.sum
