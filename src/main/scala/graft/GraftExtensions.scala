@@ -127,6 +127,9 @@ object GraftExtensions {
     ("word_windows", graft.functions.WordWindows.info,
       arity(2, "word_windows")(a => graft.functions.WordWindows(a.head,
         intLit(a(1), "word_windows", "w")))),
+    ("word_ngrams_upto", graft.functions.WordNgramsUpto.info,
+      arity(2, "word_ngrams_upto")(a => graft.functions.WordNgramsUpto(a.head,
+        intLit(a(1), "word_ngrams_upto", "nMax")))),
     ("char_ngrams", CharNgrams.info, args => {
       require(args.length == 2 || args.length == 3,
         "char_ngrams(text, nMax[, nMin]) takes 2 or 3 arguments")

@@ -86,6 +86,48 @@ object WordWindows {
     classOf[WordWindows].getName, "word_windows")
 }
 
+/** word_ngrams_upto(text, nMax): every word n-gram for EVERY order
+  * n = 1..nMax in one array, each gram PREFIXED with its one-char
+  * order tag '1'..'9' (the [[CharNgrams]] convention: the tag decodes
+  * as substring(g, 1, 1); two tagged grams compare equal iff same
+  * order AND same words). Emission order is order-major, positions
+  * ascending. Per-order semantics match [[WordNgrams]] exactly: a doc
+  * with fewer than n words emits nothing for that order.
+  *
+  * Exists for the multi-order consumers (novel-n-gram-rate q298):
+  * one fused byte scan replaces nMax separate corpus scans — the
+  * all-orders form of the q279 lesson. The tag byte forces one
+  * exact-sized allocation per gram (a tagged gram is no longer a pure
+  * substring), still zero per-word garbage.
+  */
+case class WordNgramsUpto(child: Expression, nMax: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_upto"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if nMax >= 1 && nMax <= 9 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: need 1 <= nMax <= 9 (one-char tags), got $nMax")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.gramsUpto(input.asInstanceOf[UTF8String], nMax)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.gramsUpto($c, $nMax)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgramsUpto {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WordNgramsUpto].getName, "word_ngrams_upto")
+}
+
 object WordNgrams {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[WordNgrams].getName, "word_ngrams")
@@ -119,6 +161,47 @@ object WordNgrams {
       val until = starts(g + n) - 1 // drop the delimiter after the last word
       out(g) = UTF8String.fromBytes(bytes, from, until - from)
       g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All orders 1..nMax, tagged — see [[graft.functions.WordNgramsUpto]]. */
+  def gramsUpto(s: UTF8String, nMax: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var words = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) words += 1; i += 1 }
+    val starts = new Array[Int](words + 1)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(words) = len + 1
+    val top = math.min(nMax, words)
+    var total = 0
+    var n = 1
+    while (n <= top) { total += words - n + 1; n += 1 }
+    val out = new Array[Any](total)
+    var idx = 0
+    n = 1
+    while (n <= top) {
+      var g = 0
+      while (g <= words - n) {
+        val from = starts(g)
+        val until = starts(g + n) - 1
+        val glen = until - from
+        val tagged = new Array[Byte](glen + 1)
+        tagged(0) = ('0' + n).toByte
+        System.arraycopy(bytes, from, tagged, 1, glen)
+        out(idx) = UTF8String.fromBytes(tagged)
+        idx += 1
+        g += 1
+      }
+      n += 1
     }
     new GenericArrayData(out)
   }

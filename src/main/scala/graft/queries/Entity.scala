@@ -512,4 +512,146 @@ object Entity {
       | AND length(a.c_name) = length(b.c_name)
       | AND damerau_levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id1, id2""".stripMargin
+
+  /** Round count shared by q297 and its unrolled oracle twin. */
+  val FsEmRounds: Int = 5
+
+  /** q297: Fellegi–Sunter probabilistic record linkage with
+    * EM-estimated parameters (Fellegi & Sunter 1969; the EM fitting is
+    * Winkler 1988's unsupervised variant) — THE classical framework
+    * the deterministic lanes here (q108 edit-distance blocking, q164
+    * Jaro–Winkler, q289 dominant-edge matching) plug into: instead of
+    * a hand-picked similarity threshold, the match/non-match field
+    * agreement rates m_k = P(field k agrees | match) and
+    * u_k = P(agrees | non-match) plus the match prevalence p are
+    * FITTED to the candidate-pair population, and a pair's match
+    * weight is Σ log(m_k/u_k) over agreeing fields (the output ships
+    * the per-field log₂-style weights serving systems threshold on).
+    *
+    * Candidate pairs: even-key × odd-key customers blocked on
+    * nationkey; comparison vector γ = agreement on market segment and
+    * on three balance-derived fields of very different selectivities —
+    * the thousand-dollar band, the fractional cents, and the last
+    * dollar digit (all from shifted integer cents c2 = round(bal·100)
+    * + 100000, which keeps `div`/`%` on non-negative operands where
+    * Spark and DuckDB agree; the money-cents recipe makes the DOUBLE
+    * source exact on both engines).
+    *
+    * Cross-engine EM under the oracle gate: the E-step responsibility
+    * g is QUANTIZED to floor(g·10⁶) per pair (the q236/q250 micro-nat
+    * recipe), so every M-step statistic is an exact BIGINT sum —
+    * order-free under any partitioning — and the next round's (m, u,
+    * p) are single fixed-shape divisions of exact integers. Five
+    * rounds, unrolled identically in the oracle.
+    *
+    * At 100 TB: pairs = one blocked equijoin (block sizes are
+    * data-bounded by the blocking key's frequency — the q108
+    * discipline), checkpointed once; each EM round is ONE map-side
+    * partial aggregate over it (9 sums), params ride a broadcast
+    * 1-row frame — no driver-side loop state beyond the bounded round
+    * count, no collect of anything data-sized.
+    */
+  def q297FellegiSunter(s: SparkSession, dir: String,
+      rounds: Int = FsEmRounds): DataFrame = {
+    import s.implicits._
+    val recs = Tables.load(s, dir, "customer")
+      .select($"c_custkey".as("id"), $"c_nationkey".as("nat"),
+        $"c_mktsegment".as("mkt"),
+        expr("cast(round(c_acctbal * 100) as bigint) + 100000").as("c2"))
+      .select($"id", $"nat", $"mkt",
+        expr("c2 div 100000").as("band"),
+        expr("c2 % 100").as("cents"),
+        expr("(c2 div 100) % 10").as("digit"))
+    val b = recs.select($"id".as("id_b"), $"nat", $"mkt".as("mkt_b"),
+      $"band".as("band_b"), $"cents".as("cents_b"), $"digit".as("digit_b"))
+    val pairs = recs.filter($"id" % 2 === 0)
+      .join(b.filter($"id_b" % 2 === 1), "nat")
+      .select(($"mkt" === $"mkt_b").as("g1"), ($"band" === $"band_b").as("g2"),
+        ($"cents" === $"cents_b").as("g3"), ($"digit" === $"digit_b").as("g4"))
+      .localCheckpoint(true) // re-read once per EM round
+    def emRound(prev: DataFrame): DataFrame = {
+      val j = pairs.crossJoin(broadcast(prev))
+      def t(g: String, q: String) = when(col(g), col(q)).otherwise(lit(1.0) - col(q))
+      val num = col("p") * t("g1", "m1") * t("g2", "m2") * t("g3", "m3") * t("g4", "m4")
+      val den = (lit(1.0) - col("p")) *
+        t("g1", "u1") * t("g2", "u2") * t("g3", "u3") * t("g4", "u4")
+      val g = num / (num + den)
+      val aggExprs = Seq(sum($"gq").as("sg"), count(lit(1)).as("n")) ++
+        (1 to 4).flatMap(i => Seq(
+          sum(when(col(s"g$i"), $"gq").otherwise(0L)).as(s"sg$i"),
+          sum(when(col(s"g$i"), lit(1000000L) - $"gq").otherwise(0L)).as(s"sd$i")))
+      val agg = j.select(floor(g * lit(1000000.0)).cast("long").as("gq"),
+          $"g1", $"g2", $"g3", $"g4")
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      agg.select((Seq(($"sg" / ($"n" * lit(1000000.0))).as("p"), $"n") ++
+        (1 to 4).flatMap(i => Seq(
+          (col(s"sg$i").cast("double") / $"sg").as(s"m$i"),
+          (col(s"sd$i").cast("double") / ($"n" * lit(1000000L) - $"sg")).as(s"u$i")))): _*)
+    }
+    val init = Seq((0.9, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1, 0.1, 0.05))
+      .toDF("m1", "m2", "m3", "m4", "u1", "u2", "u3", "u4", "p")
+    val fitted = (1 to rounds).foldLeft(init: DataFrame)((prm, _) => emRound(prm))
+    val fields = Seq("mkt", "band", "cents", "digit")
+    fitted.select((Seq($"n".as("n_pairs"), $"p") ++
+      fields.zipWithIndex.flatMap { case (f, i0) =>
+        val i = i0 + 1
+        Seq(col(s"m$i").as(s"m_$f"), col(s"u$i").as(s"u_$f"),
+          log(col(s"m$i") / col(s"u$i")).cast("float").as(s"w_$f"))
+      }): _*)
+      .orderBy($"n_pairs")
+  }
+
+  def q297FellegiSunterSql(rounds: Int = FsEmRounds): String = {
+    val aggCols = (1 to 4).map(i =>
+      s"""CAST(SUM(CASE WHEN g$i THEN gq ELSE 0 END) AS BIGINT) AS sg$i,
+         |    CAST(SUM(CASE WHEN g$i THEN 1000000 - gq ELSE 0 END) AS BIGINT) AS sd$i""".stripMargin)
+      .mkString(",\n    ")
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""e$r AS (SELECT CAST(SUM(gq) AS BIGINT) AS sg, CAST(COUNT(*) AS BIGINT) AS n,
+         |    $aggCols
+         |  FROM (SELECT g1, g2, g3, g4,
+         |          CAST(floor((num / (num + den)) * 1000000.0) AS BIGINT) AS gq
+         |        FROM (SELECT g1, g2, g3, g4,
+         |          p * (CASE WHEN g1 THEN m1 ELSE CAST(1.0 AS DOUBLE) - m1 END)
+         |            * (CASE WHEN g2 THEN m2 ELSE CAST(1.0 AS DOUBLE) - m2 END)
+         |            * (CASE WHEN g3 THEN m3 ELSE CAST(1.0 AS DOUBLE) - m3 END)
+         |            * (CASE WHEN g4 THEN m4 ELSE CAST(1.0 AS DOUBLE) - m4 END) AS num,
+         |          (CAST(1.0 AS DOUBLE) - p)
+         |            * (CASE WHEN g1 THEN u1 ELSE CAST(1.0 AS DOUBLE) - u1 END)
+         |            * (CASE WHEN g2 THEN u2 ELSE CAST(1.0 AS DOUBLE) - u2 END)
+         |            * (CASE WHEN g3 THEN u3 ELSE CAST(1.0 AS DOUBLE) - u3 END)
+         |            * (CASE WHEN g4 THEN u4 ELSE CAST(1.0 AS DOUBLE) - u4 END) AS den
+         |        FROM pairs CROSS JOIN r$p))),
+         |r$r AS (SELECT sg / (n * 1000000.0) AS p, n,
+         |    CAST(sg1 AS DOUBLE) / sg AS m1, CAST(sd1 AS DOUBLE) / (n * 1000000 - sg) AS u1,
+         |    CAST(sg2 AS DOUBLE) / sg AS m2, CAST(sd2 AS DOUBLE) / (n * 1000000 - sg) AS u2,
+         |    CAST(sg3 AS DOUBLE) / sg AS m3, CAST(sd3 AS DOUBLE) / (n * 1000000 - sg) AS u3,
+         |    CAST(sg4 AS DOUBLE) / sg AS m4, CAST(sd4 AS DOUBLE) / (n * 1000000 - sg) AS u4
+         |  FROM e$r)""".stripMargin
+    }.mkString(",\n")
+    val out = Seq("mkt" -> 1, "band" -> 2, "cents" -> 3, "digit" -> 4).map { case (f, i) =>
+      s"m$i AS m_$f, u$i AS u_$f, CAST(ln(m$i / u$i) AS FLOAT) AS w_$f"
+    }.mkString(",\n  ")
+    s"""WITH recs AS (SELECT id, nat, mkt, c2 // 100000 AS band,
+      |    c2 % 100 AS cents, (c2 // 100) % 10 AS digit
+      |  FROM (SELECT c_custkey AS id, c_nationkey AS nat,
+      |          c_mktsegment AS mkt,
+      |          CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS c2
+      |        FROM customer)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.mkt = b.mkt AS g1, a.band = b.band AS g2,
+      |         a.cents = b.cents AS g3, a.digit = b.digit AS g4
+      |  FROM recs a JOIN recs b ON a.nat = b.nat
+      |   AND a.id % 2 = 0 AND b.id % 2 = 1),
+      |r0 AS (SELECT CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+      |    CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
+      |    CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+      |    CAST(0.1 AS DOUBLE) AS u3, CAST(0.1 AS DOUBLE) AS u4,
+      |    CAST(0.05 AS DOUBLE) AS p),
+      |$steps
+      |SELECT n AS n_pairs, p,
+      |  $out
+      |FROM r$rounds ORDER BY n_pairs""".stripMargin
+  }
 }

@@ -325,4 +325,95 @@ object Sampling {
       |SELECT doc_id, CAST(shard8 AS BIGINT) AS shard8,
       |  CAST(shard9 AS BIGINT) AS shard9, shard8 <> shard9 AS moved
       |FROM a8 JOIN a9 USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q296: DSIR end-to-end — hashed n-gram importance weights PLUS the
+    * resampling step (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling", 2023). q105 computes unigram-hashed
+    * weights; the published method uses unigram+bigram hashed features
+    * (§2.2) and then SAMPLES k documents without replacement with
+    * probability ∝ exp(log-importance) — here via the Gumbel-top-k
+    * identity (key = log w + Gumbel noise; the top-k keys ARE the
+    * sample), which q124's Efraimidis–Spirakis form would overflow on:
+    * exp(±hundreds of nats) is not representable, log w + g is.
+    * "Randomness" is the q39 stable-uniform md5 idiom, so the selected
+    * set is a pure function of the corpus and the oracle replays it.
+    *
+    * Target distribution = the English subset; raw = the whole corpus;
+    * features = word unigrams AND bigrams hashed into B buckets with
+    * +0.5 smoothing.
+    *
+    * At 100 TB: one fused native gram scan (unigrams + bigrams emitted
+    * by two word_ngrams calls concatenated in one projection), one
+    * B-bounded weights table (broadcast — bounded by the constant B,
+    * never by data), one per-doc ordered fold, and the selection is
+    * orderBy+limit = TakeOrderedAndProject: map-side top-k, no global
+    * sort. The rank key is ROUNDED to 12 dp before ranking (ln agrees
+    * cross-engine only to ~1 ulp — the q239/q124 libm rank-key rule)
+    * with doc_id as the total-order tiebreak.
+    */
+  def q296DsirResample(s: SparkSession, dir: String, k: Int = 100,
+      buckets: Int = 4096): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val feats = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        posexplode(concat(
+          call_function("word_ngrams", $"text", lit(1)),
+          call_function("word_ngrams", $"text", lit(2)))).as(Seq("pos", "g")))
+      .withColumn("bucket",
+        conv(substring(md5($"g"), 1, 6), 16, 10).cast("long") % buckets)
+    val raw = feats.groupBy($"bucket").agg(count(lit(1)).as("rc"))
+    val tgt = feats.filter($"lang" === "en")
+      .groupBy($"bucket").agg(count(lit(1)).as("tc"))
+    val totals = feats.agg(count(lit(1)).as("rt"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"))
+    val half = buckets * 0.5
+    val weights = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"bucket",
+        (log((coalesce($"tc", lit(0L)) + lit(0.5)) / ($"tt" + lit(half))) -
+          log(($"rc" + lit(0.5)) / ($"rt" + lit(half)))).as("wt"))
+    val li = feats.join(broadcast(weights), "bucket")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_feats"), LangModel.orderedSum($"pos", $"wt").as("li"))
+    // Gumbel-top-k: g = -ln(-ln u), u stable-uniform in (0, 1]
+    val gumbel = -log(-log(u01("dsir:", $"doc_id")))
+    li.select($"doc_id", $"lang", $"n_feats",
+        $"li".cast("float").as("log_importance"),
+        round($"li" + gumbel, 12).as("gumbel_key"))
+      .orderBy($"gumbel_key".desc, $"doc_id")
+      .limit(k)
+  }
+
+  def q296DsirResampleSql(k: Int = 100, buckets: Int = 4096): String = {
+    val half = buckets * 0.5
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |f AS (SELECT doc_id, lang, unnest(gs) AS g,
+      |        generate_subscripts(gs, 1) AS pos
+      |      FROM (SELECT doc_id, lang,
+      |              list_concat(ws, list_transform(range(1, len(ws)),
+      |                i -> ws[i] || ' ' || ws[i+1])) AS gs FROM d)),
+      |fb AS MATERIALIZED (SELECT doc_id, lang, pos,
+      |        CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % $buckets AS bucket
+      |      FROM f),
+      |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM fb GROUP BY bucket),
+      |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+      |        FROM fb WHERE lang = 'en' GROUP BY bucket),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS rt,
+      |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+      |        FROM fb),
+      |wts AS (SELECT raw.bucket,
+      |          ln((COALESCE(tgt.tc, 0) + CAST(0.5 AS DOUBLE)) / (tot.tt + CAST($half AS DOUBLE)))
+      |            - ln((raw.rc + CAST(0.5 AS DOUBLE)) / (tot.rt + CAST($half AS DOUBLE))) AS wt
+      |        FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot),
+      |li AS (SELECT fb.doc_id, fb.lang, CAST(COUNT(*) AS BIGINT) AS n_feats,
+      |         CAST(list_sum(list(wts.wt ORDER BY fb.pos)) AS DOUBLE) AS li
+      |       FROM fb JOIN wts ON wts.bucket = fb.bucket
+      |       GROUP BY fb.doc_id, fb.lang)
+      |SELECT doc_id, lang, n_feats, CAST(li AS FLOAT) AS log_importance,
+      |  round(li + (-ln(-ln(
+      |    (CAST(('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+      |      / 4294967296.0))), 12) AS gumbel_key
+      |FROM li ORDER BY gumbel_key DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

@@ -1953,4 +1953,69 @@ object TextOps {
       |SELECT doc_id, CAST(wmin // 2147483648 AS BIGINT) AS fp,
       |  CAST(2147483647 - (wmin % 2147483648) AS BIGINT) AS pos
       |FROM sel ORDER BY doc_id, pos""".stripMargin
+
+  /** q298: the novel n-gram rate CURVE — for each order n = 1..nMax,
+    * the fraction of held-out n-gram POSITIONS (doc_id % 10 = 0)
+    * whose n-gram type never occurs in the training fold. The
+    * standard memorization/coverage diagnostic (the copy-vs-novelty
+    * analyses of McCoy et al. 2021 "RAVEN" run exactly this curve;
+    * data-quality audits read it the other way: a low high-order
+    * novelty means the eval fold leaks training passages — the
+    * statistic q246's substring decontamination acts on, here
+    * measured instead of filtered). Low orders sit near 0 (every
+    * word reappears), high orders climb toward 1 — the curve's shape
+    * is the corpus' effective redundancy profile.
+    *
+    * At 100 TB: ALL orders come from ONE fused tagged scan per fold
+    * (the native `word_ngrams_upto` — the all-orders form of the
+    * q279 one-char-tag lesson, nMax separate corpus scans collapsed
+    * into one); the train side reduces to a DISTINCT over md5 keys
+    * (16 bytes shuffled, never gram text — the q230 discipline) and
+    * the eval side is one hash equijoin + an 8-row aggregate.
+    */
+  def q298NovelNgramRate(s: SparkSession, dir: String, nMax: Int = 8): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val trainTypes = docs.filter($"doc_id" % 10 =!= 0)
+      .select(explode(call_function("word_ngrams_upto", $"text", lit(nMax))).as("g"))
+      .select(md5($"g").as("h")).distinct()
+      .withColumn("hit", lit(1))
+    val evalG = docs.filter($"doc_id" % 10 === 0)
+      .select(explode(call_function("word_ngrams_upto", $"text", lit(nMax))).as("g"))
+      .select(substring($"g", 1, 1).cast("int").as("n"), md5($"g").as("h"))
+    evalG.join(trainTypes, Seq("h"), "left")
+      .groupBy($"n")
+      .agg(count(lit(1)).as("n_eval_grams"),
+        sum(when($"hit".isNull, 1L).otherwise(0L)).cast("long").as("n_novel"))
+      .select($"n", $"n_eval_grams", $"n_novel",
+        ($"n_novel" / $"n_eval_grams").as("novel_rate"))
+      .orderBy($"n")
+  }
+
+  /** Oracle twin keys on md5 of the SAME tagged gram string (tag char
+    * = CAST(n AS VARCHAR) for n ≤ 9), so even a hash collision —
+    * cosmically improbable — would divert both engines identically.
+    */
+  def q298NovelNgramRateSql(nMax: Int = 8): String = {
+    val terms = (1 to nMax).map { n =>
+      val joined = (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""list_transform(range(1, greatest(len(ws) - ${n - 2}, 1)),
+         |      i -> '$n' || $joined)""".stripMargin
+    }.mkString(" ||\n    ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tagged AS MATERIALIZED (SELECT doc_id, unnest(gs) AS g FROM (
+      |  SELECT doc_id,
+      |    $terms AS gs
+      |  FROM d)),
+      |tt AS (SELECT DISTINCT md5(g) AS h FROM tagged WHERE doc_id % 10 <> 0),
+      |ev AS (SELECT CAST(substring(g, 1, 1) AS INT) AS n, md5(g) AS h
+      |       FROM tagged WHERE doc_id % 10 = 0)
+      |SELECT ev.n, CAST(COUNT(*) AS BIGINT) AS n_eval_grams,
+      |  CAST(SUM(CASE WHEN tt.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN tt.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    / CAST(COUNT(*) AS BIGINT) AS novel_rate
+      |FROM ev LEFT JOIN tt ON tt.h = ev.h
+      |GROUP BY ev.n ORDER BY ev.n""".stripMargin
+  }
 }

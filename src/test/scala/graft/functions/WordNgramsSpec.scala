@@ -77,6 +77,17 @@ class WordNgramsSpec extends SparkSpec {
       val gotW = WordNgrams.windows(u(t), n).array.map(_.toString).toSeq
       assert(gotW == wantW, s"windows w=$n text='$t'")
     }
+    // tagged all-orders scan == per-order scans with tag prefixes,
+    // order-major (the q298 consumer decodes the tag as substring(1,1))
+    for (t <- texts; nMax <- Seq(1, 3, 8)) {
+      val w = t.split(" ", -1)
+      val want = (1 to nMax).flatMap { n =>
+        if (w.length < n) Seq.empty
+        else w.sliding(n).map(g => s"$n" + g.mkString(" ")).toSeq
+      }
+      val got = WordNgrams.gramsUpto(u(t), nMax).array.map(_.toString).toSeq
+      assert(got == want, s"gramsUpto nMax=$nMax text='$t'")
+    }
   }
 
   test("edge cases: short docs, empty string, consecutive/trailing spaces, multibyte") {
