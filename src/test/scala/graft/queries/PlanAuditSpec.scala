@@ -934,4 +934,47 @@ class PlanAuditSpec extends SparkSpec {
     }
     scalarOrEqui(logical, "q294")
   }
+
+  test("q296: gram features are one fused native projection; selection is " +
+    "TakeOrderedAndProject; model contacts are equijoins") {
+    val p = plan("q296_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected map-side top-k, not a global sort:\n$p")
+    val df = graft.SparkEntry.queries("q296_dsir_resample")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    assert(logical.toString().contains("word_ngrams"),
+      s"expected the native gram expression:\n$logical")
+    scalarOrEqui(logical, "q296")
+  }
+
+  test("q297: the EM rounds are chained aggregates over ONE materialized pair " +
+    "frame — every join side is the 1-row params frame, no window, no recompute") {
+    val df = graft.SparkEntry.queries("q297_fellegi_sunter")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, Window => LWindow}
+    def isScalar(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: Aggregate if a.groupingExpressions.isEmpty => a
+        // round 1's params side is the literal init frame (1 row)
+        case l: LocalRelation if l.data.length <= 1 => l
+      }.isDefined
+    val joins = logical.collect { case j: Join => j }
+    assert(joins.nonEmpty && joins.forall(j => isScalar(j.left) || isScalar(j.right)),
+      s"q297: every join must carry the 1-row params side:\n$logical")
+    assert(logical.collect { case w: LWindow => w }.isEmpty)
+    // the blocked pair join was materialized at build time: the plan's
+    // leaves are the checkpointed RDD, never the customer scan
+    assert(!logical.toString().contains("customer"),
+      s"pair frame must be the checkpoint, not a re-derived join:\n$logical")
+  }
+
+  test("q298: all orders ride ONE tagged native scan per fold; the train " +
+    "contact is an md5-keyed equijoin, never gram text") {
+    val df = graft.SparkEntry.queries("q298_novel_ngram_rate")(spark, dir)
+    val logical = df.queryExecution.optimizedPlan
+    val s = logical.toString()
+    assert(s.contains("word_ngrams_upto"), s"expected the tagged scan:\n$s")
+    assert(s.contains("md5"), s"expected md5 join keys:\n$s")
+    scalarOrEqui(logical, "q298")
+  }
 }
