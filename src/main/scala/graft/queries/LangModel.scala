@@ -2432,9 +2432,24 @@ object LangModel {
   def q295Kn4ModelServe(s: SparkSession, dir: String,
       minCount: Int = 2): DataFrame = {
     import s.implicits._
+    val base = kn4Export(s, dir, minCount)
+    val model = kn4Load(s, base)
+    val evalD = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" % 10 === 0)
+    kn4ScoreBatch(model, evalD).orderBy($"doc_id")
+  }
+
+  /** Persist the three ARPA-side tables (q295's export half) under
+    * `base`: the kept top-order probabilities keyed by the 4-gram
+    * string, the per-history backoff PIECES (M(h), c(h·) — not the
+    * collapsed γ, so serving can reassemble q290's exact double
+    * chain), and the level-3 continuation block. Returns `base`.
+    */
+  def kn4Export(s: SparkSession, dir: String, minCount: Int = 2,
+      base: String =
+        java.nio.file.Files.createTempDirectory("graft_kn4_arpa").toString): String = {
+    import s.implicits._
     val f = kn4Frames(s, dir, minCount)
-    val base = java.nio.file.Files.createTempDirectory("graft_q295_arpa").toString
-    // ---- EXPORT (q291's artifact, plus the lower-order block) ----
     val prob = (($"c4".cast("double") - lit(0.75)) + kn4M * kn4P3c) / $"ch4"
     f.qg.filter($"c4" >= lit(minCount.toLong))
       .join(f.h4, Seq("w1", "w2", "w3"))
@@ -2457,23 +2472,44 @@ object LangModel {
       .crossJoin(broadcast(f.tot))
       .select(concat_ws(" ", $"w2", $"w3", $"w4").as("t3"), kn4P3c.as("p3"))
       .write.mode("overwrite").parquet(base + "/stored3")
-    // ---- LOAD + SERVE (what a deployed filter runs per corpus) ----
-    val stored4 = s.read.parquet(base + "/stored4")
-      .withColumnRenamed("p", "stored_p")
-    val hist = s.read.parquet(base + "/hist")
-    val stored3 = s.read.parquet(base + "/stored3")
-    val evalD = Tables.load(s, dir, "documents")
-      .select($"doc_id", $"text").filter($"doc_id" % 10 === 0)
-    val grams = evalD.select($"doc_id",
+    base
+  }
+
+  /** The loaded serving model: three parquet-backed frames, read back
+    * from a [[kn4Export]] base path. Join strategy against a scored
+    * stream is AQE's call (at test sf the tables share the corpus
+    * dimension — the q278/q279 forced-broadcast lesson).
+    */
+  final case class Kn4ServedModel(stored4: DataFrame, hist: DataFrame,
+      stored3: DataFrame)
+
+  def kn4Load(s: SparkSession, base: String): Kn4ServedModel =
+    Kn4ServedModel(
+      s.read.parquet(base + "/stored4").withColumnRenamed("p", "stored_p"),
+      s.read.parquet(base + "/hist"),
+      s.read.parquet(base + "/stored3"))
+
+  /** Score a (bounded) batch of documents against a loaded model with
+    * the stored-else-backoff rule — q295's serving join, shared with
+    * the streaming twin (`EventStreams.streamKn4PerplexityToParquet`).
+    * Stateless given the model; output one row per doc with ≥ 1
+    * 4-gram.
+    */
+  def kn4ScoreBatch(model: Kn4ServedModel, docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val grams = docs
+      .select($"doc_id".cast("long").as("doc_id"),
         posexplode(call_function("word_ngrams", $"text", lit(4))).as(Seq("pos", "q")))
       .withColumn("qw", split($"q", " "))
       .select($"doc_id", $"pos", $"q",
         array_join(slice($"qw", 1, 3), " ").as("h"),
         array_join(slice($"qw", 2, 3), " ").as("t3"))
     val terms = grams
-      .join(stored4, Seq("q"), "left")
-      .join(hist, Seq("h"), "left")
-      .join(stored3, Seq("t3"), "left")
+      .join(model.stored4, Seq("q"), "left")
+      .join(model.hist, Seq("h"), "left")
+      .join(model.stored3, Seq("t3"), "left")
       .select($"doc_id", $"pos",
         $"stored_p".isNull.as("backed_off"),
         when($"stored_p".isNotNull, log($"stored_p"))
@@ -2490,7 +2526,6 @@ object LangModel {
       .select($"doc_id", $"n_4grams", $"n_stored", $"n_backoff",
         $"sum_lp".cast("float").as("sum_logprob_kn4"),
         ($"sum_lp" / $"n_4grams").cast("float").as("avg_logprob_kn4"))
-      .orderBy($"doc_id")
   }
 
   /** Oracle: q290's scoring tail restricted to the eval fold — the

@@ -766,6 +766,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming KN-4 perplexity filtering against a LOADED persisted
+    * model — the q295 serving path as continuous ingest, and the
+    * full deployment loop closed: q290 trains, q291/kn4Export ships
+    * the ARPA split, this lane scores ARRIVING documents against the
+    * loaded tables ([[graft.queries.LangModel.kn4ScoreBatch]], the
+    * stored-else-backoff rule) and stamps a keep verdict at the
+    * caller's frozen avg-logprob threshold. Stateless given the
+    * model — foreachBatch, batch commits after its scores are
+    * durable. Batch ≡ stream law (EventStreamsSpec): replaying the
+    * eval fold reproduces q295's scores exactly. Documents with an
+    * out-of-model level-3 type score NULL (keep = false) — the
+    * closed-vocabulary treatment is q293's lane; a deployment
+    * composes both.
+    */
+  def streamKn4PerplexityToParquet(docs: DataFrame,
+      model: graft.queries.LangModel.Kn4ServedModel, threshold: Float,
+      outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.queries.LangModel.kn4ScoreBatch(model, batch.toDF())
+          .withColumn("keep",
+            col("avg_logprob_kn4").isNotNull &&
+              col("avg_logprob_kn4") >= lit(threshold))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Per-shard space-saving table for [[heavyHitters]] — Metwally et
     * al. 2005's bounded-memory top-k summary as `MapState`: at most
     * `capacity` (word → (count, overcount)) entries per shard in

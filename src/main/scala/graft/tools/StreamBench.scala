@@ -102,6 +102,9 @@ object StreamBench {
     // frozen CCNet segment-quality model (q294's tables + median),
     // trained ONCE outside every timed window — the deployment shape
     val segModel = graft.queries.LangModel.segQualityTrain(spark, sfDir)
+    // loaded KN-4 ARPA model (q295's serving tables), exported once
+    val kn4Model = graft.queries.LangModel.kn4Load(spark,
+      graft.queries.LangModel.kn4Export(spark, sfDir))
 
     // JVM/codegen/RocksDB warmup outside every timed window
     pace(src.take(200).toSeq, df => EventStreams.streamingDedup(df))
@@ -121,6 +124,9 @@ object StreamBench {
     // the evicting lane's live keys are capped by its total slot budget
     val hhVocab = hhDocs.iterator.flatMap(_._2.split(' ')).toSet.size.toLong
     val segModelBigrams = segModel.big.count()
+    def quadgrams(rows: Seq[(Long, String)]): Long =
+      rows.map(r => math.max(r._2.split(" ", -1).length - 3, 0).toLong).sum
+    val kn4ModelRows = kn4Model.stored4.count() + kn4Model.stored3.count()
     type Runner = Seq[(Long, String)] => (Double, Int)
     val lanes: Seq[(String, Seq[(Long, String)], Runner, Long, Long)] = Seq(
       ("dedup_narrow", narrow,
@@ -160,7 +166,15 @@ object StreamBench {
       ("segquality_unseen", wide,
         rows => paceFB(rows,
           df => graft.queries.LangModel.segmentQualityFilterBatch(segModel, df)),
-        segs(wide), segModelBigrams))
+        segs(wide), segModelBigrams),
+      // KN-4 perplexity filter against the LOADED ARPA model (q295's
+      // serving join per micro-batch). Units are 4-GRAM positions
+      // scored; state_keys carries the loaded model's stored+level-3
+      // row count (the join build side).
+      ("kn4ppl", narrow,
+        rows => paceFB(rows,
+          df => graft.queries.LangModel.kn4ScoreBatch(kn4Model, df)),
+        quadgrams(narrow), kn4ModelRows))
     // interleaved attempts (the SerBench isolate discipline): run-order
     // and co-located-load drift hit every lane equally; publish min/all
     val attempts = 2

@@ -520,6 +520,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(arow.getAs[Long]("n_scored") == 2L)
   }
 
+  test("streaming KN-4 perplexity filter: replaying the eval fold against the " +
+    "loaded ARPA model equals q295's one-shot scores (batch ≡ stream)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val want = graft.queries.LangModel.q295Kn4ModelServe(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getFloat(4), r.getFloat(5))).toMap
+    val model = graft.queries.LangModel.kn4Load(spark,
+      graft.queries.LangModel.kn4Export(spark, sf))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).as[Doc]
+      .collect().toSeq.filter(_.doc_id % 10 == 0).sortBy(_.doc_id)
+
+    val in = MemoryStream[Doc](spark)
+    val out = Files.createTempDirectory("graft-kn4s-out").toString
+    val ckpt = Files.createTempDirectory("graft-kn4s-ckpt").toString
+    // midpoint of the fold's score range: guarantees both verdicts
+    val avgs = want.values.map(_._5)
+    val thr = (avgs.min + avgs.max) / 2
+    val q = EventStreams.streamKn4PerplexityToParquet(in.toDF(), model, thr, out, ckpt)
+    docs.grouped(math.max(1, docs.size / 3)).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val rows = spark.read.parquet(out).collect()
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_4grams"), r.getAs[Long]("n_stored"),
+        r.getAs[Long]("n_backoff"), r.getAs[Float]("sum_logprob_kn4"),
+        r.getAs[Float]("avg_logprob_kn4"))).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // the frozen threshold stamps both verdicts somewhere in the fold
+    val keeps = rows.map(_.getAs[Boolean]("keep")).toSet
+    assert(keeps == Set(true, false),
+      s"threshold $thr should split the fold, got $keeps")
+  }
+
   test("heavy hitters: full capacity ⇒ exact streaming word count (batch ≡ stream)") {
     withRocksDb {
       import org.apache.spark.sql.functions.{col, explode, split, count => cnt, lit, max}
