@@ -437,6 +437,71 @@ object Dedup {
       |     ORDER BY quality DESC, doc_id) = 1) AS keep
       |FROM q ORDER BY doc_id""".stripMargin
 
+  /** q300: LEAKAGE-SAFE train/val/test splitting — the q39 stable
+    * split gate lifted to near-dup CLUSTER granularity. A per-document
+    * hash split (q39/q246) lets two near-duplicate documents land in
+    * train and test, which is exactly the contamination q227/q246
+    * audit for after the fact; the dedup-aware splitter assigns the
+    * split to the connected component instead (the practice behind
+    * e.g. The Stack's near-dedup-aware splits, Kocetkov et al. 2022
+    * §4: "we allocate files from the same near-duplicate cluster to
+    * the same split"), so by CONSTRUCTION no near-dup pair straddles
+    * a boundary — the split is a pure function of `cluster_rep`
+    * (ComponentsSpec pins the endpoints-agree law on the real pair
+    * graph). 80/10/10 via the md5 bucket idiom on the representative.
+    *
+    * At 100 TB: q45's component cost (the pair graph is the expensive
+    * part, memoized/checkpointed; propagation is O(diameter) rounds)
+    * plus ONE map-side hash — no new shuffles over the corpus.
+    */
+  def q300LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id")
+    val edges = nearDupPairs(s, dir).select($"d1", $"d2")
+      .toDF("u", "v").localCheckpoint(true)
+    val labels = Components.ccPropagate(edges)
+    docs.join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"rep", $"doc_id").as("cluster_rep"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("clsplit:"), $"cluster_rep".cast("string"))),
+          1, 8), 16, 10).cast("long") % 100)
+      .select($"doc_id", $"cluster_rep",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val q300LeakageSafeSplitSql: String =
+    s"""WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> array_to_string(ws[i:i+2], ' '))) AS s FROM w),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT d1, d2
+      |  FROM inter JOIN sz sa ON sa.doc_id = inter.d1
+      |             JOIN sz sb ON sb.doc_id = inter.d2
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $Tau),
+      |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(u, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+      |comp AS (SELECT u AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY u),
+      |asg AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      |SELECT doc_id, cluster_rep,
+      |  CASE WHEN CAST(('0x' || substring(md5('clsplit:' || CAST(cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+      |       WHEN CAST(('0x' || substring(md5('clsplit:' || CAST(cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM asg ORDER BY doc_id""".stripMargin
+
   /** Same components, stated as a DuckDB recursive CTE over the same
     * exact-Jaccard pair definition.
     */

@@ -104,6 +104,62 @@ object Ranking {
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q299: Dirichlet-smoothed query likelihood — the language-modeling
+    * retrieval framework (Zhai & Lafferty 2001, "A study of smoothing
+    * methods for language models applied to ad hoc information
+    * retrieval"), the OTHER classic lexical scorer beside q82's BM25
+    * (Lucene ships both as LMDirichletSimilarity / BM25Similarity):
+    *
+    *   score(Q, d) = Σ_t ln( (tf_td + μ·P(t|C)) / (dl_d + μ) )
+    *
+    * with P(t|C) = ctf_t / |C| the collection unigram model and
+    * μ = 2000 (the paper's robust setting). Same determinism contract
+    * as q82: tf/dl/ctf/|C| are exact integer aggregates, the score is
+    * ONE fixed-shape double chain — and, per the libm rank rule, the
+    * score is FLOAT-presented before the ordering so near-ties cannot
+    * rank differently across engines.
+    *
+    * At 100 TB: identical shape to q82 — map-side tf scan, one-row
+    * broadcast stats, TakeOrderedAndProject top-k.
+    */
+  def q299DirichletQl(s: SparkSession, dir: String, k: Int = 20,
+      mu: Double = 2000.0): DataFrame = {
+    import s.implicits._
+    val perDoc = tfFrame(s, dir, Terms)
+    val statCols = sum($"dl").cast("long").as("total_tokens") +:
+      Terms.map(t => sum(col(s"tf_$t")).cast("long").as(s"ctf_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def part(t: String): Column =
+      log((col(s"tf_$t") + lit(mu) *
+        (col(s"ctf_$t").cast("double") / col("total_tokens"))) /
+        (col("dl") + lit(mu)))
+    perDoc.crossJoin(broadcast(stats))
+      .select($"doc_id" +: $"dl" +: Terms.map(t => col(s"tf_$t")) :+
+        Terms.map(part).reduce(_ + _).cast("float").as("score"): _*)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(k)
+  }
+
+  def q299DirichletQlSql(k: Int = 20, mu: Double = 2000.0): String = {
+    def tfCol(t: String) =
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf_$t"
+    def ctfCol(t: String) = s"CAST(SUM(tf_$t) AS BIGINT) AS ctf_$t"
+    def partSql(t: String) =
+      s"ln((tf_$t + $mu * (CAST(ctf_$t AS DOUBLE) / total_tokens)) / (dl + $mu))"
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    ${Terms.map(tfCol).mkString(",\n    ")}
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |c AS (
+      |  SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens,
+      |    ${Terms.map(ctfCol).mkString(",\n    ")}
+      |  FROM d)
+      |SELECT doc_id, dl, ${Terms.map(t => s"tf_$t").mkString(", ")},
+      |  CAST(${Terms.map(partSql).mkString("\n  + ")} AS FLOAT) AS score
+      |FROM d, c
+      |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** q140: weighted near-dup pairs by TF-IDF cosine over word bigrams —
     * the lexical-WEIGHTED twin of q40's set Jaccard: shared RARE
     * phrasing counts far more than shared boilerplate, so it surfaces

@@ -79,6 +79,21 @@ class ComponentsSpec extends SparkSpec {
     assert(labelsOf(Components.ccStar(pairs)) == labelsOf(Components.ccPropagate(pairs)))
   }
 
+  test("q300: no near-dup pair straddles a split boundary (the leakage guarantee)") {
+    val s = spark
+    import s.implicits._
+    val asg = Dedup.q300LeakageSafeSplit(s, dir)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.q40NgramJaccard(s, dir)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs)
+      assert(asg(a) == asg(b), s"pair ($a, $b) straddles ${asg(a)}/${asg(b)}")
+    // and the split is genuinely three-way on this corpus
+    assert(asg.values.toSet == Set("train", "val", "test"))
+  }
+
   test("ccPropagate executes its input lineage exactly once, however many rounds run") {
     // the round-7 q218 regression class: an EXPENSIVE un-materialized
     // edge pipeline fed to ccPropagate was re-executed once per
