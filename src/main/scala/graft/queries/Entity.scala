@@ -537,6 +537,18 @@ object Entity {
     * Spark and DuckDB agree; the money-cents recipe makes the DOUBLE
     * source exact on both engines).
     *
+    * The EM is fitted on a BOUNDED per-block record sample — each
+    * (nation, parity) block contributes its first `cap` records in
+    * stable-md5 order (a WindowGroupLimit rank filter: map-side
+    * pruning, no global sort) — which is Winkler's production
+    * practice: parameters are fitted on a pair sample and then score
+    * any candidate stream; fitting on every pair is O(block²) waste.
+    * Measured before the cap: ×330 at the derived decade (block sizes
+    * grow linearly with the corpus, pairs quadratically — 897 s at
+    * sf1d); with it, fit cost is ≤ blocks·cap² pairs at ANY corpus
+    * size. At the test scales every block is under the cap, so the
+    * sample IS the full pair set and the oracle states the same rows.
+    *
     * Cross-engine EM under the oracle gate: the E-step responsibility
     * g is QUANTIZED to floor(g·10⁶) per pair (the q236/q250 micro-nat
     * recipe), so every M-step statistic is an exact BIGINT sum —
@@ -552,8 +564,9 @@ object Entity {
     * count, no collect of anything data-sized.
     */
   def q297FellegiSunter(s: SparkSession, dir: String,
-      rounds: Int = FsEmRounds): DataFrame = {
+      rounds: Int = FsEmRounds, cap: Int = 400): DataFrame = {
     import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
     val recs = Tables.load(s, dir, "customer")
       .select($"c_custkey".as("id"), $"c_nationkey".as("nat"),
         $"c_mktsegment".as("mkt"),
@@ -562,10 +575,19 @@ object Entity {
         expr("c2 div 100000").as("band"),
         expr("c2 % 100").as("cents"),
         expr("(c2 div 100) % 10").as("digit"))
+    // bounded per-(nation, parity) sample in stable-md5 order: raw-rank
+    // filter (no cast between row_number and <=) keeps WindowGroupLimit
+    def sampled(side: DataFrame, idCol: String): DataFrame = {
+      val w = W.partitionBy($"nat")
+        .orderBy(md5(concat(lit("fs:"), col(idCol).cast("string"))).asc,
+          col(idCol).asc)
+      side.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= cap).drop("rn")
+    }
     val b = recs.select($"id".as("id_b"), $"nat", $"mkt".as("mkt_b"),
       $"band".as("band_b"), $"cents".as("cents_b"), $"digit".as("digit_b"))
-    val pairs = recs.filter($"id" % 2 === 0)
-      .join(b.filter($"id_b" % 2 === 1), "nat")
+    val pairs = sampled(recs.filter($"id" % 2 === 0), "id")
+      .join(sampled(b.filter($"id_b" % 2 === 1), "id_b"), "nat")
       .select(($"mkt" === $"mkt_b").as("g1"), ($"band" === $"band_b").as("g2"),
         ($"cents" === $"cents_b").as("g3"), ($"digit" === $"digit_b").as("g4"))
       .localCheckpoint(true) // re-read once per EM round
@@ -601,7 +623,7 @@ object Entity {
       .orderBy($"n_pairs")
   }
 
-  def q297FellegiSunterSql(rounds: Int = FsEmRounds): String = {
+  def q297FellegiSunterSql(rounds: Int = FsEmRounds, cap: Int = 400): String = {
     val aggCols = (1 to 4).map(i =>
       s"""CAST(SUM(CASE WHEN g$i THEN gq ELSE 0 END) AS BIGINT) AS sg$i,
          |    CAST(SUM(CASE WHEN g$i THEN 1000000 - gq ELSE 0 END) AS BIGINT) AS sd$i""".stripMargin)
@@ -639,11 +661,16 @@ object Entity {
       |          c_mktsegment AS mkt,
       |          CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS c2
       |        FROM customer)),
+      |ev AS (SELECT * FROM recs WHERE id % 2 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY nat
+      |    ORDER BY md5('fs:' || CAST(id AS VARCHAR)), id) <= $cap),
+      |od AS (SELECT * FROM recs WHERE id % 2 = 1
+      |  QUALIFY row_number() OVER (PARTITION BY nat
+      |    ORDER BY md5('fs:' || CAST(id AS VARCHAR)), id) <= $cap),
       |pairs AS MATERIALIZED (
       |  SELECT a.mkt = b.mkt AS g1, a.band = b.band AS g2,
       |         a.cents = b.cents AS g3, a.digit = b.digit AS g4
-      |  FROM recs a JOIN recs b ON a.nat = b.nat
-      |   AND a.id % 2 = 0 AND b.id % 2 = 1),
+      |  FROM ev a JOIN od b ON a.nat = b.nat),
       |r0 AS (SELECT CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
       |    CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
       |    CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
