@@ -243,4 +243,29 @@ final class PgReplicationClient(host: String, port: Int, user: String,
       }
     } finally socket.close()
   }
+
+  /** Graceful shutdown from the READING thread (the tail's own loop —
+    * never from a controller thread, which must use the abrupt
+    * [[close]] to unblock a read): send Terminate, half-close, then
+    * drain inbound until the server's EOF so the OS sends FIN rather
+    * than RST. Closing with received-but-unread bytes (a trailing
+    * keepalive the loop never consumed) sends RST, and an RST makes
+    * the PEER discard ITS received-but-unread buffer — i.e. our final
+    * standby-status acks, observed as a lost-ack flake in the
+    * loopback fixture under machine load. Bounded by the 2 s timeout;
+    * a walsender (and the fixture) closes promptly after Terminate.
+    */
+  def closeGraceful(): Unit = {
+    try {
+      if (!socket.isClosed) {
+        try writeMessage(out, 'X', Array.empty) catch { case _: Throwable => () }
+        try {
+          socket.shutdownOutput()
+          socket.setSoTimeout(2000)
+          val buf = new Array[Byte](8192)
+          while (in.read(buf) >= 0) ()
+        } catch { case _: Throwable => () }
+      }
+    } finally socket.close()
+  }
 }

@@ -162,7 +162,11 @@ final class ReplicationTail(host: String, port: Int, user: String,
         }
       }
       client.flushedLsn
-    } finally client.close()
+      // graceful: this IS the reading thread, so the half-close +
+      // inbound drain cannot race the poll loop (stop() keeps using
+      // the abrupt close() to unblock a blocked read; closeGraceful
+      // then no-ops on the already-closed socket)
+    } finally client.closeGraceful()
   }
 }
 
