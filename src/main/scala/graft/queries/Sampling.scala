@@ -362,13 +362,17 @@ object Sampling {
           call_function("word_ngrams", $"text", lit(2)))).as(Seq("pos", "g")))
       .withColumn("bucket",
         conv(substring(md5($"g"), 1, 6), 16, 10).cast("long") % buckets)
-    val raw = feats.groupBy($"bucket").agg(count(lit(1)).as("rc"))
-    val tgt = feats.filter($"lang" === "en")
-      .groupBy($"bucket").agg(count(lit(1)).as("tc"))
-    val totals = feats.agg(count(lit(1)).as("rt"),
-      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"))
+    // raw + target counts in ONE corpus pass (conditional sum); the
+    // grand totals then reduce the B-bounded frame, not the corpus —
+    // model building costs one gram scan, scoring the other
+    val bucketStats = feats.groupBy($"bucket").agg(
+      count(lit(1)).as("rc"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).cast("long").as("tc"))
+      .localCheckpoint(true) // B-bounded; feeds totals AND weights
+    val totals = bucketStats.agg(sum($"rc").cast("long").as("rt"),
+      sum($"tc").cast("long").as("tt"))
     val half = buckets * 0.5
-    val weights = raw.join(tgt, Seq("bucket"), "left")
+    val weights = bucketStats
       .crossJoin(broadcast(totals))
       .select($"bucket",
         (log((coalesce($"tc", lit(0L)) + lit(0.5)) / ($"tt" + lit(half))) -
