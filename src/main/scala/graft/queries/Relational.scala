@@ -336,8 +336,12 @@ object Relational {
         min($"o_totalprice").as("min_price"),
         max($"o_totalprice").as("max_price"),
         (sum(x).cast("double") / count(lit(1))).as("mean_price"),
+        // float presentation: Σx² is a WIDE decimal and wide-decimal →
+        // double casts diverge in the last ulp across engines (the
+        // q165/q205 rule) — surfaced at sf0.1 by the round-16 full
+        // two-scale sweep, invisible at the sf0.01 gate
         sqrt((sum(x * x).cast("double") - sum(x).cast("double") * sum(x).cast("double") / count(lit(1)))
-          / (count(lit(1)) - lit(1))).as("stddev_price"))
+          / (count(lit(1)) - lit(1))).cast("float").as("stddev_price"))
       .orderBy($"o_orderstatus")
   }
 
@@ -348,9 +352,9 @@ object Relational {
       | MIN(o_totalprice) AS min_price,
       | MAX(o_totalprice) AS max_price,
       | ${sqlDsum("o_totalprice")} / COUNT(*) AS mean_price,
-      | SQRT((CAST(SUM(${sqlD2("o_totalprice")} * ${sqlD2("o_totalprice")}) AS DOUBLE)
+      | CAST(SQRT((CAST(SUM(${sqlD2("o_totalprice")} * ${sqlD2("o_totalprice")}) AS DOUBLE)
       |       - ${sqlDsum("o_totalprice")} * ${sqlDsum("o_totalprice")} / COUNT(*))
-      |      / (COUNT(*) - 1)) AS stddev_price
+      |      / (COUNT(*) - 1)) AS FLOAT) AS stddev_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** q85 — bivariate statistics (covariance, Pearson correlation, OLS
