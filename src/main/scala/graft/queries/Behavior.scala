@@ -649,17 +649,12 @@ object Behavior {
     */
   private def grn(df: DataFrame, rnCol: String, parts: Int,
       order: Column*): DataFrame = {
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("_pid", spark_partition_id())
-    val off = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("pn"))
-      .select(col("_pid"), coalesce(sum(col("pn")).over(
-        Window.orderBy(col("_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"))
+    val (ranged, off) = Prefix.boundedPrefix(df, parts, lit(1L), order: _*)
     ranged.withColumn("_prn", row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(order: _*)).cast("long"))
-      .join(broadcast(off), "_pid")
-      .withColumn(rnCol, col("_prn") + col("_off"))
-      .drop("_pid", "_prn", "_off")
+        Window.partitionBy(col("pid")).orderBy(order: _*)).cast("long"))
+      .join(broadcast(off), "pid")
+      .withColumn(rnCol, col("_prn") + col("off"))
+      .drop("pid", "_prn", "off")
   }
 
   /** q163: RFM segmentation of purchasers — per user: Recency (days

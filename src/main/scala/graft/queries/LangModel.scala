@@ -610,11 +610,8 @@ object LangModel {
     val counts = Tables.load(s, dir, "documents")
       .select(explode(ws).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
-    val ranged = counts.repartitionByRange(parts, $"c".desc, $"w".asc)
-      .withColumn("pid", spark_partition_id())
-    val off = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
-      .select($"pid", coalesce(sum($"pn").over(Window.orderBy($"pid")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val (ranged, off) =
+      Prefix.boundedPrefix(counts, parts, lit(1L), $"c".desc, $"w".asc)
     val ranked = ranged
       .withColumn("prn", row_number().over(
         Window.partitionBy($"pid").orderBy($"c".desc, $"w".asc)).cast("long"))

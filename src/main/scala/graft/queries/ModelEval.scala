@@ -164,12 +164,8 @@ object ModelEval {
         when($"lang" === "en", 1L).otherwise(0L).as("a"))
     val perV = tagged.groupBy($"v").agg(
       sum($"a").as("ca"), (count(lit(1)) - sum($"a")).as("cb"))
-    val ranged = perV.repartitionByRange(parts, $"v".asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = ranged.groupBy($"pid")
-      .agg(sum($"ca" + $"cb").as("pt"))
-      .select($"pid", coalesce(sum($"pt").over(Window.orderBy($"pid")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val (ranged, offsets) =
+      Prefix.boundedPrefix(perV, parts, $"ca" + $"cb", $"v".asc)
     val byV = Window.partitionBy($"pid").orderBy($"v")
     val withRank = ranged
       .withColumn("cumt", sum($"ca" + $"cb").over(byV))

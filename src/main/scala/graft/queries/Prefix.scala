@@ -35,11 +35,21 @@ object Prefix {
     * (repartitionByRange samples its child — the q148 lesson).
     */
   def boundedPrefix(df: DataFrame, parts: Int, weight: Column,
-      order: Column*): (DataFrame, DataFrame) = {
+      order: Column*): (DataFrame, DataFrame) =
+    boundedPrefixW(df, parts, Seq("off" -> weight), order: _*)
+
+  /** Multi-weight form: one prefix-offset column per (name, weight)
+    * pair — e.g. the q144 KS statistic needs separate per-class
+    * offsets, q202's Lorenz curve a count AND a revenue offset, from
+    * ONE range partitioning. The bound guard rides the first column.
+    */
+  def boundedPrefixW(df: DataFrame, parts: Int,
+      weights: Seq[(String, Column)], order: Column*): (DataFrame, DataFrame) = {
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("pid", spark_partition_id())
-    val counts = ranged.groupBy(col("pid")).agg(sum(weight).as("pn"))
-    (ranged, offsetsOf(counts, parts))
+    val aggs = weights.map { case (n, c) => sum(c).as("_pn_" + n) }
+    val counts = ranged.groupBy(col("pid")).agg(aggs.head, aggs.tail: _*)
+    (ranged, offsetsOfW(counts, weights.map(_._1), parts))
   }
 
   /** Prefix offsets of a partition-bounded totals frame (pid, pn) —
@@ -48,19 +58,24 @@ object Prefix {
     * rows reach the window, `assert_true` aborts the job with a
     * message naming this contract.
     */
-  def offsetsOf(counts: DataFrame, bound: Int): DataFrame = {
+  def offsetsOf(counts: DataFrame, bound: Int): DataFrame =
+    offsetsOfW(counts.withColumnRenamed("pn", "_pn_off"), Seq("off"), bound)
+
+  def offsetsOfW(counts: DataFrame, names: Seq[String], bound: Int): DataFrame = {
     val w = Window.orderBy(col("pid"))
-    counts
-      .select(col("pid"),
-        row_number().over(w).as("_brn"),
-        coalesce(sum(col("pn")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"))
-      .select(col("pid"),
-        (col("_off") + coalesce(
-          assert_true(col("_brn") <= lit(bound),
-            lit(s"boundedPrefix: unpartitioned prefix window received more " +
-              s"than $bound rows — the caller fed a data-sized frame where " +
-              "a partition-bounded totals frame is required")).cast("long"),
-          lit(0L))).as("off"))
+    val staged = counts.select(col("pid") +:
+      row_number().over(w).as("_brn") +:
+      names.map(n => coalesce(sum(col("_pn_" + n)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off_" + n)): _*)
+    val guard = coalesce(
+      assert_true(col("_brn") <= lit(bound),
+        lit(s"boundedPrefix: unpartitioned prefix window received more " +
+          s"than $bound rows — the caller fed a data-sized frame where " +
+          "a partition-bounded totals frame is required")).cast("long"),
+      lit(0L))
+    staged.select(col("pid") +:
+      names.zipWithIndex.map { case (n, i) =>
+        (if (i == 0) col("_off_" + n) + guard else col("_off_" + n)).as(n)
+      }: _*)
   }
 }

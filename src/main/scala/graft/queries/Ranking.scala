@@ -255,14 +255,9 @@ object Ranking {
         sum(when(year($"l_shipdate") === 2001, 1L).otherwise(0L)).as("cb"))
       .filter($"ca" > 0 && $"cb" > 0)
     def ranked(cnt: String, rk: String): DataFrame = {
-      val ranged = counts.select($"l_partkey", col(cnt))
-        .repartitionByRange(parts, col(cnt).desc, $"l_partkey".asc)
-        .withColumn("pid", spark_partition_id())
-      val off = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
-        .select($"pid", coalesce(sum($"pn").over(
-          org.apache.spark.sql.expressions.Window.orderBy($"pid")
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-          lit(0L)).as("off"))
+      val (ranged, off) = Prefix.boundedPrefix(
+        counts.select($"l_partkey", col(cnt)), parts, lit(1L),
+        col(cnt).desc, $"l_partkey".asc)
       ranged.withColumn("prn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy($"pid")
             .orderBy(col(cnt).desc, $"l_partkey".asc)).cast("long"))

@@ -103,13 +103,8 @@ object Sampling {
       // collection ops, so the measured win is ~10% at sf1d, not
       // q148's ~5x; kept because the shape is the same)
       .localCheckpoint(true)
-    val ranged = scored.repartitionByRange(parts, $"score".desc, $"doc_id".asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = ranged.groupBy($"pid").agg(sum($"n_tok").as("ptotal"))
-      .withColumn("offset", coalesce(
-        sum($"ptotal").over(Window.orderBy($"pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"pid", $"offset")
+    val (ranged, offsets) = Prefix.boundedPrefixW(scored, parts,
+      Seq("offset" -> $"n_tok"), $"score".desc, $"doc_id".asc)
     ranged
       .withColumn("run", sum($"n_tok").over(
         Window.partitionBy($"pid").orderBy($"score".desc, $"doc_id")))

@@ -104,15 +104,8 @@ object Stats {
         when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("a"))
     val perV = tagged.groupBy($"v").agg(
       sum($"a").as("ca"), (count(lit(1)) - sum($"a")).as("cb"))
-    val ranged = perV.repartitionByRange(parts, $"v".asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = ranged.groupBy($"pid")
-      .agg(sum($"ca").as("pa"), sum($"cb").as("pb"))
-      .select($"pid",
-        coalesce(sum($"pa").over(Window.orderBy($"pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("offa"),
-        coalesce(sum($"pb").over(Window.orderBy($"pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("offb"))
+    val (ranged, offsets) = Prefix.boundedPrefixW(perV, parts,
+      Seq("offa" -> $"ca", "offb" -> $"cb"), $"v".asc)
     val byV = Window.partitionBy($"pid").orderBy($"v")
     // totals from the row frame directly — one scan-agg, not a second
     // pass over the distinct-value frame
@@ -413,11 +406,8 @@ object Stats {
       .withColumn("r", row_number().over(bySrc).cast("long"))
       .withColumn("ns", count(lit(1))
         .over(Window.partitionBy($"source")))
-    val gRanged = docs.repartitionByRange(parts, $"n_chars".asc, $"doc_id".asc)
-      .withColumn("pid", spark_partition_id())
-    val gOff = gRanged.groupBy($"pid").agg(count(lit(1)).as("pn"))
-      .select($"pid", coalesce(sum($"pn").over(Window.orderBy($"pid")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val (gRanged, gOff) =
+      Prefix.boundedPrefix(docs, parts, lit(1L), $"n_chars".asc, $"doc_id".asc)
     val global = gRanged
       .withColumn("grn", row_number().over(
         Window.partitionBy($"pid").orderBy($"n_chars", $"doc_id")))
@@ -554,11 +544,8 @@ object Stats {
     val d = Tables.load(s, dir, "documents")
       .select($"doc_id", $"n_chars".as("v"),
         size(split($"text", " ")).cast("long").as("w"))
-    val ranged = d.repartitionByRange(parts, $"v".asc, $"doc_id".asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = ranged.groupBy($"pid").agg(sum($"w").as("pw"))
-      .select($"pid", coalesce(sum($"pw").over(Window.orderBy($"pid")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val (ranged, offsets) =
+      Prefix.boundedPrefix(d, parts, $"w", $"v".asc, $"doc_id".asc)
     val tot = d.agg(count(lit(1)).as("n_docs"), sum($"w").as("total_w"))
     ranged
       .withColumn("run", sum($"w").over(
@@ -834,12 +821,8 @@ object Stats {
         when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("a"))
     val perV = tagged.groupBy($"v").agg(
       sum($"a").as("ca"), (count(lit(1)) - sum($"a")).as("cb"))
-    val ranged = perV.repartitionByRange(parts, $"v".asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = ranged.groupBy($"pid")
-      .agg(sum($"ca" + $"cb").as("pt"))
-      .select($"pid", coalesce(sum($"pt").over(Window.orderBy($"pid")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val (ranged, offsets) =
+      Prefix.boundedPrefix(perV, parts, $"ca" + $"cb", $"v".asc)
     val byV = Window.partitionBy($"pid").orderBy($"v")
     val withRank = ranged
       .withColumn("cumt", sum($"ca" + $"cb").over(byV))
@@ -906,14 +889,8 @@ object Stats {
     val rev = Tables.load(s, dir, "orders")
       .select($"o_custkey", round($"o_totalprice" * 100).cast("long").as("cents"))
       .groupBy($"o_custkey").agg(sum($"cents").as("rev"))
-    val ranged = rev.repartitionByRange(parts, $"rev".asc, $"o_custkey".asc)
-      .withColumn("pid", spark_partition_id())
-    val off = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy($"pid")
-      .agg(count(lit(1)).as("pn"), sum($"rev").as("pr"))
-      .select($"pid",
-        coalesce(sum($"pn").over(off), lit(0L)).as("offn"),
-        coalesce(sum($"pr").over(off), lit(0L)).as("offr"))
+    val (ranged, offsets) = Prefix.boundedPrefixW(rev, parts,
+      Seq("offn" -> lit(1L), "offr" -> $"rev"), $"rev".asc, $"o_custkey".asc)
     val tot = rev.agg(count(lit(1)).as("n_cust"), sum($"rev").as("total_rev"))
     val byV = Window.partitionBy($"pid").orderBy($"rev", $"o_custkey")
     val ranked = ranged
@@ -1020,11 +997,8 @@ object Stats {
     import s.implicits._
     val d = Tables.load(s, dir, "orders")
       .select($"o_orderkey", Exact.d2($"o_totalprice").as("v"))
-    val ranged = d.repartitionByRange(parts, $"v".asc, $"o_orderkey".asc)
-      .withColumn("pid", spark_partition_id())
-    val off = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pn"))
-      .select($"pid", coalesce(sum($"pn").over(off), lit(0L)).as("offn"))
+    val (ranged, offsets) = Prefix.boundedPrefixW(d, parts,
+      Seq("offn" -> lit(1L)), $"v".asc, $"o_orderkey".asc)
     val tot = d.agg(count(lit(1)).as("n_total"), sum($"v").as("sv"))
     val byV = Window.partitionBy($"pid").orderBy($"v", $"o_orderkey")
     ranged
@@ -1229,11 +1203,8 @@ object Stats {
     val cal = resid(perUser.filter($"bucket" >= 6 && $"bucket" < 8))
       .select($"user_id", $"resid")
     // exact k-th order statistic via the distributed range-partitioned prefix
-    val ranged = cal.repartitionByRange(parts, $"resid".asc, $"user_id".asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = ranged.groupBy($"pid").agg(count(lit(1)).as("pt"))
-      .select($"pid", coalesce(sum($"pt").over(Window.orderBy($"pid")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val (ranged, offsets) =
+      Prefix.boundedPrefix(cal, parts, lit(1L), $"resid".asc, $"user_id".asc)
     val wIn = Window.partitionBy($"pid").orderBy($"resid", $"user_id")
     val rankedCal = ranged.join(broadcast(offsets), "pid")
       .withColumn("rk", $"off" + row_number().over(wIn))
