@@ -944,6 +944,15 @@ class PlanAuditSpec extends SparkSpec {
     val logical = df.queryExecution.optimizedPlan
     assert(logical.toString().contains("word_ngrams"),
       s"expected the native gram expression:\n$logical")
+    // exactly ONE gram explode in the registered plan — the scoring
+    // pass; the bucket-statistics pass (raw + target via ONE
+    // conditional-sum aggregate) sits behind the eager checkpoint and
+    // is invisible here (the q294-audit convention). Pinned so a new
+    // consumer can't silently re-fan the corpus a third time.
+    val gens = logical.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.length == 1, s"expected 1 gram explode, got ${gens.length}:\n$logical")
     scalarOrEqui(logical, "q296")
   }
 
