@@ -76,7 +76,10 @@ object Ranking {
     def part(t: String): Column = bm25Part(t)
     perDoc.crossJoin(broadcast(corpus))
       .select($"doc_id" +: $"dl" +: Terms.map(t => col(s"tf_$t")) :+
-        Terms.map(part).reduce(_ + _).as("score"): _*)
+        // float presentation BEFORE the ranking: the round-16 full
+        // sf0.1 sweep caught a 1-ulp ln divergence on a term set the
+        // original bit-verification never saw (the q239 rank-key rule)
+        Terms.map(part).reduce(_ + _).cast("float").as("score"): _*)
       .orderBy($"score".desc, $"doc_id")
       .limit(k)
   }
@@ -99,7 +102,7 @@ object Ranking {
       |    ${Terms.map(dfCol).mkString(",\n    ")}
       |  FROM d)
       |SELECT doc_id, dl, ${Terms.map(t => s"tf_$t").mkString(", ")},
-      |  ${Terms.map(partSql).mkString("\n  + ")} AS score
+      |  CAST(${Terms.map(partSql).mkString("\n  + ")} AS FLOAT) AS score
       |FROM d, c
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }

@@ -10,9 +10,9 @@ import graft.SparkSpec
   */
 class RankingSpec extends SparkSpec {
 
-  private def scores(dir: String): Map[Long, Double] =
+  private def scores(dir: String): Map[Long, Float] =
     Ranking.q82Bm25(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("score"))).toMap
+      .map(r => r.getLong(0) -> r.getFloat(r.fieldIndex("score"))).toMap
 
   test("BM25 ordering: tf raises, length lowers, rarity outweighs a common term") {
     import spark.implicits._
@@ -26,7 +26,7 @@ class RankingSpec extends SparkSpec {
     ) ++ (5L to 14L).map(i => (i, "spark z")) // make df_spark >> df_dup
     docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val sc = scores(tmp)
-    assert(sc(4L) == 0.0)            // no term hit scores exactly zero
+    assert(sc(4L) == 0f)            // no term hit scores exactly zero
     assert(sc(2L) > sc(0L))          // more occurrences rank higher
     assert(sc(0L) > sc(3L))          // same tf, longer doc ranks lower
     assert(sc(0L) > sc(1L))          // rare term beats common at same tf/dl
@@ -35,7 +35,7 @@ class RankingSpec extends SparkSpec {
   test("real corpus: top-k is sorted, finite, and only term-bearing docs score") {
     val rows = Ranking.q82Bm25(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 20)
-    val sc = rows.map(_.getDouble(rows.head.fieldIndex("score")))
+    val sc = rows.map(_.getFloat(rows.head.fieldIndex("score")))
     assert(sc.forall(s => !s.isNaN && !s.isInfinite && s > 0))
     assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
     // every scored doc carries at least one query term occurrence
