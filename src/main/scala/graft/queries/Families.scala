@@ -17,8 +17,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Idempotent per (session, dir): every underlying cache is memoized,
   * so repeated calls return the already-built frames. Reclaim with
-  * `Dedup.clearCaches` / `LangModel.clearCaches` plus the caller's
-  * persistent-RDD sweep (the Bench discipline).
+  * `Dedup.clearCaches` / `LangModel.clearCaches` / `TextOps.clearCaches`
+  * plus the caller's persistent-RDD sweep (the Bench discipline).
   */
 object Families {
   def warm(s: SparkSession, dir: String): Unit = {
@@ -26,6 +26,13 @@ object Families {
     // inside the builders
     LangModel.unigramTrainFrames(s, dir, LangModel.UnigramRounds)
     LangModel.wordPieceTrainFrames(s, dir, LangModel.WordPieceRounds)
+    // r16 additions: the CT language-ID artifacts (q252/q253/q259),
+    // the KN-4 model tables (q290/q291/q295) and the contamination
+    // pair table (q278/q279) — all checkpointed eagerly in-builder
+    TextOps.ctProfCached(s, dir)
+    TextOps.ctDocGCached(s, dir)
+    LangModel.kn4Frames(s, dir)
+    TextOps.contaminationPairsCached(s, dir, Long.MaxValue)
     // lazy cache() — force it
     Dedup.warmShingles(s, dir)
   }

@@ -37,11 +37,18 @@ object LangModel {
   /** Ordered fold of per-position double terms: sum in position order so
     * the result is bit-identical across engines and partitionings.
     */
-  private[queries] def orderedSum(pos: Column, term: Column): Column =
-    aggregate(
-      transform(array_sort(collect_list(struct(pos.as("pos"), term.as("t")))),
-        x => x.getField("t")),
-      lit(0.0), (acc, x) => acc + x)
+  private[queries] def orderedSum(pos: Column, term: Column): Column = {
+    // one native JVM call per group (sort + fold fused, stage stays in
+    // whole-stage codegen) — the declarative array_sort/transform/
+    // aggregate chain ran THREE interpreted lambda passes per element
+    // in every ordered-fold aggregate's output projection. Sort order
+    // and null propagation are bit-identical (OrderedFoldSpec pins the
+    // equality against the old spelling; the cast matches the fold's
+    // double promotion of `acc + x`).
+    graft.GraftExtensions.register(org.apache.spark.sql.SparkSession.active)
+    call_function("ordered_fold",
+      collect_list(struct(pos.as("pos"), term.cast("double").as("t"))))
+  }
 
   /** q104: bigram language-model scoring. Train add-one-smoothed bigram
     * statistics on the corpus itself, then score every document by its
@@ -1245,6 +1252,7 @@ object LangModel {
   def clearCaches(s: SparkSession): Unit = {
     trainCache.keySet.foreach { k => if (k._1 == s) trainCache.remove(k) }
     wpCache.keySet.foreach { k => if (k._1 == s) wpCache.remove(k) }
+    kn4Cache.keySet.foreach { k => if (k._1 == s) kn4Cache.remove(k) }
   }
 
   /** The q250 training loop, exposed for [[q251UnigramEncode]]:
@@ -1694,16 +1702,13 @@ object LangModel {
   def q259FertilityByLang(s: SparkSession, dir: String,
       rounds: Int = UnigramRounds): DataFrame = {
     import s.implicits._
-    val prof = TextOps.ctProfileFrame(s, dir)
+    // both trained artifacts ride the shared CT session cache (already
+    // checkpointed, bounded frames — TextOps.ctProfCached/ctDocGCached);
+    // q259 reads the per-doc profile over ALL docs — no split filter
+    val prof = TextOps.ctProfCached(s, dir)
       .select($"lang".as("plang"), $"g", $"rank")
-      .localCheckpoint(true) // bounded |langs|×K; probed from two branches
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"cnt".desc, $"g")
-    val docG = TextOps.ctGramFrame(s, dir) // ALL docs — no split filter
-      .groupBy($"doc_id", $"g").agg(sum($"c").as("cnt"))
-      .withColumn("dr", row_number().over(wd))
-      .filter($"dr" <= TextOps.CtK)
-      .localCheckpoint(true) // K rows/doc; feeds ndoc AND the probe
+    val docG = TextOps.ctDocGCached(s, dir)
+      .select($"doc_id", $"g", $"cnt", $"dr")
     val langs = prof.select($"plang").distinct()
     val matched = docG.join(broadcast(prof), Seq("g"))
       .groupBy($"doc_id", $"plang")
@@ -2130,7 +2135,26 @@ object LangModel {
       c4t: DataFrame, mid3: DataFrame, tg3: DataFrame, mid2: DataFrame,
       cont: DataFrame, tot: DataFrame)
 
-  private def kn4Frames(s: SparkSession, dir: String, minCount: Int): Kn4Frames = {
+  /** Session memo for the seven KN-4 model tables (q290 scoring, q291
+    * export, q295 serving build the SAME model by construction — one
+    * builder, now also one materialization per session): the same
+    * family-cache discipline as the unigram trainCache; Bench lists
+    * the three consumers as cacheSharers and [[clearCaches]] drops the
+    * entry at the family segment end. The memoized pieces are the two
+    * eagerly-checkpointed TYPE-bounded frames (qg, tg3) plus the lazy
+    * marginals derived from them — re-deriving a marginal is one
+    * aggregate over a checkpointed frame, exactly what each lane paid
+    * before within itself.
+    */
+  private val kn4Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Kn4Frames]
+
+  private[queries] def kn4Frames(s: SparkSession, dir: String,
+      minCount: Int = 2): Kn4Frames =
+    kn4Cache.getOrElseUpdate((s, dir, minCount),
+      kn4FramesUncached(s, dir, minCount))
+
+  private def kn4FramesUncached(s: SparkSession, dir: String, minCount: Int): Kn4Frames = {
     import s.implicits._
     graft.GraftExtensions.register(s)
     val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
@@ -2170,8 +2194,15 @@ object LangModel {
     val bg = docs.select(explode(call_function("word_ngrams", $"text", lit(2))).as("b"))
       .groupBy($"b").agg(count(lit(1)).as("c2"))
       .withColumn("bw2", split($"b", " ").getItem(1))
+    // vocabulary-bounded; feeds the scoring join AND tot, and bg feeds
+    // nothing else — checkpointing cont makes the corpus bigram scan
+    // run ONCE (it ran once per consumer branch before: cont and tot
+    // were separate subtrees over the lazy bg)
     val cont = bg.groupBy($"bw2".as("w4")).agg(count(lit(1)).as("n1b"))
-    val tot = bg.agg(count(lit(1)).as("nbb"))
+      .localCheckpoint(true)
+    // nbb = |distinct bigram types| = Σ_w4 n1b — exact integers, zero
+    // extra corpus scans
+    val tot = cont.agg(sum($"n1b").cast("long").as("nbb"))
     Kn4Frames(qg, h4, c4t, mid3, tg3, mid2, cont, tot)
   }
 

@@ -739,15 +739,33 @@ object Similarity {
     */
   def q212KnnEval(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val e = Tables.load(s, dir, "embeddings")
-    val q = e.select($"vec_id".as("qid"), $"embedding".as("qe"),
-      $"label".as("true_label"))
+    // r16 optimization: this is the one true all-pairs lane (N² pairs —
+    // the deliberate exact baseline), and the fused cosine kernel
+    // re-derived BOTH vector norms per pair, tripling the per-pair fp
+    // work. Precompute each vector's norm ONCE; per pair only the dot
+    // remains. Bit-identical: the dot accumulates in the same index
+    // order, sqrt is IEEE-correctly-rounded, so dot/(qn·nn) reproduces
+    // the fused dot/(sqrt(nx)·sqrt(ny)) exactly, and the zero-norm ⇒
+    // 0.0 convention is the same guard (nrm == 0 ⟺ Σx² == 0).
+    val en = e.select($"vec_id", $"embedding", $"label",
+      sqrt(call_function("dot_product", $"embedding", $"embedding")).as("nrm"))
+    val q = en.select($"vec_id".as("qid"), $"embedding".as("qe"),
+      $"label".as("true_label"), $"nrm".as("qn"))
     val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
-    val top = e.select($"vec_id".as("nid"), $"embedding".as("ne"),
-        $"label".as("nlabel"))
+    val top = en.select($"vec_id".as("nid"), $"embedding".as("ne"),
+        $"label".as("nlabel"), $"nrm".as("nn"))
       .crossJoin(broadcast(q))
       .filter($"nid" =!= $"qid")
-      .withColumn("cos_sim", cosine(s, $"qe", $"ne"))
+      .withColumn("cos_sim",
+        when($"qn" === 0.0 || $"nn" === 0.0, lit(0.0))
+          .otherwise(
+            call_function("dot_product", $"qe", $"ne") / ($"qn" * $"nn")))
+      // project the vectors away BEFORE the window (guide §2.3): the
+      // rank's sort buffer and exchange otherwise carry two embeddings
+      // per N² pair row — ~10× the bytes the vote needs
+      .select($"qid", $"true_label", $"nid", $"nlabel", $"cos_sim")
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
     val pred = top.groupBy($"qid", $"true_label", $"nlabel")

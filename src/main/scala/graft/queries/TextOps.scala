@@ -249,6 +249,7 @@ object TextOps {
     */
   private[queries] def ctGramFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val wc = Tables.load(s, dir, "documents")
       .select($"doc_id", $"lang",
         (conv(substring(md5(concat(lit("ct:"), $"doc_id".cast("string"))), 1, 8),
@@ -258,12 +259,62 @@ object TextOps {
       .groupBy($"doc_id", $"lang", $"bucket", $"word")
       .agg(count(lit(1)).as("c"))
     val padded = concat(lit("_"), $"word", lit("_"))
+    // r16 optimization: the nested transform(sequence(...)) gram builder
+    // evaluated its lambdas INTERPRETED per row (the q41/q279 lesson —
+    // this was the last interpreted gram scan left). The native
+    // char_ngrams kernel emits the same multiset in one fused loop:
+    // orders 2..3 always exist (len(padded) >= 3); order CtGramMax only
+    // when the padded word is long enough (char_ngrams' short-string
+    // convention would emit the whole string once, which the old
+    // spelling did NOT — the `when` guard reproduces it exactly), and
+    // the one-char order tag is stripped before anything groups or
+    // ranks on the gram. CtGramNativeSpec pins multiset equality.
     wc.select($"doc_id", $"lang", $"bucket", $"c",
-      explode(flatten(transform(
-        sequence(lit(CtGramMin), least(lit(CtGramMax), length(padded))),
-        l => transform(sequence(lit(1), length(padded) - l + 1),
-          i => padded.substr(i, l))))).as("g"))
+      explode(concat(
+        call_function("char_ngrams", padded, lit(CtGramMax - 1), lit(CtGramMin)),
+        when(length(padded) >= CtGramMax,
+          call_function("char_ngrams", padded, lit(CtGramMax), lit(CtGramMax)))
+          .otherwise(array().cast("array<string>")))).as("tg"))
+      .select($"doc_id", $"lang", $"bucket", $"c",
+        substring($"tg", 2, CtGramMax).as("g"))
   }
+
+  /** Session-memoized CT artifacts shared by q252/q253/q259 — the same
+    * family-cache discipline as the dedup shingle cache and the unigram
+    * EM trainCache (Bench lists the three consumers as cacheSharers and
+    * clears via [[clearCaches]] at the family segment end): the trained
+    * per-language profile (bounded |langs|×K rows) and the per-doc
+    * top-K gram rank profile over ALL docs with lang + split bucket
+    * carried (≤ K rows/doc — q253 filters its eval split from it, q259
+    * reads it whole; lang is constant per doc so the doc-only rank
+    * window is identical to q253's old (doc, lang, g) grouping).
+    * Before the memo each of the three lanes re-derived these from its
+    * own corpus-sized gram scan — 5 gram scans per suite run, now 2.
+    */
+  private val ctCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def clearCaches(s: SparkSession): Unit = {
+    ctCache.keySet.foreach { k => if (k._1 == s) ctCache.remove(k) }
+    contamCache.keySet.foreach { k => if (k._1 == s) contamCache.remove(k) }
+  }
+
+  private[queries] def ctProfCached(s: SparkSession, dir: String): DataFrame =
+    ctCache.getOrElseUpdate((s, dir, "prof"),
+      ctProfileFrame(s, dir).localCheckpoint(true))
+
+  private[queries] def ctDocGCached(s: SparkSession, dir: String): DataFrame =
+    ctCache.getOrElseUpdate((s, dir, "docg"), {
+      import s.implicits._
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"cnt".desc, $"g")
+      ctGramFrame(s, dir)
+        .groupBy($"doc_id", $"lang", $"bucket", $"g")
+        .agg(sum($"c").as("cnt"))
+        .withColumn("dr", row_number().over(wd))
+        .filter($"dr" <= CtK)
+        .localCheckpoint(true)
+    })
 
   /** The trained per-language rank profiles (train split only):
     * top-[[CtK]] grams per language by summed occurrence count, ranked
@@ -296,7 +347,7 @@ object TextOps {
     */
   def q252CtProfiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ctProfileFrame(s, dir)
+    ctProfCached(s, dir)
       .select($"lang", $"rank".cast("long").as("rank"), $"g".as("gram"), $"cnt")
       .orderBy($"lang", $"rank")
   }
@@ -362,16 +413,14 @@ object TextOps {
     */
   def q253CtConfusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val prof = ctProfileFrame(s, dir)
+    // both trained artifacts ride the shared CT session cache (already
+    // checkpointed, bounded frames — see ctProfCached/ctDocGCached);
+    // the eval-split filter selects whole DOCS, so per-doc counts and
+    // ranks are identical to the old eval-only aggregate
+    val prof = ctProfCached(s, dir)
       .select($"lang".as("plang"), $"g", $"rank")
-      .localCheckpoint(true) // bounded |langs|×K; probed from two branches
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"cnt".desc, $"g")
-    val docG = ctGramFrame(s, dir).filter($"bucket" >= CtTrainPct)
-      .groupBy($"doc_id", $"lang", $"g").agg(sum($"c").as("cnt"))
-      .withColumn("dr", row_number().over(wd))
-      .filter($"dr" <= CtK)
-      .localCheckpoint(true) // K rows/doc; feeds ndoc AND the probe
+    val docG = ctDocGCached(s, dir).filter($"bucket" >= CtTrainPct)
+      .select($"doc_id", $"lang", $"g", $"cnt", $"dr")
     val langs = prof.select($"plang").distinct()
     val matched = docG.join(broadcast(prof), Seq("g"))
       .groupBy($"doc_id", $"plang")
@@ -1628,12 +1677,44 @@ object TextOps {
       .select($"train_doc", $"eval_doc").distinct()
   }
 
+  /** r16 optimization: q278 (BLEU-2) and q279 (chrF) score the SAME
+    * candidate pair table — one generator, now also one
+    * materialization per session (family-cache discipline; Bench lists
+    * both as cacheSharers). The checkpoint is also what lets each lane
+    * semi-join-prune its n-gram count tables to docs that actually
+    * appear in a pair (guide §3.2: reduce the big side before the
+    * shuffle) without re-running the generator per branch — the pair
+    * table is bounded by actual contamination, so the pruned gram
+    * aggregates drop every never-joined doc's grams before the
+    * (doc, gram) shuffle. Results are unchanged by construction:
+    * grams of docs outside the pair table never survive the pair
+    * joins.
+    */
+  private val contamCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), DataFrame]
+
+  private[queries] def contaminationPairsCached(s: SparkSession, dir: String,
+      evalCap: Long): DataFrame =
+    contamCache.getOrElseUpdate((s, dir, evalCap),
+      contaminationPairs(s, Tables.load(s, dir, "documents"), evalCap)
+        .localCheckpoint(true))
+
   def q278BleuContamination(s: SparkSession, dir: String,
       evalCap: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
     val loaded = Tables.load(s, dir, "documents")
+    val pairs = contaminationPairsCached(s, dir, evalCap)
+    // semi-join prune (guide §3.2): only docs that appear in a pair
+    // ever survive the pair joins below — drop every other doc BEFORE
+    // the n-gram explode + (doc, gram) shuffle. The pair table is
+    // checkpointed and contamination-bounded; join strategy stays
+    // AQE's call (the r13 forced-broadcast lesson for exactly these
+    // lanes: the %-50 eval contract grows contamination with the
+    // corpus).
+    val pairedDocs = pairs.select($"train_doc".as("doc_id"))
+      .union(pairs.select($"eval_doc".as("doc_id"))).distinct()
     val docs = loaded.select($"doc_id", split($"text", " ").as("ws"))
-    val pairs = contaminationPairs(s, loaded, evalCap)
+      .join(pairedDocs, Seq("doc_id"), "left_semi")
     // n-gram multiset counts; bigram text via the same slice+join the
     // oracle uses (array_join(slice(ws,i,2))), so strings agree exactly
     val uni = docs.select($"doc_id", explode($"ws").as("w"))
@@ -1743,8 +1824,15 @@ object TextOps {
       evalCap: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
     val loaded = Tables.load(s, dir, "documents")
-    val pairs = contaminationPairs(s, loaded, evalCap)
+    val pairs = contaminationPairsCached(s, dir, evalCap)
+    // semi-join prune (guide §3.2), the q278 rationale verbatim: the
+    // char-gram explode ×3 orders + the (doc, gram) shuffle only ever
+    // serve docs that appear in a pair — drop the rest first (strategy
+    // AQE's call, r13 forced-broadcast lesson)
+    val pairedDocs = pairs.select($"train_doc".as("doc_id"))
+      .union(pairs.select($"eval_doc".as("doc_id"))).distinct()
     val cs = loaded.select($"doc_id", translate($"text", " ", "").as("cs"))
+      .join(pairedDocs, Seq("doc_id"), "left_semi")
     // tagged grams ride the native char_ngrams scan (one fused loop per
     // row; the declarative nested-transform spelling evaluates its
     // lambdas INTERPRETED — measured ~90% of the lane's runtime at the

@@ -123,16 +123,23 @@ object Validation {
     import s.implicits._
     val li = Tables.load(s, dir, "lineitem")
     val cols = li.columns.sorted
-    val aggs = cols.flatMap { c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct")) }
-    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .select(explode(array(cols.map(c => struct(
-          lit(c).as("column"), $"n_rows",
-          col(s"${c}__nulls").as("n_null"),
-          col(s"${c}__distinct").as("n_distinct"))): _*)).as("p"))
-      .select($"p.column", $"p.n_rows", $"p.n_null", $"p.n_distinct")
-      .orderBy($"column")
+    // r16 optimization: the single 11-distinct `agg` planned as one
+    // ×12 Expand — every row fanned out twelve ways into a two-level
+    // hash aggregate carrying all columns at once. A UNION of
+    // per-column aggregates reads ONE parquet column per branch
+    // (column pruning per scan), partial-aggregates the distinct
+    // values map-side, and rolls each branch up to one row —
+    // interleaved A/B probe (tools/Q137Probe): 4.7 s → 1.4 s at sf0.1
+    // with identical output. n_rows = Σ group counts, n_null = the
+    // null group's count, n_distinct = non-null group count — exact
+    // integers, oracle unchanged.
+    cols.map { c =>
+      li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(sum($"cnt").as("n_rows"),
+          sum(when($"v".isNull, $"cnt").otherwise(0L)).as("n_null"),
+          sum(when($"v".isNotNull, 1L).otherwise(0L)).as("n_distinct"))
+        .select(lit(c).as("column"), $"n_rows", $"n_null", $"n_distinct")
+    }.reduce(_ unionAll _).orderBy($"column")
   }
 
   /** q142: referential-integrity orphan report — for each FK edge of
@@ -482,26 +489,42 @@ object Validation {
     */
   def q224FkDiscovery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r16 optimization: the old shape paid THREE value-keyed shuffles
+    // per edge (child distinct + eager checkpoint, parent
+    // countDistinct, anti-join) plus two broadcast-exchange jobs to
+    // reassemble three 1-row frames. All four statistics are facts
+    // about the per-VALUE union of the two key columns, so ONE
+    // map-side-combined aggregate keyed on the value computes them
+    // together, and the 1-row report needs no crossJoins. Exact
+    // integers throughout — identical output, oracle unchanged.
     def audit(childTable: String, childCol: String,
         parentTable: String, parentCol: String): DataFrame = {
       val child = Tables.load(s, dir, childTable).select(col(childCol).as("v"))
-        .filter($"v".isNotNull).distinct().localCheckpoint(true)
+        .filter($"v".isNotNull)
+        .select($"v", lit(1L).as("isC"), lit(0L).as("isP"))
       val parent = Tables.load(s, dir, parentTable).select(col(parentCol).as("v"))
-      val pStats = parent.agg(count(lit(1)).as("n_parent_rows"),
-        countDistinct($"v").as("n_parent_distinct"))
-      val missing = child.join(parent.distinct(), Seq("v"), "left_anti")
-        .agg(count(lit(1)).as("n_missing"))
-      child.agg(count(lit(1)).as("n_child_distinct"))
-        .crossJoin(broadcast(pStats)).crossJoin(broadcast(missing))
+        .select($"v", lit(0L).as("isC"), lit(1L).as("isP"))
+      child.unionByName(parent)
+        .groupBy($"v")
+        .agg(max($"isC").as("inC"), sum($"isP").as("np"))
+        .agg(
+          sum($"inC").as("n_child_distinct"),
+          sum($"np").as("n_parent_rows"),
+          // countDistinct excludes NULL keys; the null-v group must not
+          // count (its rows still count into n_parent_rows above)
+          sum(when($"np" > 0 && $"v".isNotNull, 1L).otherwise(0L))
+            .as("n_parent_distinct"),
+          sum(when($"inC" === 1L && $"np" > 0, 1L).otherwise(0L))
+            .as("n_contained"))
         .select(
           lit(s"$childTable.$childCol").as("child"),
           lit(s"$parentTable.$parentCol").as("parent"),
           $"n_child_distinct", $"n_parent_rows", $"n_parent_distinct",
-          ($"n_child_distinct" - $"n_missing").as("n_contained"),
-          (($"n_child_distinct" - $"n_missing").cast("double") /
+          $"n_contained",
+          ($"n_contained".cast("double") /
             $"n_child_distinct").as("containment"),
-          ($"n_missing" === 0 && $"n_parent_rows" === $"n_parent_distinct")
-            .as("is_fk"))
+          ($"n_contained" === $"n_child_distinct" &&
+            $"n_parent_rows" === $"n_parent_distinct").as("is_fk"))
     }
     Seq(
       audit("lineitem", "l_orderkey", "orders", "o_orderkey"),

@@ -141,4 +141,28 @@ class CtLangIdSpec extends SparkSpec {
       .map(_.getLong(2)).sum
     assert(math.abs(acc - diag.toDouble / n) < 1e-6f)
   }
+
+  test("native ctGramFrame emits exactly the reference gram multiset, " +
+    "including 1-char words (char_ngrams short-string guard)") {
+    import spark.implicits._
+    // 1-char words ("a", "i") pad to length 3: order-4 grams must NOT
+    // be emitted for them (the old nested-transform spelling capped the
+    // order at len(padded); char_ngrams' short-string convention would
+    // emit the whole string once — the `when` guard must suppress it)
+    val texts = Seq((1L, "a tiny fox i saw"), (2L, "i a ab abc abcd ab a"))
+    val tmp = Files.createTempDirectory("graft-ct-native").toString
+    texts.map { case (id, t) => (id, "aa", t) }
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.ctGramFrame(spark, tmp)
+      .groupBy($"doc_id", $"g")
+      .agg(org.apache.spark.sql.functions.sum($"c").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = texts
+      .flatMap { case (id, text) =>
+        text.split(" ").filter(_.matches("^[a-z]+$"))
+          .flatMap(grams).map(g => (id, g))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+  }
 }
