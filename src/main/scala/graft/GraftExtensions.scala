@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.{BlocklistHits, BloomMightContain, CharNgrams, CosineSimilarity, DamerauLevenshtein, DotProduct, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MapSetKey, MinHashSignature, MinShingleMd5, OrderedFold, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, Sq8Cos, Sq8Encode, SrpBucket, WordShingleHashes}
+import graft.functions.{BlocklistHits, BloomMightContain, CharNgrams, CosineSimilarity, DamerauLevenshtein, DlSignatures, DotProduct, Fnv1a32, JaroWinkler, MapDropKey, MapMaskKeys, MapSetKey, MinHashSignature, MinShingleMd5, OrderedFold, PqAdc, PqEncode, PqLut, SimHash64, SlotAgreement, Sq8Cos, Sq8Encode, SrpBucket, WordShingleHashes}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions` or
@@ -64,6 +64,12 @@ object GraftExtensions {
       arity(2, "dot_product")(a => DotProduct(a.head, a(1)))),
     ("ordered_fold", OrderedFold.info,
       arity(1, "ordered_fold")(a => OrderedFold(a.head))),
+    ("dl_signatures", DlSignatures.info,
+      arity(2, "dl_signatures")(a => DlSignatures(a.head, a(1) match {
+        case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+        case other => throw new IllegalArgumentException(
+          s"dl_signatures: withWindows must be a boolean literal, got $other")
+      }))),
     ("minhash_signature", MinHashSignature.info,
       arity(1, "minhash_signature")(a => MinHashSignature(a.head))),
     ("simhash64", SimHash64.info,

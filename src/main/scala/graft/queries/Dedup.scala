@@ -810,11 +810,14 @@ object Dedup {
       .cache() // feeds the gram lane and the token-reassembly lane
     // L-grams via the native word_ngrams scan (r15), md5-keyed: the
     // hash bytes are identical to md5(concat_ws(' ', slice(...)))
-    // because the gram IS that joined string
+    // because the gram IS that joined string. r16: unhex packs the
+    // 32-char hex into the 16 BYTES the scale note always promised —
+    // half the shuffled key bytes, identical collision structure
+    // (unhex∘md5 is injective on md5 output), h never reaches output
     val grams = ws
       .select($"doc_id",
         posexplode(call_function("word_ngrams", $"text", lit(L))).as(Seq("p", "g")))
-      .select($"doc_id", $"p".cast("long").as("pos"), md5($"g").as("h"))
+      .select($"doc_id", $"p".cast("long").as("pos"), unhex(md5($"g")).as("h"))
     val cw = Window.partitionBy($"h")
     val seeds = grams
       .withColumn("cnt", count(lit(1)).over(cw))
@@ -887,7 +890,9 @@ object Dedup {
     val grams = ws
       .select($"doc_id", $"split",
         posexplode(call_function("word_ngrams", $"text", lit(L))).as(Seq("p", "g")))
-      .select($"doc_id", $"split", $"p".cast("long").as("pos"), md5($"g").as("h"))
+      // unhex: 16-byte binary keys (the q230 r16 narrowing), h internal
+      .select($"doc_id", $"split", $"p".cast("long").as("pos"),
+        unhex(md5($"g")).as("h"))
     val cw = Window.partitionBy($"h")
     val evalSeeds = grams
       .withColumn("has_train",

@@ -46,11 +46,16 @@ object Entity {
     */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.register(s)
     val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_name")
+    // r16 optimization: the native dl_signatures kernel replaces the
+    // interpreted transform(sequence(...)) concat/overlay chain -- the
+    // frame sits on BOTH branches of the q108/q218 self-joins, so each
+    // record paid ~2L interpreted lambda trees per branch per
+    // evaluation. String-for-string identical (DlSignaturesSpec).
     c.select($"c_custkey", $"c_name",
-      posexplode(transform(sequence(lit(1), length($"c_name")),
-        i => concat(length($"c_name").cast("string"), lit(":"),
-          overlay($"c_name", lit("\u0000"), i)))).as(Seq("pos", "sig")))
+      posexplode(call_function("dl_signatures", $"c_name", lit(false)))
+        .as(Seq("pos", "sig")))
   }
 
   private[queries] def entityPairsUnordered(s: SparkSession, dir: String): DataFrame = {
@@ -458,25 +463,22 @@ object Entity {
     // names collide at every signature; the pos == 0 gate keeps one
     // row. Family strings cannot cross-collide: single-wildcard sigs
     // contain the \u0000 sentinel, sorted-window sigs cannot.
-    val single = transform(sequence(lit(1), length($"c_name")),
-      i => concat(length($"c_name").cast("string"), lit(":"),
-        overlay($"c_name", lit("\u0000"), i)))
-    val sortedWin = transform(sequence(lit(1), greatest(length($"c_name") - 1, lit(1))),
-      p => {
-        val x = $"c_name".substr(p, lit(1))
-        val y = $"c_name".substr(p + 1, lit(1))
-        // the WINDOW POSITION is part of the signature: the wildcard
-        // family gets positional disjointness for free from the
-        // sentinel (a name never contains \u0000, so sigs wildcarded
-        // at different positions cannot align), but a sorted window is
-        // made of ordinary characters -- without the p prefix,
-        // "baab"@1 and "abba"@3 both sort to "abab" and a DL-2
-        // double-transposition pair would slip in as a candidate
-        concat(length($"c_name").cast("string"), lit(":"), p.cast("string"),
-          lit(":"), overlay($"c_name", concat(least(x, y), greatest(x, y)), p))
-      })
+    // The WINDOW POSITION is part of the sorted-window signature: the
+    // wildcard family gets positional disjointness for free from the
+    // sentinel (a name never contains \u0000, so sigs wildcarded at
+    // different positions cannot align), but a sorted window is made
+    // of ordinary characters -- without the p prefix, "baab"@1 and
+    // "abba"@3 both sort to "abab" and a DL-2 double-transposition
+    // pair would slip in as a candidate. Both families now ride the
+    // native dl_signatures kernel (r16: the interpreted two-chain
+    // transform(sequence(...)) builder paid ~2*(2L-1) lambda trees per
+    // record per join branch); array order -- single then windows --
+    // is unchanged, so posexplode positions and the pos == 0
+    // equal-name gate are identical (DlSignaturesSpec pins string
+    // equality against the declarative spelling).
     val sigs = c.select($"c_custkey", $"c_name",
-      posexplode(concat(single, sortedWin)).as(Seq("pos", "sig")))
+      posexplode(call_function("dl_signatures", $"c_name", lit(true)))
+        .as(Seq("pos", "sig")))
     // dl/lev are OUTPUT columns only (never join-condition predicates --
     // the q108 lesson: Catalyst would push them into the join and run
     // the DP twice per candidate); dl is 0 or 1 by construction, the

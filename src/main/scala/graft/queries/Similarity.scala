@@ -753,8 +753,7 @@ object Similarity {
       sqrt(call_function("dot_product", $"embedding", $"embedding")).as("nrm"))
     val q = en.select($"vec_id".as("qid"), $"embedding".as("qe"),
       $"label".as("true_label"), $"nrm".as("qn"))
-    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
-    val top = en.select($"vec_id".as("nid"), $"embedding".as("ne"),
+    val cand = en.select($"vec_id".as("nid"), $"embedding".as("ne"),
         $"label".as("nlabel"), $"nrm".as("nn"))
       .crossJoin(broadcast(q))
       .filter($"nid" =!= $"qid")
@@ -762,19 +761,21 @@ object Similarity {
         when($"qn" === 0.0 || $"nn" === 0.0, lit(0.0))
           .otherwise(
             call_function("dot_product", $"qe", $"ne") / ($"qn" * $"nn")))
-      // project the vectors away BEFORE the window (guide §2.3): the
-      // rank's sort buffer and exchange otherwise carry two embeddings
-      // per N² pair row — ~10× the bytes the vote needs
+      // project the vectors away immediately (guide §2.3): the vote
+      // only needs (qid, true_label, nid, nlabel, cos_sim)
       .select($"qid", $"true_label", $"nid", $"nlabel", $"cos_sim")
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= k)
-    val pred = top.groupBy($"qid", $"true_label", $"nlabel")
-      .agg(count(lit(1)).as("votes"))
-      .groupBy($"qid", $"true_label")
-      // argmax by (votes desc, label asc): negate the label inside the
-      // max-struct so the smaller label wins vote ties
-      .agg(max(struct($"votes", (-$"nlabel").as("neg"))).as("win"))
-      .select($"qid", $"true_label", (-$"win.neg").as("pred_label"))
+    // bounded top-k + majority vote as ONE map-side-partial aggregate
+    // (graft.functions.KnnVote — the BottomKSketch typed-Aggregator
+    // lane): the sort-based window spelling paid a full local sort of
+    // all N² candidate rows to keep 3 per query (WindowGroupLimit
+    // prunes the exchange, not the sort — measured 4 s of the lane's
+    // 6 s at sf0.1). Selection rule (cos DESC, nid ASC) and the vote
+    // argmax (votes DESC, label ASC) are the window spelling's exact
+    // semantics; KnnVoteSpec pins frame equality, the unchanged oracle
+    // the end-to-end law.
+    val knn = udaf(graft.functions.KnnVote.aggregator(k))
+    val pred = cand.groupBy($"qid", $"true_label")
+      .agg(knn($"cos_sim", $"nid", $"nlabel").as("pred_label"))
     pred.groupBy($"true_label".as("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(when($"pred_label" === $"true_label", 1L).otherwise(0L))

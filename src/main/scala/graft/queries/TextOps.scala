@@ -2065,13 +2065,17 @@ object TextOps {
     import s.implicits._
     graft.GraftExtensions.register(s)
     val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    // r16 optimization: md5() yields a 32-CHAR hex string; unhex packs
+    // the same 128-bit digest into 16 bytes — half the distinct/join
+    // key bytes shuffled, identical collision structure (unhex∘md5 is
+    // injective on md5 output), so the curve is unchanged
     val trainTypes = docs.filter($"doc_id" % 10 =!= 0)
       .select(explode(call_function("word_ngrams_upto", $"text", lit(nMax))).as("g"))
-      .select(md5($"g").as("h")).distinct()
+      .select(unhex(md5($"g")).as("h")).distinct()
       .withColumn("hit", lit(1))
     val evalG = docs.filter($"doc_id" % 10 === 0)
       .select(explode(call_function("word_ngrams_upto", $"text", lit(nMax))).as("g"))
-      .select(substring($"g", 1, 1).cast("int").as("n"), md5($"g").as("h"))
+      .select(substring($"g", 1, 1).cast("int").as("n"), unhex(md5($"g")).as("h"))
     evalG.join(trainTypes, Seq("h"), "left")
       .groupBy($"n")
       .agg(count(lit(1)).as("n_eval_grams"),
