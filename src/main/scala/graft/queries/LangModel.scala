@@ -1693,11 +1693,13 @@ object LangModel {
     * |langs|×K profile, per-doc K-row rank via WindowGroupLimit, one
     * (doc, lang)-keyed bounded aggregate); the encoder is q251's
     * (broadcast segmenter join, one corpus scan); the final aggregate
-    * is |langs| rows. Both trained artifacts ride the memoized family
-    * caches, so the pair trains once per session. Cold start: first
-    * trainCache consumer pays the shared EM run plus the in-lineage
-    * CT profile build (~9.4 s at sf0.1, judge-measured);
-    * [[Families.warm]] prepays the EM half.
+    * is |langs| rows. ALL trained artifacts ride memoized family
+    * caches (r16: the CT profile and per-doc rank profile are
+    * session-cached too — TextOps.ctProfCached/ctDocGCached), so both
+    * models train once per session and this lane's steady-state cost
+    * is the probe joins + the segmenter aggregate alone (QBench r16:
+    * 9.3 s suite → 1.3 s warm). Cold start: the family heads pay the
+    * builds; [[Families.warm]] prepays everything.
     */
   def q259FertilityByLang(s: SparkSession, dir: String,
       rounds: Int = UnigramRounds): DataFrame = {

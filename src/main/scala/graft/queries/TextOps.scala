@@ -1663,7 +1663,7 @@ object TextOps {
     * (fixed eval) ≈ uncapped at sf1d post-fix — the lanes are
     * corpus-scan-bound, the honest linear term.
     */
-  private def contaminationPairs(s: SparkSession, loaded: DataFrame,
+  private[queries] def contaminationPairs(s: SparkSession, loaded: DataFrame,
       evalCap: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
     graft.GraftExtensions.register(s)

@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   *  - cold_sec: the FIRST write — includes one-time family-training /
   *    cache-build cost for lanes with a real session cache (the
   *    unigram EM trainCache q250/q251/q254/q259 share, the WordPiece
-  *    wpCache, the dedup shingle cache; the CT profile frame is NOT
-  *    session-cached — q252/q253 rebuild it per run, so for them
-  *    cold≈warm by construction);
+  *    wpCache, the dedup shingle cache, and — since the r16
+  *    optimization round — the CT artifacts q252/q253/q259 share, the
+  *    KN-4 model tables q290/q291/q295 share, and the contamination
+  *    pair table q278/q279 share);
   *  - warm_sec: the SECOND write — the steady-state per-query cost a
   *    suite run pays on every member after the family's first.
   * Publishing only the warm number booked one-time training cost as

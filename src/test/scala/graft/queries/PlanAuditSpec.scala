@@ -407,12 +407,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(dataMassWindows.nonEmpty, s"expected the pid-partitioned running sum:\n$logical")
   }
 
-  test("q137: the profile is ONE scan — the 11-column fan-out rides Expand, not re-reads") {
-    // split off AQE's "== Initial Plan ==" echo or the scan double-counts
+  test("q137: per-column profile branches — each scan pruned to ONE column, no Expand") {
+    // r16 shape: the ×12 multi-distinct Expand is gone; each of the 11
+    // union branches reads exactly its own parquet column (column
+    // pruning per scan) into a value-keyed partial-distinct aggregate
+    // (Q137Probe adjudicated ~3.4× at sf0.1 with identical rows)
     val p = plan("q137_profile").split("== Initial Plan ==")(0)
-    val scans = p.split("\n").count(_.contains("FileScan parquet"))
-    assert(scans == 1, s"expected a single lineitem scan, got $scans:\n$p")
-    assert(p.contains("Expand"), s"expected the multi-distinct Expand:\n$p")
+    assert(!p.contains("Expand"), s"the multi-distinct Expand must be gone:\n$p")
+    val scanLines = p.split("\n").filter(_.contains("FileScan parquet"))
+    assert(scanLines.length == 11, s"expected 11 per-column scans, got ${scanLines.length}:\n$p")
+    // every scan's ReadSchema carries exactly one column (no comma)
+    scanLines.foreach { l =>
+      val rs = l.substring(l.indexOf("ReadSchema:"))
+      assert(!rs.contains(","), s"scan must be pruned to one column: $l")
+    }
   }
 
   test("q129: PMI top-k is a TakeOrderedAndProject over count aggregates") {
@@ -786,24 +794,39 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the sig-keyed candidate equijoin:\n$p")
   }
 
-  test("q278: every eval-side contact is a broadcast — the corpus is never on " +
-    "both sides of a join") {
-    // the decontamination scale shape: eval sets are tiny, so the
-    // shingle candidate join and both clipped-count joins broadcast
-    // the eval frames onto single corpus-sided scans
-    val p = plan("q278_bleu_contamination")
+  test("contamination pair GENERATOR: eval shingle set broadcasts onto the " +
+    "corpus scan — the corpus is never on both sides of a join") {
+    // r16: the pair table is session-memoized (checkpointed), so the
+    // registered q278/q279 plans read it as an ExistingRDD — the
+    // generator's own shape is audited here pre-checkpoint (the q277/
+    // q108 pre-checkpoint audit pattern)
+    val df = TextOps.contaminationPairs(spark,
+      graft.sources.Tables.load(spark, dir, "documents"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no all-pairs contact:\n$p")
     assert(p.contains("BroadcastHashJoin [g"),
       s"expected the eval shingle set to broadcast onto the corpus scan:\n$p")
   }
 
-  test("q279: one tagged gram shuffle serves all three chrF orders; eval side broadcasts") {
+  test("q278: no all-pairs contact; the gram tables are semi-join-pruned to paired docs") {
+    val p = plan("q278_bleu_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs contact:\n$p")
+    // the r16 prune (guide §3.2): docs are filtered to pair members
+    // BEFORE the n-gram explode + (doc, gram) aggregate
+    assert(p.contains("LeftSemi"),
+      s"expected the paired-docs semi-join prune before the gram explode:\n$p")
+  }
+
+  test("q279: one tagged gram shuffle serves all three chrF orders; gram tables " +
+    "semi-join-pruned to paired docs") {
     val p = plan("q279_chrf_contamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no all-pairs contact:\n$p")
-    assert(p.contains("BroadcastHashJoin [g"),
-      s"expected the eval shingle set to broadcast onto the corpus scan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"expected the paired-docs semi-join prune before the gram explode:\n$p")
     // the (doc, n, gram) counts shuffle exactly once for n = 1..3 —
     // a per-order shuffle would print three gram-keyed exchanges
     val finalPlan = p.split("== Initial Plan ==")(0)
