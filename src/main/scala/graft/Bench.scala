@@ -73,7 +73,9 @@ object Bench {
     // the steady-state read; QBENCH_r16's cold column carries the build
     // cost, stated in OPTIMIZATION_r16.md)
     val cacheSharers = Set("q126_prefix_join", "q135_containment",
-      "q138_source_overlap", "q148_snm", "q250_unigram_train",
+      "q138_source_overlap", "q148_snm",
+      "q198_interval_join", "q203_assortativity", "q215_kcore",
+      "q250_unigram_train",
       "q251_unigram_encode", "q252_ct_profiles", "q253_ct_confusion",
       "q254_unigram_nbest",
       "q255_wordpiece_train", "q256_wordpiece_encode",
@@ -122,6 +124,7 @@ object Bench {
         graft.queries.Dedup.clearCaches(spark)
         graft.queries.LangModel.clearCaches(spark)
         graft.queries.TextOps.clearCaches(spark)
+        graft.queries.Timeseries.clearCaches(spark)
         val base = familyStartIds.getOrElse(preIds)
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!base.contains(id)) rdd.unpersist(blocking = false)
@@ -142,6 +145,7 @@ object Bench {
       graft.queries.Dedup.clearCaches(spark)
       graft.queries.LangModel.clearCaches(spark)
       graft.queries.TextOps.clearCaches(spark)
+      graft.queries.Timeseries.clearCaches(spark)
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!initialIds.contains(id)) rdd.unpersist(blocking = false)
       }

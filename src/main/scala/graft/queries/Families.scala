@@ -33,6 +33,7 @@ object Families {
     TextOps.ctDocGCached(s, dir)
     LangModel.kn4Frames(s, dir)
     TextOps.contaminationPairsCached(s, dir, Long.MaxValue)
+    Timeseries.intervalOverlapPairs(s, dir)
     // lazy cache() — force it
     Dedup.warmShingles(s, dir)
   }

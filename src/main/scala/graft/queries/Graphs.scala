@@ -503,14 +503,13 @@ object Graphs {
     */
   def q203Assortativity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // materialize the edge list ONCE: the degree aggregate and both
-    // endpoint joins read it, and without the lineage cut each branch
-    // re-runs the whole sessionize + interval-join pipeline (3 full
-    // recomputes measured, 4.0s -> 2.9s at sf0.1). The bench sweeps
-    // the checkpoint after the query.
-    val edges = Timeseries.q198IntervalJoin(s, dir)
+    // the shared (memoized, checkpointed) pair table — no presentation
+    // sort, no per-branch recompute of the sessionize + interval-join
+    // pipeline (pre-memo this lane paid 3 full recomputes without its
+    // own lineage cut; the cache makes all three branches read the
+    // same materialized blocks)
+    val edges = Timeseries.intervalOverlapPairs(s, dir)
       .select($"user_a".as("ua"), $"user_b".as("ub"))
-      .localCheckpoint(true)
     val deg = edges.select($"ua".as("u"))
       .unionAll(edges.select($"ub".as("u")))
       .groupBy($"u").agg(count(lit(1)).as("deg"))
@@ -554,7 +553,9 @@ object Graphs {
     // overlaps make the graph near-complete and the peel trivial; the
     // repeat graph is sparse enough that the peel actually carves (k=2
     // keeps a 33-node core of 97 candidates at sf0.01, 7 peel rounds)
-    val pairs = Timeseries.q198IntervalJoin(s, dir)
+    // the shared (memoized) pair table — q198's aggregate WITHOUT its
+    // presentation sort, which a graph consumer never needed
+    val pairs = Timeseries.intervalOverlapPairs(s, dir)
       .filter($"n_overlaps" >= 2)
       .select($"user_a", $"user_b").localCheckpoint(true)
     var e = pairs.select($"user_a".as("u"), $"user_b".as("v"))

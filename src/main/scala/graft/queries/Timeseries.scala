@@ -601,7 +601,29 @@ object Timeseries {
     * 100 TB everything shuffles once on the hour bucket; per-bucket
     * population is the concurrency level, not the corpus.
     */
+  /** Session memo for the interval-overlap pair table: q198 presents
+    * it sorted, q215's k-core peel consumes it as its edge source —
+    * the dedup-family shared-pair-cache discipline (Bench lists both
+    * consumers as cacheSharers; [[clearCaches]] drops the entry at the
+    * family segment end, and q215 no longer pays q198's presentation
+    * sort on top of the rebuild).
+    */
+  private val ivCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def clearCaches(s: SparkSession): Unit =
+    ivCache.keySet.foreach { k => if (k._1 == s) ivCache.remove(k) }
+
+  private[queries] def intervalOverlapPairs(s: SparkSession, dir: String): DataFrame =
+    ivCache.getOrElseUpdate((s, dir),
+      intervalOverlapPairsUncached(s, dir).localCheckpoint(true))
+
   def q198IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    intervalOverlapPairs(s, dir).orderBy($"user_a", $"user_b")
+  }
+
+  private[queries] def intervalOverlapPairsUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
     val HourUs = 3600L * 1000000L
@@ -632,7 +654,6 @@ object Timeseries {
       .groupBy($"user_a", $"user_b")
       .agg(count(lit(1)).as("n_overlaps"),
         sum($"ov_us").as("total_overlap_us"))
-      .orderBy($"user_a", $"user_b")
   }
 
   /** Oracle: the same sessionization, then the DIRECT inequality

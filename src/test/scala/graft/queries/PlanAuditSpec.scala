@@ -587,7 +587,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q198: the interval join is a bucket equijoin — never a theta nested loop") {
-    val p = plan("q198_interval_join")
+    // r16: the pair table is session-memoized (checkpointed) and shared
+    // with q203/q215, so the registered plan reads an ExistingRDD — the
+    // join shape is audited on the uncached builder (the pre-checkpoint
+    // audit pattern)
+    val df = Timeseries.intervalOverlapPairsUncached(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       s"overlap join must collide through hour buckets:\n$p")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
