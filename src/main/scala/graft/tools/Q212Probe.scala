@@ -4,7 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-object ScratchQ212 {
+/** Stage-cost probe that adjudicated q212's r16 rework: times the
+  * narrow candidate pass (BNLJ + per-pair dot, norms precomputed)
+  * alone, then with the row_number window top-k on top, then the full
+  * registered lane — one session, repeated writes, so the window's
+  * local-sort cost is isolated from machine drift. Measured at sf0.1:
+  * pairs-only ~2.0 s, +window ~+4 s, full lane ≈ topk + 0.2 s — the
+  * finding that motivated the sort-free KnnVote aggregate (the lane
+  * then reads ~3.6 s warm). The `topk` spelling below is the PRE-r16
+  * window form, kept as the A/B baseline.
+  * Usage: runMain graft.tools.Q212Probe
+  */
+object Q212Probe {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
