@@ -96,6 +96,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val initialIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // One-time family-cache builds (shingles, unigram/wordpiece/KN-4
+    // training, CT artifacts, contamination/interval pair tables) land
+    // in the building attempt only; min-of-attempts would price the
+    // steady-state read and silently exclude the build from the total.
+    // FamilyCaches counts builds per attempt, and every building
+    // attempt's delta over the published minimum is charged into
+    // cache_build_sec — added to the published "value", so the
+    // headline is a cold-suite number (r16 verdict item 2). The
+    // attempts map still carries the raw numbers unchanged.
+    var cacheBuildSec = 0.0
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
@@ -103,11 +113,15 @@ object Bench {
       if (cacheSharers.contains(name) && familyStartIds.isEmpty)
         familyStartIds = Some(preIds)
       val attempts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val builtInAttempt = scala.collection.mutable.ArrayBuffer.empty[Boolean]
       def attempt(): Boolean = {
+        val builds0 = graft.queries.FamilyCaches.buildCount
         val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)); attempts += (System.nanoTime() - t0) / 1e9; true }
+        try { run(fn(spark, sfDir)); attempts += (System.nanoTime() - t0) / 1e9
+              builtInAttempt += graft.queries.FamilyCaches.buildCount > builds0; true }
         catch { case _: Throwable =>
-          attempts += -((System.nanoTime() - t0) / 1e9); false }
+          attempts += -((System.nanoTime() - t0) / 1e9)
+          builtInAttempt += graft.queries.FamilyCaches.buildCount > builds0; false }
       }
       val sec =
         if (!attempt()) { errors += name; attempts.last }
@@ -120,6 +134,10 @@ object Bench {
             errors += s"${name}_third_attempt"
           attempts.filter(_ > 0).min
         }
+      if (sec > 0) cacheBuildSec += attempts.indices.collect {
+        case i if builtInAttempt(i) && attempts(i) > 0 =>
+          math.max(0.0, attempts(i) - sec)
+      }.sum
       if (familyEnds.contains(name)) {
         graft.queries.Dedup.clearCaches(spark)
         graft.queries.LangModel.clearCaches(spark)
@@ -213,8 +231,47 @@ object Bench {
     // (BENCH_r11-r13 all carried "parsed": null tails). stdout gets ONE
     // compact line — headline metrics, the slowest queries, and the
     // pointer — that fits the window completely and parses.
+    // Published total = steady-state minimums + every one-time family
+    // cache build priced exactly once (cache_build_sec; r16 verdict
+    // item 2). steady_total_sec keeps the old min-of-attempts semantics
+    // visible next to it.
+    val publishedTotal = total + cacheBuildSec
+    // Per-query digest vs the committed pair (r16 verdict item 3): the
+    // driver's stdout window can't carry 300 per-query numbers, so the
+    // comparison against the committed BENCH_FULL_sf01.json runs
+    // IN-PROCESS and ships as three compact fields. Only emitted when
+    // the reference exists and matches this run's scale and core count
+    // (the committed pair is local[32] sf0.1 — an 8-core scaling run
+    // must not read as a mass regression).
+    val committedRef = java.nio.file.Paths.get("BENCH_FULL_sf01.json")
+    val digest: String =
+      if (cpus != "32" || !java.nio.file.Files.exists(committedRef)) ""
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(committedRef),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val refSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        val sameScale = refSf.exists(r =>
+          new java.io.File(r).getName == new java.io.File(sfDir).getName)
+        val ref = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(m => """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(m.group(1))
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+          .getOrElse(Map.empty[String, Double])
+        val common = results.collect {
+          case (k, v, _) if v > 0 && ref.getOrElse(k, 0.0) > 0 => (v, ref(k)) }
+        if (!sameScale || common.isEmpty) ""
+        else {
+          val nImp = common.count { case (v, r) => v * 1.1 < r }
+          val nReg = common.count { case (v, r) => v > r * 1.1 }
+          val geo = math.exp(
+            common.map { case (v, r) => math.log(v / r) }.sum / common.size)
+          f""""n_common_vs_committed":${common.size},"n_improved":$nImp,""" +
+            f""""n_regressed":$nReg,"geomean_vs_committed":$geo%.3f,"""
+        }
+      }
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$publishedTotal,"unit":"sec",""" +
+      f""""steady_total_sec":$total,"cache_build_sec":$cacheBuildSec%.3f,""" +
+      s""""queries":$qs,""" +
       s""""attempts":$attemptsJson,""" +
       s""""cdc_rows":$cdcRows,"cdc_sec":$cdcSec,"cdc_rows_per_sec":$cdcRps,""" +
       s""""cdc_debezium_rows_per_sec":$dbzRps,""" +
@@ -222,9 +279,11 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
     java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(8)
+    val slowest = results.filter(_._2 > 0).sortBy(-_._2).take(16)
       .map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},""" +
+    println(f"""{"metric":"total","value":$publishedTotal%.3f,"unit":"sec","n_queries":${results.length},""" +
+      f""""steady_total_sec":$total%.3f,"cache_build_sec":$cacheBuildSec%.3f,""" +
+      digest +
       s""""cdc_rows":$cdcRows,"cdc_sec":$cdcSec,"cdc_rows_per_sec":$cdcRps,""" +
       s""""cdc_debezium_rows_per_sec":$dbzRps,""" +
       s""""errors":$errsJson,"slowest":$slowest,""" +

@@ -58,6 +58,12 @@ object DlSignatures {
 
   def sigs(s: UTF8String, withWindows: Boolean): GenericArrayData = {
     val str = s.toString
+    // the declarative length/overlay/substr this kernel replaced count
+    // CODE POINTS; the fast path below indexes UTF-16 units, which is
+    // identical for BMP-only strings — anything carrying a surrogate
+    // pair takes the code-point-correct slow path
+    if (str.length != str.codePointCount(0, str.length))
+      return sigsCodePoints(str, withWindows)
     val l = str.length
     val out = new Array[Any](if (withWindows) l + math.max(l - 1, 1) else l)
     val lp = java.lang.Integer.toString(l)
@@ -85,6 +91,50 @@ object DlSignatures {
         } else {
           // l == 1: substr(p+1, 1) is empty, least/greatest collapse to
           // ("", c), and the 1-char overlay leaves the string unchanged
+          sb.append(str)
+        }
+        out(idx) = UTF8String.fromString(sb.toString); idx += 1; p += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Code-point-indexed twin of the fast path, for names containing
+    * non-BMP characters. Window-pair sorting compares code points —
+    * equal to the replaced `least/greatest` single-char string compare,
+    * since UTF-8 byte order preserves code point order.
+    */
+  private def sigsCodePoints(str: String, withWindows: Boolean): GenericArrayData = {
+    val cps = str.codePoints().toArray
+    val l = cps.length
+    val out = new Array[Any](if (withWindows) l + math.max(l - 1, 1) else l)
+    val lp = java.lang.Integer.toString(l)
+    val sb = new java.lang.StringBuilder(lp.length + 12 + str.length)
+    def cpsRange(from: Int, until: Int): Unit = {
+      var j = from
+      while (j < until) { sb.appendCodePoint(cps(j)); j += 1 }
+    }
+    var idx = 0
+    var i = 1
+    while (i <= l) {
+      sb.setLength(0)
+      sb.append(lp).append(':')
+      cpsRange(0, i - 1); sb.append('\u0000'); cpsRange(i, l)
+      out(idx) = UTF8String.fromString(sb.toString); idx += 1; i += 1
+    }
+    if (withWindows) {
+      val pMax = math.max(l - 1, 1)
+      var p = 1
+      while (p <= pMax) {
+        sb.setLength(0)
+        sb.append(lp).append(':').append(p).append(':')
+        if (p + 1 <= l) {
+          val x = cps(p - 1)
+          val y = cps(p)
+          cpsRange(0, p - 1)
+          sb.appendCodePoint(math.min(x, y)).appendCodePoint(math.max(x, y))
+          cpsRange(p + 1, l)
+        } else {
           sb.append(str)
         }
         out(idx) = UTF8String.fromString(sb.toString); idx += 1; p += 1

@@ -24,9 +24,21 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class KnnTop(k: Int,
     cos: Array[Double], nid: Array[Long], lab: Array[Int], var n: Int) {
 
-  /** true iff (c1, n1) ranks strictly better than (c2, n2). */
-  @inline private def better(c1: Double, n1: Long, c2: Double, n2: Long): Boolean =
-    if (c1 > c2) true else if (c1 < c2) false else n1 < n2
+  /** true iff (c1, n1) ranks strictly better than (c2, n2). NaN ranks
+    * GREATEST (first under cos DESC) and ties with itself — the exact
+    * total order the replaced window sort used — so the equivalence
+    * holds even if a non-finite embedding ever slips a NaN cos_sim past
+    * the zero-norm guard; primitive compare otherwise keeps ±0.0 equal
+    * (Spark normalizes signed zeros before ordering).
+    */
+  @inline private def better(c1: Double, n1: Long, c2: Double, n2: Long): Boolean = {
+    val nan1 = java.lang.Double.isNaN(c1)
+    val nan2 = java.lang.Double.isNaN(c2)
+    if (nan1 != nan2) nan1
+    else if (!nan1 && c1 > c2) true
+    else if (!nan1 && c1 < c2) false
+    else n1 < n2
+  }
 
   def insert(c: Double, id: Long, l: Int): KnnTop = {
     if (n < k) {

@@ -88,6 +88,7 @@ object Dedup {
     // cached frame instead of pinning three copies of the same data
     evict(shingleCache)(k => k._1 == s && k._2 != dir)
     shingleCache.get((s, dir)).getOrElse {
+      FamilyCaches.noteBuild()
       graft.GraftExtensions.register(s)
       // native one-pass shingle hashing (same XXH64 set as the previous
       // split/transform/array_distinct/xxhash64 chain, which evaluated

@@ -1000,8 +1000,10 @@ object LangModel {
     */
   private[queries] def wordPieceTrainFrames(s: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame) =
-    wpCache.getOrElseUpdate((s, dir, rounds),
-      wordPieceTrainFramesUncached(s, dir, rounds))
+    wpCache.getOrElseUpdate((s, dir, rounds), {
+      FamilyCaches.noteBuild()
+      wordPieceTrainFramesUncached(s, dir, rounds)
+    })
 
   private def wordPieceTrainFramesUncached(s: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame) = {
@@ -1250,9 +1252,23 @@ object LangModel {
     * to recompute from, so a dropped entry simply retrains next use).
     */
   def clearCaches(s: SparkSession): Unit = {
-    trainCache.keySet.foreach { k => if (k._1 == s) trainCache.remove(k) }
-    wpCache.keySet.foreach { k => if (k._1 == s) wpCache.remove(k) }
-    kn4Cache.keySet.foreach { k => if (k._1 == s) kn4Cache.remove(k) }
+    // unpersist dropped entries' checkpoint RDDs (see TextOps.clearCaches)
+    trainCache.keySet.foreach { k =>
+      if (k._1 == s) trainCache.remove(k).foreach { case (rounds, viterbi, qlp) =>
+        (rounds :+ viterbi :+ qlp).foreach(FamilyCaches.unpersistCheckpoints)
+      }
+    }
+    wpCache.keySet.foreach { k =>
+      if (k._1 == s) wpCache.remove(k).foreach { case (rounds, vocab) =>
+        (rounds :+ vocab).foreach(FamilyCaches.unpersistCheckpoints)
+      }
+    }
+    kn4Cache.keySet.foreach { k =>
+      if (k._1 == s) kn4Cache.remove(k).foreach { f =>
+        Seq(f.qg, f.h4, f.c4t, f.mid3, f.tg3, f.mid2, f.cont, f.tot)
+          .foreach(FamilyCaches.unpersistCheckpoints)
+      }
+    }
   }
 
   /** The q250 training loop, exposed for [[q251UnigramEncode]]:
@@ -1265,8 +1281,10 @@ object LangModel {
     */
   private[queries] def unigramTrainFrames(s: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame, DataFrame) =
-    trainCache.getOrElseUpdate((s, dir, rounds),
-      unigramTrainFramesUncached(s, dir, rounds))
+    trainCache.getOrElseUpdate((s, dir, rounds), {
+      FamilyCaches.noteBuild()
+      unigramTrainFramesUncached(s, dir, rounds)
+    })
 
   private def unigramTrainFramesUncached(s: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame, DataFrame) = {
@@ -2153,8 +2171,10 @@ object LangModel {
 
   private[queries] def kn4Frames(s: SparkSession, dir: String,
       minCount: Int = 2): Kn4Frames =
-    kn4Cache.getOrElseUpdate((s, dir, minCount),
-      kn4FramesUncached(s, dir, minCount))
+    kn4Cache.getOrElseUpdate((s, dir, minCount), {
+      FamilyCaches.noteBuild()
+      kn4FramesUncached(s, dir, minCount)
+    })
 
   private def kn4FramesUncached(s: SparkSession, dir: String, minCount: Int): Kn4Frames = {
     import s.implicits._
@@ -2203,8 +2223,9 @@ object LangModel {
     val cont = bg.groupBy($"bw2".as("w4")).agg(count(lit(1)).as("n1b"))
       .localCheckpoint(true)
     // nbb = |distinct bigram types| = Σ_w4 n1b — exact integers, zero
-    // extra corpus scans
-    val tot = cont.agg(sum($"n1b").cast("long").as("nbb"))
+    // extra corpus scans; coalesce preserves the replaced count(*)'s
+    // 0-on-empty-corpus semantics (sum over zero rows is NULL)
+    val tot = cont.agg(coalesce(sum($"n1b"), lit(0L)).cast("long").as("nbb"))
     Kn4Frames(qg, h4, c4t, mid3, tg3, mid2, cont, tot)
   }
 

@@ -295,16 +295,26 @@ object TextOps {
     .empty[(SparkSession, String, String), DataFrame]
 
   def clearCaches(s: SparkSession): Unit = {
-    ctCache.keySet.foreach { k => if (k._1 == s) ctCache.remove(k) }
-    contamCache.keySet.foreach { k => if (k._1 == s) contamCache.remove(k) }
+    // unpersist the dropped entries' checkpoint RDDs too: outside
+    // Bench's per-family sweep (Verify, interactive sessions) removing
+    // the map entry alone would pin the blocks for the JVM's life
+    ctCache.keySet.foreach { k =>
+      if (k._1 == s) ctCache.remove(k).foreach(FamilyCaches.unpersistCheckpoints)
+    }
+    contamCache.keySet.foreach { k =>
+      if (k._1 == s) contamCache.remove(k).foreach(FamilyCaches.unpersistCheckpoints)
+    }
   }
 
   private[queries] def ctProfCached(s: SparkSession, dir: String): DataFrame =
-    ctCache.getOrElseUpdate((s, dir, "prof"),
-      ctProfileFrame(s, dir).localCheckpoint(true))
+    ctCache.getOrElseUpdate((s, dir, "prof"), {
+      FamilyCaches.noteBuild()
+      ctProfileFrame(s, dir).localCheckpoint(true)
+    })
 
   private[queries] def ctDocGCached(s: SparkSession, dir: String): DataFrame =
     ctCache.getOrElseUpdate((s, dir, "docg"), {
+      FamilyCaches.noteBuild()
       import s.implicits._
       val wd = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"cnt".desc, $"g")
@@ -1695,9 +1705,11 @@ object TextOps {
 
   private[queries] def contaminationPairsCached(s: SparkSession, dir: String,
       evalCap: Long): DataFrame =
-    contamCache.getOrElseUpdate((s, dir, evalCap),
+    contamCache.getOrElseUpdate((s, dir, evalCap), {
+      FamilyCaches.noteBuild()
       contaminationPairs(s, Tables.load(s, dir, "documents"), evalCap)
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+    })
 
   def q278BleuContamination(s: SparkSession, dir: String,
       evalCap: Long = Long.MaxValue): DataFrame = {

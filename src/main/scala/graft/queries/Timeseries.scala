@@ -612,11 +612,15 @@ object Timeseries {
     .empty[(SparkSession, String), DataFrame]
 
   def clearCaches(s: SparkSession): Unit =
-    ivCache.keySet.foreach { k => if (k._1 == s) ivCache.remove(k) }
+    ivCache.keySet.foreach { k =>
+      if (k._1 == s) ivCache.remove(k).foreach(FamilyCaches.unpersistCheckpoints)
+    }
 
   private[queries] def intervalOverlapPairs(s: SparkSession, dir: String): DataFrame =
-    ivCache.getOrElseUpdate((s, dir),
-      intervalOverlapPairsUncached(s, dir).localCheckpoint(true))
+    ivCache.getOrElseUpdate((s, dir), {
+      FamilyCaches.noteBuild()
+      intervalOverlapPairsUncached(s, dir).localCheckpoint(true)
+    })
 
   def q198IntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -19,4 +19,15 @@ object PlanShim {
     */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The persisted RDDs under a `localCheckpoint(true)`'d frame
+    * (LogicalRDD leaves). Session caches unpersist these when an entry
+    * is dropped — removing the map entry alone would leave the
+    * checkpoint blocks pinned in the block manager for the JVM's life
+    * in any session that doesn't run Bench's per-family sweep.
+    */
+  def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }

@@ -59,4 +59,26 @@ class DlSignaturesSpec extends SparkSpec {
       .filter($"got" =!= $"want")
     assert(d.isEmpty, d.take(1).mkString)
   }
+
+  test("equals the declarative spellings on non-BMP names " +
+    "(code-point slow path: surrogate pairs must index like substr/overlay)") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    // emoji + Deseret + Gothic: every char here is a surrogate PAIR in
+    // UTF-16, so any UTF-16-unit indexing diverges from the declarative
+    // code-point spelling in both families
+    val names = Seq("😀", "a😀b", "𐐷𐐯",
+      "x𐌰", "😀😀a", "ab𐐷")
+    val c = names.toDF("n")
+    val d = c.select(
+        call_function("dl_signatures", $"n", lit(true)).as("got"),
+        declBoth($"n").as("want"))
+      .filter($"got" =!= $"want")
+    assert(d.isEmpty, d.take(1).mkString)
+    val d1 = c.select(
+        call_function("dl_signatures", $"n", lit(false)).as("got"),
+        declSingle($"n").as("want"))
+      .filter($"got" =!= $"want")
+    assert(d1.isEmpty, d1.take(1).mkString)
+  }
 }
