@@ -570,6 +570,7 @@ object Analytic {
     mvReplayCache.getOrElseUpdate((s, dir), replayMinMaxIndexUncached(s, dir))
 
   private def replayMinMaxIndexUncached(s: SparkSession, dir: String): String = {
+    FamilyCaches.noteBuild() // one-time replay, priced into cache_build_sec
     import s.implicits._
     val log = Tables.load(s, dir, "events")
       .withColumn("op",
@@ -788,6 +789,7 @@ object Analytic {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   private def replayDecimalMvUncached(s: SparkSession, dir: String): String = {
+    FamilyCaches.noteBuild() // one-time replay, priced into cache_build_sec
     import s.implicits._
     val log = Tables.load(s, dir, "orders")
       .withColumn("op",

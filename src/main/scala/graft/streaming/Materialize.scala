@@ -330,16 +330,53 @@ object Materialize {
       coalesce(element_at($"newData", name), element_at($"oldData", name))
     val seq = seqCol.map(c => mapField(c).cast("long")).getOrElse(lit(null).cast("long"))
     val fs = new Path(tablePath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    // --- ONE pass over the batch (r17 probe fusion, guide §2.4) -----
+    // The old shape paid two full batch scans before the merge (the
+    // truncate-position probe — even on the truncate-free common case —
+    // plus the upserts window/checkpoint) and two separate driver
+    // collects. TRUNCATE rows have no row identity (null key), so they
+    // now ride a DEDICATED partition of the same latest-per-key window
+    // (partition key (is-truncate, k) — a null-key row op still drops,
+    // and no real key can collide with the truncate partition): rn == 1
+    // in that partition IS the batch's max truncate position under the
+    // identical (event_time desc, seq desc_nulls_last) order. One scan
+    // + one checkpoint feeds the truncate probe, the bucket probe, and
+    // the merge union; both probes collapse into ONE driver job over
+    // the small checkpointed frame.
+    val isTrunc = $"op" === lit(Op.Truncate)
+    val wBatch = Window.partitionBy(isTrunc, col(KeyCol))
+      .orderBy($"event_time".desc, $"seq".desc_nulls_last, $"op")
+    val pre = batch
+      .withColumn(KeyCol, mapField(keyField))
+      .filter(isTrunc || col(KeyCol).isNotNull)
+      .withColumn("seq", seq)
+      .withColumn("event_time", $"eventTime")
+      .withColumn("rn", row_number().over(wBatch))
+      .filter($"rn" === 1)
+      .select(col(KeyCol), $"op", $"newData".as("data"), $"event_time", $"seq")
+      .withColumn("bucket", pmod(xxhash64(col(KeyCol)), lit(nBuckets)).cast("int"))
+      // materialized once: feeds the fused probe AND the merge union —
+      // without this the source scan + window would run per consumer
+      .localCheckpoint(true)
+    // fused probe: the batch's truncate position (max struct orders
+    // non-null seq above null at equal time — desc_nulls_last's pick;
+    // ≤ 1 row matches post-window anyway) + the incoming keys' buckets,
+    // in one driver job. The bucket set is taken BEFORE the horizon
+    // ingest filter (the horizon isn't known yet): a superset only adds
+    // touched buckets whose merge rewrites identical rows — the CDF is
+    // driven by incoming WINNERS, so output is unchanged; rows dropped
+    // by the in-batch window share their winner's key, hence bucket.
+    val probeRow = pre.agg(
+      max(when(isTrunc,
+        struct(unix_micros($"event_time").as("t"), $"seq".as("s")))).as("tr"),
+      collect_set(when(!isTrunc, $"bucket")).as("bks")).collect()(0)
     // --- TRUNCATE horizon (see HorizonFile doc) ---------------------
-    // the batch's truncate position: latest (event_time, seq) among its
-    // TRUNCATE events — bounded: limit(1) after an orderBy, driver-side
-    val batchTrunc: Option[Horizon] = {
-      val r = batch.filter($"op" === lit(Op.Truncate))
-        .select(unix_micros($"eventTime").as("t"), seq.as("s"))
-        .orderBy($"t".desc, $"s".desc_nulls_last).limit(1).collect()
-      r.headOption.map(row =>
-        (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1))))
-    }
+    val batchTrunc: Option[Horizon] =
+      if (probeRow.isNullAt(0)) None
+      else {
+        val r = probeRow.getStruct(0)
+        Some((r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      }
     val persisted = readHorizon(fs, tablePath)
     val horizon: Option[Horizon] =
       (batchTrunc.toSeq ++ persisted.toSeq).reduceOption { (a, b) =>
@@ -365,21 +402,8 @@ object Materialize {
     // Pre-horizon changes are dropped at ingest — survival is monotone
     // in (event_time, seq), so filtering after the latest-per-key window
     // is equivalent to filtering before it.
-    val wBatch = Window.partitionBy(col(KeyCol))
-      .orderBy($"event_time".desc, $"seq".desc_nulls_last, $"op")
-    val upserts = batch
-      .filter($"op" =!= lit(Op.Truncate)) // no row identity; handled above
-      .withColumn(KeyCol, mapField(keyField))
-      .filter(col(KeyCol).isNotNull)
-      .withColumn("seq", seq)
-      .withColumn("event_time", $"eventTime")
-      .withColumn("rn", row_number().over(wBatch))
-      .filter($"rn" === 1 && survives($"event_time", $"seq"))
-      .select(col(KeyCol), $"op", $"newData".as("data"), $"event_time", $"seq")
-      .withColumn("bucket", pmod(xxhash64(col(KeyCol)), lit(nBuckets)).cast("int"))
-      // materialized once: feeds the touched-bucket probe AND the merge
-      // union — without this the source scan + window run twice per batch
-      .localCheckpoint(true)
+    val upserts = pre.filter($"op" =!= lit(Op.Truncate) &&
+      survives($"event_time", $"seq"))
     val emptyCdf = upserts.limit(0).select(
       col(KeyCol), $"data".as("before"), $"data".as("after"))
     // "table exists" = it has bucket partitions — the writer lease file
@@ -392,7 +416,7 @@ object Materialize {
     // touched buckets: ≤ nBuckets ints — bounded driver-side by design.
     // A clear pass touches every existing bucket (the truncate rewrites
     // or deletes each one); otherwise only the incoming keys' buckets.
-    val incomingBuckets = upserts.select($"bucket").distinct().collect().map(_.getInt(0))
+    val incomingBuckets = probeRow.getSeq[Int](1).toArray
     val touched =
       if (clearPass) (existingBuckets ++ incomingBuckets).distinct
       else incomingBuckets
