@@ -1711,22 +1711,40 @@ object TextOps {
         .localCheckpoint(true)
     })
 
+  /** The contamination-pruned corpus, one projected column per lane
+    * (q278: word arrays; q279: space-stripped chars) — semi-join prune
+    * per guide §3.2: only docs that appear in a pair ever survive the
+    * pair joins, so every other doc drops BEFORE the n-gram explode +
+    * (doc, gram) shuffle. Join strategy stays AQE's call (the r13
+    * forced-broadcast lesson: the %-50 eval contract grows
+    * contamination with the corpus). Exposed un-checkpointed for the
+    * pre-checkpoint plan audit (the contaminationPairs precedent).
+    */
+  private[queries] def contamPrunedDocs(s: SparkSession, dir: String,
+      evalCap: Long, projected: Column => Column, as: String): DataFrame = {
+    import s.implicits._
+    val pairs = contaminationPairsCached(s, dir, evalCap)
+    val pairedDocs = pairs.select($"train_doc".as("doc_id"))
+      .union(pairs.select($"eval_doc".as("doc_id"))).distinct()
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", projected($"text").as(as))
+      .join(pairedDocs, Seq("doc_id"), "left_semi")
+  }
+
   def q278BleuContamination(s: SparkSession, dir: String,
       evalCap: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
-    val loaded = Tables.load(s, dir, "documents")
     val pairs = contaminationPairsCached(s, dir, evalCap)
-    // semi-join prune (guide §3.2): only docs that appear in a pair
-    // ever survive the pair joins below — drop every other doc BEFORE
-    // the n-gram explode + (doc, gram) shuffle. The pair table is
-    // checkpointed and contamination-bounded; join strategy stays
-    // AQE's call (the r13 forced-broadcast lesson for exactly these
-    // lanes: the %-50 eval contract grows contamination with the
-    // corpus).
-    val pairedDocs = pairs.select($"train_doc".as("doc_id"))
-      .union(pairs.select($"eval_doc".as("doc_id"))).distinct()
-    val docs = loaded.select($"doc_id", split($"text", " ").as("ws"))
-      .join(pairedDocs, Seq("doc_id"), "left_semi")
+    // r17: SIX plan branches reference the pruned corpus (uni/big gram
+    // counts on both folds + two lens sides), and without
+    // materialization each branch re-ran the corpus scan, the
+    // pairedDocs aggregate, and the doc_id semi-join exchange (guide
+    // §2.4; plan-verified, see plans/r17/q278_*). The frame is
+    // corpus-row-bounded and contamination-pruned — one eager
+    // checkpoint per evaluation replaces five full subtree re-runs;
+    // rows identical by construction.
+    val docs = contamPrunedDocs(s, dir, evalCap, t => split(t, " "), "ws")
+      .localCheckpoint(true)
     // n-gram multiset counts; bigram text via the same slice+join the
     // oracle uses (array_join(slice(ws,i,2))), so strings agree exactly
     val uni = docs.select($"doc_id", explode($"ws").as("w"))
@@ -1835,16 +1853,19 @@ object TextOps {
   def q279ChrfContamination(s: SparkSession, dir: String,
       evalCap: Long = Long.MaxValue): DataFrame = {
     import s.implicits._
-    val loaded = Tables.load(s, dir, "documents")
     val pairs = contaminationPairsCached(s, dir, evalCap)
-    // semi-join prune (guide §3.2), the q278 rationale verbatim: the
-    // char-gram explode ×3 orders + the (doc, gram) shuffle only ever
-    // serve docs that appear in a pair — drop the rest first (strategy
-    // AQE's call, r13 forced-broadcast lesson)
-    val pairedDocs = pairs.select($"train_doc".as("doc_id"))
-      .union(pairs.select($"eval_doc".as("doc_id"))).distinct()
-    val cs = loaded.select($"doc_id", translate($"text", " ", "").as("cs"))
-      .join(pairedDocs, Seq("doc_id"), "left_semi")
+    // r17: the pruned space-stripped corpus is referenced by FOUR plan
+    // branches (train grams, eval grams, train lens, eval lens), and
+    // without materialization each branch re-ran the corpus scan, the
+    // pairedDocs aggregate, and the doc_id semi-join exchange — 4
+    // corpus scans per evaluation (guide §2.4; plan-verified, see
+    // plans/r17/q279_*). The frame is corpus-row-bounded and
+    // contamination-pruned (a few MB at sf0.1), so one eager
+    // checkpoint per evaluation replaces three full subtree re-runs;
+    // rows are identical by construction.
+    val cs = contamPrunedDocs(s, dir, evalCap,
+        t => translate(t, " ", ""), "cs")
+      .localCheckpoint(true)
     // tagged grams ride the native char_ngrams scan (one fused loop per
     // row; the declarative nested-transform spelling evaluates its
     // lambdas INTERPRETED — measured ~90% of the lane's runtime at the

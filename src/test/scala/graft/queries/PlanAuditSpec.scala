@@ -816,26 +816,52 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the eval shingle set to broadcast onto the corpus scan:\n$p")
   }
 
-  test("q278: no all-pairs contact; the gram tables are semi-join-pruned to paired docs") {
+  test("contamination pruned corpus (q278/q279 shared builder): the gram/lens " +
+    "base is semi-join-pruned to paired docs BEFORE any explode") {
+    // r17: the pruned frame is eagerly checkpointed (four/six plan
+    // branches read it — guide §2.4), so the registered plans read an
+    // ExistingRDD; the prune's shape is audited here pre-checkpoint
+    // (the contaminationPairs pre-checkpoint audit pattern)
+    Seq[(org.apache.spark.sql.Column => org.apache.spark.sql.Column, String)](
+      (t => org.apache.spark.sql.functions.split(t, " "), "ws"),
+      (t => org.apache.spark.sql.functions.translate(t, " ", ""), "cs")
+    ).foreach { case (proj, as) =>
+      val df = TextOps.contamPrunedDocs(spark, dir, Long.MaxValue, proj, as)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+      assert(p.contains("LeftSemi"),
+        s"expected the paired-docs semi-join prune in the $as builder:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"no all-pairs contact in the $as builder:\n$p")
+    }
+  }
+
+  test("q278: no all-pairs contact; the pruned corpus is materialized ONCE " +
+    "(every gram/lens branch reads the checkpoint, no per-branch corpus scan)") {
     val p = plan("q278_bleu_contamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no all-pairs contact:\n$p")
-    // the r16 prune (guide §3.2): docs are filtered to pair members
-    // BEFORE the n-gram explode + (doc, gram) aggregate
-    assert(p.contains("LeftSemi"),
-      s"expected the paired-docs semi-join prune before the gram explode:\n$p")
+    // r17 (guide §2.4): the registered plan must read the pruned corpus
+    // as a checkpointed ExistingRDD and never re-scan the parquet —
+    // stricter than the r16 LeftSemi assertion it replaces (the prune
+    // itself is pinned on the builder above)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Scan parquet"),
+      s"q278's gram/lens branches must read the materialized pruned corpus, " +
+        s"not re-scan the corpus per branch:\n$p")
   }
 
-  test("q279: one tagged gram shuffle serves all three chrF orders; gram tables " +
-    "semi-join-pruned to paired docs") {
+  test("q279: one tagged gram shuffle serves all three chrF orders; pruned " +
+    "corpus materialized ONCE (no per-branch corpus scan)") {
     val p = plan("q279_chrf_contamination")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no all-pairs contact:\n$p")
-    assert(p.contains("LeftSemi"),
-      s"expected the paired-docs semi-join prune before the gram explode:\n$p")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Scan parquet"),
+      s"q279's gram/lens branches must read the materialized pruned corpus, " +
+        s"not re-scan the corpus per branch:\n$p")
     // the (doc, n, gram) counts shuffle exactly once for n = 1..3 —
     // a per-order shuffle would print three gram-keyed exchanges
-    val finalPlan = p.split("== Initial Plan ==")(0)
     val gramExchanges = "hashpartitioning\\(doc_id#\\d+L?, tg#".r
       .findAllIn(finalPlan).size
     assert(gramExchanges <= 2,  // train + eval branches of the ONE gram agg
