@@ -2098,21 +2098,35 @@ object TextOps {
     import s.implicits._
     graft.GraftExtensions.register(s)
     val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-    // r16 optimization: md5() yields a 32-CHAR hex string; unhex packs
-    // the same 128-bit digest into 16 bytes — half the distinct/join
-    // key bytes shuffled, identical collision structure (unhex∘md5 is
-    // injective on md5 output), so the curve is unchanged
-    val trainTypes = docs.filter($"doc_id" % 10 =!= 0)
-      .select(explode(call_function("word_ngrams_upto", $"text", lit(nMax))).as("g"))
-      .select(unhex(md5($"g")).as("h")).distinct()
-      .withColumn("hit", lit(1))
-    val evalG = docs.filter($"doc_id" % 10 === 0)
-      .select(explode(call_function("word_ngrams_upto", $"text", lit(nMax))).as("g"))
-      .select(substring($"g", 1, 1).cast("int").as("n"), unhex(md5($"g")).as("h"))
-    evalG.join(trainTypes, Seq("h"), "left")
+    // r16: md5() yields a 32-CHAR hex string; unhex packs the same
+    // 128-bit digest into 16 bytes — half the key bytes shuffled,
+    // identical collision structure (unhex∘md5 is injective on md5
+    // output), so the curve is unchanged.
+    //
+    // r17 (guide §2.4/§3): the old shape was a train-side DISTINCT
+    // (one corpus-sized exchange) LEFT-JOINED onto the eval grams —
+    // a multi-million-row build side that the planner broadcasts on
+    // estimates (brittle: the relation grows with the corpus; at
+    // scale AQE degrades it to a sort-merge join, two more corpus
+    // exchanges). Both folds now flow through ONE (h)-keyed aggregate:
+    // per gram type, the eval-instance count and a did-train-see-it
+    // flag — no join, no broadcast, ONE corpus-sized exchange, and the
+    // map-side partial collapses instances to types before it. The
+    // tag char is part of the hashed gram string, so h determines n
+    // (max is just "the" value) and every count below is identical to
+    // the join spelling's.
+    val g = docs.select(($"doc_id" % 10 === 0).as("ev"),
+        explode(call_function("word_ngrams_upto", $"text", lit(nMax))).as("g"))
+      .select($"ev", substring($"g", 1, 1).cast("int").as("n"),
+        unhex(md5($"g")).as("h"))
+    val perType = g.groupBy($"h").agg(
+      max($"n").as("n"),
+      sum(when($"ev", 1L).otherwise(0L)).as("ne"),
+      max(when(!$"ev", 1).otherwise(0)).as("tr"))
+    perType.filter($"ne" > 0)
       .groupBy($"n")
-      .agg(count(lit(1)).as("n_eval_grams"),
-        sum(when($"hit".isNull, 1L).otherwise(0L)).cast("long").as("n_novel"))
+      .agg(sum($"ne").cast("long").as("n_eval_grams"),
+        sum(when($"tr" === 0, $"ne").otherwise(0L)).cast("long").as("n_novel"))
       .select($"n", $"n_eval_grams", $"n_novel",
         ($"n_novel" / $"n_eval_grams").as("novel_rate"))
       .orderBy($"n")
