@@ -1463,12 +1463,19 @@ object Dedup {
     * instance by (doc_id, segment_no) — so the result is reproducible
     * and exactly oracle-checkable.
     *
-    * At 100 TB: ONE corpus shuffle keyed on md5(segment) (fixed
-    * 32-byte key, never the text — the q170 discipline) computes the
-    * per-hash keeper + count; the reassembly is one doc-keyed
+    * At 100 TB: ONE corpus shuffle keyed on the 16-byte unhex(md5)
+    * segment digest (fixed-width binary, never the text — the
+    * q170/q230 discipline) computes the per-hash keeper IN PLACE via
+    * a hash-partitioned window MIN; the reassembly is one doc-keyed
     * aggregate whose per-group state is the document itself. No joins
-    * beyond the hash-keyed one, no windows, no driver-side anything;
-    * both shuffles are corpus-sized and embarrassingly partitioned.
+    * at all, no driver-side anything; both shuffles are corpus-sized
+    * and embarrassingly partitioned. (The pre-r17 spelling aggregated
+    * winners per hash and joined them back — a SECOND corpus
+    * scan+explode on the join's probe side, plus a winner table that
+    * GROWS with the corpus on its build side: broadcast-brittle, and
+    * a sort-merge join with two more corpus exchanges once it
+    * outgrows the threshold. The window needs the same h-shuffle the
+    * aggregate paid and nothing else.)
     */
   def q286SegmentDedup(s: SparkSession, dir: String, w: Int = 16): DataFrame = {
     import s.implicits._
@@ -1480,15 +1487,16 @@ object Dedup {
     val seg = docs.select($"doc_id",
         posexplode(call_function("word_windows", $"text", lit(w))).as(Seq("p", "s")))
       .select($"doc_id", ($"p" + 1).cast("long").as("seg_no"), $"s",
-        md5($"s").as("h"))
+        unhex(md5($"s")).as("h"))
     // keeper = globally first instance: a lexicographic struct MIN over
-    // (doc_id, seg_no). (An earlier spelling packed the pair into
-    // doc_id*100000+seg_no, whose non-ANSI long arithmetic would WRAP
-    // SILENTLY for a ≥100k-segment document and corrupt keeper
-    // selection — the struct min has no bounds at all.)
-    val winners = seg.groupBy($"h")
-      .agg(min(struct($"doc_id", $"seg_no")).as("wk"))
-    seg.join(winners, "h")
+    // (doc_id, seg_no), evaluated as a window over the h-partition so
+    // every instance sees its hash's winner in ONE pass. (An earlier
+    // spelling packed the pair into doc_id*100000+seg_no, whose
+    // non-ANSI long arithmetic would WRAP SILENTLY for a
+    // ≥100k-segment document and corrupt keeper selection — the
+    // struct min has no bounds at all.)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    seg.withColumn("wk", min(struct($"doc_id", $"seg_no")).over(byHash))
       .select($"doc_id", $"seg_no", $"s",
         ($"doc_id" === $"wk.doc_id" && $"seg_no" === $"wk.seg_no").as("keep"))
       .groupBy($"doc_id")

@@ -648,7 +648,7 @@ object EventStreams {
     * so the per-batch reassembly sees all segments of every document.
     */
   private class SegmentDedupProcessor
-      extends StatefulProcessor[String, (String, Long, Long, String), (Long, Long, String, Boolean)] {
+      extends StatefulProcessor[Array[Byte], (Array[Byte], Long, Long, String), (Long, Long, String, Boolean)] {
 
     @transient private var seen: ValueState[Long] = _
 
@@ -656,8 +656,8 @@ object EventStreams {
       seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
 
     override def handleInputRows(
-        h: String,
-        rows: Iterator[(String, Long, Long, String)],
+        h: Array[Byte],
+        rows: Iterator[(Array[Byte], Long, Long, String)],
         timerValues: TimerValues): Iterator[(Long, Long, String, Boolean)] = {
       val rs = rows.toSeq.sortBy(r => (r._2, r._3)) // deterministic keeper
       val known = seen.exists()
@@ -699,9 +699,13 @@ object EventStreams {
       .select(col("doc_id").cast("long").as("doc_id"),
         posexplode(call_function("word_windows", col("text"), lit(w)))
           .as(Seq("p", "s")))
-      .select(md5($"s").as("h"), $"doc_id",
+      // 16-byte unhex(md5) state key, changed in the SAME commit as the
+      // batch twin's shuffle key (r17): half the RocksDB key bytes and
+      // shuffle width, identical collision structure (unhex∘md5 is
+      // injective on md5 output), batch ≡ stream law re-run
+      .select(unhex(md5($"s")).as("h"), $"doc_id",
         ($"p" + 1).cast("long").as("seg_no"), $"s")
-      .as[(String, Long, Long, String)]
+      .as[(Array[Byte], Long, Long, String)]
       .groupByKey(_._1)
       .transformWithState(new SegmentDedupProcessor,
         TimeMode.None(), OutputMode.Append())

@@ -886,21 +886,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected only the presentation sort exchange:\n$p")
   }
 
-  test("q286: segment dedup shuffles on the fixed-width md5 key, no window, no cartesian") {
+  test("q286: the keeper is a hash-PARTITIONED window min over the 16-byte " +
+    "digest — no join, no global window, one corpus scan") {
     val df = graft.SparkEntry.queries("q286_segment_dedup")(spark, dir)
     val logical = df.queryExecution.optimizedPlan
+    // r17 re-pin, stricter than the r16 agg+join law it replaces: the
+    // winner table grew with the corpus (broadcast-brittle; SMJ = two
+    // more corpus exchanges past the threshold), so the keeper now
+    // rides the SAME h-shuffle as a partitioned window and the join is
+    // gone entirely
     val windows = logical.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.isEmpty, s"the keeper must be a MIN aggregate, not a window:\n$logical")
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"the keeper must be a hash-partitioned window min, never global:\n$logical")
     val joins = logical.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    assert(joins.forall(_.condition.isDefined), s"no cartesian products:\n$logical")
-    // the one join keys on the md5 hash, never the segment text
-    assert(joins.size == 1 &&
-      joins.head.condition.get.toString().contains("h"),
-      s"expected one hash-keyed equijoin:\n$logical")
+    assert(joins.isEmpty, s"q286 must not join at all:\n$logical")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one corpus scan:\n$p")
   }
 
   test("q287: stupid backoff's model contacts are all equijoins; tiers never fork the scan") {
@@ -1032,13 +1039,24 @@ class PlanAuditSpec extends SparkSpec {
       s"pair frame must be the checkpoint, not a re-derived join:\n$logical")
   }
 
-  test("q298: all orders ride ONE tagged native scan per fold; the train " +
-    "contact is an md5-keyed equijoin, never gram text") {
+  test("q298: all orders ride ONE tagged native scan over ONE corpus pass; " +
+    "both folds fold through the md5-keyed aggregate — no join at all") {
+    // r17 re-pin, stricter than the r16 equijoin law it replaces: the
+    // train-side distinct + left join (a corpus-growing build side —
+    // broadcast-brittle, SMJ past the threshold) collapsed into one
+    // (h)-keyed aggregate carrying the eval count and train flag
     val df = graft.SparkEntry.queries("q298_novel_ngram_rate")(spark, dir)
     val logical = df.queryExecution.optimizedPlan
     val s = logical.toString()
     assert(s.contains("word_ngrams_upto"), s"expected the tagged scan:\n$s")
-    assert(s.contains("md5"), s"expected md5 join keys:\n$s")
-    scalarOrEqui(logical, "q298")
+    assert(s.contains("md5"), s"expected md5 aggregate keys:\n$s")
+    val joins = logical.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"q298 must not join — one fold-tagged aggregate:\n$logical")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one corpus scan:\n$p")
   }
 }
