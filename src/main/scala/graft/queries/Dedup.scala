@@ -123,7 +123,42 @@ object Dedup {
   def clearCaches(s: SparkSession): Unit = {
     evict(shingleCache)(k => k._1 == s)
     evict(scratchCache)(k => k._1 == s)
+    rankCache.keySet.foreach { k =>
+      if (k._1 == s) rankCache.remove(k).foreach(FamilyCaches.unpersistCheckpoints)
+    }
   }
+
+  /** The rarity-ranked exploded shingle table (doc_id, g, pos, n):
+    * every token of every doc with its global-rarity rank inside the
+    * doc (df asc, hash asc — the shared total order the prefix-filter
+    * lemma needs) and the doc's token count. q126 (Jaccard τ prefix)
+    * and q135 (containment τ_C prefix) both derived this EXACT frame
+    * independently — the df aggregate, the g-keyed join, and both
+    * doc-keyed windows ran twice per suite pass (×2 attempts) for a
+    * τ-independent result; only the prefix-length FILTER differs per
+    * lane, and filtering the checkpointed frame is row-level, so the
+    * outputs are unchanged (guide §2.4). Session-memoized under the
+    * family-cache discipline: both consumers are Bench cacheSharers in
+    * the shingle segment, the build notes itself for cache_build_sec,
+    * and [[clearCaches]] unpersists the checkpoint.
+    */
+  private val rankCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def rarityRanked(s: SparkSession, dir: String): DataFrame =
+    rankCache.getOrElseUpdate((s, dir), {
+      FamilyCaches.noteBuild()
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+      val ex = shingled(s, dir).select($"doc_id", explode($"sh").as("g"))
+      val dfc = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+      ex.join(dfc, "g")
+        .withColumn("pos", row_number().over(
+          w.partitionBy($"doc_id").orderBy($"df", $"g")))
+        .withColumn("n", count(lit(1)).over(w.partitionBy($"doc_id")))
+        .select($"doc_id", $"g", $"pos", $"n")
+        .localCheckpoint(true)
+    })
 
   /** Exact Jaccard for candidate pairs (d1 < d2), computed as a count
     * aggregation over the exploded shingle table restricted to the
@@ -1082,14 +1117,10 @@ object Dedup {
     */
   def q126PrefixJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
     val docs = shingled(s, dir)
-    val ex = docs.select($"doc_id", explode($"sh").as("g"))
-    val dfc = ex.groupBy($"g").agg(count(lit(1)).as("df"))
-    val byRarity = w.partitionBy($"doc_id").orderBy($"df", $"g")
-    val prefix = ex.join(dfc, "g")
-      .withColumn("pos", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(w.partitionBy($"doc_id")))
+    // the ranked frame is τ-independent and shared with q135 (see
+    // rarityRanked); only the prefix-length filter is this lane's own
+    val prefix = rarityRanked(s, dir)
       .filter($"pos" <= $"n" - ceil($"n" * lit(Tau) - lit(1e-9)) + 1)
       .select($"doc_id", $"g")
     val cands = prefix.as("a").join(prefix.as("b"),
@@ -1114,15 +1145,12 @@ object Dedup {
     */
   def q135Containment(s: SparkSession, dir: String, tauC: Double = 0.9): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
     val docs = shingled(s, dir)
     val ex = docs.select($"doc_id", explode($"sh").as("g"))
     val sz = docs.select($"doc_id", size($"sh").as("n"))
-    val dfc = ex.groupBy($"g").agg(count(lit(1)).as("df"))
-    val byRarity = w.partitionBy($"doc_id").orderBy($"df", $"g")
-    val prefix = ex.join(dfc, "g")
-      .withColumn("pos", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(w.partitionBy($"doc_id")))
+    // the ranked frame is τ-independent and shared with q126 (see
+    // rarityRanked); only the asymmetric prefix filter is this lane's
+    val prefix = rarityRanked(s, dir)
       .filter($"pos" <= $"n" - ceil($"n" * lit(tauC) - lit(1e-9)) + 1)
       .select($"doc_id", $"g")
     val cands = prefix.as("a").join(ex.as("b"),
